@@ -1,38 +1,145 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB-dialect equivalent for each query.
+
+Floating-point policy: every double-valued aggregate is rounded to 2
+decimals IN BOTH the Spark query and the oracle SQL, so the driver's
+value-hash comparison is stable against summation-order differences.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kafkastreamsinteractivequeries_spark.operators.aggregation import aggregate_transactions
+from kafkastreamsinteractivequeries_spark.plans.queries import (
+    FilteredRangeQuery,
+    KeyQuery,
+    MultiKeyQuery,
+    RangeQuery,
+)
+from kafkastreamsinteractivequeries_spark.plans.service import InteractiveQueryService
+from kafkastreamsinteractivequeries_spark.sources.tables import (
+    load_table,
+    transactions_from_events,
+)
+
+# ---------------------------------------------------------------------------
+# Serving table: the reference's stock-aggregation state store rebuilt from
+# the testdata `events` stream table (FIXTURES.md §5 mapping).
+# ---------------------------------------------------------------------------
+
+
+def _serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = aggregate_transactions(transactions_from_events(events))
+    return agg.select(
+        "symbol",
+        F.round("buys", 2).alias("buys"),
+        F.round("sells", 2).alias("sells"),
+        "number_shares",
+    )
+
+
+def _service(spark: SparkSession, sf_dir: str) -> InteractiveQueryService:
+    return InteractiveQueryService(_serving(spark, sf_dir))
+
+
+# DuckDB oracle CTE mirroring _serving exactly (same rounding).
+_ORACLE_AGG_CTE = """
+WITH txns AS (
+  SELECT event_type AS symbol,
+         (user_id % 2 = 0) AS buy,
+         value AS amount,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS number_shares
+  FROM events
+),
+agg AS (
+  SELECT symbol,
+         ROUND(SUM(CASE WHEN buy THEN amount ELSE 0.0 END), 2) AS buys,
+         ROUND(SUM(CASE WHEN NOT buy THEN amount ELSE 0.0 END), 2) AS sells,
+         CAST(SUM(number_shares) AS BIGINT) AS number_shares
+  FROM txns GROUP BY symbol
+)
+"""
+
+# Key universe in the events table: click / error / purchase / signup / view.
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the continuous per-key conditional-sum aggregate (T5)."""
+    return _serving(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # T5 — the materialized continuous aggregate itself.
+    q["t5_stock_aggregation"] = _serving
+
+    # Q1 — key query (point lookup), StockController.java:186-206.
+    q["q1_key_query"] = lambda s, d: _service(s, d).execute(KeyQuery.with_key("purchase"))
+
+    # Q2 — multi-key query, query/MultiKeyQuery.java:9-51.
+    q["q2_multikey_query"] = lambda s, d: _service(s, d).execute(
+        MultiKeyQuery.with_keys(["click", "purchase", "signup"])
+    )
+
+    # Q3 — range query, 4 bound variants, query/QueryUtils.java:19-27.
+    q["q3_range_query"] = lambda s, d: _service(s, d).execute(
+        RangeQuery.with_range("click", "signup")
+    )
+    q["q3_range_lower_only"] = lambda s, d: _service(s, d).execute(
+        RangeQuery.with_lower_bound("error")
+    )
+    q["q3_range_upper_only"] = lambda s, d: _service(s, d).execute(
+        RangeQuery.with_upper_bound("purchase")
+    )
+
+    # Q6 — full scan (RangeQuery.withNoBounds), StoreDelegate.java:87-89.
+    q["q6_full_scan"] = lambda s, d: _service(s, d).execute(RangeQuery.with_no_bounds())
+
+    # Q4 — filtered range: JsonPath predicate compiled to a Column,
+    # store/CustomQueryStore.java:68-97.
+    q["q4_filtered_range"] = lambda s, d: _service(s, d).execute(
+        FilteredRangeQuery.with_bounds("click", "view").predicate("@.buys > @.sells")
+    )
+    q["q4_filtered_range_symbol"] = lambda s, d: _service(s, d).execute(
+        FilteredRangeQuery.with_bounds(None, None).predicate("@.symbol == 'purchase'")
+    )
+    q["q4_filtered_range_numeric"] = lambda s, d: _service(s, d).execute(
+        FilteredRangeQuery.with_bounds(None, None).predicate(
+            "@.buys > 299 && @.number_shares > 100"
+        )
+    )
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["t5_stock_aggregation"] = _ORACLE_AGG_CTE + "SELECT * FROM agg"
+    o["q1_key_query"] = _ORACLE_AGG_CTE + "SELECT * FROM agg WHERE symbol = 'purchase'"
+    o["q2_multikey_query"] = (
+        _ORACLE_AGG_CTE
+        + "SELECT * FROM agg WHERE symbol IN ('click', 'purchase', 'signup')"
+    )
+    o["q3_range_query"] = (
+        _ORACLE_AGG_CTE + "SELECT * FROM agg WHERE symbol BETWEEN 'click' AND 'signup'"
+    )
+    o["q3_range_lower_only"] = _ORACLE_AGG_CTE + "SELECT * FROM agg WHERE symbol >= 'error'"
+    o["q3_range_upper_only"] = _ORACLE_AGG_CTE + "SELECT * FROM agg WHERE symbol <= 'purchase'"
+    o["q6_full_scan"] = _ORACLE_AGG_CTE + "SELECT * FROM agg"
+    o["q4_filtered_range"] = (
+        _ORACLE_AGG_CTE
+        + "SELECT * FROM agg WHERE symbol BETWEEN 'click' AND 'view' AND buys > sells"
+    )
+    o["q4_filtered_range_symbol"] = _ORACLE_AGG_CTE + "SELECT * FROM agg WHERE symbol = 'purchase'"
+    o["q4_filtered_range_numeric"] = (
+        _ORACLE_AGG_CTE + "SELECT * FROM agg WHERE buys > 299 AND number_shares > 100"
+    )
+    return o

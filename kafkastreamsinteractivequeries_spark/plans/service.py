@@ -1,0 +1,46 @@
+"""Interactive-query service facade over a serving DataFrame.
+
+The Spark analog of the reference's controller + store-dispatch layer
+(``controller/StockController.java`` + ``store/CustomQueryStore.java``):
+holds the serving table (the materialized aggregate) and executes query
+objects against it.  Routing/scatter-gather/standby code disappears —
+``df.filter`` is already distributed, pruned, and fault-tolerant.
+
+``execute`` returns a DataFrame (lazy; callers compose further);
+``execute_response`` collects into the reference-shaped
+``QueryResponse`` envelope with execution info (the analog of IQv2's
+``ExecutionInfo`` / host info strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from kafkastreamsinteractivequeries_spark.plans.queries import Query, QueryResponse
+
+
+class InteractiveQueryService:
+    def __init__(self, serving_df: DataFrame, key_col: str = "symbol", store_name: str = "stock-aggregation-state-store"):
+        self.serving_df = serving_df
+        self.key_col = key_col
+        # store name kept for API parity — reference application.properties:4
+        self.store_name = store_name
+
+    def execute(self, query: Query) -> DataFrame:
+        return query.apply(self.serving_df, key_col=self.key_col)
+
+    def execute_response(self, query: Query, collect_limit: int | None = None) -> QueryResponse:
+        try:
+            # predicate compile + Catalyst analysis can both fail (bad
+            # syntax, unknown column) — the envelope captures either,
+            # mirroring QueryResponse.withError (QueryResponse.java:7-13).
+            df = self.execute(query)
+            rows = df.limit(collect_limit).collect() if collect_limit else df.collect()
+        except Exception as exc:
+            return QueryResponse.with_error(str(exc))
+        resp = QueryResponse.with_result([r.asDict() for r in rows])
+        resp.host_information = "spark-driver"
+        resp.add_execution_info(
+            self.store_name, [f"{type(query).__name__} over {len(rows)} rows"]
+        )
+        return resp

@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for this engine.
+
+Local test profile: ``local[$SPARK_GRAFT_CPUS]`` single-JVM.  The same
+settings (AQE on, shuffle partitions sized to parallelism, UTC session
+timezone, Arrow enabled) are the ones we would ship on a real cluster;
+only ``master``/memory are local-mode specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "ksiq-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    AQE handles runtime coalescing and skew-join splitting, so the static
+    ``spark.sql.shuffle.partitions`` is an upper bound sized to the local
+    core count rather than the 200 default (wrong for both tiny local
+    runs and as a fixed number at 100 TB — on a cluster we'd raise it and
+    let AQE coalesce).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Testdata parquet carries TIMESTAMP(NANOS) which Spark has no
+        # native type for; read as long-nanos and convert in the loader
+        # (sources.tables.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,70 @@
+"""Batch sources: parquet table loaders over the driver testdata layout.
+
+Replaces the reference's Kafka topic source (T1/T2 in SURVEY.md §2.1,
+reference ``streams/KafkaStreamsService.java:78-80`` +
+``streams/SerdeUtil.java:151-167``) for batch runs; the streaming analog
+lives in ``streaming.pipeline``.
+
+Scale note: ``spark.read.parquet`` gives columnar scans with predicate
+pushdown and partition pruning for free; all loaders return lazy
+DataFrames so Catalyst sees the full plan (scan + downstream filters)
+before choosing the physical strategy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+# Testdata columns physically stored as parquet TIMESTAMP(NANOS): Spark
+# reads them as long nanos (spark.sql.legacy.parquet.nanosAsLong) and the
+# loader converts to TimestampType at microsecond precision — the same
+# truncation DuckDB applies when fetching TIMESTAMP_NS, keeping the
+# oracle comparison exact.
+_NANO_TS_COLUMNS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (``{sf_dir}/{name}.parquet``)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANO_TS_COLUMNS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # integer `div` (not `/`): nanos exceed double's 2^53 mantissa
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def transactions_from_events(events: DataFrame) -> DataFrame:
+    """Map the testdata ``events`` stream table onto the reference's
+    ``StockTransaction`` record shape (FIXTURES.md §5).
+
+    Reference record: (symbol, buy, amount, number_shares, event_time)
+    — ``model/StockTransaction.java:3-8``.  Deterministic mapping:
+
+    - symbol       := event_type            (grouping/routing key)
+    - buy          := user_id % 2 == 0      (deterministic buy/sell flag)
+    - amount       := value
+    - number_shares := props ->> '$.k'       (JSON field, mirrors the
+      reference's JSON-valued records that make JsonPath predicates
+      possible — ``store/CustomQueryStore.java:79-95``)
+    - event_time   := ts
+
+    ``get_json_object`` stays JVM-side (codegen'd), no UDF.
+    """
+    return events.select(
+        F.col("event_type").alias("symbol"),
+        (F.col("user_id") % 2 == 0).alias("buy"),
+        F.col("value").alias("amount"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("number_shares"),
+        F.col("ts").alias("event_time"),
+    )

@@ -1,0 +1,52 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate:
+run a ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables, then compare row count, column names, and
+order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from kafkastreamsinteractivequeries_spark.schemas import TESTDATA_TABLES
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(row[i]) for i in order) for row in rows)
+
+
+def compare(spark_df, sql: str, sf_dir: str) -> None:
+    con = duckdb_con(sf_dir)
+    oracle = con.execute(sql)
+    o_cols = [d[0] for d in oracle.description]
+    o_rows = oracle.fetchall()
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    assert sorted(c.lower() for c in s_cols) == sorted(c.lower() for c in o_cols), (
+        f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    )
+    assert len(s_rows) == len(o_rows), f"row count: spark={len(s_rows)} oracle={len(o_rows)}"
+    sc = _canon(s_rows, [c.lower() for c in s_cols])
+    oc = _canon(o_rows, [c.lower() for c in o_cols])
+    for i, (a, b) in enumerate(zip(sc, oc)):
+        assert a == b, f"row {i} differs:\n  spark : {a}\n  oracle: {b}"
