@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kafkastreamsinteractivequeries_spark.operators.aggregation import aggregate_transactions
+from kafkastreamsinteractivequeries_spark.operators.windows import windowed_aggregate
 from kafkastreamsinteractivequeries_spark.plans.queries import (
     FilteredRangeQuery,
     KeyQuery,
@@ -55,7 +56,8 @@ WITH txns AS (
   SELECT event_type AS symbol,
          (user_id % 2 = 0) AS buy,
          value AS amount,
-         CAST(json_extract_string(props, '$.k') AS INTEGER) AS number_shares
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS number_shares,
+         ts AS event_time
   FROM events
 ),
 agg AS (
@@ -117,6 +119,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # Q5 — filtered window range (dead in the reference, implemented
+    # here per SURVEY.md §7 step 5): tumbling 1h windows + time bounds
+    # + predicate.
+    def _windowed(s: SparkSession, d: str) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.sources.tables import (
+            transactions_from_events,
+        )
+
+        txns = transactions_from_events(load_table(s, d, "events"))
+        w = windowed_aggregate(txns, "1 hour")
+        return w.select(
+            "window_start",
+            "window_end",
+            "symbol",
+            F.round("buys", 2).alias("buys"),
+            F.round("sells", 2).alias("sells"),
+            "number_shares",
+        )
+
+    q["q5_windowed_aggregation"] = _windowed
+
+    def _q5(s: SparkSession, d: str) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.plans.queries import (
+            FilteredWindowRangeQuery,
+        )
+
+        query = FilteredWindowRangeQuery.with_bounds(
+            "2024-01-02 00:00:00", "2024-01-05 00:00:00"
+        ).predicate("@.buys > @.sells")
+        return query.apply(_windowed(s, d))
+
+    q["q5_filtered_window_range"] = _q5
+
     return q
 
 
@@ -141,5 +176,26 @@ def oracle_sql() -> dict[str, str]:
     o["q4_filtered_range_symbol"] = _ORACLE_AGG_CTE + "SELECT * FROM agg WHERE symbol = 'purchase'"
     o["q4_filtered_range_numeric"] = (
         _ORACLE_AGG_CTE + "SELECT * FROM agg WHERE buys > 299 AND number_shares > 100"
+    )
+    _wagg_cte = (
+        _ORACLE_AGG_CTE
+        + """, wagg AS (
+  SELECT date_trunc('hour', event_time) AS window_start,
+         date_trunc('hour', event_time) + INTERVAL 1 HOUR AS window_end,
+         symbol,
+         ROUND(SUM(CASE WHEN buy THEN amount ELSE 0.0 END), 2) AS buys,
+         ROUND(SUM(CASE WHEN NOT buy THEN amount ELSE 0.0 END), 2) AS sells,
+         CAST(SUM(number_shares) AS BIGINT) AS number_shares
+  FROM txns GROUP BY 1, 2, 3
+)
+"""
+    )
+    o["q5_windowed_aggregation"] = _wagg_cte + "SELECT * FROM wagg"
+    o["q5_filtered_window_range"] = (
+        _wagg_cte
+        + """SELECT * FROM wagg
+WHERE window_start >= TIMESTAMP '2024-01-02 00:00:00'
+  AND window_end <= TIMESTAMP '2024-01-05 00:00:00'
+  AND buys > sells"""
     )
     return o

@@ -1,0 +1,181 @@
+"""Continuous ingest pipeline — SURVEY.md §2.1 T1–T7 under Structured
+Streaming.
+
+Reference topology (``streams/KafkaStreamsService.java:76-96``)::
+
+    Kafka "input" → deserialize(JSON) → peek → groupByKey
+      → aggregate(buys/sells/shares fold) → materialize(queryable store)
+      → toStream → Kafka "output"
+
+Spark form: one ``StreamingQuery``.  The aggregate expression is the
+*same* ``operators.aggregation.aggregate_transactions`` used in batch —
+Structured Streaming keeps the running per-key state in its state store
+(RocksDB provider at scale: the direct analog of the reference's
+RocksDB stores, managed by the engine instead of user code), and
+``outputMode("update")`` reproduces the reference's emit-per-update
+behavior (statestore cache = 0, ``application.properties:3``).  Batch
+boundaries may coalesce several updates to one key into one emission —
+exactly what the reference does whenever its cache is non-zero
+(``config/KafkaStreamsAppConfiguration.java:92``).
+
+The serving table (the reference's interactive-query store) is
+maintained by a ``foreachBatch`` upsert: each micro-batch's updated
+keys overwrite their partitions in a symbol-partitioned parquet table
+(dynamic partition overwrite — the Delta-less MERGE).  Readers get the
+latest aggregate per key; ``InteractiveQueryService`` points at it.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kafkastreamsinteractivequeries_spark.operators.aggregation import aggregate_transactions
+from kafkastreamsinteractivequeries_spark.schemas import STOCK_TRANSACTION_SCHEMA
+
+
+# --------------------------------------------------------------------------
+# Sources (T1/T2)
+# --------------------------------------------------------------------------
+
+
+def kafka_transaction_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "input",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """T1+T2: Kafka source → typed transaction stream.
+
+    Mirrors ``builder.stream(topic, Consumed.with(stringSerde,
+    txnSerde).withOffsetResetPolicy(EARLIEST))``
+    (``streams/KafkaStreamsService.java:78-80``): string key, JSON value
+    decoded against the declared schema, record timestamp as event time.
+
+    Requires the spark-sql-kafka connector jars on the classpath (not in
+    the local test image — exercised via the file-source analog below).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("symbol_key"),
+        F.from_json(F.col("value").cast("string"), STOCK_TRANSACTION_SCHEMA).alias("txn"),
+        F.col("timestamp").alias("kafka_ts"),
+    ).select(
+        "txn.symbol",
+        "txn.buy",
+        "txn.amount",
+        "txn.number_shares",
+        F.coalesce(F.col("txn.event_time"), F.col("kafka_ts")).alias("event_time"),
+    )
+
+
+def file_transaction_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Test-friendly source with identical downstream semantics: a
+    parquet directory consumed as a stream (new files = new records)."""
+    return spark.readStream.schema(STOCK_TRANSACTION_SCHEMA).parquet(path)
+
+
+# --------------------------------------------------------------------------
+# The standing aggregation (T4+T5)
+# --------------------------------------------------------------------------
+
+
+def streaming_aggregation(txn_stream: DataFrame) -> DataFrame:
+    """Same fold as batch — Structured Streaming keeps per-key state."""
+    return aggregate_transactions(txn_stream)
+
+
+# --------------------------------------------------------------------------
+# Serving-table sink (T6) — the queryable "state store"
+# --------------------------------------------------------------------------
+
+
+class ParquetServingSink:
+    """foreachBatch upsert into a symbol-partitioned parquet serving
+    table (the reference's materialized queryable store, T6).
+
+    Each micro-batch of ``outputMode("update")`` rows contains the new
+    aggregate value for every key updated in that batch; writing with
+    dynamic partition overwrite replaces exactly those keys' partitions.
+    Scale: per-batch work is proportional to updated keys, not table
+    size; reads prune by symbol partition.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.write.mode("overwrite")
+                .partitionBy("symbol")
+                .parquet(self.path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
+def start_serving_pipeline(
+    txn_stream: DataFrame,
+    serving_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """T4+T5+T6: standing aggregate → upserted parquet serving table."""
+    agg = streaming_aggregation(txn_stream)
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(ParquetServingSink(serving_path))
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
+# Changelog sink (T7)
+# --------------------------------------------------------------------------
+
+
+def to_kafka_changelog(agg_stream: DataFrame, bootstrap_servers: str, topic: str = "output"):
+    """T7: re-emit each aggregate update as (key=symbol, value=JSON) —
+    ``.toStream().to(outputTopic)`` (``streams/KafkaStreamsService.java:91-93``)."""
+    payload = agg_stream.select(
+        F.col("symbol").alias("key"),
+        F.to_json(F.struct("symbol", "buys", "sells", "number_shares")).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .outputMode("update")
+    )
+
+
+def memory_changelog(agg_stream: DataFrame, query_name: str) -> StreamingQuery:
+    """Test analog of T7: update-mode memory sink, one row per emitted
+    aggregate update (the reference's `output` topic contents)."""
+    return (
+        agg_stream.select(
+            "symbol",
+            F.to_json(F.struct("symbol", "buys", "sells", "number_shares")).alias("value"),
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

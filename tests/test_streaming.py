@@ -1,0 +1,140 @@
+"""Streaming-pipeline tests — the Spark analog of the reference's
+Testcontainers integration suite (``InteractiveQueriesIntegrationTest``):
+a file-source stream drives the same aggregate; the serving table is
+upserted per micro-batch and queried through the IQ surface.
+"""
+
+import datetime as dt
+
+import pytest
+
+from kafkastreamsinteractivequeries_spark.operators.aggregation import aggregate_transactions
+from kafkastreamsinteractivequeries_spark.plans.queries import FilteredRangeQuery, KeyQuery
+from kafkastreamsinteractivequeries_spark.plans.service import InteractiveQueryService
+from kafkastreamsinteractivequeries_spark.schemas import STOCK_TRANSACTION_SCHEMA
+from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+    ParquetServingSink,
+    file_transaction_stream,
+    memory_changelog,
+    start_serving_pipeline,
+    streaming_aggregation,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _txn_rows(offset=0):
+    rows = []
+    for i, sym in enumerate(["CFLT", "ZELK", "GOOGL", "SHMDF", "TWTR", "MSFT"]):
+        for j in range(3):
+            rows.append((sym, (i + j) % 2 == 0, 100.0 + offset, 5, T0 + dt.timedelta(minutes=j)))
+    return rows
+
+
+@pytest.fixture()
+def txn_dir(spark, tmp_path):
+    path = str(tmp_path / "txns")
+    spark.createDataFrame(_txn_rows(), STOCK_TRANSACTION_SCHEMA).coalesce(1).write.parquet(path)
+    return path
+
+
+def test_streaming_agg_matches_batch(spark, tmp_path, txn_dir):
+    stream = file_transaction_stream(spark, txn_dir)
+    assert stream.isStreaming
+    q = start_serving_pipeline(stream, str(tmp_path / "serving"), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    serving = spark.read.parquet(str(tmp_path / "serving"))
+    batch = aggregate_transactions(spark.createDataFrame(_txn_rows(), STOCK_TRANSACTION_SCHEMA))
+    got = {(r.symbol, r.buys, r.sells, r.number_shares) for r in serving.collect()}
+    want = {(r.symbol, r.buys, r.sells, r.number_shares) for r in batch.collect()}
+    assert got == want
+
+
+def test_serving_upsert_across_batches(spark, tmp_path, txn_dir):
+    # Second batch of files updates a subset of keys; the serving table
+    # must hold the cumulative aggregate (state carries across batches)
+    # and the untouched keys' previous values.
+    serving_path = str(tmp_path / "serving")
+    stream = file_transaction_stream(spark, txn_dir)
+    q = start_serving_pipeline(stream, serving_path, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        extra = [("CFLT", True, 1000.0, 10, T0 + dt.timedelta(hours=1))]
+        spark.createDataFrame(extra, STOCK_TRANSACTION_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(txn_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    svc = InteractiveQueryService(spark.read.parquet(serving_path))
+    cflt = svc.execute(KeyQuery.with_key("CFLT")).collect()[0]
+    assert cflt.buys == 200.0 + 1000.0 and cflt.number_shares == 25
+    # untouched key still present with original value
+    zelk = svc.execute(KeyQuery.with_key("ZELK")).collect()[0]
+    assert zelk.number_shares == 15
+    # IQ surface over the live serving table
+    got = {
+        r.symbol
+        for r in svc.execute(
+            FilteredRangeQuery.with_bounds("CFLT", "ZELK").predicate("@.buys > @.sells")
+        ).collect()
+    }
+    assert "CFLT" in got
+
+
+def test_emit_per_update_changelog(spark, tmp_path, txn_dir):
+    # T7 analog: update-mode changelog emits a row per updated key per
+    # batch (cache=0 parity at micro-batch granularity).
+    stream = file_transaction_stream(spark, txn_dir)
+    agg = streaming_aggregation(stream)
+    q = memory_changelog(agg, "changelog_t7")
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql("SELECT count(*) c FROM changelog_t7").collect()[0].c
+        assert n_first == 6  # every key updated in batch 1
+        extra = [("CFLT", True, 1000.0, 10, T0 + dt.timedelta(hours=1))]
+        spark.createDataFrame(extra, STOCK_TRANSACTION_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(txn_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM changelog_t7").collect()
+        # batch 2 emits only the updated key
+        assert len(rows) == 7
+        assert '"symbol":"CFLT"' in rows[-1].value or any(
+            '"buys":1' in r.value for r in rows
+        )
+    finally:
+        q.stop()
+
+
+def test_checkpoint_recovery(spark, tmp_path, txn_dir):
+    # The reference's HA story is standby replicas (Q8); ours is
+    # checkpoint recovery — restart the query on the same checkpoint and
+    # state must survive.
+    serving_path = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_serving_pipeline(file_transaction_stream(spark, txn_dir), serving_path, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    extra = [("MSFT", False, 77.0, 1, T0 + dt.timedelta(hours=2))]
+    spark.createDataFrame(extra, STOCK_TRANSACTION_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(txn_dir)
+    q2 = start_serving_pipeline(file_transaction_stream(spark, txn_dir), serving_path, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    msft = (
+        InteractiveQueryService(spark.read.parquet(serving_path))
+        .execute(KeyQuery.with_key("MSFT"))
+        .collect()[0]
+    )
+    # cumulative across restart: 3×100 split by flag + 77 sell
+    assert msft.sells == pytest.approx(200.0 + 77.0) and msft.number_shares == 16
