@@ -152,6 +152,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q5_filtered_window_range"] = _q5
 
+    # ---- analytics workload (joins / top-k / semi-join; SURVEY.md §2.4
+    # notes the reference has none of these — they're the engine's
+    # at-scale surface, and the bench headliners) ----
+    from kafkastreamsinteractivequeries_spark.operators import analytics as A
+
+    q["a1_pricing_summary"] = lambda s, d: A.pricing_summary(load_table(s, d, "lineitem"))
+    q["a2_revenue_by_nation"] = lambda s, d: A.revenue_by_nation(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "region"),
+    )
+    q["a3_top_customers_by_segment"] = lambda s, d: A.top_customers_by_segment(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+    )
+    q["a4_order_priority_exists"] = lambda s, d: A.order_priority_exists(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    )
+    q["a5_parts_range_filtered"] = lambda s, d: A.parts_range_filtered(
+        load_table(s, d, "part"), "Brand#1", "Brand#3", 10
+    )
+
     return q
 
 
@@ -198,4 +223,59 @@ WHERE window_start >= TIMESTAMP '2024-01-02 00:00:00'
   AND window_end <= TIMESTAMP '2024-01-05 00:00:00'
   AND buys > sells"""
     )
+    o["a1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+    o["a2_revenue_by_nation"] = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+    o["a3_top_customers_by_segment"] = """
+WITH rev AS (
+  SELECT c_mktsegment, c_custkey, c_name,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, c_custkey, c_name
+)
+SELECT c_mktsegment, c_custkey, c_name, revenue, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY c_mktsegment ORDER BY revenue DESC, c_custkey
+    ) AS INTEGER) AS rank
+  FROM rev
+) WHERE rank <= 5
+"""
+    o["a4_order_priority_exists"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+    o["a5_parts_range_filtered"] = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+FROM part
+WHERE p_brand BETWEEN 'Brand#1' AND 'Brand#3' AND p_size >= 10
+"""
     return o
