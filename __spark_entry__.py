@@ -177,6 +177,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "part"), "Brand#1", "Brand#3", 10
     )
 
+    # ---- dedup suite (north-star extension; operators/dedup.py).
+    # The testdata's injected near-dups are word-order shuffles (token-set
+    # jaccard ≥0.9, 3-gram jaccard ~0.02) → unigram shingles for the
+    # near-dup queries; 3-gram for the n-gram-jaccard audit query. ----
+    from kafkastreamsinteractivequeries_spark.operators import dedup as D
+
+    def _docs(s, d):
+        return load_table(s, d, "documents")
+
+    q["d1_exact_dedup"] = lambda s, d: D.exact_dedup(_docs(s, d)).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    q["d2_exact_duplicate_groups"] = lambda s, d: D.exact_duplicate_groups(_docs(s, d))
+    q["d3_minhash_signatures"] = lambda s, d: D.minhash_signatures(
+        _docs(s, d), shingle_n=1
+    ).select("doc_id", F.array_join("minhash", ",").alias("minhash_sig"))
+    q["d4_lsh_band_buckets"] = lambda s, d: D.lsh_band_buckets(
+        D.minhash_signatures(_docs(s, d), shingle_n=1)
+    )
+    q["d5_minhash_near_duplicates"] = lambda s, d: D.minhash_near_duplicates(
+        _docs(s, d), shingle_n=1, threshold=0.6
+    )
+    q["d6_ngram_jaccard_pairs"] = lambda s, d: D.ngram_jaccard_pairs(
+        _docs(s, d), shingle_n=3, threshold=0.01
+    )
+    q["d7_simhash_signatures"] = lambda s, d: D.simhash_signatures(_docs(s, d))
+    q["d8_simhash_near_duplicates"] = lambda s, d: D.simhash_near_duplicates(
+        _docs(s, d), max_hamming=6
+    )
+    # The detector that isolates the corpus's injected duplicates:
+    # permutation near-dups have multiset-jaccard ≥0.9 while unrelated
+    # docs sit ≤0.55 — set-based measures saturate on this vocab.
+    q["d9_weighted_near_duplicates"] = lambda s, d: D.weighted_near_duplicates(
+        _docs(s, d), threshold=0.8
+    )
+
     return q
 
 
@@ -278,4 +314,163 @@ SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
 FROM part
 WHERE p_brand BETWEEN 'Brand#1' AND 'Brand#3' AND p_size >= 10
 """
+    o.update(_dedup_oracles())
+    return o
+
+
+def _dedup_oracles() -> dict[str, str]:
+    """DuckDB oracles that MIRROR the dedup algorithms (same md5-based
+    hashing), so signatures / buckets / pairs match bit-for-bit."""
+    norm = (
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    )
+    # unigram "shingles" = distinct tokens of the normalized text
+    norm_cte = f"""
+WITH norm AS (
+  SELECT doc_id, list_distinct(string_split({norm}, ' ')) AS toks
+  FROM documents
+)
+"""
+    num_hashes, bands, rows = 12, 4, 3
+    minhash_exprs = ",\n         ".join(
+        f"list_aggregate(list_transform(toks, t -> md5('{i}:' || t)), 'min')"
+        for i in range(num_hashes)
+    )
+    sig_cte = (
+        norm_cte
+        + f""", sig AS (
+  SELECT doc_id, [{minhash_exprs}] AS minhash FROM norm
+)
+"""
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_hash FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"minhash[{b * rows + r + 1}]" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    bands_cte = sig_cte + f", bands AS (\n{band_selects}\n)\n"
+    cand_cte = (
+        bands_cte
+        + """, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+)
+"""
+    )
+
+    o: dict[str, str] = {}
+    o["d1_exact_dedup"] = f"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+    o["d2_exact_duplicate_groups"] = f"""
+SELECT md5({norm}) AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+    o["d3_minhash_signatures"] = (
+        sig_cte + "SELECT doc_id, array_to_string(minhash, ',') AS minhash_sig FROM sig"
+    )
+    o["d4_lsh_band_buckets"] = bands_cte + "SELECT doc_id, band_id, band_hash FROM bands"
+    o["d5_minhash_near_duplicates"] = (
+        cand_cte
+        + """SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.toks, y.toks))::DOUBLE
+               / len(list_distinct(x.toks || y.toks)), 6) AS jaccard
+  FROM cand JOIN norm x ON x.doc_id = id_a JOIN norm y ON y.doc_id = id_b
+) WHERE jaccard >= 0.6
+"""
+    )
+    # 3-gram shingles over raw (non-distinct) token sequence
+    o["d6_ngram_jaccard_pairs"] = f"""
+WITH raw AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in generate_series(1, len(t) - 2)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM raw
+), posting AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM posting a JOIN posting b USING (shingle) WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.s, y.s))::DOUBLE
+               / len(list_distinct(x.s || y.s)), 6) AS jaccard
+  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+) WHERE jaccard >= 0.01
+"""
+    sim_cte = (
+        norm_cte
+        + """, votes AS (
+  SELECT n.doc_id, bs.bit,
+         SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(t.tok), (bs.bit // 4) + 1, 1)) - 1)
+                       & (1 << (3 - (bs.bit % 4))) > 0
+                  THEN 1 ELSE -1 END) AS v
+  FROM norm n
+  CROSS JOIN unnest(n.toks) AS t(tok)
+  CROSS JOIN generate_series(0, 63) AS bs(bit)
+  GROUP BY n.doc_id, bs.bit
+), sim AS (
+  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+    )
+    o["d7_simhash_signatures"] = sim_cte + "SELECT doc_id, simhash FROM sim"
+    chunk_pred = " OR ".join(
+        f"substr(a.simhash, {c * 16 + 1}, 16) = substr(b.simhash, {c * 16 + 1}, 16)"
+        for c in range(4)
+    )
+    o["d8_simhash_near_duplicates"] = (
+        sim_cte
+        + f""", pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE {chunk_pred}
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> CASE WHEN substr(sa, i, 1) != substr(sb, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+  FROM pairs
+) WHERE hamming <= 6
+"""
+    )
+    o["d9_weighted_near_duplicates"] = (
+        cand_cte
+        + f""", raw AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), tc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS tok FROM raw) GROUP BY 1, 2
+), totals AS (
+  SELECT doc_id, SUM(cnt) AS total FROM tc GROUP BY 1
+), inter AS (
+  SELECT c.id_a, c.id_b, SUM(LEAST(x.cnt, y.cnt)) AS inter
+  FROM cand c
+  JOIN tc x ON x.doc_id = c.id_a
+  JOIN tc y ON y.doc_id = c.id_b AND y.tok = x.tok
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, mjaccard FROM (
+  SELECT i.id_a, i.id_b,
+         ROUND(i.inter::DOUBLE / (ta.total + tb.total - i.inter), 6) AS mjaccard
+  FROM inter i
+  JOIN totals ta ON ta.doc_id = i.id_a
+  JOIN totals tb ON tb.doc_id = i.id_b
+) WHERE mjaccard >= 0.8
+"""
+    )
     return o

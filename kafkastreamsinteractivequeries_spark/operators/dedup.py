@@ -1,0 +1,421 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json "north_star"): exact
+dedup, content fingerprinting, MinHash+LSH near-dup, SimHash, and
+n-gram Jaccard verification — each a DataFrame→DataFrame operator with
+no driver-side loops.
+
+Portability-by-construction: every hash is md5-based (available and
+bit-identical in Spark and DuckDB), so the driver's oracle can mirror
+the *algorithm*, not just the semantics — signatures, band buckets, and
+verified pairs hash-match across engines.
+
+Scale design:
+- shingling/minhash/simhash are per-row expressions (higher-order
+  functions: transform/aggregate/zip_with) — whole-stage codegen, no
+  Python, no explode-induced row blowup for signatures;
+- LSH candidate generation is the classic band-bucket equi-join: one
+  shuffle on (band_id, band_hash).  A pathological bucket (thousands of
+  identical docs) would skew the join — AQE skew-join splitting is on,
+  and ``lsh_candidate_pairs`` exposes ``max_bucket_size`` to cap
+  adversarial buckets (drop-and-report rather than quadratic blowup);
+- Jaccard verification only touches candidate pairs (shingle arrays
+  shipped via the join, intersect/union computed JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# --------------------------------------------------------------------------
+# Normalization / shingling
+# --------------------------------------------------------------------------
+
+
+def normalized_text(col: F.Column) -> F.Column:
+    """Lowercase + collapse whitespace — the canonical form fingerprints
+    and shingles are computed over."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens_col(col: F.Column) -> F.Column:
+    return F.split(normalized_text(col), " ")
+
+
+def shingles_col(col: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of the normalized text.
+
+    Pure expression: transform over an index sequence + slice/array_join
+    (codegen'd; no explode).  Documents shorter than ``n`` tokens yield
+    a single whole-document shingle so they still participate.
+    """
+    toks = tokens_col(col)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(ngrams)).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup + fingerprinting
+# --------------------------------------------------------------------------
+
+
+def fingerprint_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint per doc: md5 of normalized text."""
+    return docs.withColumn("fingerprint", F.md5(normalized_text(F.col(text_col))))
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (lowest id) per distinct normalized text.
+
+    Window over the fingerprint (not raw text: shuffling a 32-char hash
+    beats shuffling multi-KB documents at 100 TB).
+    """
+    fp = fingerprint_documents(docs, text_col)
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, min id) for every text appearing >1 time."""
+    fp = fingerprint_documents(docs, text_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingles, minhash: array<string>[num_hashes]).
+
+    minhash_i = min over shingles of md5("<i>:" || shingle) — the
+    lexicographic min of a uniform hex hash is a valid minhash, and it
+    is reproducible in any engine with md5.
+    """
+    sh = F.array_distinct(shingles_col(F.col(text_col), shingle_n))
+
+    def _minhash(seed: int):
+        # NB: the lambda must take exactly one parameter — a two-param
+        # lambda is interpreted by transform() as (element, index).
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x)))
+        )
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    return (
+        docs.select(F.col(id_col), sh.alias("shingles"))
+        .withColumn("minhash", sig)
+    )
+
+
+def lsh_band_buckets(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band_id, band_hash): one row per band, hash of that band's
+    signature slice — docs sharing any (band_id, band_hash) are
+    candidates."""
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        id_col, F.explode(F.array(*band_rows)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing a band bucket.
+
+    ``max_bucket_size`` guards the quadratic corner: buckets larger than
+    the cap (e.g. boilerplate shared by millions of docs) are dropped —
+    at 100 TB you'd route those to an exact-group path instead.
+    """
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
+        buckets = (
+            buckets.join(F.broadcast(sizes.filter(F.col("_n") > max_bucket_size)),
+                         ["band_id", "band_hash"], "left_anti")
+        )
+    a = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, signatures: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for candidate pairs with exact shingle-set
+    Jaccard ≥ threshold (computed JVM-side on the candidate set only)."""
+    sh = signatures.select(F.col(id_col), "shingles")
+    joined = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: shingle → minhash → band-bucket
+    join → exact-Jaccard verify.  Returns (id_a, id_b, jaccard)."""
+    assert num_hashes % bands == 0
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    buckets = lsh_band_buckets(sigs, bands, num_hashes // bands, id_col)
+    pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_size)
+    return jaccard_verify(pairs, sigs, threshold, id_col)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (no LSH): candidate pairs
+    via inverted-index join on shared shingles, then exact verify.
+
+    The non-approximate baseline for ``minhash_near_duplicates`` —
+    quadratic only within postings of a shared shingle.  At 100 TB the
+    LSH path is the default; this one is for calibration/audit.
+    """
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("shingles")
+    )
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    cand = (
+        posting.alias("a")
+        .join(posting.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, threshold, id_col)
+
+
+# --------------------------------------------------------------------------
+# Frequency-weighted (multiset) near-dup
+# --------------------------------------------------------------------------
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, tok, cnt) term-frequency table of the normalized text."""
+    return (
+        docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def multiset_jaccard_verify(
+    pairs: DataFrame, counts: DataFrame, threshold: float = 0.8, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_a, id_b, mjaccard): multiset (frequency-weighted) Jaccard —
+    sum(min(tf)) / sum(max(tf)) — for candidate pairs.
+
+    Catches permutation near-dups that set-based Jaccard cannot: on a
+    small vocabulary every long document contains every word, so
+    set-Jaccard saturates toward 1 while term frequencies still
+    discriminate.  Join-based (pairs ⋈ counts ⋈ counts on token):
+    work is proportional to candidate pairs × shared tokens, all
+    shuffle-partitioned — no per-doc quadratic blowup.
+    """
+    totals = counts.groupBy(id_col).agg(F.sum("cnt").alias("total"))
+    ca = counts.withColumnsRenamed({id_col: "id_a", "cnt": "cnt_a"})
+    cb = counts.withColumnsRenamed({id_col: "id_b", "cnt": "cnt_b"})
+    inter = (
+        pairs.join(ca, "id_a")
+        .join(cb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("inter"))
+    )
+    ta = totals.withColumnsRenamed({id_col: "id_a", "total": "total_a"})
+    tb = totals.withColumnsRenamed({id_col: "id_b", "total": "total_b"})
+    jac = F.col("inter") / (F.col("total_a") + F.col("total_b") - F.col("inter"))
+    return (
+        inter.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("mjaccard", F.round(jac, 6))
+        .filter(F.col("mjaccard") >= threshold)
+        .select("id_a", "id_b", "mjaccard")
+    )
+
+
+def weighted_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidates (unigram, set-based — high recall on
+    permutation dups since their set-Jaccard is also high) verified by
+    exact multiset Jaccard.  The production near-dup detector for
+    bag-of-words duplicates."""
+    sigs = minhash_signatures(docs, text_col, id_col, shingle_n=1)
+    buckets = lsh_band_buckets(sigs, id_col=id_col)
+    pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_size)
+    return multiset_jaccard_verify(pairs, token_counts(docs, text_col, id_col), threshold, id_col)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash) — simhash as a ``bits``-char '0'/'1' string.
+
+    Classic Charikar simhash over distinct tokens, weight 1: every
+    token hashes to `bits` bits (md5 hex → 4 bits per hex char); each
+    bit position accumulates +1/-1 votes across tokens; the sign picks
+    the output bit.  Implemented as one aggregate/zip_with expression —
+    per-row, codegen'd, no explode (a pandas_udf variant only becomes
+    worthwhile if `bits` × tokens per doc gets extreme).
+
+    A '0'/'1' string (not a signed bigint) keeps the value portable
+    across engines for oracle comparison.
+    """
+    assert bits <= 128 and bits % 4 == 0
+    hex_chars = bits // 4
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+
+    # per-token bit vector, statically unrolled: hex char p carries bits
+    # 4p..4p+3 (MSB first)
+    def bit_votes(tok):
+        h = F.md5(tok)
+        votes = []
+        for p in range(hex_chars):
+            nib = F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
+            for b in (3, 2, 1, 0):
+                votes.append(
+                    F.when(nib.bitwiseAND(F.lit(1 << b)) > 0, F.lit(1)).otherwise(F.lit(-1))
+                )
+        return F.array(*votes)
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, b: a + b),
+    )
+    sim = F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    chunks: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` bits.
+
+    Candidate generation by the pigeonhole trick: split the signature
+    into ``chunks`` equal substrings; any pair within ``max_hamming``
+    (< chunks × 1 differing bits per chunk on average) shares at least
+    one exact chunk when max_hamming < chunks.  Equi-join per chunk —
+    same shuffle shape as MinHash banding.
+    """
+    sigs = simhash_signatures(docs, text_col, id_col, bits)
+    clen = bits // chunks
+    chunk_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.substring("simhash", c * clen + 1, clen).alias("chunk"),
+                )
+                for c in range(chunks)
+            ]
+        )
+    ).alias("ch")
+    buckets = sigs.select(id_col, "simhash", chunk_rows).select(
+        id_col, "simhash", "ch.chunk_id", "ch.chunk"
+    )
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk"
+    )
+    cand = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sim_a"), ""),
+                F.split(F.col("sim_b"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,118 @@
+"""Dedup operator tests: exact, fingerprint, MinHash-LSH, SimHash,
+n-gram Jaccard — on constructed fixtures plus the testdata documents
+table (which contains injected near-duplicate pairs at adjacent ids).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreamsinteractivequeries_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    fingerprint_documents,
+    lsh_band_buckets,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "The  Quick  Brown Fox jumps over the lazy dog"),  # ws/case dup of 0
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup (1 word)
+    (4, "completely different text about spark engines and parquet files"),
+    (5, "short doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_fingerprint_normalizes(docs):
+    fp = {r.doc_id: r.fingerprint for r in fingerprint_documents(docs).collect()}
+    assert fp[0] == fp[1] == fp[2]
+    assert fp[0] != fp[3]
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [0, 3, 4, 5]
+
+
+def test_exact_duplicate_groups(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 3 and groups[0].keep_id == 0
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    s1 = minhash_signatures(docs, num_hashes=12).select("doc_id", "minhash").collect()
+    s2 = minhash_signatures(docs, num_hashes=12).select("doc_id", "minhash").collect()
+    assert {r.doc_id: r.minhash for r in s1} == {r.doc_id: r.minhash for r in s2}
+    assert all(len(r.minhash) == 12 for r in s1)
+    # identical (normalized) texts → identical signatures
+    by_id = {r.doc_id: r.minhash for r in s1}
+    assert by_id[0] == by_id[1] == by_id[2]
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    got = minhash_near_duplicates(docs, threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    # jaccard of exact dups is 1.0
+    jac = {(r.id_a, r.id_b): r.jaccard for r in got.collect()}
+    assert jac[(0, 1)] == 1.0
+
+
+def test_lsh_max_bucket_cap(docs):
+    sigs = minhash_signatures(docs)
+    buckets = lsh_band_buckets(sigs)
+    # cap of 1 drops every shared bucket → no candidates
+    assert lsh_candidate_pairs(buckets, max_bucket_size=1).count() == 0
+
+
+def test_ngram_jaccard_exact_baseline(docs):
+    got = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 3) in got and 0.3 <= got[(0, 3)] < 1.0
+    # disjoint docs absent
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_properties(docs):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sigs.values())
+    assert sigs[0] == sigs[1] == sigs[2]
+    # near-dup differs in few bits, unrelated doc in many
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(sigs[0], sigs[3]) < ham(sigs[0], sigs[4])
+
+
+def test_simhash_near_duplicates(docs):
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_near_duplicates(docs, max_hamming=10).collect()}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 0
+    assert not any(4 in p for p in got)
+
+
+def test_testdata_injected_near_dups(spark, sf_dir):
+    # The synthetic documents table contains adjacent-id near-dup pairs
+    # with token-set jaccard ≥ 0.9 but shuffled word order — so the
+    # detector uses unigram shingles (n-gram jaccard of the same pairs
+    # is ~0.02).
+    docs = load_table(spark, sf_dir, "documents")
+    got = minhash_near_duplicates(docs, shingle_n=1, threshold=0.6)
+    pairs = [(r.id_a, r.id_b, r.jaccard) for r in got.collect()]
+    assert len(pairs) > 0
+    assert any(b == a + 1 for a, b, _ in pairs)
+
+
+def test_no_python_in_signature_plan(docs):
+    plan = minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
