@@ -213,6 +213,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), threshold=0.8
     )
 
+    # ---- similarity search (north-star; operators/similarity.py) ----
+    from kafkastreamsinteractivequeries_spark.operators import similarity as S
+
+    def _emb(s, d):
+        return load_table(s, d, "embeddings")
+
+    def _queries_df(s, d):
+        return (
+            _emb(s, d)
+            .filter(F.col("vec_id") < 5)
+            .select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+            )
+        )
+
+    q["s1_knn_bruteforce"] = lambda s, d: S.knn_bruteforce(
+        _emb(s, d), _queries_df(s, d), k=10
+    )
+    q["s2_srp_codes"] = lambda s, d: S.srp_codes(_emb(s, d))
+    q["s3_knn_srp"] = lambda s, d: S.knn_srp(_emb(s, d), _queries_df(s, d), k=10)
+    q["s4_embedding_near_duplicates"] = lambda s, d: S.embedding_near_duplicates(
+        _emb(s, d), threshold=0.4
+    )
+
     return q
 
 
@@ -315,6 +339,107 @@ FROM part
 WHERE p_brand BETWEEN 'Brand#1' AND 'Brand#3' AND p_size >= 10
 """
     o.update(_dedup_oracles())
+    o.update(_similarity_oracles())
+    return o
+
+
+def _similarity_oracles() -> dict[str, str]:
+    """DuckDB oracles mirroring operators/similarity.py: same double-
+    cast sequential vector math, same md5-derived SRP hyperplanes
+    (embedded as the identical ±1 literals by construction)."""
+    from kafkastreamsinteractivequeries_spark.operators.similarity import srp_sign_matrix
+
+    dim, planes, chunks = 64, 16, 4
+    clen = planes // chunks
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum([{a}[i]::DOUBLE * {b}[i]::DOUBLE for i in generate_series(1, {dim})])"
+            f" / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in {a}]))"
+            f" * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in {b}]))), 6)"
+        )
+
+    signs = srp_sign_matrix(planes, dim)
+    bit_exprs = []
+    for p in range(planes):
+        terms = " + ".join(
+            f"(embedding[{j + 1}]::DOUBLE * {float(signs[p][j])})" for j in range(dim)
+        )
+        bit_exprs.append(f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END")
+    code_expr = " || ".join(bit_exprs)
+
+    codes_cte = f"""
+WITH codes AS (
+  SELECT vec_id, {code_expr} AS code
+  FROM embeddings
+)
+"""
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, code, {c} AS band_id, substr(code, {c * clen + 1}, {clen}) AS band_bits FROM codes"
+        for c in range(chunks)
+    )
+    buckets_cte = codes_cte + f", buckets AS (\n{band_union}\n)\n"
+
+    q_cte = """, q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
+)
+"""
+
+    o: dict[str, str] = {}
+    o["s1_knn_bruteforce"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id, {cos('e.embedding', 'q.query_vec')} AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+    o["s2_srp_codes"] = codes_cte + "SELECT vec_id, code FROM codes"
+    o["s3_knn_srp"] = (
+        buckets_cte
+        + q_cte
+        + f""", qb AS (
+  SELECT c.vec_id AS query_id, b.band_id, b.band_bits
+  FROM codes c JOIN buckets b ON b.vec_id = c.vec_id
+  WHERE c.vec_id < 5
+), cand AS (
+  SELECT DISTINCT b.vec_id, qb.query_id
+  FROM buckets b JOIN qb ON b.band_id = qb.band_id AND b.band_bits = qb.band_bits
+), scored AS (
+  SELECT cand.query_id, cand.vec_id, {cos('e.embedding', 'q.query_vec')} AS cosine
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN q ON q.query_id = cand.query_id
+  WHERE cand.vec_id != cand.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+    )
+    o["s4_embedding_near_duplicates"] = (
+        buckets_cte
+        + f""", cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT cand.id_a, cand.id_b, {cos('ea.embedding', 'eb.embedding')} AS cosine
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.id_a
+  JOIN embeddings eb ON eb.vec_id = cand.id_b
+) WHERE cosine >= 0.4
+"""
+    )
     return o
 
 

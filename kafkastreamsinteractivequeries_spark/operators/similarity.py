@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star extension (BASELINE.json): approximate-nearest-neighbor
+over embeddings — brute-force cosine top-k as the exact baseline, and a
+signed-random-projection (SRP) LSH path for scale.
+
+Portability: the SRP hyperplanes are generated at plan-build time from
+md5 (``hashlib``, driver-side) and embedded as ±1 literal arrays, so
+the DuckDB oracle can embed the *same* planes — bucketing matches
+bit-for-bit.  All vector math is cast to double and folded
+sequentially, identical in both engines.
+
+Scale design:
+- ``knn_bruteforce``: the query set is broadcast (typically ≪ corpus);
+  one scan of the corpus computes all query×vector scores map-side,
+  then a per-query top-k window.  At 100 TB this is the right exact
+  plan: no corpus shuffle at all — only top-k rows move.
+- ``srp`` path: corpus is bucketed by LSH band; a query only scores
+  vectors sharing a band — candidate count drops by ~bands/2^band_bits.
+  The bucket join shuffles on (band_id, band_bits), AQE handles skew.
+- Python never touches vector math (higher-order functions only).
+  For very high dims or huge query sets, a block-matrix pandas_udf
+  (numpy GEMM per partition) is the escape hatch — not needed here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def srp_sign_matrix(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from md5("p:j") parity —
+    reproducible in any engine / language."""
+    return [
+        [1 if hashlib.md5(f"{p}:{j}".encode()).digest()[0] % 2 == 0 else -1 for j in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def _dot_signs(vec_col: F.Column, signs: list[int]) -> F.Column:
+    """<vec, signs> with ±1 literal weights: sum of ±x_j, double math."""
+    lit_signs = F.array(*[F.lit(float(s)) for s in signs])
+    return F.aggregate(
+        F.zip_with(vec_col, lit_signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity of two float arrays, all-double sequential fold."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # try_divide: a zero-norm vector yields NULL cosine instead of an
+    # ANSI DIVIDE_BY_ZERO error; callers drop NULLs from rankings.
+    return F.try_divide(dot, norm(a) * norm(b))
+
+
+def srp_codes(
+    embeddings: DataFrame,
+    num_planes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code): SRP bit-code — bit p = 1 iff <vec, plane_p> > 0."""
+    signs = srp_sign_matrix(num_planes, dim)
+    bits = [
+        F.when(_dot_signs(F.col(vec_col), signs[p]) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(num_planes)
+    ]
+    return embeddings.select(F.col(id_col), F.concat(*bits).alias("code"))
+
+
+def srp_band_buckets(
+    codes: DataFrame, chunks: int = 4, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, band_id, band_bits): code split into equal bit-chunks
+    (caller keeps num_planes % chunks == 0)."""
+    return codes.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}), c -> "
+                f"struct(c as band_id, substring(code, c * (length(code) div {chunks}) + 1, "
+                f"length(code) div {chunks}) as band_bits))"
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_bits")
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    (query_id, vec_id, cosine, rank) — rank on rounded cosine with
+    vec_id tie-break for cross-engine determinism.  The query side is
+    broadcast; the corpus is scanned once.
+    """
+    scored = embeddings.join(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    cos = F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("cosine", cos)
+        .filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def knn_srp(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 16,
+    chunks: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing ≥1 SRP band
+    with the query (the 100 TB path — candidate set shrinks by the
+    band collision rate instead of scanning everything)."""
+    corpus_codes = srp_codes(embeddings, num_planes, dim, vec_col, id_col)
+    corpus_buckets = srp_band_buckets(corpus_codes, chunks, id_col)
+    qcodes = srp_codes(
+        queries.withColumnRenamed(query_vec_col, "embedding").withColumnRenamed(
+            query_id_col, "vec_id"
+        ),
+        num_planes,
+        dim,
+    )
+    q_buckets = srp_band_buckets(qcodes, chunks).withColumnsRenamed(
+        {"vec_id": query_id_col}
+    )
+    cand = (
+        corpus_buckets.join(q_buckets, ["band_id", "band_bits"])
+        .select(id_col, query_id_col)
+        .distinct()
+    )
+    scored = (
+        cand.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    cos = F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("cosine", cos)
+        .filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 16,
+    chunks: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b, cosine ≥ threshold) among pairs sharing ≥1 SRP band
+    — the embedding-space near-dup detector (approximate by design;
+    recall rises with num_planes/chunks)."""
+    codes = srp_codes(embeddings, num_planes, dim, vec_col, id_col)
+    buckets = srp_band_buckets(codes, chunks, id_col)
+    a = buckets.withColumnRenamed(id_col, "id_a")
+    b = buckets.withColumnRenamed(id_col, "id_b")
+    cand = (
+        a.join(b, ["band_id", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    cos = F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,120 @@
+"""Similarity-search operator tests: cosine correctness vs numpy,
+SRP-LSH candidate behavior, top-k semantics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from kafkastreamsinteractivequeries_spark.operators.similarity import (
+    cosine_expr,
+    embedding_near_duplicates,
+    knn_bruteforce,
+    knn_srp,
+    srp_band_buckets,
+    srp_codes,
+    srp_sign_matrix,
+)
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 64)).astype(np.float32)
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=64).astype(np.float32)  # near-dup of 0
+    vecs[2] = -vecs[0]  # anti-parallel
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(40)]
+    return spark.createDataFrame(rows, EMB_SCHEMA), vecs
+
+
+def test_cosine_matches_numpy(spark, emb):
+    df, vecs = emb
+    a = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
+    b = df.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("b"))
+    got = a.crossJoin(b).select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    va, vb = vecs[0].astype(np.float64), vecs[1].astype(np.float64)
+    want = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_knn_bruteforce_topk(spark, emb):
+    df, vecs = emb
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = knn_bruteforce(df, queries, k=5).collect()
+    assert len(got) == 5
+    ranks = {r.rank: r.vec_id for r in got}
+    assert ranks[1] == 1  # the injected near-dup is nearest
+    assert all(r.vec_id != 0 for r in got)  # self excluded
+    # ranks ordered by cosine desc
+    by_rank = sorted(got, key=lambda r: r.rank)
+    assert all(
+        by_rank[i].cosine >= by_rank[i + 1].cosine for i in range(len(by_rank) - 1)
+    )
+    # matches numpy exact top-1
+    V = vecs.astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn[0]
+    sims[0] = -2
+    assert int(np.argmax(sims)) == 1
+
+
+def test_srp_sign_matrix_deterministic():
+    assert srp_sign_matrix(4, 8) == srp_sign_matrix(4, 8)
+    assert all(s in (-1, 1) for row in srp_sign_matrix(4, 8) for s in row)
+
+
+def test_srp_codes_shape(spark, emb):
+    df, _ = emb
+    codes = srp_codes(df).collect()
+    assert all(len(r.code) == 16 and set(r.code) <= {"0", "1"} for r in codes)
+    by_id = {r.vec_id: r.code for r in codes}
+    # near-identical vectors share the code; anti-parallel flips every bit
+    assert by_id[0] == by_id[1]
+    assert all(a != b for a, b in zip(by_id[0], by_id[2]))
+
+
+def test_srp_band_buckets(spark, emb):
+    df, _ = emb
+    buckets = srp_band_buckets(srp_codes(df), chunks=4).collect()
+    assert len(buckets) == 40 * 4
+    assert all(len(r.band_bits) == 4 for r in buckets)
+
+
+def test_embedding_near_duplicates_finds_pair(spark, emb):
+    df, _ = emb
+    got = {(r.id_a, r.id_b): r.cosine for r in embedding_near_duplicates(df, threshold=0.9).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    # anti-parallel pair never appears
+    assert (0, 2) not in got
+
+
+def test_knn_srp_subset_of_bruteforce_candidates(spark, emb):
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = knn_srp(df, queries, k=40)
+    exact = knn_bruteforce(df, queries, k=40)
+    a = {r.vec_id for r in approx.collect()}
+    e = {r.vec_id for r in exact.collect()}
+    assert a <= e  # candidates only (approximate ⊆ exact universe)
+    assert 1 in a  # the true near-dup shares all bands → always found
+
+
+def test_no_python_in_knn_plan(spark, emb):
+    df, _ = emb
+    queries = df.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = knn_bruteforce(df, queries)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
