@@ -213,6 +213,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), threshold=0.8
     )
 
+    # ---- text analysis (north-star; operators/text.py): token counts,
+    # quality scoring, language-ID, winnowing fingerprints ----
+    from kafkastreamsinteractivequeries_spark.operators import text as T
+
+    q["x1_text_stats"] = lambda s, d: T.text_stats(_docs(s, d))
+    q["x2_token_counts"] = lambda s, d: T.token_counts_report(_docs(s, d))
+    q["x3_language_id"] = lambda s, d: T.language_id(_docs(s, d))
+    q["x4_winnowing_fingerprint"] = lambda s, d: T.winnowing_fingerprint(_docs(s, d))
+
     # ---- similarity search (north-star; operators/similarity.py) ----
     from kafkastreamsinteractivequeries_spark.operators import similarity as S
 
@@ -340,6 +349,111 @@ WHERE p_brand BETWEEN 'Brand#1' AND 'Brand#3' AND p_size >= 10
 """
     o.update(_dedup_oracles())
     o.update(_similarity_oracles())
+    o.update(_text_oracles())
+    return o
+
+
+def _text_oracles() -> dict[str, str]:
+    """DuckDB oracles mirroring operators/text.py expression-for-
+    expression (same normalization, same RE2-safe regexes, same md5
+    window hashing), so stats / language calls / fingerprints match."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        BPE_PATTERN,
+        PUNCT_CLASS,
+        STOPWORDS,
+    )
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+    def stop_hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+
+    t_cte = f"""
+WITH t AS (
+  SELECT doc_id, text, {norm} AS norm, string_split({norm}, ' ') AS toks
+  FROM documents
+)
+"""
+
+    o: dict[str, str] = {}
+    o["x1_text_stats"] = (
+        t_cte
+        + f""", m AS (
+  SELECT doc_id, norm, toks,
+         len(toks) AS n_tokens,
+         length(norm) AS n_chars,
+         length(norm) - length(regexp_replace(norm, '{PUNCT_CLASS}', '', 'g')) AS punct,
+         length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS digits,
+         {stop_hits('en')} AS stop_en
+  FROM t
+), r AS (
+  SELECT doc_id, norm, n_tokens, n_chars,
+         ROUND(punct::DOUBLE / NULLIF(n_chars, 0), 6) AS punct_ratio,
+         ROUND(digits::DOUBLE / NULLIF(n_chars, 0), 6) AS digit_ratio,
+         ROUND(stop_en::DOUBLE / NULLIF(n_tokens, 0), 6) AS stop_ratio,
+         ROUND(length(regexp_replace(norm, ' ', '', 'g'))::DOUBLE
+               / NULLIF(n_tokens, 0), 6) AS avg_token_len
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_chars AS INTEGER) AS n_chars_norm,
+       avg_token_len,
+       punct_ratio,
+       digit_ratio,
+       stop_ratio AS stopword_ratio,
+       COALESCE(ROUND(
+           0.4 * LEAST(n_tokens::DOUBLE / 100.0, 1.0)
+           + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+           + 0.2 * (1.0 - LEAST(digit_ratio * 5.0, 1.0))
+           + 0.2 * LEAST(stop_ratio * 3.0, 1.0), 6), 0.0) AS quality_score,
+       CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS INTEGER) AS n_letters
+FROM r
+"""
+    )
+    o["x2_token_counts"] = (
+        t_cte
+        + f"""SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(norm, '{BPE_PATTERN}')) AS INTEGER) AS bpe_tokens
+FROM t
+"""
+    )
+    langs = list(STOPWORDS)
+    lang_case = ["WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'"]
+    for i, lang in enumerate(langs):
+        conds = [f"hits_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if other == lang:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"hits_{lang} {op} hits_{other}")
+        lang_case.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    o["x3_language_id"] = (
+        t_cte
+        + f""", h AS (
+  SELECT doc_id, text,
+         {", ".join(f"{stop_hits(lang)} AS hits_{lang}" for lang in langs)}
+  FROM t
+)
+SELECT doc_id,
+       {", ".join(f"CAST(hits_{lang} AS INTEGER) AS hits_{lang}" for lang in langs)},
+       CASE {' '.join(lang_case)} ELSE 'unknown' END AS lang_pred
+FROM h
+"""
+    )
+    o["x4_winnowing_fingerprint"] = (
+        t_cte
+        + """SELECT doc_id,
+       CASE WHEN len(toks) >= 8
+            THEN list_aggregate(
+                   [md5(array_to_string(toks[i:i+7], ' '))
+                    for i in generate_series(1, len(toks) - 7)], 'min')
+            ELSE md5(array_to_string(toks, ' ')) END AS winnow_fp
+FROM t
+"""
+    )
     return o
 
 

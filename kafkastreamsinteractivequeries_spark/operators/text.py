@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension): token counting, quality scoring, language-ID heuristic,
+winnowing-style document fingerprinting.
+
+Everything is a pure Column expression (Java-regex patterns kept inside
+the RE2-compatible subset so the DuckDB oracle can mirror them), so the
+whole suite rides whole-stage codegen — at 100 TB these are single-scan
+map-only operators with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafkastreamsinteractivequeries_spark.operators.dedup import normalized_text, tokens_col
+
+# Small stopword profiles for the language-ID heuristic.  Order matters:
+# the CASE chain below breaks ties in this declaration order.
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+}
+
+PUNCT_CLASS = r"[.,;:!?]"
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-space symbols
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _stop_hits(toks: F.Column, lang: str) -> F.Column:
+    """Count of tokens (with multiplicity) in the language's stopword set."""
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc stats + composite quality score.
+
+    score ∈ [0,1]: rewards reasonable length, penalizes punctuation /
+    digit density, rewards stopword presence (fluency proxy) — the
+    standard cheap quality gate before expensive model-based filters.
+    """
+    norm = normalized_text(F.col(text_col))
+    toks = tokens_col(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(norm)
+    letters_only = F.regexp_replace(norm, r"[^a-z]", "")
+    punct = n_chars - F.length(F.regexp_replace(norm, PUNCT_CLASS, ""))
+    digits = n_chars - F.length(F.regexp_replace(norm, r"[0-9]", ""))
+    stop_en = _stop_hits(toks, "en")
+
+    punct_ratio = F.round(F.try_divide(punct, n_chars), 6)
+    digit_ratio = F.round(F.try_divide(digits, n_chars), 6)
+    stop_ratio = F.round(F.try_divide(stop_en, n_tokens), 6)
+    avg_token_len = F.round(F.try_divide(F.length(F.regexp_replace(norm, r" ", "")), n_tokens), 6)
+
+    length_component = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio * 5.0, F.lit(1.0))
+    digit_penalty = F.least(digit_ratio * 5.0, F.lit(1.0))
+    stop_component = F.least(stop_ratio * 3.0, F.lit(1.0))
+    score = F.round(
+        0.4 * length_component
+        + 0.2 * (1.0 - punct_penalty)
+        + 0.2 * (1.0 - digit_penalty)
+        + 0.2 * stop_component,
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_norm"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.coalesce(score, F.lit(0.0)).alias("quality_score"),
+        F.length(letters_only).alias("n_letters"),
+    )
+
+
+def token_counts_report(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace vs BPE-ish token counts (regexp pre-tokenizer)."""
+    norm = normalized_text(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).alias("ws_tokens"),
+        F.regexp_count(norm, F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language-ID heuristic over {en,de,es,fr} + a CJK
+    character check for zh.  Deterministic CASE-chain argmax (first
+    declared language wins ties).  On real text this is the classic
+    cheap n-gram/stopword LID; on the synthetic corpus it mostly returns
+    'en' — the *shape* (per-doc scores + argmax) is what matters."""
+    toks = tokens_col(F.col(text_col))
+    hits = {lang: _stop_hits(toks, lang) for lang in STOPWORDS}
+    has_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")) > 0
+
+    langs = list(STOPWORDS)
+    pred = F.when(has_cjk, F.lit("zh"))
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            ge = hits[lang] >= hits[other] if langs.index(other) > langs.index(lang) else hits[lang] > hits[other]
+            cond = ge if cond is None else (cond & ge)
+        pred = pred.when(cond & (hits[lang] > 0), F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+
+    out = docs.select(
+        F.col(id_col),
+        *[hits[lang].alias(f"hits_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def winnowing_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing-style fingerprint: md5 over each ``window``-token
+    sliding window; the doc fingerprint is the minimum window hash
+    (shorter docs hash the whole text).  Robust to local edits — two
+    docs sharing any window share candidate fingerprints."""
+    toks = tokens_col(F.col(text_col))
+    window_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+    )
+    fp = F.when(F.size(toks) >= window, F.array_min(window_hashes)).otherwise(
+        F.md5(F.array_join(toks, " "))
+    )
+    return docs.select(F.col(id_col), fp.alias("winnow_fp"))

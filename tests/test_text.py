@@ -1,0 +1,97 @@
+"""Unit tests for operators/text.py (north-star text analysis).
+
+Oracle parity at testdata scale is covered by test_oracle_parity.py;
+these are targeted semantic checks on hand-built fixtures.
+"""
+
+import pytest
+
+from kafkastreamsinteractivequeries_spark.operators.text import (
+    language_id,
+    text_stats,
+    token_counts_report,
+    winnowing_fingerprint,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The cat sat on the mat, and it is that for the win."),
+        (2, "Der Hund ist nicht mit der Katze und das ist gut."),
+        (3, "el perro es un animal que no se va de la casa"),
+        (4, "12345 67890 11 22 33 44"),
+        (5, ""),
+        (6, "one two three four five six seven eight nine ten"),
+        (7, "zero two three four five six seven eight nine ten"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_text_stats_shape_and_bounds(docs):
+    out = _by_id(text_stats(docs))
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    for r in out.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+    assert out[1]["n_tokens"] == 13
+    # "12345 67890 11 22 33 44" → all digits, no letters
+    assert out[4]["n_letters"] == 0
+    assert out[4]["digit_ratio"] > 0.5
+    # empty doc: no NULLs leak (least() ignores the NULL ratios); the
+    # only surviving component is length = 1 token / 100 → 0.4 * 0.01
+    assert out[5]["quality_score"] == pytest.approx(0.004)
+    assert out[1]["stopword_ratio"] > out[2]["stopword_ratio"]
+
+
+def test_token_counts(docs):
+    out = _by_id(token_counts_report(docs))
+    # "The cat sat on the mat, and it is that for the win."
+    assert out[1]["ws_tokens"] == 13
+    # BPE-ish: 13 letter runs + comma + period
+    assert out[1]["bpe_tokens"] == 15
+    # digits doc: 6 digit runs either way
+    assert out[4]["ws_tokens"] == 6
+    assert out[4]["bpe_tokens"] == 6
+
+
+def test_language_id(docs):
+    out = _by_id(language_id(docs))
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[3]["lang_pred"] == "es"
+    assert out[4]["lang_pred"] == "unknown"
+
+
+def test_language_id_cjk(spark):
+    df = spark.createDataFrame([(1, "这是一个中文文档")], ["doc_id", "text"])
+    assert _by_id(language_id(df))[1]["lang_pred"] == "zh"
+
+
+def test_winnowing_fingerprint(docs, spark):
+    out = _by_id(winnowing_fingerprint(docs))
+    # 10-token docs differing only in token 1: they share the windows
+    # starting at positions 2 and 3, so the min-hash CAN coincide but
+    # fingerprints must be deterministic and non-null.
+    assert all(r["winnow_fp"] for r in out.values())
+    # determinism
+    again = _by_id(winnowing_fingerprint(docs))
+    assert {k: v["winnow_fp"] for k, v in out.items()} == {
+        k: v["winnow_fp"] for k, v in again.items()
+    }
+    # short doc (< window tokens) hashes the whole normalized text
+    short = _by_id(winnowing_fingerprint(spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])))
+    import hashlib
+
+    assert short[9]["winnow_fp"] == hashlib.md5(b"a b c").hexdigest()
+    # identical docs share fingerprints even with differing whitespace
+    pair = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine"),
+         (2, "one  two three\tfour five six seven eight nine")],
+        ["doc_id", "text"],
+    )
+    fps = _by_id(winnowing_fingerprint(pair))
+    assert fps[1]["winnow_fp"] == fps[2]["winnow_fp"]
