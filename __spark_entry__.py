@@ -222,6 +222,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x3_language_id"] = lambda s, d: T.language_id(_docs(s, d))
     q["x4_winnowing_fingerprint"] = lambda s, d: T.winnowing_fingerprint(_docs(s, d))
 
+    # ---- multimodal columns (north-star; operators/multimodal.py):
+    # binary payloads + typed metadata; codec step deterministically
+    # faked (no PIL/cv2 in container), Spark plumbing real ----
+    from kafkastreamsinteractivequeries_spark.operators import multimodal as M
+
+    def _assets(s, d):
+        return M.assets_from_documents(_docs(s, d))
+
+    q["m1_asset_manifest"] = lambda s, d: M.asset_manifest(_assets(s, d))
+    q["m2_image_features"] = lambda s, d: M.image_features(_assets(s, d))
+    q["m3_video_frame_samples"] = lambda s, d: M.sample_video_frames(_assets(s, d))
+    q["m4_audio_features"] = lambda s, d: M.audio_features(_assets(s, d))
+    q["m5_image_resize_plan"] = lambda s, d: M.resize_images(_assets(s, d), max_side=256)
+
     # ---- similarity search (north-star; operators/similarity.py) ----
     from kafkastreamsinteractivequeries_spark.operators import similarity as S
 
@@ -350,6 +364,91 @@ WHERE p_brand BETWEEN 'Brand#1' AND 'Brand#3' AND p_size >= 10
     o.update(_dedup_oracles())
     o.update(_similarity_oracles())
     o.update(_text_oracles())
+    o.update(_multimodal_oracles())
+    return o
+
+
+def _multimodal_oracles() -> dict[str, str]:
+    """DuckDB oracles mirroring operators/multimodal.py: the synthetic
+    asset table is rebuilt blob-for-blob (magic ‖ 2×uint32 BE ‖ text),
+    so byte lengths, parsed header fields, and md5-over-hex checksums
+    match bit-for-bit; derived stats use the same floor arithmetic."""
+    a_cte = """
+WITH f AS (
+  SELECT doc_id AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CASE doc_id % 3 WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0' ELSE 'VID0' END AS magic,
+         CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 4000
+              ELSE 64 + doc_id % 1024 END AS f1,
+         CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+              ELSE 64 + (doc_id * 7) % 1024 END AS f2,
+         CASE WHEN doc_id % 3 != 0 THEN 1000 + (doc_id * 37) % 60000 END AS duration_ms,
+         text
+  FROM documents
+), a AS (
+  SELECT *, magic::BLOB || unhex(lpad(to_hex(f1), 8, '0'))
+              || unhex(lpad(to_hex(f2), 8, '0')) || encode(text) AS payload
+  FROM f
+)
+"""
+
+    o: dict[str, str] = {}
+    o["m1_asset_manifest"] = (
+        a_cte
+        + """SELECT asset_id, media_type, magic,
+       CAST(octet_length(payload) AS INTEGER) AS byte_len,
+       CAST(octet_length(payload) - 12 AS INTEGER) AS body_bytes,
+       CASE WHEN media_type != 'audio' THEN f1 END AS width,
+       CASE WHEN media_type != 'audio' THEN f2 END AS height,
+       CASE WHEN media_type = 'audio' THEN f1 END AS sample_rate,
+       CASE WHEN media_type = 'audio' THEN f2 END AS n_channels,
+       duration_ms,
+       md5(hex(payload)) AS checksum
+FROM a
+"""
+    )
+    o["m2_image_features"] = (
+        a_cte
+        + """SELECT asset_id, f1 AS width, f2 AS height,
+       (f1 * 1000000 // f2) / 1e6 AS aspect_ratio,
+       CAST(octet_length(payload) - 12 AS INTEGER) AS body_bytes,
+       md5(hex(payload)) AS checksum
+FROM a WHERE media_type = 'image'
+"""
+    )
+    o["m3_video_frame_samples"] = (
+        a_cte
+        + """SELECT asset_id, duration_ms,
+       CAST(frame_ms // 1000 AS INTEGER) AS frame_idx,
+       frame_ms
+FROM a, unnest(generate_series(0, duration_ms, 1000)) AS t(frame_ms)
+WHERE media_type = 'video'
+"""
+    )
+    o["m4_audio_features"] = (
+        a_cte
+        + """SELECT asset_id, f1 AS sample_rate, f2 AS n_channels,
+       CAST(octet_length(payload) - 12 AS INTEGER) AS body_bytes,
+       CAST(FLOOR((octet_length(payload) - 12)::DOUBLE / (2 * f2)) AS BIGINT) AS n_samples,
+       CAST(FLOOR(CAST(FLOOR((octet_length(payload) - 12)::DOUBLE / (2 * f2)) AS BIGINT)
+                  * 1000 / f1) AS BIGINT) AS pcm_duration_ms,
+       duration_ms
+FROM a WHERE media_type = 'audio'
+"""
+    )
+    o["m5_image_resize_plan"] = (
+        a_cte
+        + """SELECT asset_id, f1 AS width, f2 AS height,
+       ROUND(scale, 6) AS scale,
+       GREATEST(CAST(FLOOR(f1 * scale) AS BIGINT), 1) AS target_width,
+       GREATEST(CAST(FLOOR(f2 * scale) AS BIGINT), 1) AS target_height
+FROM (
+  SELECT *, CASE WHEN GREATEST(f1, f2) <= 256 THEN 1.0
+                 ELSE 256 / GREATEST(f1, f2)::DOUBLE END AS scale
+  FROM a WHERE media_type = 'image'
+)
+"""
+    )
     return o
 
 

@@ -1,0 +1,212 @@
+"""Multimodal-column operators for training-data pipelines (north-star
+extension): image/audio/video as opaque ``binary`` columns with typed
+metadata, plus decode / feature-extract / resize / frame-sample stages.
+
+The container has no codec libraries (PIL/cv2/soundfile), so the
+*codec* step is a deterministic fake: every payload carries a real
+12-byte header (4-byte ASCII magic + two big-endian uint32 fields)
+that the decode stages genuinely parse — from Spark SQL expressions
+(JVM-side) and from Arrow-batched ``mapInPandas`` (Python-side). The
+Spark plumbing — schema, binary handling, partitioning, batch shape —
+is real and tested; only the pixel/sample math is stubbed. Real-codec
+entry points are gated behind import-try and raise a clearly-marked
+``NotImplementedError`` when the library is absent.
+
+Scale design: the manifest and frame-sampling operators are pure
+Column expressions (single scan, codegen, zero shuffle); the Python
+feature extractors are ``mapInPandas`` (Arrow batches, partition-local,
+no shuffle, no collect) — at 100 TB both are embarrassingly parallel
+map stages whose parallelism is the input split count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+HEADER_BYTES = 12
+MAGIC = {"image": "IMG0", "audio": "AUD0", "video": "VID0"}
+
+
+def _u32be(col: F.Column) -> F.Column:
+    """uint32 → 4-byte big-endian binary (JVM-side: hex/lpad/unhex)."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
+
+
+def assets_from_documents(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic synthetic multimodal table over `documents`:
+    one asset per doc, media type cycling image/audio/video by id,
+    payload = magic ‖ two header uint32s ‖ UTF-8 text body.
+
+    Header field meaning by type: image/video → (width, height);
+    audio → (sample_rate, n_channels). ``duration_ms`` is typed
+    metadata for the time-based media.
+    """
+    did = F.col(id_col)
+    media_type = (
+        F.when(did % 3 == 0, F.lit("image"))
+        .when(did % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    f1 = F.when(media_type == "audio", 8000 + (did % 8) * 4000).otherwise(
+        64 + did % 1024
+    )
+    f2 = F.when(media_type == "audio", 1 + did % 2).otherwise(64 + (did * 7) % 1024)
+    magic = (
+        F.when(media_type == "image", MAGIC["image"])
+        .when(media_type == "audio", MAGIC["audio"])
+        .otherwise(F.lit(MAGIC["video"]))
+    )
+    payload = F.concat(
+        F.encode(magic, "utf-8"),
+        _u32be(f1),
+        _u32be(f2),
+        F.encode(F.col(text_col), "utf-8"),
+    )
+    duration_ms = F.when(media_type != "image", 1000 + (did * 37) % 60000).cast("bigint")
+    return docs.select(
+        did.alias("asset_id"),
+        media_type.alias("media_type"),
+        payload.alias("payload"),
+        duration_ms.alias("duration_ms"),
+    )
+
+
+def asset_manifest(assets: DataFrame) -> DataFrame:
+    """Typed metadata extracted from the binary payloads JVM-side —
+    the 'parse headers of 100 TB of blobs without leaving codegen'
+    operator. Checksum is md5 over the hex encoding (portable)."""
+    byte_len = F.length("payload")
+    f1 = F.conv(F.hex(F.substring("payload", 5, 4)), 16, 10).cast("bigint")
+    f2 = F.conv(F.hex(F.substring("payload", 9, 4)), 16, 10).cast("bigint")
+    is_audio = F.col("media_type") == "audio"
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.decode(F.substring("payload", 1, 4), "utf-8").alias("magic"),
+        byte_len.alias("byte_len"),
+        (byte_len - HEADER_BYTES).alias("body_bytes"),
+        F.when(~is_audio, f1).alias("width"),
+        F.when(~is_audio, f2).alias("height"),
+        F.when(is_audio, f1).alias("sample_rate"),
+        F.when(is_audio, f2).alias("n_channels"),
+        "duration_ms",
+        F.md5(F.hex("payload")).alias("checksum"),
+    )
+
+
+def image_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched Python feature extraction over image payloads
+    (``mapInPandas``): parses the binary header per batch — the slot
+    where a real pixel decoder (PIL → tensors) plugs in. Output schema
+    is fixed so downstream stages are planner-visible."""
+    schema = (
+        "asset_id long, width bigint, height bigint, aspect_ratio double, "
+        "body_bytes int, checksum string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = bytes(payload)
+                w = int.from_bytes(buf[4:8], "big")
+                h = int.from_bytes(buf[8:12], "big")
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "width": w,
+                        "height": h,
+                        # floor-based 6-decimal ratio: bit-identical in
+                        # Python, Spark SQL, and the DuckDB oracle
+                        # (banker's-rounding `round` is not portable)
+                        "aspect_ratio": (w * 1_000_000 // h) / 1e6,
+                        "body_bytes": len(buf) - HEADER_BYTES,
+                        "checksum": hashlib.md5(buf.hex().upper().encode()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        assets.filter(F.col("media_type") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(extract, schema)
+    )
+
+
+def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning: compute the scale factor and target dims
+    JVM-side (aspect-preserving, cap longest side at ``max_side``).
+    The pixel resample itself is the stubbed codec step — with PIL
+    present this becomes `Image.resize` inside mapInPandas; here the
+    output carries the plan (deterministic, testable)."""
+    m = asset_manifest(assets).filter(F.col("media_type") == "image")
+    longest = F.greatest("width", "height")
+    scale = F.when(longest <= max_side, F.lit(1.0)).otherwise(
+        max_side / longest.cast("double")
+    )
+    return m.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round(scale, 6).alias("scale"),
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("bigint").alias("target_width"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("bigint").alias("target_height"),
+    )
+
+
+def sample_video_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video assets: one row per sampled
+    timestamp (0, every_ms, … ≤ duration_ms) via ``sequence`` +
+    ``explode`` — planner-native row generation, no Python. Frame
+    *pixel* extraction is the stubbed codec step."""
+    vids = assets.filter(F.col("media_type") == "video")
+    times = F.sequence(F.lit(0).cast("bigint"), F.col("duration_ms"), F.lit(every_ms).cast("bigint"))
+    return vids.select(
+        "asset_id", "duration_ms", F.posexplode(times).alias("frame_idx", "frame_ms")
+    )
+
+
+def audio_features(assets: DataFrame, bytes_per_sample: int = 2) -> DataFrame:
+    """Audio stats from header + body length (JVM-side): sample count
+    and implied duration, assuming ``bytes_per_sample`` PCM. A real
+    decoder (soundfile) would replace the arithmetic, not the plan."""
+    m = asset_manifest(assets).filter(F.col("media_type") == "audio")
+    n_samples = F.floor(
+        F.col("body_bytes") / (F.lit(bytes_per_sample) * F.col("n_channels"))
+    ).cast("bigint")
+    return m.select(
+        "asset_id",
+        "sample_rate",
+        "n_channels",
+        "body_bytes",
+        n_samples.alias("n_samples"),
+        F.floor(n_samples * 1000 / F.col("sample_rate")).cast("bigint").alias("pcm_duration_ms"),
+        "duration_ms",
+    )
+
+
+def decode_image(payload: bytes):
+    """Real image decode — requires Pillow, absent in this container.
+
+    STUB: clearly-marked per the build contract; ``image_features``
+    (fake-header parse) is the tested path.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "real image decode requires Pillow (not in this container); "
+            "use image_features() for the deterministic fake-header path"
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(payload))  # pragma: no cover

@@ -1,0 +1,115 @@
+"""Unit tests for operators/multimodal.py: binary payload plumbing,
+JVM-side header parsing, Arrow-batched Python extraction, frame
+sampling, resize planning, and the real-codec stub gate.
+"""
+
+import hashlib
+
+import pytest
+
+from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+    HEADER_BYTES,
+    asset_manifest,
+    assets_from_documents,
+    audio_features,
+    decode_image,
+    image_features,
+    resize_images,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (0, "an image doc"),
+        (1, "an audio doc with a longer body of text"),
+        (2, "a video doc"),
+        (3, "another image"),
+        (4, "another audio"),
+        (5, "another video"),
+    ]
+    return assets_from_documents(spark.createDataFrame(rows, ["doc_id", "text"]))
+
+
+def _by_id(df):
+    return {r["asset_id"]: r.asDict() for r in df.collect()}
+
+
+def test_payload_layout(assets):
+    out = _by_id(assets)
+    assert {r["media_type"] for r in out.values()} == {"image", "audio", "video"}
+    p0 = bytes(out[0]["payload"])
+    assert p0[:4] == b"IMG0"
+    assert int.from_bytes(p0[4:8], "big") == 64  # width for doc 0
+    assert p0[HEADER_BYTES:] == b"an image doc"
+    assert out[0]["duration_ms"] is None  # images are not timed media
+    assert out[1]["duration_ms"] == 1000 + 37 % 60000
+
+
+def test_manifest_parses_header_jvm_side(assets):
+    m = _by_id(asset_manifest(assets))
+    assert m[0]["magic"] == "IMG0" and m[0]["width"] == 64 and m[0]["sample_rate"] is None
+    assert m[1]["magic"] == "AUD0" and m[1]["sample_rate"] == 12000 and m[1]["n_channels"] == 2
+    assert m[1]["width"] is None
+    body = "an audio doc with a longer body of text"
+    assert m[1]["body_bytes"] == len(body.encode())
+    assert m[1]["byte_len"] == HEADER_BYTES + len(body.encode())
+    # checksum = md5 over uppercase-hex payload (portable across engines)
+    raw = _by_id(assets)[1]["payload"]
+    assert m[1]["checksum"] == hashlib.md5(bytes(raw).hex().upper().encode()).hexdigest()
+
+
+def test_image_features_matches_manifest(assets):
+    feats = _by_id(image_features(assets))
+    manifest = _by_id(asset_manifest(assets))
+    assert set(feats) == {0, 3}  # only image assets
+    for aid, f in feats.items():
+        m = manifest[aid]
+        assert (f["width"], f["height"], f["body_bytes"], f["checksum"]) == (
+            m["width"], m["height"], m["body_bytes"], m["checksum"]
+        )
+        assert f["aspect_ratio"] == (m["width"] * 1_000_000 // m["height"]) / 1e6
+
+
+def test_frame_samples(assets):
+    frames = sample_video_frames(assets, every_ms=1000).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append((r["frame_idx"], r["frame_ms"]))
+    assert set(by_asset) == {2, 5}
+    for aid, fs in by_asset.items():
+        dur = 1000 + aid * 37 % 60000
+        assert len(fs) == dur // 1000 + 1
+        assert fs[0] == (0, 0) and fs[-1] == (len(fs) - 1, (len(fs) - 1) * 1000)
+
+
+def test_resize_plan(spark):
+    # one small (no-op) and one large (downscale) image
+    docs = spark.createDataFrame([(0, "x"), (960, "y")], ["doc_id", "text"])
+    plan = _by_id(resize_images(assets_from_documents(docs), max_side=256))
+    small = plan[0]  # 64 x 64
+    assert small["scale"] == 1.0 and small["target_width"] == 64
+    big = plan[960]  # width 64+960=1024, height 64+(960*7)%1024=640
+    assert (big["width"], big["height"]) == (1024, 640)
+    assert big["target_width"] == 256 and big["target_height"] == 160
+    assert max(big["target_width"], big["target_height"]) <= 256
+
+
+def test_audio_features(assets):
+    a = _by_id(audio_features(assets))
+    assert set(a) == {1, 4}
+    r = a[1]  # sample_rate 12000, 2 channels
+    assert r["n_samples"] == r["body_bytes"] // (2 * r["n_channels"])
+    assert r["pcm_duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"]
+
+
+def test_decode_image_stub_clearly_gated():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; stub not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"IMG0" + b"\x00" * 8)
