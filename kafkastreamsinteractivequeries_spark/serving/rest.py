@@ -1,0 +1,128 @@
+"""REST serving layer: the Spark analog of the reference's Spring
+controllers (``controller/StockController.java`` +
+``controller/StatusController.java``), exposed with Flask.
+
+Route map (reference → here):
+
+- ``GET /streams-iq/keyquery/<symbol>``        StockController.java:186-206
+- ``GET /streams-iq/multikey/<s1,s2,...>``     StockController.java:208-256
+- ``GET /streams-iq/range?lower=&upper=&filter=`` StockController.java:102-139
+  (bounds inclusive; ``filter`` is the JsonPath-style predicate of
+  FilteredRangeQuery, e.g. ``@.buys > @.sells``)
+- ``GET /streams-iq/partition/<key>?partitions=N`` PartitionGenerator.java:15-25
+  (dev tool: which shuffle partition owns a key — Spark's
+  ``pmod(hash(key), N)`` replaces murmur2-mod-N)
+- ``GET /status/heartbeat`` and ``GET /status/all`` StatusController.java:36-52
+  (liveness + StreamingQuery progress in place of host pings)
+
+Everything returns the ``QueryResponse`` JSON envelope
+(``query/QueryResponse.java:7-13``): ``errorMessage`` / ``result`` /
+``executionInfo`` / ``hostInformation``.  Scatter-gather, gRPC
+host-to-host hops, and standby failover have no analog: a single
+DataFrame query is already distributed and fault-tolerant, so the
+whole routing layer collapses into ``InteractiveQueryService``.
+
+Scale note: REST reads hit the *serving* DataFrame. Point it at a
+compacted parquet/Delta snapshot maintained by the streaming upsert
+sink (streaming/pipeline.py), not at the raw 100 TB fact table — the
+query path is then a pruned scan of the aggregate, independent of
+ingest volume.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from kafkastreamsinteractivequeries_spark.plans.queries import (
+    FilteredRangeQuery,
+    KeyQuery,
+    MultiKeyQuery,
+    QueryResponse,
+    create_range_query,
+)
+from kafkastreamsinteractivequeries_spark.plans.service import InteractiveQueryService
+
+
+def _envelope(resp: QueryResponse) -> dict[str, Any]:
+    return {
+        "errorMessage": resp.error_message,
+        "result": resp.result,
+        "executionInfo": resp.execution_info,
+        "hostInformation": resp.host_information,
+    }
+
+
+def create_app(
+    service: InteractiveQueryService,
+    streaming_queries: list | None = None,
+    collect_limit: int | None = 10_000,
+):
+    """Build the Flask app over an ``InteractiveQueryService``.
+
+    ``streaming_queries``: optional list of live ``StreamingQuery``
+    handles surfaced by ``/status/all`` (the analog of pinging every
+    Kafka Streams instance's heartbeat endpoint).
+    ``collect_limit`` caps rows per REST response — a serving API must
+    never try to materialize an unbounded scan into one JSON payload.
+    """
+    from flask import Flask, jsonify, request
+
+    app = Flask("ksiq-spark")
+    streaming_queries = streaming_queries or []
+
+    def run(query) -> Any:
+        resp = service.execute_response(query, collect_limit=collect_limit)
+        status = 500 if resp.error_message else 200
+        return jsonify(_envelope(resp)), status
+
+    @app.get("/streams-iq/keyquery/<symbol>")
+    def keyquery(symbol: str):
+        return run(KeyQuery.with_key(symbol))
+
+    @app.get("/streams-iq/multikey/<symbols>")
+    def multikey(symbols: str):
+        keys = [s for s in symbols.split(",") if s]
+        return run(MultiKeyQuery.with_keys(keys))
+
+    @app.get("/streams-iq/range")
+    def range_query():
+        lower = request.args.get("lower") or None
+        upper = request.args.get("upper") or None
+        predicate = request.args.get("filter") or None
+        if predicate is not None:
+            q = FilteredRangeQuery.with_bounds(lower, upper).predicate(predicate)
+        else:
+            q = create_range_query(lower, upper)
+        return run(q)
+
+    @app.get("/streams-iq/partition/<key>")
+    def partition_for_key(key: str):
+        n = int(request.args.get("partitions", "32"))
+        spark = service.serving_df.sparkSession
+        p = spark.range(1).select(
+            F.pmod(F.hash(F.lit(key)), F.lit(n)).alias("partition")
+        ).collect()[0]["partition"]
+        return jsonify({"key": key, "numPartitions": n, "partition": int(p)})
+
+    @app.get("/status/heartbeat")
+    def heartbeat():
+        return jsonify({"status": "alive"})
+
+    @app.get("/status/all")
+    def status_all():
+        out = []
+        for q in streaming_queries:
+            out.append(
+                {
+                    "id": str(q.id),
+                    "name": q.name,
+                    "isActive": q.isActive,
+                    "status": q.status,
+                    "lastProgress": q.lastProgress,
+                }
+            )
+        return jsonify({"queries": out, "count": len(out)})
+
+    return app

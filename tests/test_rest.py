@@ -1,0 +1,93 @@
+"""REST serving-layer tests via Flask's test client — the analog of
+the reference's controller integration tests
+(InteractiveQueriesIntegrationTest.java:100-320), minus Testcontainers:
+key query, multikey, range variants, filtered range (incl. the exact
+`@.symbol == '...'` scenario), error envelopes, status endpoints.
+"""
+
+import pytest
+
+from kafkastreamsinteractivequeries_spark.operators.aggregation import (
+    aggregate_transactions,
+)
+from kafkastreamsinteractivequeries_spark.plans.service import InteractiveQueryService
+from kafkastreamsinteractivequeries_spark.serving.rest import create_app
+from kafkastreamsinteractivequeries_spark.sources.tables import (
+    load_table,
+    transactions_from_events,
+)
+
+flask = pytest.importorskip("flask")
+
+
+@pytest.fixture(scope="module")
+def client(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    agg = aggregate_transactions(transactions_from_events(events))
+    app = create_app(InteractiveQueryService(agg))
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def test_keyquery(client):
+    r = client.get("/streams-iq/keyquery/purchase")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["errorMessage"] is None
+    assert len(body["result"]) == 1
+    assert body["result"][0]["symbol"] == "purchase"
+    assert body["hostInformation"] == "spark-driver"
+    assert "stock-aggregation-state-store" in body["executionInfo"]
+
+
+def test_keyquery_missing_key_empty_result(client):
+    body = client.get("/streams-iq/keyquery/NOPE").get_json()
+    assert body["errorMessage"] is None and body["result"] == []
+
+
+def test_multikey(client):
+    body = client.get("/streams-iq/multikey/click,purchase,signup").get_json()
+    assert sorted(r["symbol"] for r in body["result"]) == ["click", "purchase", "signup"]
+
+
+def test_range_variants(client):
+    full = client.get("/streams-iq/range").get_json()
+    assert len(full["result"]) == 5  # click error purchase signup view
+    bounded = client.get("/streams-iq/range?lower=click&upper=signup").get_json()
+    assert sorted(r["symbol"] for r in bounded["result"]) == [
+        "click", "error", "purchase", "signup",
+    ]  # inclusive bounds (QueryUtils.java:19-27)
+    lower_only = client.get("/streams-iq/range?lower=error").get_json()
+    assert all(r["symbol"] >= "error" for r in lower_only["result"])
+
+
+def test_filtered_range(client):
+    # the integration test's scenario: predicate on the key column
+    body = client.get(
+        "/streams-iq/range?filter=@.symbol == 'purchase'"
+    ).get_json()
+    assert [r["symbol"] for r in body["result"]] == ["purchase"]
+    # field-vs-field predicate
+    body2 = client.get("/streams-iq/range?filter=@.buys > @.sells").get_json()
+    assert body2["errorMessage"] is None
+    assert all(r["buys"] > r["sells"] for r in body2["result"])
+
+
+def test_filtered_range_bad_predicate_is_500_envelope(client):
+    r = client.get("/streams-iq/range?filter=@.buys >>> 1")
+    assert r.status_code == 500
+    body = r.get_json()
+    assert body["errorMessage"] and body["result"] is None
+
+
+def test_partition_for_key(client):
+    body = client.get("/streams-iq/partition/purchase?partitions=2").get_json()
+    assert body["numPartitions"] == 2 and body["partition"] in (0, 1)
+    again = client.get("/streams-iq/partition/purchase?partitions=2").get_json()
+    assert again["partition"] == body["partition"]  # deterministic routing
+
+
+def test_status(client):
+    assert client.get("/status/heartbeat").get_json() == {"status": "alive"}
+    body = client.get("/status/all").get_json()
+    assert body["count"] == 0 and body["queries"] == []
