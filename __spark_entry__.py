@@ -786,8 +786,35 @@ SELECT id_a, id_b, hamming FROM (
 ) WHERE hamming <= 6
 """
     )
+    # d9 uses the steep 16-hash / 2-band×8-row curve (see
+    # weighted_near_duplicates docstring) — its own sig/band/cand CTEs.
+    nh9, bands9, rows9 = 16, 2, 8
+    minhash9 = ",\n         ".join(
+        f"list_aggregate(list_transform(toks, t -> md5('{i}:' || t)), 'min')"
+        for i in range(nh9)
+    )
+    band9_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_hash FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"minhash[{b * rows9 + r + 1}]" for r in range(rows9)),
+        )
+        for b in range(bands9)
+    )
+    cand9_cte = (
+        norm_cte
+        + f""", sig AS (
+  SELECT doc_id, [{minhash9}] AS minhash FROM norm
+), bands AS (
+{band9_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+)
+"""
+    )
     o["d9_weighted_near_duplicates"] = (
-        cand_cte
+        cand9_cte
         + f""", raw AS (
   SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
 ), tc AS (

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from kafkastreamsinteractivequeries_spark.sources.tables import spread
+
 # --------------------------------------------------------------------------
 # Normalization / shingling
 # --------------------------------------------------------------------------
@@ -114,6 +116,7 @@ def minhash_signatures(
     lexicographic min of a uniform hex hash is a valid minhash, and it
     is reproducible in any engine with md5.
     """
+    docs = spread(docs)  # single-split local files: parallelize hashing
     sh = F.array_distinct(shingles_col(F.col(text_col), shingle_n))
 
     def _minhash(seed: int):
@@ -254,6 +257,7 @@ def ngram_jaccard_pairs(
 
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, tok, cnt) term-frequency table of the normalized text."""
+    docs = spread(docs)
     return (
         docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
         .groupBy(id_col, "tok")
@@ -270,25 +274,38 @@ def multiset_jaccard_verify(
     Catches permutation near-dups that set-based Jaccard cannot: on a
     small vocabulary every long document contains every word, so
     set-Jaccard saturates toward 1 while term frequencies still
-    discriminate.  Join-based (pairs ⋈ counts ⋈ counts on token):
-    work is proportional to candidate pairs × shared tokens, all
-    shuffle-partitioned — no per-doc quadratic blowup.
+    discriminate.
+
+    Physical shape: each doc's term-frequency table is packed into ONE
+    map column, joined to the pair list (per-doc side is tiny relative
+    to the pair list, so AQE turns these into broadcast joins), and the
+    intersection is a ``map_zip_with`` + ``aggregate`` expression
+    evaluated inside codegen.  The naive alternative — explode pairs ×
+    tokens and re-join on (id, tok) — materializes |pairs| × |tokens|
+    shuffle rows (hundreds of millions at sf0.1 already); this shape
+    keeps the work map-side and the intermediate at exactly |pairs|.
     """
-    totals = counts.groupBy(id_col).agg(F.sum("cnt").alias("total"))
-    ca = counts.withColumnsRenamed({id_col: "id_a", "cnt": "cnt_a"})
-    cb = counts.withColumnsRenamed({id_col: "id_b", "cnt": "cnt_b"})
-    inter = (
-        pairs.join(ca, "id_a")
-        .join(cb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("inter"))
+    tf = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "cnt"))).alias("tf"),
+        F.sum("cnt").alias("total"),
     )
-    ta = totals.withColumnsRenamed({id_col: "id_a", "total": "total_a"})
-    tb = totals.withColumnsRenamed({id_col: "id_b", "total": "total_b"})
+    a = tf.select(F.col(id_col).alias("id_a"), F.col("tf").alias("tf_a"), F.col("total").alias("total_a"))
+    b = tf.select(F.col(id_col).alias("id_b"), F.col("tf").alias("tf_b"), F.col("total").alias("total_b"))
+    inter = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "tf_a", "tf_b",
+                lambda _k, va, vb: F.least(F.coalesce(va, F.lit(0)), F.coalesce(vb, F.lit(0))),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     jac = F.col("inter") / (F.col("total_a") + F.col("total_b") - F.col("inter"))
     return (
-        inter.join(ta, "id_a")
-        .join(tb, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter)
         .withColumn("mjaccard", F.round(jac, 6))
         .filter(F.col("mjaccard") >= threshold)
         .select("id_a", "id_b", "mjaccard")
@@ -301,13 +318,22 @@ def weighted_near_duplicates(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
+    num_hashes: int = 16,
+    bands: int = 2,
 ) -> DataFrame:
-    """MinHash-LSH candidates (unigram, set-based — high recall on
-    permutation dups since their set-Jaccard is also high) verified by
-    exact multiset Jaccard.  The production near-dup detector for
-    bag-of-words duplicates."""
-    sigs = minhash_signatures(docs, text_col, id_col, shingle_n=1)
-    buckets = lsh_band_buckets(sigs, id_col=id_col)
+    """MinHash-LSH candidates (unigram, set-based — permutation dups
+    have identical token sets, so set-Jaccard 1.0 and guaranteed
+    candidacy) verified by exact multiset Jaccard.  The production
+    near-dup detector for bag-of-words duplicates.
+
+    Scale note: the default band curve is deliberately STEEP (2 bands ×
+    8 rows, P(candidate) = 1-(1-j^8)^2) because this detector targets a
+    high threshold (0.8): on saturated-vocabulary corpora a shallow
+    3-row curve admits most of the O(n²) pair space as candidates and
+    the verify join becomes the bottleneck; 8-row bands cut candidates
+    ~15-20× while j≈1 true duplicates still collide with certainty."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n=1)
+    buckets = lsh_band_buckets(sigs, bands, num_hashes // bands, id_col)
     pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_size)
     return multiset_jaccard_verify(pairs, token_counts(docs, text_col, id_col), threshold, id_col)
 
@@ -332,6 +358,7 @@ def simhash_signatures(
     A '0'/'1' string (not a signed bigint) keeps the value portable
     across engines for oracle comparison.
     """
+    docs = spread(docs)  # single-split local files: parallelize hashing
     assert bits <= 128 and bits % 4 == 0
     hex_chars = bits // 4
     toks = F.array_distinct(tokens_col(F.col(text_col)))

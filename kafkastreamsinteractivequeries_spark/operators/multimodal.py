@@ -26,6 +26,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from kafkastreamsinteractivequeries_spark.sources.tables import spread
+
 HEADER_BYTES = 12
 MAGIC = {"image": "IMG0", "audio": "AUD0", "video": "VID0"}
 
@@ -135,8 +137,10 @@ def image_features(assets: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
+    # spread: a single-split input would feed ONE Python worker;
+    # repartitioning fans the Arrow batches across all cores
     return (
-        assets.filter(F.col("media_type") == "image")
+        spread(assets.filter(F.col("media_type") == "image"))
         .select("asset_id", "payload")
         .mapInPandas(extract, schema)
     )

@@ -29,6 +29,8 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from kafkastreamsinteractivequeries_spark.sources.tables import spread
+
 
 def srp_sign_matrix(num_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix from md5("p:j") parity —
@@ -76,6 +78,7 @@ def srp_codes(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, code): SRP bit-code — bit p = 1 iff <vec, plane_p> > 0."""
+    embeddings = spread(embeddings)  # parallelize the plane dot-products
     signs = srp_sign_matrix(num_planes, dim)
     bits = [
         F.when(_dot_signs(F.col(vec_col), signs[p]) > 0, F.lit("1")).otherwise(F.lit("0"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kafkastreamsinteractivequeries_spark.operators.dedup import normalized_text, tokens_col
+from kafkastreamsinteractivequeries_spark.sources.tables import spread
 
 # Small stopword profiles for the language-ID heuristic.  Order matters:
 # the CASE chain below breaks ties in this declaration order.
@@ -41,6 +42,7 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     digit density, rewards stopword presence (fluency proxy) — the
     standard cheap quality gate before expensive model-based filters.
     """
+    docs = spread(docs)
     norm = normalized_text(F.col(text_col))
     toks = tokens_col(F.col(text_col))
     n_tokens = F.size(toks)
@@ -81,6 +83,7 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 def token_counts_report(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace vs BPE-ish token counts (regexp pre-tokenizer)."""
+    docs = spread(docs)
     norm = normalized_text(F.col(text_col))
     return docs.select(
         F.col(id_col),
@@ -95,6 +98,7 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     declared language wins ties).  On real text this is the classic
     cheap n-gram/stopword LID; on the synthetic corpus it mostly returns
     'en' — the *shape* (per-doc scores + argmax) is what matters."""
+    docs = spread(docs)
     toks = tokens_col(F.col(text_col))
     hits = {lang: _stop_hits(toks, lang) for lang in STOPWORDS}
     has_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")) > 0
@@ -129,6 +133,7 @@ def winnowing_fingerprint(
     sliding window; the doc fingerprint is the minimum window hash
     (shorter docs hash the whole text).  Robust to local edits — two
     docs sharing any window share candidate fingerprints."""
+    docs = spread(docs)
     toks = tokens_col(F.col(text_col))
     window_hashes = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (window - 1)),

@@ -37,6 +37,11 @@ def get_spark(app_name: str = "ksiq-spark", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split small files down to the core count: a single-file table
+        # otherwise becomes ONE scan task, serializing every per-row
+        # expression (minhash/simhash/text stats) above it.  At scale
+        # files exceed maxPartitionBytes and this hint is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         # Testdata parquet carries TIMESTAMP(NANOS) which Spark has no
         # native type for; read as long-nanos and convert in the loader
         # (sources.tables.load_table).

@@ -40,6 +40,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input whose scan yields fewer tasks than
+    cores, so per-row expression work (hashing, vector math, Python
+    batches) parallelizes.
+
+    Single-row-group parquet files — all the local testdata — scan as
+    ONE task no matter what split hints are set, serializing everything
+    above the scan.  At cluster scale inputs have many splits and this
+    is a no-op; locally it costs one tiny shuffle of the narrow table.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
