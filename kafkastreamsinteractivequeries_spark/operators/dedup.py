@@ -191,9 +191,14 @@ def jaccard_verify(
     """(id_a, id_b, jaccard) for candidate pairs with exact shingle-set
     Jaccard ≥ threshold (computed JVM-side on the candidate set only)."""
     sh = signatures.select(F.col(id_col), "shingles")
+    # SHUFFLE_HASH: the per-doc side must not be broadcast (it grows
+    # with the corpus — forced broadcast would OOM at scale) and AQE
+    # left alone may instead broadcast the multi-million-row pair list,
+    # paying a driver collect + hash build per execution.  Shuffle-hash
+    # joins on id are skinny-row shuffles that work at any size.
     joined = (
-        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}).hint("shuffle_hash"), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}).hint("shuffle_hash"), "id_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -302,9 +307,22 @@ def multiset_jaccard_verify(
         lambda acc, x: acc + x,
     )
     jac = F.col("inter") / (F.col("total_a") + F.col("total_b") - F.col("inter"))
+    # Exact pruning bound evaluated BEFORE the expensive map
+    # intersection: inter ≤ min(totals) and the union ≥ max(totals), so
+    # mjaccard ≤ min/max — a pair failing the length-ratio test can
+    # never reach the threshold.  (1e-6 slack covers the final round().)
+    ratio_ok = F.least("total_a", "total_b") >= (threshold - 1e-6) * F.greatest(
+        "total_a", "total_b"
+    )
+    # SHUFFLE_HASH on the per-doc map sides: they must not be broadcast
+    # (they grow with the corpus — forced broadcast would OOM at scale),
+    # and AQE left alone may instead broadcast the sub-threshold but
+    # multi-million-row pair list, paying a driver collect + hash build
+    # per execution.  Shuffle-hash on id works at any size.
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        pairs.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .filter(ratio_ok)
         .withColumn("inter", inter)
         .withColumn("mjaccard", F.round(jac, 6))
         .filter(F.col("mjaccard") >= threshold)

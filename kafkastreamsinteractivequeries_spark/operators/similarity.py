@@ -51,23 +51,44 @@ def _dot_signs(vec_col: F.Column, signs: list[int]) -> F.Column:
     )
 
 
-def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
-    """Cosine similarity of two float arrays, all-double sequential fold."""
-    dot = F.aggregate(
+def dot_expr(a: F.Column, b: F.Column) -> F.Column:
+    """<a, b> — double-cast sequential fold."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    norm = lambda v: F.sqrt(
+
+
+def norm_expr(v: F.Column) -> F.Column:
+    """L2 norm, double-cast sequential fold."""
+    return F.sqrt(
         F.aggregate(
             F.transform(v, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
+
+
+def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity of two float arrays, all-double sequential fold.
+
+    Per-pair cost is dot + both norms; the verify paths below instead
+    hoist ``norm_expr`` into per-vector projections UNDER the join (so
+    each vector's norm is computed once, not once per candidate pair)
+    and combine with ``cosine_from_parts`` — same operations, same
+    float results, ~3× less per-pair work.
+    """
     # try_divide: a zero-norm vector yields NULL cosine instead of an
     # ANSI DIVIDE_BY_ZERO error; callers drop NULLs from rankings.
-    return F.try_divide(dot, norm(a) * norm(b))
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
+
+
+def cosine_from_parts(a: F.Column, b: F.Column, norm_a: F.Column, norm_b: F.Column) -> F.Column:
+    """dot(a,b)/(‖a‖·‖b‖) with precomputed norms — bit-identical to
+    ``cosine_expr`` (same op sequence, norms merely hoisted)."""
+    return F.try_divide(dot_expr(a, b), norm_a * norm_b)
 
 
 def srp_codes(
@@ -119,10 +140,14 @@ def knn_bruteforce(
     vec_id tie-break for cross-engine determinism.  The query side is
     broadcast; the corpus is scanned once.
     """
-    scored = embeddings.join(F.broadcast(queries)).filter(
-        F.col(id_col) != F.col(query_id_col)
+    corpus = spread(embeddings).select(
+        id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
     )
-    cos = F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6)
+    qn = queries.select("*", norm_expr(F.col(query_vec_col)).alias("_nb"))
+    scored = corpus.join(F.broadcast(qn)).filter(F.col(id_col) != F.col(query_id_col))
+    cos = F.round(
+        cosine_from_parts(F.col(vec_col), F.col(query_vec_col), F.col("_na"), F.col("_nb")), 6
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("cosine", cos)
@@ -166,11 +191,21 @@ def knn_srp(
         .distinct()
     )
     scored = (
-        cand.join(embeddings.select(id_col, vec_col), id_col)
-        .join(F.broadcast(queries), query_id_col)
+        cand.join(
+            embeddings.select(
+                id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
+            ).hint("shuffle_hash"),
+            id_col,
+        )
+        .join(
+            F.broadcast(queries.select("*", norm_expr(F.col(query_vec_col)).alias("_nb"))),
+            query_id_col,
+        )
         .filter(F.col(id_col) != F.col(query_id_col))
     )
-    cos = F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6)
+    cos = F.round(
+        cosine_from_parts(F.col(vec_col), F.col(query_vec_col), F.col("_na"), F.col("_nb")), 6
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("cosine", cos)
@@ -203,12 +238,24 @@ def embedding_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    cos = F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6)
+    ea = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm_expr(F.col(vec_col)).alias("_na"),
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm_expr(F.col(vec_col)).alias("_nb"),
+    )
+    cos = F.round(
+        cosine_from_parts(F.col("vec_a"), F.col("vec_b"), F.col("_na"), F.col("_nb")), 6
+    )
+    # shuffle_hash (not broadcast): the embedding side grows with the
+    # corpus; the pair list must not be driver-collected either.
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
+        cand.join(ea.hint("shuffle_hash"), "id_a")
+        .join(eb.hint("shuffle_hash"), "id_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")

@@ -34,7 +34,10 @@ def get_spark(app_name: str = "ksiq-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # 8g, not "as much as fits": an oversized single-JVM heap lets
+        # garbage accumulate until multi-second G1 full-GC pauses hit
+        # mid-query; a right-sized heap keeps collections incremental.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Split small files down to the core count: a single-file table
