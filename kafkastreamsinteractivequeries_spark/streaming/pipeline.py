@@ -147,6 +147,64 @@ def start_serving_pipeline(
 
 
 # --------------------------------------------------------------------------
+# Custom stateful operator (the reference's explicit aggregator + store)
+# --------------------------------------------------------------------------
+
+
+def stateful_transaction_aggregate(txn_stream: DataFrame) -> DataFrame:
+    """T5 as a CUSTOM stateful operator: ``applyInPandasWithState``
+    with explicit per-key state — the literal analog of the reference's
+    hand-written ``Initializer`` + ``Aggregator`` folding into its own
+    store (``streams/KafkaStreamsService.java:38,62-74`` +
+    ``store/CustomQueryStore.java``).
+
+    The declarative ``streaming_aggregation`` is the right production
+    path (Catalyst plans it, partial aggregation is automatic); this
+    operator is the template for semantics the built-ins CANNOT express
+    — custom eviction, conditional emission, per-key side effects.
+    Emits one row per updated key per micro-batch (update-mode parity),
+    plus ``updates_in_batch`` — per-update visibility the reference
+    gets from cache=0.
+
+    Scale: state lives in Spark's state store (RocksDB provider on a
+    cluster), partitioned by key; each micro-batch only touches groups
+    with new data, shipped to Python as Arrow batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdf_iter, state):
+        buys, sells, shares = state.get if state.exists else (0.0, 0.0, 0)
+        n = 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            buys += float(pdf.loc[pdf["buy"], "amount"].sum())
+            sells += float(pdf.loc[~pdf["buy"], "amount"].sum())
+            shares += int(pdf["number_shares"].sum())
+        state.update((buys, sells, shares))
+        yield pd.DataFrame(
+            [
+                {
+                    "symbol": key[0],
+                    "buys": buys,
+                    "sells": sells,
+                    "number_shares": shares,
+                    "updates_in_batch": n,
+                }
+            ]
+        )
+
+    return txn_stream.groupBy("symbol").applyInPandasWithState(
+        fold,
+        outputStructType="symbol string, buys double, sells double, "
+        "number_shares long, updates_in_batch int",
+        stateStructType="buys double, sells double, number_shares long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
 # Changelog sink (T7)
 # --------------------------------------------------------------------------
 

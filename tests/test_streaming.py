@@ -138,3 +138,46 @@ def test_checkpoint_recovery(spark, tmp_path, txn_dir):
     )
     # cumulative across restart: 3×100 split by flag + 77 sell
     assert msft.sells == pytest.approx(200.0 + 77.0) and msft.number_shares == 16
+
+
+def test_stateful_custom_operator_carries_state_across_batches(spark, tmp_path, txn_dir):
+    """applyInPandasWithState: explicit per-key state must accumulate
+    across micro-batches and match the declarative batch aggregate."""
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        stateful_transaction_aggregate,
+    )
+
+    stream = file_transaction_stream(spark, txn_dir)
+    out = stateful_transaction_aggregate(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_agg")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: same symbols again — state must carry over
+        spark.createDataFrame(_txn_rows(offset=100), STOCK_TRANSACTION_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(txn_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql("SELECT * FROM stateful_agg").collect()
+    # latest emission per symbol = final aggregate
+    latest = {}
+    for r in emitted:
+        latest[r.symbol] = r
+    both = _txn_rows() + _txn_rows(offset=100)
+    batch = aggregate_transactions(spark.createDataFrame(both, STOCK_TRANSACTION_SCHEMA))
+    want = {r.symbol: r for r in batch.collect()}
+    assert set(latest) == set(want)
+    for sym, w in want.items():
+        g = latest[sym]
+        assert g.buys == pytest.approx(w.buys)
+        assert g.sells == pytest.approx(w.sells)
+        assert g.number_shares == w.number_shares
+        assert g.updates_in_batch == 3  # 3 txns per symbol in batch 2
