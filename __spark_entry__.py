@@ -259,6 +259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s4_embedding_near_duplicates"] = lambda s, d: S.embedding_near_duplicates(
         _emb(s, d), threshold=0.4
     )
+    q["s5_ivf_assign"] = lambda s, d: S.ivf_assign(_emb(s, d), n_lists=16)
+    q["s6_knn_ivf"] = lambda s, d: S.knn_ivf(
+        _emb(s, d), _queries_df(s, d), k=10, n_lists=16, nprobe=4
+    )
 
     return q
 
@@ -614,6 +618,53 @@ SELECT query_id, vec_id, cosine, rank FROM (
 ) WHERE rank <= 10
 """
     o["s2_srp_codes"] = codes_cte + "SELECT vec_id, code FROM codes"
+    # IVF: centroids = first 16 vectors by id (deterministic quantizer,
+    # mirrored exactly); assignment/probing by rounded cosine with
+    # centroid-id tie-break.
+    ivf_cte = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16
+), assign AS (
+  SELECT vec_id, centroid_id AS list_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE {cos('e.embedding', 'c.cvec')} IS NOT NULL
+  ) WHERE rn = 1
+)
+"""
+    o["s5_ivf_assign"] = ivf_cte + "SELECT vec_id, list_id FROM assign"
+    o["s6_knn_ivf"] = (
+        ivf_cte
+        + f""", q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
+), probes AS (
+  SELECT query_id, centroid_id AS list_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY {cos('q.query_vec', 'c.cvec')} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cent c
+    WHERE {cos('q.query_vec', 'c.cvec')} IS NOT NULL
+  ) WHERE rn <= 4
+), cand AS (
+  SELECT a.vec_id, p.query_id
+  FROM assign a JOIN probes p ON a.list_id = p.list_id
+), scored AS (
+  SELECT cand.query_id, cand.vec_id, {cos('e.embedding', 'q.query_vec')} AS cosine
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN q ON q.query_id = cand.query_id
+  WHERE cand.vec_id != cand.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+  WHERE cosine IS NOT NULL
+) WHERE rank <= 10
+"""
+    )
     o["s3_knn_srp"] = (
         buckets_cte
         + q_cte

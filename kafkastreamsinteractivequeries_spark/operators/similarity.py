@@ -260,3 +260,115 @@ def embedding_near_duplicates(
         .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# --------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(centroid_id, centroid_vec, _nc): the coarse quantizer.
+
+    Deterministic stand-in for k-means training: the first ``n_lists``
+    vectors by id serve as centroids (reproducible in any engine; a
+    real deployment would swap in k-means|| centroids — the query plans
+    downstream are identical either way)."""
+    return embeddings.filter(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("centroid_vec"),
+        norm_expr(F.col(vec_col)).alias("_nc"),
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, list_id): nearest-centroid assignment by cosine
+    (rounded, centroid-id tie-break — cross-engine deterministic).
+
+    Scale: centroids are O(n_lists) — genuinely broadcastable at any
+    corpus size — so assignment is one corpus scan with a broadcast
+    nested-loop against n_lists rows; no corpus shuffle."""
+    cent = ivf_centroids(embeddings, n_lists, vec_col, id_col)
+    corpus = spread(embeddings).select(
+        id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
+    )
+    cos = F.round(
+        cosine_from_parts(F.col(vec_col), F.col("centroid_vec"), F.col("_na"), F.col("_nc")), 6
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("centroid_id"))
+    return (
+        corpus.join(F.broadcast(cent))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("centroid_id").alias("list_id"))
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``nprobe`` nearest inverted
+    lists per query, score only their members exactly.
+
+    The candidate set is ~corpus × nprobe/n_lists — at 100 TB the
+    assignment is precomputed once (a materialized column), queries
+    touch only probed lists, and the final exact scoring joins on
+    list_id (shuffle on a low-cardinality key; AQE splits skewed
+    lists)."""
+    cent = ivf_centroids(embeddings, n_lists, vec_col, id_col)
+    assign = ivf_assign(embeddings, n_lists, vec_col, id_col)
+
+    qn = queries.select("*", norm_expr(F.col(query_vec_col)).alias("_nb"))
+    qcos = F.round(
+        cosine_from_parts(F.col(query_vec_col), F.col("centroid_vec"), F.col("_nb"), F.col("_nc")), 6
+    )
+    qw = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col("centroid_id"))
+    probes = (
+        qn.join(F.broadcast(cent))
+        .withColumn("_cos", qcos)
+        .filter(F.col("_cos").isNotNull())
+        .withColumn("_rn", F.row_number().over(qw))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, F.col("centroid_id").alias("list_id"))
+    )
+
+    cand = assign.join(F.broadcast(probes), "list_id").select(id_col, query_id_col)
+    scored = (
+        cand.join(
+            embeddings.select(id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")).hint("shuffle_hash"),
+            id_col,
+        )
+        .join(F.broadcast(qn), query_id_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    cos = F.round(
+        cosine_from_parts(F.col(vec_col), F.col(query_vec_col), F.col("_na"), F.col("_nb")), 6
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("cosine", cos)
+        .filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

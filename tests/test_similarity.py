@@ -118,3 +118,42 @@ def test_no_python_in_knn_plan(spark, emb):
     plan = knn_bruteforce(df, queries)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_assign_covers_corpus(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.similarity import ivf_assign
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = ivf_assign(emb, n_lists=16)
+    rows = assign.collect()
+    assert len(rows) == emb.count()  # every vector lands in exactly one list
+    lists = {r.list_id for r in rows}
+    assert lists <= set(range(16)) and len(lists) > 1
+    # a centroid's own nearest centroid is itself (cosine 1.0)
+    by_id = {r.vec_id: r.list_id for r in rows}
+    for cid in range(16):
+        assert by_id[cid] == cid
+
+
+def test_knn_ivf_recall_against_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id) for r in knn_bruteforce(emb, queries, k=10).collect()
+    }
+    approx = {(r.query_id, r.vec_id) for r in knn_ivf(emb, queries, k=10, nprobe=4).collect()}
+    # nprobe=4/16 lists: recall is approximate by design but must be
+    # non-trivial, and every IVF hit must be a real vector pair
+    assert len(approx & exact) / len(exact) > 0.2
+    assert all(q != v for q, v in approx)
