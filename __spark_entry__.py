@@ -236,6 +236,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["m4_audio_features"] = lambda s, d: M.audio_features(_assets(s, d))
     q["m5_image_resize_plan"] = lambda s, d: M.resize_images(_assets(s, d), max_side=256)
 
+    # ---- composed curation pipeline (north-star flagship;
+    # operators/curation.py): quality gate → exact dedup → near-dup
+    # removal → token-budget packing ----
+    from kafkastreamsinteractivequeries_spark.operators.curation import curate_documents
+
+    q["p1_curation_pipeline"] = lambda s, d: curate_documents(
+        _docs(s, d), min_quality=0.5, near_dup_threshold=0.8, token_budget=20_000
+    )
+
     # ---- similarity search (north-star; operators/similarity.py) ----
     from kafkastreamsinteractivequeries_spark.operators import similarity as S
 
@@ -369,7 +378,102 @@ WHERE p_brand BETWEEN 'Brand#1' AND 'Brand#3' AND p_size >= 10
     o.update(_similarity_oracles())
     o.update(_text_oracles())
     o.update(_multimodal_oracles())
+    o.update(_curation_oracles())
     return o
+
+
+def _curation_oracles() -> dict[str, str]:
+    """Oracle for the composed curation pipeline: quality formula from
+    operators/text.py, exact-dedup window, the 16-hash/2-band×8-row
+    unigram MinHash near-dup chain from operators/dedup.py, keep-lowest
+    pair policy, then a cumulative token cut at 20k."""
+    from kafkastreamsinteractivequeries_spark.operators.text import PUNCT_CLASS, STOPWORDS
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    stop_words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    nh, rows = 16, 8
+    minhash = ",\n         ".join(
+        f"list_aggregate(list_transform(utoks, t -> md5('{i}:' || t)), 'min')"
+        for i in range(nh)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_hash FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"minhash[{b * rows + r + 1}]" for r in range(rows)),
+        )
+        for b in range(2)
+    )
+    sql = f"""
+WITH t AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         {norm} AS norm, string_split({norm}, ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT *, len(toks) AS n_tokens, length(norm) AS n_chars_n,
+         length(norm) - length(regexp_replace(norm, '{PUNCT_CLASS}', '', 'g')) AS punct,
+         length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS digits,
+         len(list_filter(toks, t -> list_contains([{stop_words}], t))) AS stop_en
+  FROM t
+), r AS (
+  SELECT *, ROUND(punct::DOUBLE / NULLIF(n_chars_n, 0), 6) AS punct_ratio,
+         ROUND(digits::DOUBLE / NULLIF(n_chars_n, 0), 6) AS digit_ratio,
+         ROUND(stop_en::DOUBLE / NULLIF(n_tokens, 0), 6) AS stop_ratio
+  FROM m
+), scored AS (
+  SELECT doc_id, text, lang, source, n_chars, norm, toks, n_tokens,
+         COALESCE(ROUND(
+             0.4 * LEAST(n_tokens::DOUBLE / 100.0, 1.0)
+             + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+             + 0.2 * (1.0 - LEAST(digit_ratio * 5.0, 1.0))
+             + 0.2 * LEAST(stop_ratio * 3.0, 1.0), 6), 0.0) AS quality_score
+  FROM r
+), gated AS (
+  SELECT * FROM scored WHERE quality_score >= 0.5
+), dd AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS _rn
+    FROM gated
+  ) WHERE _rn = 1
+), u AS (
+  SELECT doc_id, list_distinct(toks) AS utoks, toks FROM dd
+), sig AS (
+  SELECT doc_id, [{minhash}] AS minhash FROM u
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+), tc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM u) GROUP BY 1, 2
+), totals AS (
+  SELECT doc_id, SUM(cnt) AS total FROM tc GROUP BY 1
+), inter AS (
+  SELECT c.id_a, c.id_b, SUM(LEAST(x.cnt, y.cnt)) AS inter
+  FROM cand c
+  JOIN tc x ON x.doc_id = c.id_a
+  JOIN tc y ON y.doc_id = c.id_b AND y.tok = x.tok
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT i.id_a, i.id_b,
+           ROUND(i.inter::DOUBLE / (ta.total + tb.total - i.inter), 6) AS mj
+    FROM inter i
+    JOIN totals ta ON ta.doc_id = i.id_a
+    JOIN totals tb ON tb.doc_id = i.id_b
+  ) WHERE mj >= 0.8
+), surv AS (
+  SELECT * FROM dd WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+), cum AS (
+  SELECT doc_id, lang, source, n_chars, quality_score,
+         CAST(n_tokens AS INTEGER) AS n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+  FROM surv
+)
+SELECT * FROM cum WHERE cum_tokens <= 20000
+"""
+    return {"p1_curation_pipeline": sql}
 
 
 def _multimodal_oracles() -> dict[str, str]:

@@ -48,6 +48,8 @@ HEADLINE = [
     # multimodal (JVM header parse + Python feature extraction)
     "m1_asset_manifest",
     "m2_image_features",
+    # composed curation pipeline (quality → dedup → near-dup → budget)
+    "p1_curation_pipeline",
 ]
 
 

@@ -1,0 +1,120 @@
+"""End-to-end training-data curation pipeline (north-star flagship):
+quality gate → exact dedup → near-dup removal → token-budget packing,
+composed from the text / dedup operator suites.
+
+This is the query a 100 TB pre-training data pipeline actually runs.
+Every stage is a DataFrame→DataFrame transform:
+
+1. quality gate     — ``text.text_stats`` score ≥ threshold (map-only)
+2. exact dedup      — fingerprint window, keep lowest id
+3. near-dup removal — ``dedup.weighted_near_duplicates`` pairs; the
+   higher id of each verified pair is dropped (keep-lowest policy; a
+   full transitive-closure variant would iterate connected components —
+   deliberately out of scope for one pass)
+4. token budget     — keep docs in id order until the cumulative token
+   count reaches the budget (how corpora are cut to a token target)
+
+Stage 4 needs a global prefix sum.  A bare ``SUM() OVER (ORDER BY id)``
+collapses to ONE partition in Spark — fine at demo scale, fatal at
+100 TB — so ``cumulative_sum`` implements the scalable two-phase form:
+range-partition by id, per-partition partial sums (one tiny row per
+partition to the driver), broadcast offsets back, then a partition-local
+window.  Same result, bounded driver traffic, full parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kafkastreamsinteractivequeries_spark.operators.dedup import (
+    exact_dedup,
+    weighted_near_duplicates,
+)
+from kafkastreamsinteractivequeries_spark.operators.text import text_stats
+
+
+def cumulative_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable prefix sum of ``weight_col`` in ``order_col`` order.
+
+    Two-phase: bucket rows into contiguous ranges of the (numeric)
+    order column — ranges derived arithmetically from min/max, NOT via
+    ``repartitionByRange`` (whose sampled boundaries can differ between
+    the offsets job and the final query, silently mis-assigning rows) —
+    compute each bucket's total (one row per bucket collected to the
+    driver; bounded by bucket count, not data size), then add the
+    exclusive prefix offset to a bucket-local running sum.  Equivalent
+    to ``SUM(w) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING)`` without
+    the single-partition bottleneck."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).collect()[0]
+    if lo is None:  # empty input
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    chunk = max(1, (int(hi) - int(lo)) // n + 1)
+    parted = df.withColumn(
+        "_pid", F.floor((F.col(order_col) - F.lit(int(lo))) / F.lit(chunk)).cast("int")
+    ).repartition(n, "_pid")
+    totals = (
+        parted.groupBy("_pid").agg(F.sum(weight_col).alias("_t")).orderBy("_pid").collect()
+    )
+    offsets = {}
+    acc = 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_t"] or 0
+    offset_col = F.coalesce(
+        *[
+            F.when(F.col("_pid") == pid, F.lit(off))
+            for pid, off in sorted(offsets.items())
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parted.withColumn(out_col, (F.sum(weight_col).over(w) + offset_col).cast("long"))
+        .drop("_pid")
+    )
+
+
+def curate_documents(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.8,
+    token_budget: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed pipeline; returns surviving docs with
+    (quality_score, n_tokens, cum_tokens) provenance columns."""
+    stats = text_stats(docs, text_col, id_col).select(
+        id_col, "quality_score", "n_tokens"
+    )
+    gated = docs.join(
+        stats.filter(F.col("quality_score") >= min_quality), id_col
+    )
+    deduped = exact_dedup(gated, text_col, id_col)
+    pairs = weighted_near_duplicates(deduped, text_col, id_col, near_dup_threshold)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = deduped.join(drop, id_col, "left_anti")
+    # The prefix sum needs multiple passes (bounds, bucket totals, the
+    # final read); checkpoint the survivor set so the quality/dedup/
+    # near-dup prefix executes once instead of once per pass.  Local
+    # checkpoint blocks are cleaned with the DataFrame's lifetime; at
+    # cluster scale you would land survivors in a checkpoint table and
+    # resume from it.
+    survivors = survivors.localCheckpoint(eager=False)
+    out = cumulative_sum(survivors, id_col, "n_tokens", "cum_tokens")
+    if token_budget is not None:
+        out = out.filter(F.col("cum_tokens") <= token_budget)
+    return out.select(
+        id_col, "lang", "source", "n_chars", "quality_score", "n_tokens", "cum_tokens"
+    )

@@ -1,0 +1,55 @@
+"""Curation pipeline tests: scalable prefix sum correctness against the
+single-partition window, and end-to-end pipeline invariants."""
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from kafkastreamsinteractivequeries_spark.operators.curation import (
+    cumulative_sum,
+    curate_documents,
+)
+from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+
+def test_cumulative_sum_matches_global_window(spark):
+    # non-contiguous, shuffled ids with varying weights
+    rows = [(i * 7 % 101, (i % 13) + 1) for i in range(101)]
+    df = spark.createDataFrame(rows, ["id", "w"]).repartition(8)
+    got = {r.id: r.cum for r in cumulative_sum(df, "id", "w", "cum", 8).collect()}
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r.id: r.cum
+        for r in df.withColumn("cum", F.sum("w").over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_cumulative_sum_empty(spark):
+    df = spark.createDataFrame([], "id long, w long")
+    assert cumulative_sum(df, "id", "w").count() == 0
+
+
+def test_curation_pipeline_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_documents(
+        docs, min_quality=0.5, near_dup_threshold=0.8, token_budget=20_000
+    ).orderBy("doc_id")
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()  # every stage bites
+    # quality gate
+    assert all(r.quality_score >= 0.5 for r in rows)
+    # budget: cumulative is monotone in id order and within budget
+    cums = [r.cum_tokens for r in rows]
+    assert cums == sorted(cums) and cums[-1] <= 20_000
+    running = 0
+    for r in rows:
+        running += r.n_tokens
+        assert r.cum_tokens >= running  # earlier (dropped-later) docs may pad the prefix
+    # no exact duplicates survive
+    texts = spark.createDataFrame([(r.doc_id,) for r in rows], ["doc_id"]).join(
+        docs, "doc_id"
+    )
+    from kafkastreamsinteractivequeries_spark.operators.dedup import fingerprint_documents
+
+    fps = [r.fingerprint for r in fingerprint_documents(texts).collect()]
+    assert len(fps) == len(set(fps))
