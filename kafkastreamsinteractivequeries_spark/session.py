@@ -38,6 +38,11 @@ def get_spark(app_name: str = "ksiq-spark", shuffle_partitions: int | None = Non
         # garbage accumulate until multi-second G1 full-GC pauses hit
         # mid-query; a right-sized heap keeps collections incremental.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Long-lived sessions accumulate shuffle files and broadcast
+        # blocks until a JVM GC happens to run the ContextCleaner; a
+        # short periodic GC keeps cleanup incremental instead of letting
+        # multi-GB backlogs stall a random later query.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Split small files down to the core count: a single-file table

@@ -59,3 +59,41 @@ def test_aggregates_are_partial(spark, sf_dir):
     assert plan.count("Exchange") == 1  # exactly one shuffle, on the group key
     # no Python evaluation in the hot path (JsonPath decode is JVM-side)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_manifest_is_single_scan_no_shuffle(spark, sf_dir):
+    # m1: header parsing must stay inside the scan stage (zero exchanges)
+    plan = plan_of(spark, sf_dir, "m1_asset_manifest")
+    assert "Exchange" not in plan
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_knn_bruteforce_no_corpus_shuffle(spark, sf_dir):
+    # s1: query side broadcast; the only exchanges allowed are the
+    # corpus spread() repartition and the top-k window partitioning —
+    # never a corpus-sized join shuffle (no SortMergeJoin).
+    plan = plan_of(spark, sf_dir, "s1_knn_bruteforce")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # query set joined via broadcast
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "s5_ivf_assign")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan  # no corpus-vs-centroid shuffle join
+
+
+def test_near_dup_verify_uses_shuffle_hash_not_broadcast(spark, sf_dir):
+    # d9: neither the pair list nor the per-doc map table may be
+    # broadcast (pair list = driver collect; doc table grows with the
+    # corpus) — the verify joins must be ShuffledHashJoin.
+    plan = plan_of(spark, sf_dir, "d9_weighted_near_duplicates")
+    assert "ShuffledHashJoin" in plan
+
+
+def test_text_stats_zero_shuffle(spark, sf_dir):
+    # x1 is map-only modulo the local spread() repartition: no
+    # aggregation or join exchanges.
+    plan = plan_of(spark, sf_dir, "x1_text_stats")
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
