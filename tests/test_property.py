@@ -1,0 +1,128 @@
+"""Property-based coverage (hypothesis):
+
+1. The JsonPath-subset predicate compiler agrees with a direct Python
+   evaluation of the same predicate on every row — for randomly
+   generated predicate trees (comparisons over numeric/string fields,
+   &&/||/!, parentheses).  Generalizes the reference's fixed golden
+   suite (``JacksonProtobufMappingProviderTest.java:73-152``).
+2. ``to_json``/``from_json`` round-trips the transaction schema
+   losslessly (the analog of ``SerdeUtilTest.java``).
+"""
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from kafkastreamsinteractivequeries_spark.functions.predicate import compile_predicate
+
+# ---------------------------------------------------------------------------
+# Fixed row universe with edge values; predicates vary.
+# ---------------------------------------------------------------------------
+
+ROWS = [
+    {"symbol": "CFLT", "buys": 333.0, "sells": 333.0, "number_shares": 100},
+    {"symbol": "ALB", "buys": 400.0, "sells": 333.0, "number_shares": 0},
+    {"symbol": "EAB", "buys": 333.0, "sells": 400.0, "number_shares": 7},
+    {"symbol": "ZZZ", "buys": 0.0, "sells": 0.0, "number_shares": 1},
+    {"symbol": "AAA", "buys": 299.5, "sells": 300.5, "number_shares": 250},
+    {"symbol": "MSFT", "buys": 1000.0, "sells": 1.0, "number_shares": 42},
+]
+
+NUM_FIELDS = ["buys", "sells", "number_shares"]
+STR_VALUES = ["CFLT", "ALB", "EAB", "ZZZ", "AAA", "MSFT", "NOPE"]
+OPS = [">", "<", ">=", "<=", "==", "!="]
+
+
+def _num_cmp(draw):
+    f = draw(st.sampled_from(NUM_FIELDS))
+    op = draw(st.sampled_from(OPS))
+    if draw(st.booleans()):
+        rhs = f"@.{draw(st.sampled_from(NUM_FIELDS))}"
+    else:
+        rhs = str(draw(st.integers(min_value=-10, max_value=500)))
+    return f"@.{f} {op} {rhs}"
+
+
+def _str_cmp(draw):
+    op = draw(st.sampled_from(["==", "!="]))
+    return f"@.symbol {op} '{draw(st.sampled_from(STR_VALUES))}'"
+
+
+@st.composite
+def predicates(draw, depth=2):
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        return draw(st.booleans()) and _num_cmp(draw) or _str_cmp(draw)
+    left = draw(predicates(depth=depth - 1))
+    right = draw(predicates(depth=depth - 1))
+    conj = draw(st.sampled_from(["&&", "||"]))
+    out = f"({left}) {conj} ({right})"
+    if draw(st.booleans()):
+        out = f"!({out})"
+    return out
+
+
+def _py_eval(src: str, row: dict) -> bool:
+    expr = src.replace("&&", " and ").replace("||", " or ").replace("!(", " not (")
+    for f in ["symbol", "buys", "sells", "number_shares"]:
+        expr = expr.replace(f"@.{f}", f"row['{f}']")
+    return bool(eval(expr, {"row": row}))  # noqa: S307 - test-only reference
+
+
+@pytest.fixture(scope="module")
+def pred_df(spark):
+    df = spark.createDataFrame(
+        [(r["symbol"], r["buys"], r["sells"], r["number_shares"]) for r in ROWS],
+        "symbol string, buys double, sells double, number_shares long",
+    ).cache()
+    df.count()
+    return df
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_predicate_compiler_matches_python(pred_df, data):
+    src = data.draw(predicates())
+    got = {r["symbol"] for r in pred_df.filter(compile_predicate(src)).collect()}
+    want = {r["symbol"] for r in ROWS if _py_eval(src, r)}
+    assert got == want, f"predicate {src!r}: spark={got} python={want}"
+
+
+# ---------------------------------------------------------------------------
+# Serde round trip (SerdeUtilTest analog)
+# ---------------------------------------------------------------------------
+
+symbols = st.text(
+    alphabet=st.characters(whitelist_categories=["Lu", "Ll", "Nd"]),
+    min_size=1,
+    max_size=12,
+)
+amounts = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+).map(lambda x: round(x, 4))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(symbols, st.booleans(), amounts, st.integers(0, 2**31 - 1)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_json_round_trip(spark, rows):
+    from pyspark.sql import functions as F
+
+    schema = "symbol string, buy boolean, amount double, number_shares int"
+    df = spark.createDataFrame(rows, schema)
+    back = (
+        df.select(F.to_json(F.struct("symbol", "buy", "amount", "number_shares")).alias("v"))
+        .select(F.from_json("v", schema).alias("t"))
+        .select("t.*")
+    )
+    got = sorted(map(tuple, back.collect()))
+    want = sorted(rows)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3]
+        assert math.isclose(g[2], w[2], rel_tol=1e-12, abs_tol=1e-12)
