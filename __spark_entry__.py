@@ -176,6 +176,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a5_parts_range_filtered"] = lambda s, d: A.parts_range_filtered(
         load_table(s, d, "part"), "Brand#1", "Brand#3", 10
     )
+    # inner-asof variant (purchases with no prior click dropped): the
+    # driver's row-sort comparator cannot order NULLs, so the declared
+    # query keeps a NULL-free shape; the operator itself is left-asof.
+    q["a6_asof_purchase_click"] = lambda s, d: A.purchases_with_last_click(
+        load_table(s, d, "events")
+    ).filter(F.col("click_event_id").isNotNull())
+    q["a7_revenue_rollup"] = lambda s, d: A.revenue_rollup(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "region"),
+    )
+    q["a8_daily_revenue_ma"] = lambda s, d: A.daily_revenue_moving_avg(
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "nation"),
+    )
 
     # ---- dedup suite (north-star extension; operators/dedup.py).
     # The testdata's injected near-dups are word-order shuffles (token-set
@@ -373,6 +391,49 @@ GROUP BY o_orderpriority
 SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
 FROM part
 WHERE p_brand BETWEEN 'Brand#1' AND 'Brand#3' AND p_size >= 10
+"""
+    o["a6_asof_purchase_click"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT l.event_id, l.user_id, l.ts, ROUND(l.value, 2) AS value,
+         r.ts AS click_ts, ROUND(r.value, 2) AS click_value,
+         r.event_id AS click_event_id,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+             ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+)
+SELECT event_id, user_id, ts, value, click_ts, click_value, click_event_id
+FROM j WHERE rn = 1 AND click_event_id IS NOT NULL
+"""
+    o["a7_revenue_rollup"] = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS grouping_level
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+    o["a8_daily_revenue_ma"] = """
+WITH daily AS (
+  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+         ROUND(SUM(o_totalprice), 2) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, day, revenue, n_orders,
+       ROUND(AVG(revenue) OVER (PARTITION BY n_name ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily
 """
     o.update(_dedup_oracles())
     o.update(_similarity_oracles())

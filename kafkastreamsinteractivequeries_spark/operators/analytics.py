@@ -124,3 +124,141 @@ def parts_range_filtered(part: DataFrame, lower: str, upper: str, min_size: int)
     return part.filter(
         F.col("p_brand").between(lower, upper) & (F.col("p_size") >= min_size)
     ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    right_order: str,
+    prefix: str = "r_",
+) -> DataFrame:
+    """As-of join: for each left row, attach the payload of the latest
+    right row with ``right_time <= left_time`` per ``on`` key
+    (ties on right_time broken by the highest ``right_order``).
+
+    Implementation is the union + last-ignore-nulls window, NOT a range
+    join: both sides shuffle ONCE on the key, a single ordered pass per
+    key carries the most recent right payload forward, and left rows
+    are filtered back out.  A naive ``l ⋈ r ON key AND r.t <= l.t``
+    explodes quadratically per key; this shape is linear in rows and is
+    the plan that survives 100 TB of events.
+    """
+    payload = F.struct(*[F.col(c) for c in right_payload])
+    r = right.select(
+        F.col(on),
+        F.col(right_time).alias("_t"),
+        F.col(right_order).alias("_ord"),
+        payload.alias("_payload"),
+        F.lit(0).alias("_side"),
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_time).alias("_t"),
+        F.lit(None).cast("long").alias("_ord"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
+    )
+    unioned = r.select("*", F.lit(None).cast(l.schema["_left"].dataType).alias("_left")).unionByName(l)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t"), F.col("_side"), F.col("_ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).select("_left.*", "_asof")
+    for c in right_payload:
+        out = out.withColumn(prefix + c, F.col("_asof")[c])
+    return out.drop("_asof")
+
+
+def purchases_with_last_click(events: DataFrame) -> DataFrame:
+    """a6: each purchase event enriched with the user's most recent
+    click at-or-before the purchase (classic event-attribution as-of)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["ts", "value", "event_id"],
+        right_order="event_id",
+        prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("value"),
+        F.col("click_ts"),
+        F.round("click_value", 2).alias("click_value"),
+        F.col("click_event_id"),
+    )
+
+
+def revenue_rollup(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """a7: revenue with subtotals — ROLLUP(region, nation) in one pass
+    (grouping sets; partial aggregation handles every level map-side,
+    no re-scan per level)."""
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+def daily_revenue_moving_avg(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    window_days: int = 7,
+) -> DataFrame:
+    """a8: per-nation daily order totals with a trailing moving average
+    over the last ``window_days`` PRESENT days (ROWS frame; the testdata
+    has orders every day, so rows ≙ days).  One shuffle for the daily
+    aggregate, one per-nation window pass."""
+    daily = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    return daily.select(
+        "n_name",
+        "day",
+        "revenue",
+        "n_orders",
+        F.round(F.avg("revenue").over(w), 4).alias(f"ma{window_days}"),
+    )

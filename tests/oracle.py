@@ -30,9 +30,17 @@ def _norm(v):
     return v
 
 
+def _sort_key(row):
+    # NULLs first within their column: None is not orderable against
+    # other values, so key every cell as (is_not_null, value-or-0)
+    return tuple((v is not None, v if v is not None else 0) for v in row)
+
+
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(row[i]) for i in order) for row in rows)
+    return sorted(
+        (tuple(_norm(row[i]) for i in order) for row in rows), key=_sort_key
+    )
 
 
 def compare(spark_df, sql: str, sf_dir: str) -> None:
