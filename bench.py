@@ -35,6 +35,9 @@ HEADLINE = [
     "a2_revenue_by_nation",
     "a3_top_customers_by_segment",
     "a4_order_priority_exists",
+    "a6_asof_purchase_click",
+    "a7_revenue_rollup",
+    "a8_daily_revenue_ma",
     # dedup (exact + the production near-dup detector)
     "d1_exact_dedup",
     "d9_weighted_near_duplicates",
