@@ -194,6 +194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "customer"),
         load_table(s, d, "nation"),
     )
+    q["a9_top_customers_two_phase"] = lambda s, d: A.top_customers_two_phase(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+    )
 
     # ---- dedup suite (north-star extension; operators/dedup.py).
     # The testdata's injected near-dups are word-order shuffles (token-set
@@ -363,6 +368,24 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 """
     o["a3_top_customers_by_segment"] = """
+WITH rev AS (
+  SELECT c_mktsegment, c_custkey, c_name,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, c_custkey, c_name
+)
+SELECT c_mktsegment, c_custkey, c_name, revenue, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY c_mktsegment ORDER BY revenue DESC, c_custkey
+    ) AS INTEGER) AS rank
+  FROM rev
+) WHERE rank <= 5
+"""
+    # a9 = a3 computed skew-safely; the RESULT is identical, so the
+    # oracle is the same single-window SQL.
+    o["a9_top_customers_two_phase"] = """
 WITH rev AS (
   SELECT c_mktsegment, c_custkey, c_name,
          ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -262,3 +262,54 @@ def daily_revenue_moving_avg(
         "n_orders",
         F.round(F.avg("revenue").over(w), 4).alias(f"ma{window_days}"),
     )
+
+
+def top_k_per_key_two_phase(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Skew-safe top-k per key: rank within (key, salt) partitions
+    first — top-k of the union of per-salt top-k's IS the global top-k
+    — then rank the ≤ k·salt_buckets survivors per key.
+
+    A single window over a hot key sorts that key's ENTIRE row set in
+    one task (the classic skew cliff: one key with 100M rows = one
+    100M-row sort).  Salting bounds every sort at rows/salt_buckets and
+    the final pass at k·salt_buckets rows per key.  The salt is a hash
+    of the tiebreak column — deterministic, no rand().
+
+    Ordering: ``order_col`` DESC, ``tiebreak_col`` ASC (matches
+    ``top_customers_by_segment``)."""
+    salt = F.pmod(F.hash(F.col(tiebreak_col)), F.lit(salt_buckets))
+    order = [F.col(order_col).desc(), F.col(tiebreak_col).asc()]
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order)
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop("_salt", "_r1")
+    )
+
+
+def top_customers_two_phase(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 5
+) -> DataFrame:
+    """a9: identical result to ``top_customers_by_segment`` via the
+    skew-safe two-phase ranking — the variant to reach for when a
+    single segment holds an unsortable share of the rows."""
+    rev = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return top_k_per_key_two_phase(
+        rev, ["c_mktsegment"], "revenue", "c_custkey", k
+    ).select("c_mktsegment", "c_custkey", "c_name", "revenue", "rank")

@@ -58,6 +58,7 @@ def create_app(
     service: InteractiveQueryService,
     streaming_queries: list | None = None,
     collect_limit: int | None = 10_000,
+    windowed_df=None,
 ):
     """Build the Flask app over an ``InteractiveQueryService``.
 
@@ -66,6 +67,10 @@ def create_app(
     Kafka Streams instance's heartbeat endpoint).
     ``collect_limit`` caps rows per REST response — a serving API must
     never try to materialize an unbounded scan into one JSON payload.
+    ``windowed_df``: optional windowed aggregate (see
+    ``operators.windows.windowed_aggregate``) backing the
+    ``/streams-iq/windowrange`` endpoint (the reference's dead Q5,
+    implemented).
     """
     from flask import Flask, jsonify, request
 
@@ -96,6 +101,35 @@ def create_app(
         else:
             q = create_range_query(lower, upper)
         return run(q)
+
+    @app.get("/streams-iq/windowrange")
+    def window_range_query():
+        from kafkastreamsinteractivequeries_spark.plans.queries import (
+            FilteredWindowRangeQuery,
+        )
+
+        if windowed_df is None:
+            return jsonify(_envelope(QueryResponse.with_error(
+                "no windowed aggregate configured"))), 501
+        t_from = request.args.get("from")
+        t_to = request.args.get("to")
+        if not t_from or not t_to:
+            return jsonify(_envelope(QueryResponse.with_error(
+                "both 'from' and 'to' are required"))), 400
+        predicate = request.args.get("filter") or None
+        query = FilteredWindowRangeQuery.with_bounds(t_from, t_to)
+        if predicate:
+            query = query.predicate(predicate)
+        try:
+            rows = query.apply(windowed_df).limit(collect_limit or 10_000).collect()
+        except Exception as exc:
+            return jsonify(_envelope(QueryResponse.with_error(str(exc)))), 500
+        resp = QueryResponse.with_result(
+            [{k: (str(v) if hasattr(v, "isoformat") else v) for k, v in r.asDict().items()}
+             for r in rows]
+        )
+        resp.host_information = "spark-driver"
+        return jsonify(_envelope(resp))
 
     @app.get("/streams-iq/partition/<key>")
     def partition_for_key(key: str):

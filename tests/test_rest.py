@@ -91,3 +91,44 @@ def test_status(client):
     assert client.get("/status/heartbeat").get_json() == {"status": "alive"}
     body = client.get("/status/all").get_json()
     assert body["count"] == 0 and body["queries"] == []
+
+
+def test_window_range_endpoint(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.aggregation import (
+        aggregate_transactions,
+    )
+    from kafkastreamsinteractivequeries_spark.operators.windows import windowed_aggregate
+    from kafkastreamsinteractivequeries_spark.plans.service import InteractiveQueryService
+    from kafkastreamsinteractivequeries_spark.serving.rest import create_app
+    from kafkastreamsinteractivequeries_spark.sources.tables import (
+        load_table,
+        transactions_from_events,
+    )
+
+    txns = transactions_from_events(load_table(spark, sf_dir, "events"))
+    app = create_app(
+        InteractiveQueryService(aggregate_transactions(txns)),
+        windowed_df=windowed_aggregate(txns, "1 hour"),
+    )
+    app.config["TESTING"] = True
+    c = app.test_client()
+
+    body = c.get(
+        "/streams-iq/windowrange?from=2024-01-02 00:00:00&to=2024-01-05 00:00:00"
+        "&filter=@.buys > @.sells"
+    ).get_json()
+    assert body["errorMessage"] is None and len(body["result"]) > 0
+    for r in body["result"]:
+        assert r["buys"] > r["sells"]
+        assert "2024-01-02" <= r["window_start"] <= "2024-01-05"
+
+    missing = c.get("/streams-iq/windowrange?from=2024-01-02 00:00:00")
+    assert missing.status_code == 400
+
+    unconfigured = create_app(
+        InteractiveQueryService(aggregate_transactions(txns))
+    )
+    unconfigured.config["TESTING"] = True
+    assert unconfigured.test_client().get(
+        "/streams-iq/windowrange?from=a&to=b"
+    ).status_code == 501

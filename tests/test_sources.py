@@ -1,0 +1,62 @@
+"""Corpus source tests: JSONL/CSV/text-dir readers land the same rows
+the parquet path serves, and feed the extension operators unchanged."""
+
+import json
+
+from kafkastreamsinteractivequeries_spark.operators.dedup import exact_dedup
+from kafkastreamsinteractivequeries_spark.sources.corpus import (
+    read_documents_csv,
+    read_documents_jsonl,
+    read_documents_text,
+    write_corpus,
+)
+
+ROWS = [
+    {"doc_id": 1, "text": "the cat sat", "lang": "en", "source": "a", "n_chars": 11},
+    {"doc_id": 2, "text": "the cat sat", "lang": "en", "source": "a", "n_chars": 11},
+    {"doc_id": 3, "text": "unique doc, with comma", "lang": "en", "source": "b", "n_chars": 22},
+]
+
+
+def test_jsonl_roundtrip_and_dedup(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in ROWS))
+    df = read_documents_jsonl(spark, str(p))
+    assert df.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert df.count() == 3
+    assert exact_dedup(df).count() == 2  # docs 1/2 collapse
+
+
+def test_csv_reader_quoted_text(spark, tmp_path):
+    p = tmp_path / "docs.csv"
+    lines = ["doc_id,text,lang,source,n_chars"]
+    for r in ROWS:
+        lines.append(f'{r["doc_id"]},"{r["text"]}",{r["lang"]},{r["source"]},{r["n_chars"]}')
+    p.write_text("\n".join(lines))
+    df = read_documents_csv(spark, str(p))
+    got = {r.doc_id: r.text for r in df.collect()}
+    assert got[3] == "unique doc, with comma"  # quoting survived
+
+
+def test_text_dir_reader(spark, tmp_path):
+    d = tmp_path / "txts"
+    d.mkdir()
+    (d / "a.txt").write_text("first document")
+    (d / "b.txt").write_text("second document")
+    df = read_documents_text(spark, str(d))
+    rows = sorted(df.collect(), key=lambda r: r.doc_id)
+    assert [r.doc_id for r in rows] == [0, 1]
+    assert rows[0].text == "first document"  # path order → a.txt first
+    assert rows[0].n_chars == len("first document")
+
+
+def test_write_corpus_parquet_roundtrip(spark, tmp_path):
+    import json as _j
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(_j.dumps(r) for r in ROWS))
+    df = read_documents_jsonl(spark, str(p))
+    out = str(tmp_path / "landed")
+    write_corpus(df, out, partitions=2)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
