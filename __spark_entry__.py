@@ -522,8 +522,13 @@ WITH t AS (
   SELECT doc_id, list_distinct(toks) AS utoks, toks FROM dd
 ), sig AS (
   SELECT doc_id, [{minhash}] AS minhash FROM u
-), bands AS (
+), bands0 AS (
 {band_selects}
+), bands AS (
+  SELECT bands0.* FROM bands0
+  JOIN (SELECT band_id, band_hash FROM bands0
+        GROUP BY 1, 2 HAVING COUNT(*) <= 1024) ok
+  USING (band_id, band_hash)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (band_id, band_hash)
@@ -1039,12 +1044,19 @@ SELECT id_a, id_b, hamming FROM (
         )
         for b in range(bands9)
     )
+    # max_bucket_size=1024 mirrored: over-cap band buckets are excluded
+    # from pairing (a no-op at oracle scales, semantic at corpus scale).
     cand9_cte = (
         norm_cte
         + f""", sig AS (
   SELECT doc_id, [{minhash9}] AS minhash FROM norm
-), bands AS (
+), bands0 AS (
 {band9_selects}
+), bands AS (
+  SELECT bands0.* FROM bands0
+  JOIN (SELECT band_id, band_hash FROM bands0
+        GROUP BY 1, 2 HAVING COUNT(*) <= 1024) ok
+  USING (band_id, band_hash)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (band_id, band_hash)

@@ -335,7 +335,7 @@ def weighted_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1024,
     num_hashes: int = 16,
     bands: int = 2,
 ) -> DataFrame:
