@@ -884,9 +884,14 @@ SELECT query_id, vec_id, cosine, rank FROM (
     )
     o["s4_embedding_near_duplicates"] = (
         buckets_cte
-        + f""", cand AS (
+        + f""", fb AS (
+  SELECT buckets.* FROM buckets
+  JOIN (SELECT band_id, band_bits FROM buckets
+        GROUP BY 1, 2 HAVING COUNT(*) <= 4096) ok
+  USING (band_id, band_bits)
+), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM buckets a JOIN buckets b ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+  FROM fb a JOIN fb b ON a.band_id = b.band_id AND a.band_bits = b.band_bits
   WHERE a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM (

@@ -224,12 +224,26 @@ def embedding_near_duplicates(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """(id_a, id_b, cosine ≥ threshold) among pairs sharing ≥1 SRP band
     — the embedding-space near-dup detector (approximate by design;
-    recall rises with num_planes/chunks)."""
+    recall rises with num_planes/chunks).
+
+    ``max_bucket_size`` (default 4096) bounds the per-bucket quadratic
+    pair join: SRP band cardinality is FIXED (2^band_bits values), so
+    bucket sizes — and uncapped runtime — grow quadratically with the
+    corpus.  A production corpus should also raise ``num_planes`` /
+    band bits with corpus size; the cap is the backstop."""
     codes = srp_codes(embeddings, num_planes, dim, vec_col, id_col)
     buckets = srp_band_buckets(codes, chunks, id_col)
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band_id", "band_bits").agg(F.count("*").alias("_n"))
+        buckets = buckets.join(
+            F.broadcast(sizes.filter(F.col("_n") > max_bucket_size)),
+            ["band_id", "band_bits"],
+            "left_anti",
+        )
     a = buckets.withColumnRenamed(id_col, "id_a")
     b = buckets.withColumnRenamed(id_col, "id_b")
     cand = (
