@@ -152,6 +152,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q5_filtered_window_range"] = _q5
 
+    # Q5 family: session windows (gap-merged) over the event stream.
+    def _sessions(s: SparkSession, d: str) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.windows import event_sessions
+
+        return event_sessions(load_table(s, d, "events"), gap="30 minutes")
+
+    q["q7_user_sessions"] = _sessions
+
     # ---- analytics workload (joins / top-k / semi-join; SURVEY.md §2.4
     # notes the reference has none of these — they're the engine's
     # at-scale surface, and the bench headliners) ----
@@ -335,6 +343,31 @@ def oracle_sql() -> dict[str, str]:
 """
     )
     o["q5_windowed_aggregation"] = _wagg_cte + "SELECT * FROM wagg"
+    # gaps-and-islands mirror of Spark session_window: a new session
+    # starts when the gap is >= 30min (session windows are [start, end)
+    # — an event at exactly the previous end opens a new session);
+    # session_end = last event + gap.
+    o["q7_user_sessions"] = """
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+  FROM lagged
+), sess AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
     o["q5_filtered_window_range"] = (
         _wagg_cte
         + """SELECT * FROM wagg

@@ -76,3 +76,34 @@ def session_aggregate(
             "number_shares",
         )
     )
+
+
+def event_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sessionize an event stream: merge a key's events whose gaps are
+    under ``gap``; session end = last event + gap (Spark
+    ``session_window`` semantics: an event at exactly the current
+    session end opens a NEW session — [start, end) windows).
+
+    One shuffle on the key; under Structured Streaming the identical
+    expression plus a watermark gives bounded state.  (The batch oracle
+    equivalent is the gaps-and-islands LAG pattern.)"""
+    return (
+        events.groupBy(F.session_window(F.col(time_col), gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -76,3 +76,31 @@ def test_filtered_window_range_no_predicate(txns):
     q = FilteredWindowRangeQuery.with_bounds(T0, T0 + dt.timedelta(hours=1))
     got = {(r.window_start, r.symbol) for r in q.apply(agg).collect()}
     assert got == {(T0, "CFLT"), (T0, "MSFT")}
+
+
+def test_event_sessions_gap_boundary(spark):
+    """An event at exactly session_end (= last + gap) opens a NEW
+    session; one strictly inside the gap extends it."""
+    import datetime as dt
+
+    from kafkastreamsinteractivequeries_spark.operators.windows import event_sessions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0, 1.0),
+        ("u1", t0 + dt.timedelta(minutes=29, seconds=59), 2.0),  # extends
+        ("u1", t0 + dt.timedelta(minutes=59, seconds=59) + dt.timedelta(minutes=30), 4.0),  # exactly at new end → new session
+        ("u2", t0, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    out = {
+        (r.user_id, r.session_start): r
+        for r in event_sessions(df, gap="30 minutes").collect()
+    }
+    s1 = out[("u1", t0)]
+    assert s1.n_events == 2 and s1.total_value == 3.0
+    assert s1.session_end == t0 + dt.timedelta(minutes=59, seconds=59)
+    t2 = t0 + dt.timedelta(minutes=89, seconds=59)
+    s2 = out[("u1", t2)]
+    assert s2.n_events == 1 and s2.session_end == t2 + dt.timedelta(minutes=30)
+    assert out[("u2", t0)].n_events == 1
