@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x2_token_counts"] = lambda s, d: T.token_counts_report(_docs(s, d))
     q["x3_language_id"] = lambda s, d: T.language_id(_docs(s, d))
     q["x4_winnowing_fingerprint"] = lambda s, d: T.winnowing_fingerprint(_docs(s, d))
+    q["x5_deterministic_split"] = lambda s, d: T.deterministic_split(_docs(s, d))
+    q["x6_length_percentiles"] = lambda s, d: T.length_percentiles(_docs(s, d))
 
     # ---- multimodal columns (north-star; operators/multimodal.py):
     # binary payloads + typed metadata; codec step deterministically
@@ -770,6 +772,33 @@ SELECT doc_id,
        {", ".join(f"CAST(hits_{lang} AS INTEGER) AS hits_{lang}" for lang in langs)},
        CASE {' '.join(lang_case)} ELSE 'unknown' END AS lang_pred
 FROM h
+"""
+    )
+    # hex→int without conv(): digit-by-digit strtol (DuckDB has no conv)
+    hex6 = (
+        "CAST(list_sum(list_transform(generate_series(1, 6), i -> "
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)"
+        " * (16 ** (6 - i)))) AS BIGINT) % 100"
+    )
+    o["x5_deterministic_split"] = f"""
+SELECT doc_id,
+       CAST({hex6} AS INTEGER) AS bucket,
+       CASE WHEN {hex6} < 90 THEN 'train'
+            WHEN {hex6} < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+    o["x6_length_percentiles"] = (
+        t_cte
+        + """SELECT COUNT(*) AS n_docs,
+       CAST(MIN(len(toks)) AS INTEGER) AS min_tokens,
+       quantile_cont(len(toks), 0.25) AS p25,
+       quantile_cont(len(toks), 0.5) AS p50,
+       quantile_cont(len(toks), 0.75) AS p75,
+       quantile_cont(len(toks), 0.95) AS p95,
+       CAST(MAX(len(toks)) AS INTEGER) AS max_tokens,
+       ROUND(AVG(len(toks)), 4) AS mean_tokens
+FROM t
 """
     )
     o["x4_winnowing_fingerprint"] = (

@@ -143,3 +143,43 @@ def winnowing_fingerprint(
         F.md5(F.array_join(toks, " "))
     )
     return docs.select(F.col(id_col), fp.alias("winnow_fp"))
+
+
+def deterministic_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Assign each doc a stable train/val/test split by md5(doc_id) mod
+    100 — deterministic across runs, engines, and cluster sizes (no
+    rand(), no row ordering dependence), so re-running the pipeline on
+    a grown corpus never moves an old doc between splits."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(F.col(id_col), bucket.cast("int").alias("bucket"), split.alias("split"))
+
+
+def length_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact token-length distribution stats of the corpus (the
+    pre-training length-histogram sanity check).  Exact percentiles
+    (single aggregation; Spark's `percentile` merges per-partition
+    digests — no global sort).  At extreme scale swap in
+    `percentile_approx` and accept the epsilon."""
+    n = F.size(tokens_col(F.col(text_col)))
+    return docs.select(n.alias("n")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n").alias("min_tokens"),
+        F.expr("percentile(n, 0.25)").alias("p25"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.75)").alias("p75"),
+        F.expr("percentile(n, 0.95)").alias("p95"),
+        F.max("n").alias("max_tokens"),
+        F.round(F.avg("n"), 4).alias("mean_tokens"),
+    )

@@ -95,3 +95,34 @@ def test_winnowing_fingerprint(docs, spark):
     )
     fps = _by_id(winnowing_fingerprint(pair))
     assert fps[1]["winnow_fp"] == fps[2]["winnow_fp"]
+
+
+def test_deterministic_split_stability(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import deterministic_split
+
+    df = spark.createDataFrame([(i, "x") for i in range(1000)], ["doc_id", "text"])
+    a = {r.doc_id: (r.bucket, r.split) for r in deterministic_split(df).collect()}
+    # identical on recompute and independent of partitioning
+    b = {
+        r.doc_id: (r.bucket, r.split)
+        for r in deterministic_split(df.repartition(7)).collect()
+    }
+    assert a == b
+    counts = {}
+    for _, s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # roughly 90/5/5 (md5 is uniform; allow slack)
+    assert 850 <= counts["train"] <= 950
+
+
+def test_length_percentiles_shape(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import length_percentiles
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 2, 3, 4, 100])],
+        ["doc_id", "text"],
+    )
+    r = length_percentiles(docs).collect()[0]
+    assert r.n_docs == 5 and r.min_tokens == 1 and r.max_tokens == 100
+    assert r.p50 == 3.0 and r.p25 == 2.0
