@@ -278,6 +278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), min_quality=0.5, near_dup_threshold=0.8, token_budget=20_000
     )
 
+    from kafkastreamsinteractivequeries_spark.operators.curation import pack_sequences
+
+    q["p2_sequence_packing"] = lambda s, d: pack_sequences(_docs(s, d), seq_len=2048)
+
     # ---- similarity search (north-star; operators/similarity.py) ----
     from kafkastreamsinteractivequeries_spark.operators import similarity as S
 
@@ -597,7 +601,20 @@ WITH t AS (
 )
 SELECT * FROM cum WHERE cum_tokens <= 20000
 """
-    return {"p1_curation_pipeline": sql}
+    p2 = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split({norm}, ' ')) AS n FROM documents
+), c AS (
+  SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum FROM t
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_tokens,
+       CAST(cum - n AS BIGINT) AS start_token,
+       CAST((cum - n) // 2048 AS BIGINT) AS bin_id,
+       CAST((cum - n) % 2048 AS BIGINT) AS offset_in_bin
+FROM c
+"""
+    return {"p1_curation_pipeline": sql, "p2_sequence_packing": p2}
 
 
 def _multimodal_oracles() -> dict[str, str]:

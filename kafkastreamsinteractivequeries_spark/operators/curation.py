@@ -118,3 +118,33 @@ def curate_documents(
     return out.select(
         id_col, "lang", "source", "n_chars", "quality_score", "n_tokens", "cum_tokens"
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for pre-training: lay documents end-to-end in
+    id order and chunk the token stream into fixed ``seq_len`` bins
+    (the concat-then-chunk scheme) — each doc gets its global start
+    offset, owning bin, and in-bin offset; a doc may straddle bins.
+
+    Built on ``cumulative_sum``, so the layout is computed with the
+    scalable two-phase prefix sum — no single-partition window — and is
+    deterministic for a fixed corpus."""
+    from kafkastreamsinteractivequeries_spark.operators.text import tokens_col
+
+    with_n = docs.select(
+        F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("n_tokens")
+    )
+    cum = cumulative_sum(with_n, id_col, "n_tokens", "cum_tokens")
+    start = (F.col("cum_tokens") - F.col("n_tokens")).cast("long")
+    return cum.select(
+        id_col,
+        "n_tokens",
+        start.alias("start_token"),
+        F.floor(start / F.lit(seq_len)).cast("long").alias("bin_id"),
+        (start % seq_len).cast("long").alias("offset_in_bin"),
+    )

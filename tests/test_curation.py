@@ -53,3 +53,20 @@ def test_curation_pipeline_invariants(spark, sf_dir):
 
     fps = [r.fingerprint for r in fingerprint_documents(texts).collect()]
     assert len(fps) == len(set(fps))
+
+
+def test_pack_sequences_layout(spark):
+    from kafkastreamsinteractivequeries_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([100, 30, 50, 900, 64])],
+        ["doc_id", "text"],
+    )
+    rows = sorted(pack_sequences(docs, seq_len=128).collect(), key=lambda r: r.doc_id)
+    # contiguous layout: each start = previous start + previous length
+    assert rows[0].start_token == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.start_token == prev.start_token + prev.n_tokens
+    for r in rows:
+        assert r.bin_id == r.start_token // 128
+        assert r.offset_in_bin == r.start_token % 128
