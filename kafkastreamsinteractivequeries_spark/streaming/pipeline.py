@@ -237,3 +237,41 @@ def memory_changelog(agg_stream: DataFrame, query_name: str) -> StreamingQuery:
         .queryName(query_name)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Observation (T3 peek analog) and windowed streaming
+# --------------------------------------------------------------------------
+
+
+def observed(df: DataFrame, name: str = "txn_metrics"):
+    """T3: the reference ``peek``s every record to log it
+    (``streams/KafkaStreamsService.java:81-82,92``).  The Spark-native
+    analog is ``observe`` — metrics ride the existing job (no second
+    scan, no side-effect ordering hazards).  Returns (df, observation);
+    read ``observation.get`` after an action (batch), or the
+    ``observedMetrics`` of each progress event (streaming)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.when(F.col("buy"), 1).otherwise(0)).alias("n_buys"),
+        F.round(F.sum("amount"), 2).alias("total_amount"),
+    )
+    return out, obs
+
+
+def windowed_streaming_aggregation(
+    txn_stream: DataFrame, duration: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """The windowed layer (Q5) under Structured Streaming: watermarked
+    tumbling windows so late data folds in until ``watermark`` and
+    state is then GC'd — the late-data handling the reference never
+    had.  Same output shape as the batch ``windowed_aggregate``."""
+    from kafkastreamsinteractivequeries_spark.operators.windows import windowed_aggregate
+
+    return windowed_aggregate(
+        txn_stream.withWatermark("event_time", watermark), duration
+    )

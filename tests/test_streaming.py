@@ -181,3 +181,66 @@ def test_stateful_custom_operator_carries_state_across_batches(spark, tmp_path, 
         assert g.sells == pytest.approx(w.sells)
         assert g.number_shares == w.number_shares
         assert g.updates_in_batch == 3  # 3 txns per symbol in batch 2
+
+
+def test_windowed_streaming_with_watermark_and_late_data(spark, tmp_path):
+    """Late rows inside the watermark must fold into their (closed-ish)
+    window; the streaming windowed aggregate must equal the batch one."""
+    from kafkastreamsinteractivequeries_spark.operators.windows import windowed_aggregate
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        windowed_streaming_aggregation,
+    )
+
+    txn_dir = str(tmp_path / "wtxns")
+    batch1 = [("CFLT", True, 100.0, 1, T0 + dt.timedelta(hours=h)) for h in range(3)]
+    spark.createDataFrame(batch1, STOCK_TRANSACTION_SCHEMA).coalesce(1).write.parquet(txn_dir)
+
+    stream = file_transaction_stream(spark, txn_dir)
+    q = (
+        windowed_streaming_aggregation(stream, "1 hour", "2 hours")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wagg")
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a late row for the FIRST window (2h late, within the watermark)
+        late = [("CFLT", False, 50.0, 2, T0 + dt.timedelta(minutes=30))]
+        spark.createDataFrame(late, STOCK_TRANSACTION_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(txn_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # latest emission per window == batch recompute over all rows
+    emitted = spark.sql("SELECT * FROM wagg").collect()
+    latest = {}
+    for r in emitted:
+        latest[(r.window_start, r.symbol)] = (r.buys, r.sells, r.number_shares)
+    allrows = batch1 + late
+    batch = windowed_aggregate(
+        spark.createDataFrame(allrows, STOCK_TRANSACTION_SCHEMA), "1 hour"
+    )
+    want = {
+        (r.window_start, r.symbol): (r.buys, r.sells, r.number_shares)
+        for r in batch.collect()
+    }
+    assert latest == want
+    # the late sell really landed in the first window
+    first = latest[(T0, "CFLT")]
+    assert first == (100.0, 50.0, 3)
+
+
+def test_observed_metrics(spark, txn_dir):
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import observed
+
+    df = spark.read.schema(STOCK_TRANSACTION_SCHEMA).parquet(txn_dir)
+    out, obs = observed(df)
+    out.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_records"] == 18  # 6 symbols x 3 txns
+    assert 0 < m["n_buys"] < 18
+    assert m["total_amount"] == 1800.0
