@@ -1017,11 +1017,17 @@ WITH norm AS (
         for b in range(bands)
     )
     bands_cte = sig_cte + f", bands AS (\n{band_selects}\n)\n"
+    # max_bucket_size=1024 mirrored (no-op at oracle scales)
     cand_cte = (
         bands_cte
-        + """, cand AS (
+        + """, fbands AS (
+  SELECT bands.* FROM bands
+  JOIN (SELECT band_id, band_hash FROM bands
+        GROUP BY 1, 2 HAVING COUNT(*) <= 1024) ok
+  USING (band_id, band_hash)
+), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b USING (band_id, band_hash)
+  FROM fbands a JOIN fbands b USING (band_id, band_hash)
   WHERE a.doc_id < b.doc_id
 )
 """

@@ -216,10 +216,15 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: shingle → minhash → band-bucket
-    join → exact-Jaccard verify.  Returns (id_a, id_b, jaccard)."""
+    join → exact-Jaccard verify.  Returns (id_a, id_b, jaccard).
+
+    ``max_bucket_size`` defaults ON: per-bucket pair joins are
+    quadratic, so saturated buckets (boilerplate, tiny vocabularies)
+    otherwise scale runtime quadratically with the corpus.  Over-cap
+    buckets belong to the exact-dedup path."""
     assert num_hashes % bands == 0
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     buckets = lsh_band_buckets(sigs, bands, num_hashes // bands, id_col)
@@ -239,7 +244,10 @@ def ngram_jaccard_pairs(
 
     The non-approximate baseline for ``minhash_near_duplicates`` —
     quadratic only within postings of a shared shingle.  At 100 TB the
-    LSH path is the default; this one is for calibration/audit.
+    LSH path is the default; this one is for calibration/audit on
+    SAMPLES — a shingle shared by k docs costs k² join rows, so never
+    point it at a full saturated corpus (no cap is applied here
+    precisely because it is the exact reference).
     """
     sh = docs.select(
         F.col(id_col), F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("shingles")
