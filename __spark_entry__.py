@@ -282,6 +282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p2_sequence_packing"] = lambda s, d: pack_sequences(_docs(s, d), seq_len=2048)
 
+    from kafkastreamsinteractivequeries_spark.operators.curation import stratified_sample
+
+    q["p3_stratified_sample"] = lambda s, d: stratified_sample(
+        _docs(s, d), "source", per_stratum=50
+    )
+
     # ---- similarity search (north-star; operators/similarity.py) ----
     from kafkastreamsinteractivequeries_spark.operators import similarity as S
 
@@ -614,7 +620,18 @@ SELECT doc_id,
        CAST((cum - n) % 2048 AS BIGINT) AS offset_in_bin
 FROM c
 """
-    return {"p1_curation_pipeline": sql, "p2_sequence_packing": p2}
+    p3 = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 50
+"""
+    return {
+        "p1_curation_pipeline": sql,
+        "p2_sequence_packing": p2,
+        "p3_stratified_sample": p3,
+    }
 
 
 def _multimodal_oracles() -> dict[str, str]:

@@ -148,3 +148,27 @@ def pack_sequences(
         F.floor(start / F.lit(seq_len)).cast("long").alias("bin_id"),
         (start % seq_len).cast("long").alias("offset_in_bin"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    per_stratum: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: keep up to ``per_stratum`` docs
+    per stratum, chosen by md5(doc_id) order (a stable shuffle — no
+    rand(), so the sample is reproducible across runs/engines and only
+    grows monotonically as a stratum grows).
+
+    One shuffle on the stratum; per-stratum ranking sorts only that
+    stratum's rows.  Heavily skewed strata → rank with
+    ``top_k_per_key_two_phase`` instead (same ordering key)."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_stratum)
+        .drop("_rn")
+    )

@@ -70,3 +70,18 @@ def test_pack_sequences_layout(spark):
     for r in rows:
         assert r.bin_id == r.start_token // 128
         assert r.offset_in_bin == r.start_token % 128
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    from kafkastreamsinteractivequeries_spark.operators.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "s%d" % (i % 3)) for i in range(300)], ["doc_id", "text", "source"]
+    )
+    a = {r.doc_id for r in stratified_sample(docs, "source", 20).collect()}
+    b = {r.doc_id for r in stratified_sample(docs.repartition(5), "source", 20).collect()}
+    assert a == b and len(a) == 60  # 3 strata x 20, partitioning-independent
+    # growing the corpus keeps previously selected docs only if they
+    # still rank in the top-k; shrinking per_stratum nests the sample
+    small = {r.doc_id for r in stratified_sample(docs, "source", 10).collect()}
+    assert small < a
