@@ -1118,16 +1118,26 @@ SELECT id_a, id_b, jaccard FROM (
 """
     )
     o["d7_simhash_signatures"] = sim_cte + "SELECT doc_id, simhash FROM sim"
-    chunk_pred = " OR ".join(
-        f"substr(a.simhash, {c * 16 + 1}, 16) = substr(b.simhash, {c * 16 + 1}, 16)"
+    chunk_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_id, substr(simhash, {c * 16 + 1}, 16) AS chunk FROM sim"
         for c in range(4)
     )
+    # bucket-join form mirroring the Spark plan, incl. the default
+    # max_bucket_size=1024 (no-op at oracle scales)
     o["d8_simhash_near_duplicates"] = (
         sim_cte
-        + f""", pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
-  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-  WHERE {chunk_pred}
+        + f""", ch AS (
+{chunk_union}
+), fch AS (
+  SELECT ch.* FROM ch
+  JOIN (SELECT chunk_id, chunk FROM ch
+        GROUP BY 1, 2 HAVING COUNT(*) <= 1024) ok
+  USING (chunk_id, chunk)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM fch a JOIN fch b USING (chunk_id, chunk)
+  WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, hamming FROM (
   SELECT id_a, id_b,

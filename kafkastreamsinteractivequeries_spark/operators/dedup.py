@@ -420,6 +420,7 @@ def simhash_near_duplicates(
     bits: int = 64,
     chunks: int = 4,
     max_hamming: int = 6,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs within ``max_hamming`` bits.
 
@@ -427,7 +428,10 @@ def simhash_near_duplicates(
     into ``chunks`` equal substrings; any pair within ``max_hamming``
     (< chunks × 1 differing bits per chunk on average) shares at least
     one exact chunk when max_hamming < chunks.  Equi-join per chunk —
-    same shuffle shape as MinHash banding.
+    same shuffle shape as MinHash banding, and the same per-bucket
+    quadratic corner: ``max_bucket_size`` (default ON) drops over-cap
+    chunk buckets (dominated by near-identical boilerplate — the
+    exact-dedup path's job).
     """
     sigs = simhash_signatures(docs, text_col, id_col, bits)
     clen = bits // chunks
@@ -445,6 +449,13 @@ def simhash_near_duplicates(
     buckets = sigs.select(id_col, "simhash", chunk_rows).select(
         id_col, "simhash", "ch.chunk_id", "ch.chunk"
     )
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("chunk_id", "chunk").agg(F.count("*").alias("_n"))
+        buckets = buckets.join(
+            F.broadcast(sizes.filter(F.col("_n") > max_bucket_size)),
+            ["chunk_id", "chunk"],
+            "left_anti",
+        )
     a = buckets.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk"
     )
