@@ -38,6 +38,8 @@ HEADLINE = [
     "a6_asof_purchase_click",
     "a7_revenue_rollup",
     "a8_daily_revenue_ma",
+    "a9_top_customers_two_phase",
+    "q7_user_sessions",
     # dedup (exact + the production near-dup detector)
     "d1_exact_dedup",
     "d9_weighted_near_duplicates",
@@ -53,6 +55,8 @@ HEADLINE = [
     "m2_image_features",
     # composed curation pipeline (quality → dedup → near-dup → budget)
     "p1_curation_pipeline",
+    "p2_sequence_packing",
+    "p3_stratified_sample",
 ]
 
 
