@@ -1087,8 +1087,12 @@ WITH raw AS (
                                   for i in generate_series(1, len(t) - 2)])
               ELSE [array_to_string(t, ' ')] END AS s
   FROM raw
-), posting AS (
+), posting0 AS (
   SELECT doc_id, unnest(s) AS shingle FROM sh
+), posting AS (
+  SELECT posting0.* FROM posting0
+  JOIN (SELECT shingle FROM posting0 GROUP BY 1 HAVING COUNT(*) <= 1024) ok
+  USING (shingle)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM posting a JOIN posting b USING (shingle) WHERE a.doc_id < b.doc_id

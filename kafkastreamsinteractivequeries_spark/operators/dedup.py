@@ -238,9 +238,13 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_posting_size: int | None = 1024,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join (no LSH): candidate pairs
     via inverted-index join on shared shingles, then exact verify.
+    ``max_posting_size`` drops shingles shared by more than that many
+    docs from candidate generation (stop-shingles contribute candidate
+    volume quadratically but little similarity signal).
 
     The non-approximate baseline for ``minhash_near_duplicates`` —
     quadratic only within postings of a shared shingle.  At 100 TB the
@@ -253,6 +257,13 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("shingles")
     )
     posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    if max_posting_size is not None:
+        sizes = posting.groupBy("shingle").agg(F.count("*").alias("_n"))
+        posting = posting.join(
+            F.broadcast(sizes.filter(F.col("_n") > max_posting_size)),
+            "shingle",
+            "left_anti",
+        )
     cand = (
         posting.alias("a")
         .join(posting.alias("b"), "shingle")
