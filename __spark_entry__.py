@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["m3_video_frame_samples"] = lambda s, d: M.sample_video_frames(_assets(s, d))
     q["m4_audio_features"] = lambda s, d: M.audio_features(_assets(s, d))
     q["m5_image_resize_plan"] = lambda s, d: M.resize_images(_assets(s, d), max_side=256)
+    q["m6_video_frame_features"] = lambda s, d: M.video_frame_features(_assets(s, d))
 
     # ---- composed curation pipeline (north-star flagship;
     # operators/curation.py): quality gate → exact dedup → near-dup
@@ -700,6 +701,27 @@ WHERE media_type = 'video'
                   * 1000 / f1) AS BIGINT) AS pcm_duration_ms,
        duration_ms
 FROM a WHERE media_type = 'audio'
+"""
+    )
+    # luma = first hex byte of the frame signature, via strpos math
+    luma = (
+        "CAST((strpos('0123456789abcdef', substr(frame_sig, 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(frame_sig, 2, 1)) - 1) AS INTEGER)"
+    )
+    o["m6_video_frame_features"] = (
+        a_cte
+        + f""", frames AS (
+  SELECT asset_id, payload, duration_ms,
+         CAST(frame_ms // 1000 AS INTEGER) AS frame_idx, frame_ms
+  FROM a, unnest(generate_series(0, duration_ms, 1000)) AS t(frame_ms)
+  WHERE media_type = 'video'
+), sigs AS (
+  SELECT asset_id, frame_idx, frame_ms,
+         md5(hex(payload) || ':' || CAST(frame_ms AS VARCHAR)) AS frame_sig
+  FROM frames
+)
+SELECT asset_id, frame_idx, frame_ms, frame_sig, {luma} AS luma
+FROM sigs
 """
     )
     o["m5_image_resize_plan"] = (

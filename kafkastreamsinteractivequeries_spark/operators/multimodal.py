@@ -214,3 +214,50 @@ def decode_image(payload: bytes):
     import io
 
     return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def video_frame_features(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Per-frame Python feature extraction: the full decode chain —
+    frame-sampling plan (JVM ``sequence``/``posexplode``) ⋈ payload,
+    then Arrow-batched ``mapInPandas`` computing per-frame features.
+    With a real codec this is 'seek to frame_ms, decode, embed'; here
+    the deterministic fake derives a frame signature (md5 over the
+    payload hex + timestamp) and a luma byte from it — real Python
+    batch plumbing, stubbed pixels.
+
+    Scale: frames × assets join on asset_id (shuffle_hash — both sides
+    grow with the corpus); Python work is partition-local.
+    """
+    frames = sample_video_frames(assets, every_ms).select(
+        "asset_id", "frame_idx", "frame_ms"
+    )
+    payloads = assets.filter(F.col("media_type") == "video").select("asset_id", "payload")
+    joined = frames.join(payloads.hint("shuffle_hash"), "asset_id")
+
+    schema = "asset_id long, frame_idx int, frame_ms long, frame_sig string, luma int"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for asset_id, frame_idx, frame_ms, payload in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["frame_ms"], pdf["payload"]
+            ):
+                sig = hashlib.md5(
+                    (bytes(payload).hex().upper() + f":{frame_ms}").encode()
+                ).hexdigest()
+                out.append(
+                    {
+                        "asset_id": asset_id,
+                        "frame_idx": frame_idx,
+                        "frame_ms": frame_ms,
+                        "frame_sig": sig,
+                        "luma": int(sig[:2], 16),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return spread(joined).mapInPandas(extract, schema)

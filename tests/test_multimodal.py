@@ -113,3 +113,21 @@ def test_decode_image_stub_clearly_gated():
         pass
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(b"IMG0" + b"\x00" * 8)
+
+
+def test_video_frame_features(assets):
+    import hashlib
+
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        video_frame_features,
+    )
+
+    feats = video_frame_features(assets).collect()
+    assert {r.asset_id for r in feats} == {2, 5}  # video assets only
+    payloads = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    for r in feats:
+        want = hashlib.md5(
+            (payloads[r.asset_id].hex().upper() + f":{r.frame_ms}").encode()
+        ).hexdigest()
+        assert r.frame_sig == want
+        assert r.luma == int(want[:2], 16) and 0 <= r.luma <= 255
