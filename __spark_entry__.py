@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x4_winnowing_fingerprint"] = lambda s, d: T.winnowing_fingerprint(_docs(s, d))
     q["x5_deterministic_split"] = lambda s, d: T.deterministic_split(_docs(s, d))
     q["x6_length_percentiles"] = lambda s, d: T.length_percentiles(_docs(s, d))
+    q["x7_bigram_logprob"] = lambda s, d: T.bigram_logprob_scores(_docs(s, d))
 
     # ---- multimodal columns (north-star; operators/multimodal.py):
     # binary payloads + typed metadata; codec step deterministically
@@ -855,6 +856,28 @@ FROM documents
        CAST(MAX(len(toks)) AS INTEGER) AS max_tokens,
        ROUND(AVG(len(toks)), 4) AS mean_tokens
 FROM t
+"""
+    )
+    o["x7_bigram_logprob"] = (
+        t_cte
+        + """, base AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+), pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM base, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY 1, 2
+), uc AS (
+  SELECT w1, COUNT(*) AS cu FROM pairs GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT tok) AS v FROM (
+    SELECT w1 AS tok FROM pairs UNION ALL SELECT w2 FROM pairs
+  )
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln((cb + 1.0) / (cu + 1.0 * v))), 6) AS avg_logprob
+FROM pairs JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+GROUP BY doc_id
 """
     )
     o["x4_winnowing_fingerprint"] = (

@@ -183,3 +183,55 @@ def length_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.max("n").alias("max_tokens"),
         F.round(F.avg("n"), 4).alias("mean_tokens"),
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Corpus-conditional bigram LM score per doc: mean over the doc's
+    bigrams of ln((c(w1,w2)+α) / (c(w1)+α·V)) with Laplace smoothing —
+    the classic statistical fluency filter between the cheap ratio
+    gates and an expensive model-based judge.  Low scores = improbable
+    token sequences (boilerplate, shuffled text, wrong language).
+
+    Two aggregation passes over the corpus (bigram + unigram counts)
+    and one scoring join — all shuffle-partitioned on the bigram/token
+    keys, no driver-side model object; V (vocab size) is the only
+    scalar and is computed as a 1-row aggregate.
+    """
+    toks = tokens_col(F.col(text_col))
+    docs = spread(docs)
+    base = docs.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= 2)
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uc = pairs.groupBy("w1").agg(F.count("*").alias("cu"))
+    vocab = pairs.select(F.col("w1").alias("tok")).union(
+        pairs.select(F.col("w2").alias("tok"))
+    )
+    v = vocab.agg(F.countDistinct("tok").alias("v"))
+
+    lp = F.log((F.col("cb") + alpha) / (F.col("cu") + alpha * F.col("v")))
+    return (
+        pairs.join(bc.hint("shuffle_hash"), ["w1", "w2"])
+        .join(uc.hint("shuffle_hash"), "w1")
+        .join(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )

@@ -126,3 +126,17 @@ def test_length_percentiles_shape(spark):
     r = length_percentiles(docs).collect()[0]
     assert r.n_docs == 5 and r.min_tokens == 1 and r.max_tokens == 100
     assert r.p50 == 3.0 and r.p25 == 2.0
+
+
+def test_bigram_logprob_discriminates_fluency(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import bigram_logprob_scores
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)]  # repeated phrase = high-prob bigrams
+    rows.append((99, "zq xv qj wk zzz yyy"))  # singleton bigrams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_logprob_scores(df).collect()}
+    assert out[0].n_bigrams == 5
+    assert out[0].avg_logprob > out[99].avg_logprob  # fluent >> gibberish
+    # identical docs score identically
+    assert out[0].avg_logprob == out[5].avg_logprob
