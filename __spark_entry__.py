@@ -243,6 +243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["d9_weighted_near_duplicates"] = lambda s, d: D.weighted_near_duplicates(
         _docs(s, d), threshold=0.8
     )
+    # d10 — transitive closure of d9's pairs (iterative label
+    # propagation; oracled via DuckDB's recursive CTE).
+    q["d10_near_duplicate_groups"] = lambda s, d: D.near_duplicate_groups(
+        _docs(s, d), threshold=0.8
+    )
 
     # ---- text analysis (north-star; operators/text.py): token counts,
     # quality scoring, language-ID, winnowing fingerprints ----
@@ -1254,5 +1259,39 @@ SELECT id_a, id_b, mjaccard FROM (
   JOIN totals tb ON tb.doc_id = i.id_b
 ) WHERE mjaccard >= 0.8
 """
+    )
+    # d10: transitive closure of d9's pairs — recursive min-label
+    # reachability (group id = component minimum).  `WITH RECURSIVE`
+    # prefixes the whole chain; only `reach` recurses.
+    d9_body = o["d9_weighted_near_duplicates"]
+    assert d9_body.lstrip().startswith("WITH ")
+    o["d10_near_duplicate_groups"] = (
+        d9_body.replace("WITH ", "WITH RECURSIVE ", 1).replace(
+            """SELECT id_a, id_b, mjaccard FROM (
+  SELECT i.id_a, i.id_b,
+         ROUND(i.inter::DOUBLE / (ta.total + tb.total - i.inter), 6) AS mjaccard
+  FROM inter i
+  JOIN totals ta ON ta.doc_id = i.id_a
+  JOIN totals tb ON tb.doc_id = i.id_b
+) WHERE mjaccard >= 0.8""",
+            """, mp AS (
+  SELECT id_a, id_b FROM (
+    SELECT i.id_a, i.id_b,
+           ROUND(i.inter::DOUBLE / (ta.total + tb.total - i.inter), 6) AS mjaccard
+    FROM inter i
+    JOIN totals ta ON ta.doc_id = i.id_a
+    JOIN totals tb ON tb.doc_id = i.id_b
+  ) WHERE mjaccard >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mp
+  UNION
+  SELECT id_b, id_a FROM mp
+), reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node""",
+        )
     )
     return o

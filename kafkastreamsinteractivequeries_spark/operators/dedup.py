@@ -494,3 +494,67 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(doc_id, group_id) connected components of the pair graph,
+    group_id = the component's minimum doc id — the transitive closure
+    that turns pairwise near-dup hits into dedup GROUPS.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are tiny — the
+    20-round cap is generous), checked with a per-round changed-count
+    action.  This is the driver-coordinated-iteration pattern (like
+    k-means/PageRank): per-round work is two shuffles on node id, state
+    lives in DataFrames, the driver only sees one scalar per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnsRenamed({"node": "dst", "label": "nl"}), "dst")
+            .groupBy("src")
+            .agg(F.min("nl").alias("neighbor_label"))
+            .withColumnRenamed("src", "node")
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("neighbor_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("neighbor_label", F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+        ).localCheckpoint(eager=True)  # truncate the per-round lineage
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def near_duplicate_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Transitive near-dup groups: weighted_near_duplicates pairs →
+    connected components.  (doc_id, group_id) for every doc in ≥1 pair."""
+    pairs = weighted_near_duplicates(docs, text_col, id_col, threshold)
+    return connected_components(pairs)

@@ -116,3 +116,20 @@ def test_testdata_injected_near_dups(spark, sf_dir):
 def test_no_python_in_signature_plan(docs):
     plan = minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_connected_components_transitivity(spark):
+    """Chained pairs must collapse into one group (the transitive
+    closure pairwise detection cannot express)."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    groups = {r.doc_id: r.group_id for r in connected_components(pairs).collect()}
+    assert groups == {
+        1: 1, 2: 1, 3: 1, 4: 1,      # 4-chain → min id 1
+        10: 10, 11: 10,              # isolated pair
+        20: 20, 21: 20, 22: 20,      # 3-chain
+    }
