@@ -31,7 +31,15 @@ _NANO_TS_COLUMNS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table (``{sf_dir}/{name}.parquet``)."""
+    """Load one testdata table (``{sf_dir}/{name}.parquet``).
+
+    Self-sufficient under ANY session: the testdata stores timestamps as
+    parquet TIMESTAMP(NANOS), which vanilla Spark rejects outright
+    (PARQUET_TYPE_ILLEGAL) unless ``nanosAsLong`` is on.  It is a
+    runtime-settable SQLConf, so set it here rather than relying on the
+    session builder having done so.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
