@@ -315,8 +315,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["s2_srp_codes"] = lambda s, d: S.srp_codes(_emb(s, d))
     q["s3_knn_srp"] = lambda s, d: S.knn_srp(_emb(s, d), _queries_df(s, d), k=10)
+    # num_planes pinned (32 planes -> 8-bit bands) rather than the
+    # library's corpus-size auto-default, so the static oracle SQL can
+    # embed the identical hyperplanes at any sf_dir.
     q["s4_embedding_near_duplicates"] = lambda s, d: S.embedding_near_duplicates(
-        _emb(s, d), threshold=0.4
+        _emb(s, d), threshold=0.4, num_planes=32
     )
     q["s5_ivf_assign"] = lambda s, d: S.ivf_assign(_emb(s, d), n_lists=16)
     q["s6_knn_ivf"] = lambda s, d: S.knn_ivf(
@@ -906,7 +909,11 @@ def _similarity_oracles() -> dict[str, str]:
     from kafkastreamsinteractivequeries_spark.operators.similarity import srp_sign_matrix
 
     dim, planes, chunks = 64, 16, 4
-    clen = planes // chunks
+    # s4 pins a wider code: 32 planes / 4 chunks = 8-bit bands, the
+    # corpus-appropriate cardinality at this SF (the library default
+    # auto-sizes via srp_planes_for; the driver entry pins explicit
+    # params so this static oracle stays exact at any sf_dir).
+    s4_planes = 32
 
     def cos(a: str, b: str) -> str:
         return (
@@ -915,26 +922,32 @@ def _similarity_oracles() -> dict[str, str]:
             f" * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in {b}]))), 6)"
         )
 
-    signs = srp_sign_matrix(planes, dim)
-    bit_exprs = []
-    for p in range(planes):
-        terms = " + ".join(
-            f"(embedding[{j + 1}]::DOUBLE * {float(signs[p][j])})" for j in range(dim)
-        )
-        bit_exprs.append(f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END")
-    code_expr = " || ".join(bit_exprs)
+    def code_expr_for(n_planes: int) -> str:
+        signs = srp_sign_matrix(n_planes, dim)
+        bit_exprs = []
+        for p in range(n_planes):
+            terms = " + ".join(
+                f"(embedding[{j + 1}]::DOUBLE * {float(signs[p][j])})" for j in range(dim)
+            )
+            bit_exprs.append(f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END")
+        return " || ".join(bit_exprs)
 
-    codes_cte = f"""
+    def ctes_for(n_planes: int) -> tuple[str, str]:
+        clen = n_planes // chunks
+        codes = f"""
 WITH codes AS (
-  SELECT vec_id, {code_expr} AS code
+  SELECT vec_id, {code_expr_for(n_planes)} AS code
   FROM embeddings
 )
 """
-    band_union = "\nUNION ALL\n".join(
-        f"SELECT vec_id, code, {c} AS band_id, substr(code, {c * clen + 1}, {clen}) AS band_bits FROM codes"
-        for c in range(chunks)
-    )
-    buckets_cte = codes_cte + f", buckets AS (\n{band_union}\n)\n"
+        band_union = "\nUNION ALL\n".join(
+            f"SELECT vec_id, code, {c} AS band_id, substr(code, {c * clen + 1}, {clen}) AS band_bits FROM codes"
+            for c in range(chunks)
+        )
+        return codes, codes + f", buckets AS (\n{band_union}\n)\n"
+
+    codes_cte, buckets_cte = ctes_for(planes)
+    _, s4_buckets_cte = ctes_for(s4_planes)
 
     q_cte = """, q AS (
   SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
@@ -1029,7 +1042,7 @@ SELECT query_id, vec_id, cosine, rank FROM (
 """
     )
     o["s4_embedding_near_duplicates"] = (
-        buckets_cte
+        s4_buckets_cte
         + f""", fb AS (
   SELECT buckets.* FROM buckets
   JOIN (SELECT band_id, band_bits FROM buckets

@@ -26,10 +26,14 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import logging
+import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 from kafkastreamsinteractivequeries_spark.sources.tables import spread
+
+logger = logging.getLogger(__name__)
 
 
 def srp_sign_matrix(num_planes: int, dim: int) -> list[list[int]]:
@@ -39,6 +43,33 @@ def srp_sign_matrix(num_planes: int, dim: int) -> list[list[int]]:
         [1 if hashlib.md5(f"{p}:{j}".encode()).digest()[0] % 2 == 0 else -1 for j in range(dim)]
         for p in range(num_planes)
     ]
+
+
+def srp_planes_for(
+    corpus_size: int,
+    chunks: int = 4,
+    target_bucket_size: int = 256,
+    min_band_bits: int = 4,
+    max_band_bits: int = 24,
+) -> int:
+    """Pick ``num_planes`` so expected SRP bucket occupancy stays flat as
+    the corpus grows.
+
+    Band cardinality is 2^band_bits, so a FIXED plane count means bucket
+    size — and the quadratic per-bucket pair join — grows linearly with
+    the corpus (the round-1 scale bug: 16 planes / 4-bit bands grew 27×
+    at a 16× corpus, SCALING.md).  Choosing
+    ``band_bits = ceil(log2(n / target_bucket_size))`` keeps expected
+    occupancy ≈ ``target_bucket_size`` at any n: pair-join cost grows
+    ~linearly, and the ``max_bucket_size`` cap stops silently binding.
+
+    ``max_band_bits=24`` (16.7M bucket values/band) holds the target up
+    to n ≈ 4×10⁹ vectors; plane-code cost grows only as
+    chunks × band_bits per row.
+    """
+    bits = math.ceil(math.log2(max(1.0, corpus_size / target_bucket_size)))
+    bits = min(max(bits, min_band_bits), max_band_bits)
+    return bits * chunks
 
 
 def _dot_signs(vec_col: F.Column, signs: list[int]) -> F.Column:
@@ -219,7 +250,7 @@ def knn_srp(
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    num_planes: int = 16,
+    num_planes: int | None = None,
     chunks: int = 4,
     dim: int = 64,
     vec_col: str = "embedding",
@@ -230,13 +261,29 @@ def embedding_near_duplicates(
     — the embedding-space near-dup detector (approximate by design;
     recall rises with num_planes/chunks).
 
-    ``max_bucket_size`` (default 4096) bounds the per-bucket quadratic
-    pair join: SRP band cardinality is FIXED (2^band_bits values), so
-    bucket sizes — and uncapped runtime — grow quadratically with the
-    corpus.  A production corpus should also raise ``num_planes`` /
-    band bits with corpus size; the cap is the backstop."""
+    ``num_planes=None`` (default) auto-sizes band bits to the corpus via
+    ``srp_planes_for`` (one cheap parquet-metadata count), keeping
+    expected bucket occupancy flat as the corpus grows — without it a
+    fixed band cardinality makes bucket sizes, and the quadratic
+    per-bucket pair join, grow linearly with n (27× time at a 16×
+    corpus in round 1, SCALING.md).
+
+    ``max_bucket_size`` (default 4096) is the backstop cap on the
+    quadratic join for adversarially skewed buckets.  The dropped-row
+    fraction is retrievable via ``dropped_bucket_stats(result)`` (one
+    small bucket-size agg job, run only on demand); a nonzero fraction
+    is logged as a recall warning when retrieved.
+    """
+    if num_planes is None:
+        n = embeddings.count()
+        num_planes = srp_planes_for(n, chunks)
+        logger.info(
+            "embedding_near_duplicates auto-sized: corpus=%d -> %d planes (%d-bit bands)",
+            n, num_planes, num_planes // chunks,
+        )
     codes = srp_codes(embeddings, num_planes, dim, vec_col, id_col)
     buckets = srp_band_buckets(codes, chunks, id_col)
+    stats_fn = None
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band_id", "band_bits").agg(F.count("*").alias("_n"))
         buckets = buckets.join(
@@ -244,6 +291,17 @@ def embedding_near_duplicates(
             ["band_id", "band_bits"],
             "left_anti",
         )
+
+        def stats_fn(sizes=sizes, cap=max_bucket_size):
+            # one small agg job over bucket sizes (codes + explode +
+            # partial agg; no quadratic join) — run only when asked
+            row = sizes.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_n") > cap, F.col("_n"))), F.lit(0)
+                ).alias("dropped_rows"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("total_rows"),
+            ).collect()[0]
+            return int(row.dropped_rows), int(row.total_rows)
     a = buckets.withColumnRenamed(id_col, "id_a")
     b = buckets.withColumnRenamed(id_col, "id_b")
     cand = (
@@ -267,13 +325,39 @@ def embedding_near_duplicates(
     )
     # shuffle_hash (not broadcast): the embedding side grows with the
     # corpus; the pair list must not be driver-collected either.
-    return (
+    out = (
         cand.join(ea.hint("shuffle_hash"), "id_a")
         .join(eb.hint("shuffle_hash"), "id_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
+    out._dropped_bucket_stats_fn = stats_fn  # read via dropped_bucket_stats()
+    return out
+
+
+def dropped_bucket_stats(result: DataFrame) -> dict[str, float] | None:
+    """Dropped-bucket telemetry for an ``embedding_near_duplicates``
+    result: ``{"dropped_rows", "total_rows", "fraction"}``.
+
+    Runs one small aggregation job over the bucket-size table (the cheap
+    pre-quadratic part of the plan).  Returns ``None`` when the cap was
+    disabled.  Logs a recall warning when any bucket was dropped, so
+    cap-induced recall decay is visible instead of silent.
+    """
+    fn = getattr(result, "_dropped_bucket_stats_fn", None)
+    if fn is None:
+        return None
+    dropped, total = fn()
+    frac = (dropped / total) if total else 0.0
+    if dropped:
+        logger.warning(
+            "embedding_near_duplicates: %d/%d bucket rows (%.2f%%) exceeded "
+            "max_bucket_size and were dropped — recall is reduced; raise "
+            "num_planes (band bits) for this corpus size",
+            dropped, total, 100.0 * frac,
+        )
+    return {"dropped_rows": dropped, "total_rows": total, "fraction": frac}
 
 
 # --------------------------------------------------------------------------

@@ -97,6 +97,49 @@ def test_embedding_near_duplicates_finds_pair(spark, emb):
     assert (0, 2) not in got
 
 
+def test_srp_planes_for_scales_with_corpus():
+    from kafkastreamsinteractivequeries_spark.operators.similarity import srp_planes_for
+
+    # floor: tiny corpora keep the 4-bit minimum
+    assert srp_planes_for(40) == 16
+    assert srp_planes_for(4096) == 16
+    # expected occupancy n / 2^bits stays ≈ target as n grows
+    assert srp_planes_for(65536) == 4 * 8  # 2^8 buckets -> 256/bucket
+    assert srp_planes_for(2**24) == 4 * 16
+    # monotone non-decreasing, capped
+    sizes = [10**k for k in range(2, 12)]
+    planes = [srp_planes_for(n) for n in sizes]
+    assert planes == sorted(planes)
+    assert max(planes) == 4 * 24
+    # chunks scales the plane count, not the band bits
+    assert srp_planes_for(65536, chunks=8) == 8 * 8
+
+
+def test_near_duplicates_dropped_bucket_stats(spark, emb):
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        dropped_bucket_stats,
+    )
+
+    df, _ = emb
+    # cap of 1 forces every bucket with >1 member to drop
+    res = embedding_near_duplicates(df, threshold=0.9, max_bucket_size=1)
+    assert res.count() == 0  # near-dup pair 0/1 shares its buckets -> dropped
+    stats = dropped_bucket_stats(res)
+    assert stats is not None and stats["dropped_rows"] > 0
+    assert 0 < stats["fraction"] <= 1
+
+    # generous cap: nothing dropped, fraction 0, pair found
+    res2 = embedding_near_duplicates(df, threshold=0.9, max_bucket_size=4096)
+    assert (0, 1) in {(r.id_a, r.id_b) for r in res2.collect()}
+    stats2 = dropped_bucket_stats(res2)
+    assert stats2 == {"dropped_rows": 0, "total_rows": stats2["total_rows"], "fraction": 0.0}
+    assert stats2["total_rows"] > 0
+
+    # cap disabled -> no observation
+    res3 = embedding_near_duplicates(df, threshold=0.9, max_bucket_size=None)
+    assert dropped_bucket_stats(res3) is None
+
+
 def test_knn_srp_subset_of_bruteforce_candidates(spark, emb):
     df, _ = emb
     queries = df.filter(F.col("vec_id") == 0).select(
