@@ -62,26 +62,29 @@ def cumulative_sum(
     totals = (
         parted.groupBy("_pid").agg(F.sum(weight_col).alias("_t")).orderBy("_pid").collect()
     )
-    offsets = {}
+    offsets = []
     acc = 0
     for r in totals:
-        offsets[r["_pid"]] = acc
+        offsets.append((int(r["_pid"]), acc))
         acc += r["_t"] or 0
-    offset_col = F.coalesce(
-        *[
-            F.when(F.col("_pid") == pid, F.lit(off))
-            for pid, off in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
+    # Offsets go back as a tiny broadcast-joined table, NOT a literal
+    # per-bucket CASE chain: with thousands of buckets (any real
+    # cluster) a CASE chain is a thousands-deep expression tree — slow
+    # codegen, 64KB-method splits — while a broadcast hash join on _pid
+    # is O(1) expression depth at any bucket count.
+    offsets_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        parted.withColumn(out_col, (F.sum(weight_col).over(w) + offset_col).cast("long"))
-        .drop("_pid")
+        parted.join(F.broadcast(offsets_df), "_pid", "left")
+        .withColumn(
+            out_col,
+            (F.sum(weight_col).over(w) + F.coalesce(F.col("_offset"), F.lit(0))).cast("long"),
+        )
+        .drop("_pid", "_offset")
     )
 
 

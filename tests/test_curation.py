@@ -24,6 +24,23 @@ def test_cumulative_sum_matches_global_window(spark):
     assert got == want
 
 
+def test_cumulative_sum_many_buckets(spark):
+    # num_partitions in the thousands must neither blow up codegen
+    # (the round-1 per-bucket CASE chain) nor change results
+    rows = [(i, (i % 13) + 1) for i in range(0, 50_000, 7)]
+    df = spark.createDataFrame(rows, ["id", "w"]).repartition(8)
+    out = cumulative_sum(df, "id", "w", "cum", num_partitions=4096)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # offsets join, not a CASE chain
+    got = {r.id: r.cum for r in out.collect()}
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r.id: r.cum
+        for r in df.withColumn("cum", F.sum("w").over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
 def test_cumulative_sum_empty(spark):
     df = spark.createDataFrame([], "id long, w long")
     assert cumulative_sum(df, "id", "w").count() == 0
