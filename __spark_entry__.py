@@ -1185,9 +1185,11 @@ SELECT id_a, id_b, jaccard FROM (
 """
     )
     o["d7_simhash_signatures"] = sim_cte + "SELECT doc_id, simhash FROM sim"
+    # chunks=8 (library default): max_hamming=6 < 8 chunks keeps the
+    # pigeonhole recall guarantee exact
     chunk_union = "\nUNION ALL\n".join(
-        f"SELECT doc_id, simhash, {c} AS chunk_id, substr(simhash, {c * 16 + 1}, 16) AS chunk FROM sim"
-        for c in range(4)
+        f"SELECT doc_id, simhash, {c} AS chunk_id, substr(simhash, {c * 8 + 1}, 8) AS chunk FROM sim"
+        for c in range(8)
     )
     # bucket-join form mirroring the Spark plan, incl. the default
     # max_bucket_size=1024 (no-op at oracle scales)

@@ -429,20 +429,23 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
-    chunks: int = 4,
+    chunks: int = 8,
     max_hamming: int = 6,
     max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs within ``max_hamming`` bits.
 
     Candidate generation by the pigeonhole trick: split the signature
-    into ``chunks`` equal substrings; any pair within ``max_hamming``
-    (< chunks × 1 differing bits per chunk on average) shares at least
-    one exact chunk when max_hamming < chunks.  Equi-join per chunk —
-    same shuffle shape as MinHash banding, and the same per-bucket
-    quadratic corner: ``max_bucket_size`` (default ON) drops over-cap
-    chunk buckets (dominated by near-identical boilerplate — the
-    exact-dedup path's job).
+    into ``chunks`` equal substrings; when ``max_hamming < chunks`` a
+    pair within the bound cannot differ in every chunk, so it shares at
+    least one exact chunk — recall is EXACT (the defaults 8/6 satisfy
+    this; callers weakening to chunks ≤ max_hamming get a documented
+    approximate mode with reduced recall, traded for fewer/larger
+    chunk buckets).  Equi-join per chunk — same shuffle shape as
+    MinHash banding, and the same per-bucket quadratic corner:
+    ``max_bucket_size`` (default ON) drops over-cap chunk buckets
+    (dominated by near-identical boilerplate — the exact-dedup path's
+    job).
     """
     sigs = simhash_signatures(docs, text_col, id_col, bits)
     clen = bits // chunks

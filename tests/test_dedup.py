@@ -101,6 +101,26 @@ def test_simhash_near_duplicates(docs):
     assert not any(4 in p for p in got)
 
 
+def test_simhash_pigeonhole_recall_exact(spark, sf_dir):
+    # default chunks=8 > max_hamming=6: candidate generation must find
+    # EVERY pair within the bound — verify against brute-force hamming
+    # over all signature pairs (cap disabled to isolate the guarantee)
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        sa = sigs[a]
+        for b in ids[i + 1:]:
+            if sum(x != y for x, y in zip(sa, sigs[b])) <= 6:
+                want.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(docs, max_hamming=6, max_bucket_size=None).collect()
+    }
+    assert got == want
+
+
 def test_testdata_injected_near_dups(spark, sf_dir):
     # The synthetic documents table contains adjacent-id near-dup pairs
     # with token-set jaccard ≥ 0.9 but shuffled word order — so the
