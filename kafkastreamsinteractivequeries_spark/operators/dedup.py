@@ -548,7 +548,110 @@ def connected_components(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    else:
+        # diameter > max_iterations: labels are NOT the transitive
+        # closure — never return silently-wrong groups
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({changed} labels still changing): the pair graph has "
+            "a component with diameter above the round cap. Raise "
+            "max_iterations, or use connected_components_star (large-star/"
+            "small-star), which converges in O(log^2 n) rounds on any graph."
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(doc_id, group_id) connected components via alternating
+    large-star / small-star rounds — the giant-component-safe variant.
+
+    Plain min-label propagation needs O(component diameter) rounds: right
+    for tiny near-dup clusters, wrong for adversarial graphs (a chain of
+    pairwise-similar docs has diameter = length).  The large-star /
+    small-star alternation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014 — public) converges in
+    O(log² n) rounds regardless of shape:
+
+    - large-star: every node links its LARGER neighbors to its minimum
+      neighborhood label (min over N(u) ∪ {u});
+    - small-star: every node relinks its smaller-or-equal neighbors and
+      itself to that minimum.
+
+    Both are one groupBy + one join on node id per round; the edge set
+    only shrinks toward the star fixed point (each node → component
+    min).  Per-round convergence check is one (count, hash-sum) scalar
+    pair — no edge-set anti-join.
+    """
+    E = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: order/overflow-free set fingerprint
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row.n), int(row.h)
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        both = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = both.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("u"), F.col("_mn")).alias("m")
+        )
+        return (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        # orient every edge toward the smaller endpoint
+        directed = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            directed.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return relink
+
+    prev = None
+    for _ in range(max_iterations):
+        E = _small_star(_large_star(E)).localCheckpoint(eager=True)
+        fp = _fingerprint(E)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} rounds"
+        )
+
+    # fixed point: E holds (node -> component min) for every non-min
+    # node; min nodes label themselves
+    nodes = (
+        pairs.select(F.col(id_a).alias("doc_id"))
+        .union(pairs.select(F.col(id_b).alias("doc_id")))
+        .distinct()
+    )
+    return (
+        nodes.join(E.withColumnsRenamed({"u": "doc_id", "v": "_m"}), "doc_id", "left")
+        .select("doc_id", F.coalesce("_m", F.col("doc_id")).alias("group_id"))
+    )
 
 
 def near_duplicate_groups(

@@ -153,3 +153,46 @@ def test_connected_components_transitivity(spark):
         10: 10, 11: 10,              # isolated pair
         20: 20, 21: 20, 22: 20,      # 3-chain
     }
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import connected_components
+
+    # a 60-node path has diameter 59 > max_iterations=3: silent wrong
+    # groups are forbidden — the operator must refuse
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=3)
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    import random
+
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    edges = {(rng.randrange(120), rng.randrange(120)) for _ in range(150)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    want = {r.doc_id: r.group_id for r in connected_components(pairs, max_iterations=200).collect()}
+    got = {r.doc_id: r.group_id for r in connected_components_star(pairs).collect()}
+    assert got == want
+
+
+def test_connected_components_star_giant_component(spark):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    # a 300-node path (diameter 299) converges in O(log^2 n) star rounds
+    chain = spark.createDataFrame([(i, i + 1) for i in range(300)], ["id_a", "id_b"])
+    groups = {r.doc_id: r.group_id for r in connected_components_star(chain).collect()}
+    assert len(groups) == 301
+    assert set(groups.values()) == {0}
+
+    # empty input
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
