@@ -9,9 +9,11 @@ Route map (reference → here):
 - ``GET /streams-iq/range?lower=&upper=&filter=`` StockController.java:102-139
   (bounds inclusive; ``filter`` is the JsonPath-style predicate of
   FilteredRangeQuery, e.g. ``@.buys > @.sells``)
-- ``GET /streams-iq/partition/<key>?partitions=N`` PartitionGenerator.java:15-25
-  (dev tool: which shuffle partition owns a key — Spark's
-  ``pmod(hash(key), N)`` replaces murmur2-mod-N)
+- ``GET /streams-iq/partition/<key>?partitions=N&scheme=kafka|spark``
+  PartitionGenerator.java:15-25 (dev tool: which partition owns a key;
+  default ``kafka`` answers with exact murmur2 parity to the
+  reference, ``spark`` reports Spark's own ``pmod(hash(key), N)``
+  shuffle routing)
 - ``GET /status/heartbeat`` and ``GET /status/all`` StatusController.java:36-52
   (liveness + StreamingQuery progress in place of host pings)
 
@@ -121,7 +123,11 @@ def create_app(
         if predicate:
             query = query.predicate(predicate)
         try:
-            rows = query.apply(windowed_df).limit(collect_limit or 10_000).collect()
+            result_df = query.apply(windowed_df)
+            # None = unlimited, matching execute_response's semantics
+            if collect_limit is not None:
+                result_df = result_df.limit(collect_limit)
+            rows = result_df.collect()
         except Exception as exc:
             return jsonify(_envelope(QueryResponse.with_error(str(exc)))), 500
         resp = QueryResponse.with_result(
@@ -133,12 +139,23 @@ def create_app(
 
     @app.get("/streams-iq/partition/<key>")
     def partition_for_key(key: str):
+        from kafkastreamsinteractivequeries_spark.functions import partitioning
+
         n = int(request.args.get("partitions", "32"))
-        spark = service.serving_df.sparkSession
-        p = spark.range(1).select(
-            F.pmod(F.hash(F.lit(key)), F.lit(n)).alias("partition")
-        ).collect()[0]["partition"]
-        return jsonify({"key": key, "numPartitions": n, "partition": int(p)})
+        scheme = request.args.get("scheme", "kafka")
+        if scheme == "kafka":
+            # exact reference parity: toPositive(murmur2(key)) % n
+            p = partitioning.partition_for_key(key, n)
+        elif scheme == "spark":
+            spark = service.serving_df.sparkSession
+            p = spark.range(1).select(
+                F.pmod(F.hash(F.lit(key)), F.lit(n)).alias("partition")
+            ).collect()[0]["partition"]
+        else:
+            return jsonify({"error": f"unknown scheme {scheme!r}"}), 400
+        return jsonify(
+            {"key": key, "numPartitions": n, "scheme": scheme, "partition": int(p)}
+        )
 
     @app.get("/status/heartbeat")
     def heartbeat():

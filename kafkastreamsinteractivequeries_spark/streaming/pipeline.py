@@ -115,17 +115,14 @@ class ParquetServingSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.write.mode("overwrite")
-                .partitionBy("symbol")
-                .parquet(self.path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-write option, not the session conf: concurrent queries on
+        # the shared session must never observe a temporary 'dynamic'
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("symbol")
+            .parquet(self.path)
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)

@@ -81,10 +81,22 @@ def test_filtered_range_bad_predicate_is_500_envelope(client):
 
 
 def test_partition_for_key(client):
+    from kafkastreamsinteractivequeries_spark.functions.partitioning import (
+        partition_for_key,
+    )
+
     body = client.get("/streams-iq/partition/purchase?partitions=2").get_json()
-    assert body["numPartitions"] == 2 and body["partition"] in (0, 1)
+    assert body["numPartitions"] == 2 and body["scheme"] == "kafka"
+    # numeric parity with PartitionGenerator.java:22 (murmur2 mod N)
+    assert body["partition"] == partition_for_key("purchase", 2)
     again = client.get("/streams-iq/partition/purchase?partitions=2").get_json()
     assert again["partition"] == body["partition"]  # deterministic routing
+
+    spark_scheme = client.get(
+        "/streams-iq/partition/purchase?partitions=2&scheme=spark"
+    ).get_json()
+    assert spark_scheme["scheme"] == "spark" and spark_scheme["partition"] in (0, 1)
+    assert client.get("/streams-iq/partition/x?scheme=bogus").status_code == 400
 
 
 def test_status(client):
