@@ -935,7 +935,7 @@ def _similarity_oracles() -> dict[str, str]:
     def ctes_for(n_planes: int) -> tuple[str, str]:
         clen = n_planes // chunks
         codes = f"""
-WITH codes AS (
+WITH codes AS MATERIALIZED (
   SELECT vec_id, {code_expr_for(n_planes)} AS code
   FROM embeddings
 )
@@ -944,7 +944,11 @@ WITH codes AS (
             f"SELECT vec_id, code, {c} AS band_id, substr(code, {c * clen + 1}, {clen}) AS band_bits FROM codes"
             for c in range(chunks)
         )
-        return codes, codes + f", buckets AS (\n{band_union}\n)\n"
+        # MATERIALIZED: codes is referenced once per band and buckets
+        # feeds multi-reference downstream CTEs; without it DuckDB
+        # inlines and re-evaluates the planes×dim code expression per
+        # reference (measured 14.9s -> 0.9s on the s4 oracle at sf0.01)
+        return codes, codes + f", buckets AS MATERIALIZED (\n{band_union}\n)\n"
 
     codes_cte, buckets_cte = ctes_for(planes)
     _, s4_buckets_cte = ctes_for(s4_planes)
@@ -1043,7 +1047,7 @@ SELECT query_id, vec_id, cosine, rank FROM (
     )
     o["s4_embedding_near_duplicates"] = (
         s4_buckets_cte
-        + f""", fb AS (
+        + f""", fb AS MATERIALIZED (
   SELECT buckets.* FROM buckets
   JOIN (SELECT band_id, band_bits FROM buckets
         GROUP BY 1, 2 HAVING COUNT(*) <= 4096) ok

@@ -72,16 +72,6 @@ def srp_planes_for(
     return bits * chunks
 
 
-def _dot_signs(vec_col: F.Column, signs: list[int]) -> F.Column:
-    """<vec, signs> with ±1 literal weights: sum of ±x_j, double math."""
-    lit_signs = F.array(*[F.lit(float(s)) for s in signs])
-    return F.aggregate(
-        F.zip_with(vec_col, lit_signs, lambda x, s: x.cast("double") * s),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def dot_expr(a: F.Column, b: F.Column) -> F.Column:
     """<a, b> — double-cast sequential fold."""
     return F.aggregate(
@@ -129,14 +119,34 @@ def srp_codes(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, code): SRP bit-code — bit p = 1 iff <vec, plane_p> > 0."""
+    """(id, code): SRP bit-code — bit p = 1 iff <vec, plane_p> > 0.
+
+    The plane matrix is ONE nested array literal and the per-plane dot
+    products run inside a single ``transform`` loop: one compact
+    expression regardless of ``num_planes``.  (The first cut built
+    ``num_planes`` separate fold expressions; at 32 planes that cost
+    ~1.9s of per-evaluation planning/codegen vs 0.19s for this form —
+    identical output bits.)
+    """
     embeddings = spread(embeddings)  # parallelize the plane dot-products
     signs = srp_sign_matrix(num_planes, dim)
-    bits = [
-        F.when(_dot_signs(F.col(vec_col), signs[p]) > 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(num_planes)
-    ]
-    return embeddings.select(F.col(id_col), F.concat(*bits).alias("code"))
+    planes = F.array(*[F.array(*[F.lit(float(s)) for s in row]) for row in signs])
+    code = F.array_join(
+        F.transform(
+            planes,
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(F.col(vec_col), p, lambda x, s: x.cast("double") * s),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise("0"),
+        ),
+        "",
+    )
+    return embeddings.select(F.col(id_col), code.alias("code"))
 
 
 def srp_band_buckets(
@@ -282,7 +292,12 @@ def embedding_near_duplicates(
             n, num_planes, num_planes // chunks,
         )
     codes = srp_codes(embeddings, num_planes, dim, vec_col, id_col)
-    buckets = srp_band_buckets(codes, chunks, id_col)
+    # The buckets table feeds BOTH sides of the self-join plus the
+    # bucket-size agg — localCheckpoint materializes the (id, band)
+    # rows once so the planes×dim code projection runs one time over
+    # the corpus, not three.  The checkpointed table is chunks small
+    # rows per vector, far cheaper to store than to recompute.
+    buckets = srp_band_buckets(codes, chunks, id_col).localCheckpoint(eager=False)
     stats_fn = None
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band_id", "band_bits").agg(F.count("*").alias("_n"))

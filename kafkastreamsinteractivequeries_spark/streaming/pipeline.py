@@ -128,6 +128,142 @@ class ParquetServingSink:
         return spark.read.parquet(self.path)
 
 
+class ManifestServingSink:
+    """Transactional foreachBatch upsert: immutable per-batch data files
+    committed by an append-only manifest log (a minimal table format,
+    the Delta-less ACID variant of ``ParquetServingSink``).
+
+    Why: plain dynamic partition overwrite deletes-then-writes partition
+    directories in place, so a concurrent reader can observe a key's
+    partition mid-replace (missing or partial).  The reference's store
+    never shows that state — RocksDB updates are per-key atomic
+    (``store/CustomQueryStore.java:36-66``).  Here every batch writes to
+    a NEW immutable directory and then publishes a full snapshot
+    manifest via atomic rename; readers resolve the latest manifest and
+    only ever see a complete, consistent snapshot.
+
+    Commit protocol (per micro-batch):
+
+    1. data: write the batch's rows to ``data/batch-<id>/_bucket=<key>/``
+       (fresh directory — never mutated after commit; a batch REPLAY
+       rewrites the same directory before its manifest exists, so
+       replays are idempotent).
+    2. manifest: merge {key → data dir} over the previous snapshot and
+       write ``manifest/v<id>.json`` via temp-file + rename.  Rename of
+       a closed file to a NEW name is the atomic commit primitive on
+       POSIX and HDFS; readers never see a partial manifest.  (On S3,
+       point the manifest dir at a consistent store or use a
+       conditional-put wrapper — same contract as every rename-based
+       committer.)
+
+    Scale: per-batch work ∝ updated keys (new files + one small JSON),
+    reads prune to exactly the referenced per-key directories, and old
+    snapshots remain readable until ``vacuum()`` — which only deletes
+    batch directories no current key references.
+    """
+
+    def __init__(self, path: str, partition_col: str = "symbol"):
+        self.path = path.rstrip("/")
+        self.partition_col = partition_col
+
+    # -- hadoop FS helpers (portable across local/HDFS paths) --------------
+
+    @staticmethod
+    def _fs(spark: SparkSession, path: str):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+    def _manifest_dir(self) -> str:
+        return f"{self.path}/manifest"
+
+    def _latest_manifest(self, spark: SparkSession) -> dict[str, str]:
+        fs, jvm = self._fs(spark, self._manifest_dir())
+        mdir = jvm.org.apache.hadoop.fs.Path(self._manifest_dir())
+        if not fs.exists(mdir):
+            return {}
+        versions = [
+            st.getPath().getName()
+            for st in fs.listStatus(mdir)
+            if st.getPath().getName().startswith("v")
+        ]
+        if not versions:
+            return {}
+        latest = jvm.org.apache.hadoop.fs.Path(
+            f"{self._manifest_dir()}/{max(versions)}"
+        )
+        stream = fs.open(latest)
+        try:
+            data = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode("utf-8")
+        finally:
+            stream.close()
+        return json.loads(data)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        out = f"{self.path}/data/batch-{batch_id}"
+        # _bucket duplicates the key into the directory layout while the
+        # data files keep the real column — leaf dirs stay self-contained
+        (
+            batch_df.withColumn("_bucket", F.col(self.partition_col))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out)
+        )
+        fs, jvm = self._fs(spark, out)
+        written = {
+            st.getPath().getName().split("=", 1)[1]: f"{out}/{st.getPath().getName()}"
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(out))
+            if st.getPath().getName().startswith("_bucket=")
+        }
+        snapshot = self._latest_manifest(spark)
+        snapshot.update(written)
+
+        mdir = self._manifest_dir()
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(mdir))
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{mdir}/.tmp-{batch_id}")
+        final = jvm.org.apache.hadoop.fs.Path(f"{mdir}/v{batch_id:020d}.json")
+        stream = fs.create(tmp, True)
+        try:
+            stream.write(json.dumps(snapshot, sort_keys=True).encode("utf-8"))
+        finally:
+            stream.close()
+        if not fs.rename(tmp, final) and not fs.exists(final):
+            raise IOError(f"manifest commit failed for batch {batch_id}")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Latest consistent snapshot (the queryable serving table)."""
+        snapshot = self._latest_manifest(spark)
+        if not snapshot:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
+        df = spark.read.parquet(*sorted(set(snapshot.values())))
+        return df.drop("_bucket") if "_bucket" in df.columns else df
+
+    def vacuum(self, spark: SparkSession) -> list[str]:
+        """Delete batch directories no current key references; returns
+        the deleted paths.  Safe w.r.t. the commit protocol: the latest
+        manifest is read first, so a concurrently committing batch's new
+        directory is never eligible."""
+        snapshot = self._latest_manifest(spark)
+        live = {d.rsplit("/_bucket=", 1)[0] for d in snapshot.values()}
+        data_dir = f"{self.path}/data"
+        fs, jvm = self._fs(spark, data_dir)
+        root = jvm.org.apache.hadoop.fs.Path(data_dir)
+        deleted = []
+        if not fs.exists(root):
+            return deleted
+        for st in fs.listStatus(root):
+            p = f"{data_dir}/{st.getPath().getName()}"
+            if p not in live:
+                fs.delete(st.getPath(), True)
+                deleted.append(p)
+        return deleted
+
+
 def start_serving_pipeline(
     txn_stream: DataFrame,
     serving_path: str,
@@ -138,6 +274,22 @@ def start_serving_pipeline(
     return (
         agg.writeStream.outputMode("update")
         .foreachBatch(ParquetServingSink(serving_path))
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def start_transactional_serving_pipeline(
+    txn_stream: DataFrame,
+    serving_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """T4+T5+T6 with the ACID serving store: standing aggregate →
+    manifest-committed snapshots (readers always see a full batch)."""
+    agg = streaming_aggregation(txn_stream)
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(ManifestServingSink(serving_path))
         .option("checkpointLocation", checkpoint_path)
         .start()
     )

@@ -86,6 +86,73 @@ def test_serving_upsert_across_batches(spark, tmp_path, txn_dir):
     assert "CFLT" in got
 
 
+def test_transactional_serving_upsert_across_batches(spark, tmp_path, txn_dir):
+    # Same contract as the parquet sink, but through the manifest log:
+    # cumulative aggregate for updated keys, previous values preserved
+    # for untouched keys, every read a complete committed snapshot.
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        ManifestServingSink,
+        start_transactional_serving_pipeline,
+    )
+
+    serving_path = str(tmp_path / "serving_tx")
+    stream = file_transaction_stream(spark, txn_dir)
+    q = start_transactional_serving_pipeline(stream, serving_path, str(tmp_path / "ckpt_tx"))
+    sink = ManifestServingSink(serving_path)
+    try:
+        q.processAllAvailable()
+        first = {r.symbol: r for r in sink.read(spark).collect()}
+        extra = [("CFLT", True, 1000.0, 10, T0 + dt.timedelta(hours=1))]
+        spark.createDataFrame(extra, STOCK_TRANSACTION_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(txn_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snapshot = sink.read(spark)
+    assert "_bucket" not in snapshot.columns
+    svc = InteractiveQueryService(snapshot)
+    cflt = svc.execute(KeyQuery.with_key("CFLT")).collect()[0]
+    assert cflt.buys == 200.0 + 1000.0 and cflt.number_shares == 25
+    zelk = svc.execute(KeyQuery.with_key("ZELK")).collect()[0]
+    assert zelk.number_shares == 15 and zelk.buys == first["ZELK"].buys
+
+    # old batch dirs referenced by the current snapshot survive vacuum;
+    # fully superseded ones are deleted
+    import os
+
+    before = set(os.listdir(f"{serving_path}/data"))
+    deleted = sink.vacuum(spark)
+    live = {d.rsplit("/_bucket=", 1)[0].rsplit("/", 1)[1]
+            for d in sink._latest_manifest(spark).values()}
+    assert set(os.listdir(f"{serving_path}/data")) == live <= before
+    for d in deleted:
+        assert not os.path.exists(d)
+    # reads still consistent after vacuum
+    assert sink.read(spark).count() == snapshot.count()
+
+
+def test_manifest_snapshot_isolation(spark, tmp_path):
+    # A reader that resolved a manifest keeps a consistent view even as
+    # new batches commit: the resolved snapshot's files are immutable.
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import ManifestServingSink
+
+    sink = ManifestServingSink(str(tmp_path / "tx"))
+    agg_schema = "symbol string, buys double, sells double, number_shares long"
+    b0 = spark.createDataFrame([("A", 1.0, 0.0, 1), ("B", 2.0, 0.0, 2)], agg_schema)
+    sink(b0, 0)
+    reader_view = sink.read(spark)
+    b1 = spark.createDataFrame([("A", 5.0, 0.0, 9)], agg_schema)
+    sink(b1, 1)
+    # old handle: still batch-0's values; fresh read: batch-1's upsert
+    assert {(r.symbol, r.buys) for r in reader_view.collect()} == {("A", 1.0), ("B", 2.0)}
+    assert {(r.symbol, r.buys) for r in sink.read(spark).collect()} == {("A", 5.0), ("B", 2.0)}
+    # replaying a committed batch (restart redelivery) is idempotent
+    sink(b1, 1)
+    assert {(r.symbol, r.buys) for r in sink.read(spark).collect()} == {("A", 5.0), ("B", 2.0)}
+
+
 def test_emit_per_update_changelog(spark, tmp_path, txn_dir):
     # T7 analog: update-mode changelog emits a row per updated key per
     # batch (cache=0 parity at micro-batch granularity).
