@@ -207,6 +207,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "orders"),
         load_table(s, d, "customer"),
     )
+    q["a10_late_lines_by_priority"] = lambda s, d: A.late_lines_by_priority(
+        load_table(s, d, "lineitem"), load_table(s, d, "orders")
+    )
+    q["a11_promo_revenue"] = lambda s, d: A.promo_revenue_ratio(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "part"),
+        "1995-01-01",
+        "1996-12-31",
+    )
+    q["a12_disjunctive_part_revenue"] = lambda s, d: A.disjunctive_part_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    )
 
     # ---- dedup suite (north-star extension; operators/dedup.py).
     # The testdata's injected near-dups are word-order shuffles (token-set
@@ -260,6 +272,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x5_deterministic_split"] = lambda s, d: T.deterministic_split(_docs(s, d))
     q["x6_length_percentiles"] = lambda s, d: T.length_percentiles(_docs(s, d))
     q["x7_bigram_logprob"] = lambda s, d: T.bigram_logprob_scores(_docs(s, d))
+    q["x8_repetition_stats"] = lambda s, d: T.repetition_stats(_docs(s, d))
+    q["x9_tfidf_top_terms"] = lambda s, d: T.tfidf_top_terms(_docs(s, d), k=3)
+
+    from kafkastreamsinteractivequeries_spark.operators import sketches as SK
+
+    q["x10_kmv_distinct_users"] = lambda s, d: SK.kmv_distinct_users(
+        load_table(s, d, "events"), k=32
+    )
 
     # ---- multimodal columns (north-star; operators/multimodal.py):
     # binary payloads + typed metadata; codec step deterministically
@@ -455,6 +475,38 @@ SELECT c_mktsegment, c_custkey, c_name, revenue, rank FROM (
     ) AS INTEGER) AS rank
   FROM rev
 ) WHERE rank <= 5
+"""
+    o["a10_late_lines_by_priority"] = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_priority_lines,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_priority_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+GROUP BY l_returnflag
+"""
+    o["a11_promo_revenue"] = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+"""
+    o["a12_disjunctive_part_revenue"] = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 20 AND 36)
 """
     o["a4_order_priority_exists"] = """
 SELECT o_orderpriority, COUNT(*) AS order_count
@@ -899,6 +951,80 @@ GROUP BY doc_id
 FROM t
 """
     )
+    o["x8_repetition_stats"] = (
+        t_cte
+        + """, counts AS (
+  SELECT doc_id, tok AS token, COUNT(*) AS cnt
+  FROM t, unnest(toks) AS u(tok)
+  GROUP BY doc_id, tok
+), ranked AS (
+  SELECT doc_id, token, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn
+  FROM counts
+), per_doc AS (
+  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct_tokens
+  FROM counts GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_tokens, p.n_distinct_tokens,
+       ROUND(1.0 - p.n_distinct_tokens / CAST(p.n_tokens AS DOUBLE), 6)
+         AS dup_token_ratio,
+       r.token AS top_token,
+       ROUND(r.cnt / CAST(p.n_tokens AS DOUBLE), 6) AS top_token_ratio
+FROM per_doc p JOIN ranked r ON p.doc_id = r.doc_id AND r.rn = 1
+"""
+    )
+    o["x9_tfidf_top_terms"] = (
+        t_cte
+        + """, tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf_count
+  FROM t, unnest(toks) AS u(tok)
+  GROUP BY doc_id, tok
+), doc_len AS (
+  SELECT doc_id, SUM(tf_count) AS doc_len FROM tf GROUP BY doc_id
+), dfc AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df_count FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf_count / CAST(dl.doc_len AS DOUBLE)
+               * (ln((n.n_docs + 1.0) / (dfc.df_count + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf
+  JOIN doc_len dl ON tf.doc_id = dl.doc_id
+  JOIN dfc ON tf.term = dfc.term
+  CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+    )
+    # x10 — KMV sketch: deterministic 32-bit multiplicative hash ring,
+    # so the sketch CONTENT (and therefore the estimate) is
+    # bit-identical across engines; see operators/sketches.py.
+    o["x10_kmv_distinct_users"] = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         (((user_id % 4294967296) * 48271) % 4294967296 * 16807) % 4294967296 AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), kept AS (
+  SELECT * FROM ranked WHERE rn <= 32
+)
+SELECT event_type,
+       COUNT(*) AS n_kept,
+       MAX(h) AS kth_hash,
+       CASE WHEN COUNT(*) >= 32
+            THEN ROUND((32 - 1.0) / (MAX(h) / 4294967296.0), 4)
+            ELSE CAST(COUNT(*) AS DOUBLE) END AS distinct_estimate
+FROM kept
+GROUP BY event_type
+"""
     return o
 
 

@@ -313,3 +313,102 @@ def top_customers_two_phase(
     return top_k_per_key_two_phase(
         rev, ["c_mktsegment"], "revenue", "c_custkey", k
     ).select("c_mktsegment", "c_custkey", "c_name", "revenue", "rank")
+
+
+def late_lines_by_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """a10: per return-flag, how many late-shipped lines belong to
+    high- vs low-priority orders (TPC-H Q12 shape: join + conditional
+    counts).
+
+    The late-shipment predicate lives in the JOIN condition, so the
+    filter applies during the probe — no post-join filter pass; the
+    priority CASE folds into the partial aggregation map-side.  One
+    shuffle (the fact join), group-key cardinality 3.
+    """
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+    )
+
+
+def promo_revenue_ratio(
+    lineitem: DataFrame, part: DataFrame, date_from: str, date_to: str
+) -> DataFrame:
+    """a11: share of revenue from promotional parts in a shipdate window
+    (TPC-H Q14 shape: time-sliced fact join + ratio-of-conditional-sums).
+
+    The shipdate range pushes down to the lineitem scan (min/max row
+    group pruning at scale); part joins on its key — at 100 TB `part`
+    is fact-sized too, so this stays a shuffle join and AQE picks the
+    strategy.  Output is one row; ``try_divide`` guards the empty-window
+    case.
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            F.col("l_shipdate").between(
+                F.lit(date_from).cast("timestamp"), F.lit(date_to).cast("timestamp")
+            )
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.try_divide(
+                    F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)),
+                    F.sum(rev),
+                ),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def disjunctive_part_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """a12: revenue from lines matching ANY of three brand/size/quantity
+    branches (TPC-H Q19 shape: disjunction of conjunctions across a
+    join).
+
+    Catalyst extracts the common ``l_quantity <= 36`` / ``p_size >= 1``
+    conjuncts from the OR and pushes the per-side residuals into each
+    scan (CNF conversion), so both tables prune before the join — the
+    plan to check with ``.explain``: PushedFilters on BOTH scans plus
+    the OR as the join residual.
+    """
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 36)
+        )
+    )
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -10,7 +10,7 @@ map-only operators with zero shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kafkastreamsinteractivequeries_spark.operators.dedup import normalized_text, tokens_col
 from kafkastreamsinteractivequeries_spark.sources.tables import spread
@@ -234,4 +234,84 @@ def bigram_logprob_scores(
             F.count("*").alias("n_bigrams"),
             F.round(F.avg(lp), 6).alias("avg_logprob"),
         )
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token-repetition signals (Gopher-style repetition gate):
+    duplicate-token ratio and most-frequent-token share.
+
+    Shape: explode → count per (doc, token) → fold per doc.  Both
+    aggregations combine map-side (partial agg), so the shuffled volume
+    is the per-doc *vocabulary*, not the token stream.  The top token is
+    picked with ``min_by`` over a (-count, token) struct — deterministic
+    highest-count-then-lexicographic winner with zero extra shuffle
+    (a window rank would reshuffle on doc_id).
+    """
+    docs = spread(docs)
+    counts = (
+        docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.min_by("token", F.struct((-F.col("cnt")).alias("nc"), F.col("token"))).alias(
+            "top_token"
+        ),
+        F.max("cnt").alias("top_token_count"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(1.0 - F.try_divide(F.col("n_distinct_tokens"), F.col("n_tokens")), 6).alias(
+            "dup_token_ratio"
+        ),
+        "top_token",
+        F.round(F.try_divide(F.col("top_token_count"), F.col("n_tokens")), 6).alias(
+            "top_token_ratio"
+        ),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction).
+
+    tf = term count / doc length; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style).  N comes from one parquet-metadata count — the only
+    driver-side scalar.  Document frequencies join back on ``term``:
+    both sides are term-keyed aggregates, so at scale this is one
+    co-partitioned shuffle join; the final per-doc top-k ranks ≤ |vocab|
+    rows per doc.  Ties: higher score, then lexicographic term.
+    """
+    n_docs = docs.count()
+    docs = spread(docs)
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf_count"))
+    )
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf_count").alias("doc_len"))
+    df_counts = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_count"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df_count") + 1.0)) + 1.0
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(df_counts, "term")
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(F.try_divide(F.col("tf_count"), F.col("doc_len")) * idf, 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
     )

@@ -97,3 +97,34 @@ def test_text_stats_zero_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x1_text_stats")
     assert "HashAggregate" not in plan
     assert "Join" not in plan
+
+
+def test_disjunctive_filter_pushed_to_both_scans(spark, sf_dir):
+    # a12 (Q19 shape): Catalyst must extract per-side residuals from the
+    # OR-of-ANDs and push them into BOTH parquet scans — the difference
+    # between scanning 2 columns' worth of matching row groups and
+    # scanning two full fact tables at 100 TB.
+    plan = plan_of(spark, sf_dir, "a12_disjunctive_part_revenue")
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*p_brand", plan)
+
+
+def test_late_lines_join_condition_filters_during_probe(spark, sf_dir):
+    # a10: the late-shipment predicate must live in the join, not a
+    # post-join Filter node.
+    plan = plan_of(spark, sf_dir, "a10_late_lines_by_priority")
+    assert "l_shipdate" in plan
+    assert "HashAggregate" in plan  # partial agg present
+
+
+def test_promo_revenue_shipdate_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "a11_promo_revenue")
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def test_kmv_uses_salted_two_phase_ranking(spark, sf_dir):
+    # x10: the k-smallest selection must ride the skew-safe two-phase
+    # top-k (two window passes), never a single global-window sort of
+    # each group's whole distinct set.
+    plan = plan_of(spark, sf_dir, "x10_kmv_distinct_users")
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2

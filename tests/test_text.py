@@ -140,3 +140,34 @@ def test_bigram_logprob_discriminates_fluency(spark):
     assert out[0].avg_logprob > out[99].avg_logprob  # fluent >> gibberish
     # identical docs score identically
     assert out[0].avg_logprob == out[5].avg_logprob
+
+
+def test_repetition_stats(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z"), (3, "b b a a")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_tokens == 4 and rows[1].n_distinct_tokens == 2
+    assert rows[1].top_token == "a" and rows[1].top_token_ratio == 0.75
+    assert rows[2].dup_token_ratio == 0.0
+    # tie on count (a=2, b=2) → lexicographically smallest token wins
+    assert rows[3].top_token == "a"
+
+
+def test_tfidf_top_terms(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import tfidf_top_terms
+
+    # "rare" appears in one doc only → highest idf → its doc's top term;
+    # "common" appears everywhere → idf floor.
+    df = spark.createDataFrame(
+        [(1, "common rare"), (2, "common common"), (3, "common other")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    assert top[1] == "rare"  # equal tf, higher idf wins
+    assert top[3] == "other"
+    assert top[2] == "common"
+    assert all(r.rank == 1 for r in out)
