@@ -28,7 +28,6 @@ HEADLINE = [
     # reference surface + windowed layer
     "t5_stock_aggregation",
     "q4_filtered_range",
-    "q5_windowed_aggregation",
     "q5_filtered_window_range",
     # join / top-k analytics workload
     "a1_pricing_summary",

@@ -138,10 +138,12 @@ def lsh_band_buckets(
     bands: int = 4,
     rows_per_band: int = 3,
     id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band_id, band_hash): one row per band, hash of that band's
-    signature slice — docs sharing any (band_id, band_hash) are
-    candidates."""
+    """(id, [carry...], band_id, band_hash): one row per band, hash of
+    that band's signature slice — docs sharing any (band_id, band_hash)
+    are candidates.  ``carry`` names extra columns to keep alongside
+    (e.g. the full signature) without a second pass or a join."""
     band_rows = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -154,8 +156,8 @@ def lsh_band_buckets(
         for b in range(bands)
     ]
     return signatures.select(
-        id_col, F.explode(F.array(*band_rows)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+        id_col, *carry, F.explode(F.array(*band_rows)).alias("band")
+    ).select(id_col, *carry, "band.band_id", "band.band_hash")
 
 
 def lsh_candidate_pairs(

@@ -146,6 +146,24 @@ def image_features(assets: DataFrame) -> DataFrame:
     )
 
 
+def with_resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Append aspect-preserving resize-plan columns (scale, target dims,
+    longest side capped at ``max_side``) to any DataFrame carrying
+    ``width``/``height`` — a pure row map, so it composes with either
+    the manifest or the Python feature-extraction output without a
+    second scan or a join."""
+    longest = F.greatest("width", "height")
+    scale = F.when(longest <= max_side, F.lit(1.0)).otherwise(
+        max_side / longest.cast("double")
+    )
+    return df.select(
+        "*",
+        F.round(scale, 6).alias("scale"),
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("bigint").alias("target_width"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("bigint").alias("target_height"),
+    )
+
+
 def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize planning: compute the scale factor and target dims
     JVM-side (aspect-preserving, cap longest side at ``max_side``).
@@ -153,17 +171,8 @@ def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
     present this becomes `Image.resize` inside mapInPandas; here the
     output carries the plan (deterministic, testable)."""
     m = asset_manifest(assets).filter(F.col("media_type") == "image")
-    longest = F.greatest("width", "height")
-    scale = F.when(longest <= max_side, F.lit(1.0)).otherwise(
-        max_side / longest.cast("double")
-    )
-    return m.select(
-        "asset_id",
-        "width",
-        "height",
-        F.round(scale, 6).alias("scale"),
-        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("bigint").alias("target_width"),
-        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("bigint").alias("target_height"),
+    return with_resize_plan(m, max_side).select(
+        "asset_id", "width", "height", "scale", "target_width", "target_height"
     )
 
 
@@ -229,12 +238,15 @@ def video_frame_features(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     grow with the corpus); Python work is partition-local.
     """
     frames = sample_video_frames(assets, every_ms).select(
-        "asset_id", "frame_idx", "frame_ms"
+        "asset_id", "duration_ms", "frame_idx", "frame_ms"
     )
     payloads = assets.filter(F.col("media_type") == "video").select("asset_id", "payload")
     joined = frames.join(payloads.hint("shuffle_hash"), "asset_id")
 
-    schema = "asset_id long, frame_idx int, frame_ms long, frame_sig string, luma int"
+    schema = (
+        "asset_id long, duration_ms long, frame_idx int, frame_ms long, "
+        "frame_sig string, luma int"
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -243,8 +255,12 @@ def video_frame_features(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             if pdf.empty:
                 continue
             out = []
-            for asset_id, frame_idx, frame_ms, payload in zip(
-                pdf["asset_id"], pdf["frame_idx"], pdf["frame_ms"], pdf["payload"]
+            for asset_id, duration_ms, frame_idx, frame_ms, payload in zip(
+                pdf["asset_id"],
+                pdf["duration_ms"],
+                pdf["frame_idx"],
+                pdf["frame_ms"],
+                pdf["payload"],
             ):
                 sig = hashlib.md5(
                     (bytes(payload).hex().upper() + f":{frame_ms}").encode()
@@ -252,6 +268,7 @@ def video_frame_features(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                 out.append(
                     {
                         "asset_id": asset_id,
+                        "duration_ms": duration_ms,
                         "frame_idx": frame_idx,
                         "frame_ms": frame_ms,
                         "frame_sig": sig,

@@ -35,14 +35,8 @@ def _stop_hits(toks: F.Column, lang: str) -> F.Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
 
 
-def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc stats + composite quality score.
-
-    score ∈ [0,1]: rewards reasonable length, penalizes punctuation /
-    digit density, rewards stopword presence (fluency proxy) — the
-    standard cheap quality gate before expensive model-based filters.
-    """
-    docs = spread(docs)
+def _stats_cols(text_col: str) -> list[F.Column]:
+    """The aliased per-row stat/quality columns behind ``text_stats``."""
     norm = normalized_text(F.col(text_col))
     toks = tokens_col(F.col(text_col))
     n_tokens = F.size(toks)
@@ -68,8 +62,7 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         + 0.2 * stop_component,
         6,
     )
-    return docs.select(
-        F.col(id_col),
+    return [
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_norm"),
         avg_token_len.alias("avg_token_len"),
@@ -78,7 +71,17 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         stop_ratio.alias("stopword_ratio"),
         F.coalesce(score, F.lit(0.0)).alias("quality_score"),
         F.length(letters_only).alias("n_letters"),
-    )
+    ]
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc stats + composite quality score.
+
+    score ∈ [0,1]: rewards reasonable length, penalizes punctuation /
+    digit density, rewards stopword presence (fluency proxy) — the
+    standard cheap quality gate before expensive model-based filters.
+    """
+    return spread(docs).select(F.col(id_col), *_stats_cols(text_col))
 
 
 def token_counts_report(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -92,13 +95,8 @@ def token_counts_report(docs: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-profile language-ID heuristic over {en,de,es,fr} + a CJK
-    character check for zh.  Deterministic CASE-chain argmax (first
-    declared language wins ties).  On real text this is the classic
-    cheap n-gram/stopword LID; on the synthetic corpus it mostly returns
-    'en' — the *shape* (per-doc scores + argmax) is what matters."""
-    docs = spread(docs)
+def _lang_cols(text_col: str) -> list[F.Column]:
+    """The aliased per-row language-ID columns behind ``language_id``."""
     toks = tokens_col(F.col(text_col))
     hits = {lang: _stop_hits(toks, lang) for lang in STOPWORDS}
     has_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")) > 0
@@ -115,12 +113,19 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         pred = pred.when(cond & (hits[lang] > 0), F.lit(lang))
     pred = pred.otherwise(F.lit("unknown"))
 
-    out = docs.select(
-        F.col(id_col),
+    return [
         *[hits[lang].alias(f"hits_{lang}") for lang in langs],
         pred.alias("lang_pred"),
-    )
-    return out
+    ]
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language-ID heuristic over {en,de,es,fr} + a CJK
+    character check for zh.  Deterministic CASE-chain argmax (first
+    declared language wins ties).  On real text this is the classic
+    cheap n-gram/stopword LID; on the synthetic corpus it mostly returns
+    'en' — the *shape* (per-doc scores + argmax) is what matters."""
+    return spread(docs).select(F.col(id_col), *_lang_cols(text_col))
 
 
 def winnowing_fingerprint(
@@ -155,6 +160,11 @@ def deterministic_split(
     100 — deterministic across runs, engines, and cluster sizes (no
     rand(), no row ordering dependence), so re-running the pipeline on
     a grown corpus never moves an old doc between splits."""
+    return docs.select(F.col(id_col), *_split_cols(id_col, train_pct, val_pct))
+
+
+def _split_cols(id_col: str, train_pct: int = 90, val_pct: int = 5) -> list[F.Column]:
+    """The aliased split-assignment columns behind ``deterministic_split``."""
     bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast(
         "bigint"
     ) % 100
@@ -163,7 +173,24 @@ def deterministic_split(
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    return docs.select(F.col(id_col), bucket.cast("int").alias("bucket"), split.alias("split"))
+    return [bucket.cast("int").alias("bucket"), split.alias("split")]
+
+
+def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document profile: ``text_stats`` ⊕ ``language_id`` ⊕
+    ``deterministic_split`` in a single zero-shuffle projection.
+
+    At 100 TB this is the shape that matters: all three are pure row
+    maps over (id, text), so computing them in one ``select`` reads the
+    corpus once and never shuffles — vs three scans or two joins if the
+    operators ran separately.
+    """
+    return spread(docs).select(
+        F.col(id_col),
+        *_stats_cols(text_col),
+        *_lang_cols(text_col),
+        *_split_cols(id_col),
+    )
 
 
 def length_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:

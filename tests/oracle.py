@@ -43,8 +43,28 @@ def _canon(rows, cols):
     )
 
 
+def check_driver_compatible_types(con, sql: str) -> None:
+    """The driver's value-hash is representation-sensitive: DuckDB HUGEINT
+    (int128, e.g. SUM over integers) and DECIMAL outputs do not round-trip
+    to the same representation as Spark's bigint/double, so rows that are
+    numerically equal still hash-mismatch (observed on a10/x8 in round 2).
+    Oracles must CAST such columns to BIGINT/DOUBLE.
+    """
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    bad = [
+        (name, typ)
+        for name, typ, *_ in desc
+        if "HUGEINT" in typ or typ.startswith("DECIMAL")
+    ]
+    assert not bad, (
+        f"oracle output has driver-hash-unsafe DuckDB types {bad}; "
+        "CAST to BIGINT/DOUBLE in the oracle SQL"
+    )
+
+
 def compare(spark_df, sql: str, sf_dir: str) -> None:
     con = duckdb_con(sf_dir)
+    check_driver_compatible_types(con, sql)
     oracle = con.execute(sql)
     o_cols = [d[0] for d in oracle.description]
     o_rows = oracle.fetchall()

@@ -78,7 +78,7 @@ def test_knn_bruteforce_no_corpus_shuffle(spark, sf_dir):
 
 
 def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "s5_ivf_assign")
+    plan = plan_of(spark, sf_dir, "s2_index_assignments")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan  # no corpus-vs-centroid shuffle join
 
