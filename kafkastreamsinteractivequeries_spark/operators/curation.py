@@ -30,7 +30,7 @@ from kafkastreamsinteractivequeries_spark.operators.dedup import (
     exact_dedup,
     weighted_near_duplicates,
 )
-from kafkastreamsinteractivequeries_spark.operators.text import text_stats
+from kafkastreamsinteractivequeries_spark.sources.tables import spread
 
 
 def cumulative_sum(
@@ -98,11 +98,16 @@ def curate_documents(
 ) -> DataFrame:
     """The composed pipeline; returns surviving docs with
     (quality_score, n_tokens, cum_tokens) provenance columns."""
-    stats = text_stats(docs, text_col, id_col).select(
-        id_col, "quality_score", "n_tokens"
-    )
-    gated = docs.join(
-        stats.filter(F.col("quality_score") >= min_quality), id_col
+    # The stats are pure row maps over (id, text) — compute them inline
+    # on the corpus scan instead of joining text_stats back on id (a
+    # full corpus shuffle join for columns the scan can produce itself).
+    from kafkastreamsinteractivequeries_spark.operators.text import _stats_cols
+
+    gated = (
+        spread(docs)
+        .select("*", *_stats_cols(text_col))
+        .filter(F.col("quality_score") >= min_quality)
+        .select(*docs.columns, "quality_score", "n_tokens")
     )
     deduped = exact_dedup(gated, text_col, id_col)
     pairs = weighted_near_duplicates(deduped, text_col, id_col, near_dup_threshold)

@@ -160,6 +160,44 @@ def lsh_band_buckets(
     ).select(id_col, *carry, "band.band_id", "band.band_hash")
 
 
+def pairs_within_buckets(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    payload: F.Column,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Distinct ordered pairs (``_a`` < ``_b``) of ``payload`` values
+    sharing a bucket, via group-then-bounded-expansion instead of a
+    bucket self-join.
+
+    One shuffle (the groupBy) replaces the self-join's two bucket-table
+    shuffles; pair expansion is a pure codegen explode chain.  The
+    anchor explode keeps every intermediate array ≤ ``max_bucket_size``
+    elements (no per-row flatten of the full quadratic pair list), so
+    memory per row is bounded by the cap, not the cap squared.  Buckets
+    over the cap are dropped — the quadratic-corner guard; the cap is
+    therefore REQUIRED here (an uncapped bucket would collect the whole
+    corpus into one array; use a self-join formulation if you truly
+    need uncapped).  ``payload`` may be the id itself or a struct whose
+    FIRST field is the id (sort_array orders by leading field, so
+    ``_a < _b`` on ids still holds).
+    """
+    grp = buckets.groupBy(*bucket_cols).agg(
+        F.sort_array(F.collect_list(payload)).alias("_xs")
+    )
+    n = F.size("_xs")
+    grp = grp.filter((n >= 2) & (n <= max_bucket_size))
+    anchored = grp.select(
+        "_xs", F.explode(F.sequence(F.lit(1), F.size("_xs") - 1)).alias("_i")
+    )
+    return anchored.select(
+        F.element_at("_xs", F.col("_i")).alias("_a"),
+        F.explode(
+            F.slice("_xs", F.col("_i") + 1, F.size("_xs") - F.col("_i"))
+        ).alias("_b"),
+    ).distinct()
+
+
 def lsh_candidate_pairs(
     buckets: DataFrame,
     id_col: str = "doc_id",
@@ -169,14 +207,15 @@ def lsh_candidate_pairs(
 
     ``max_bucket_size`` guards the quadratic corner: buckets larger than
     the cap (e.g. boilerplate shared by millions of docs) are dropped —
-    at 100 TB you'd route those to an exact-group path instead.
+    at 100 TB you'd route those to an exact-group path instead.  With a
+    cap set, candidates come from ``pairs_within_buckets`` (one
+    bucket-table shuffle); uncapped falls back to the self-join (the
+    group form would collect unboundedly large arrays).
     """
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
-        buckets = (
-            buckets.join(F.broadcast(sizes.filter(F.col("_n") > max_bucket_size)),
-                         ["band_id", "band_hash"], "left_anti")
-        )
+        return pairs_within_buckets(
+            buckets, ["band_id", "band_hash"], F.col(id_col), max_bucket_size
+        ).withColumnsRenamed({"_a": "id_a", "_b": "id_b"})
     a = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     return (
@@ -193,13 +232,29 @@ def jaccard_verify(
     """(id_a, id_b, jaccard) for candidate pairs with exact shingle-set
     Jaccard ≥ threshold (computed JVM-side on the candidate set only)."""
     sh = signatures.select(F.col(id_col), "shingles")
+    # Stage 1 — prune on set sizes only: |A∩B| ≤ min(|A|,|B|) and
+    # |A∪B| ≥ max, so jaccard ≤ min/max — a pair failing the size-ratio
+    # test can never reach the threshold.  Sizes are one int per doc;
+    # shipping them first means the heavy shingle arrays are only
+    # joined to SURVIVING pairs.  (1e-6 slack covers the final round().)
+    sz = sh.select(F.col(id_col), F.size("shingles").alias("_sz"))
     # SHUFFLE_HASH: the per-doc side must not be broadcast (it grows
     # with the corpus — forced broadcast would OOM at scale) and AQE
     # left alone may instead broadcast the multi-million-row pair list,
     # paying a driver collect + hash build per execution.  Shuffle-hash
     # joins on id are skinny-row shuffles that work at any size.
+    pruned = (
+        pairs.join(sz.withColumnsRenamed({id_col: "id_a", "_sz": "_sza"}).hint("shuffle_hash"), "id_a")
+        .join(sz.withColumnsRenamed({id_col: "id_b", "_sz": "_szb"}).hint("shuffle_hash"), "id_b")
+        .filter(
+            F.least("_sza", "_szb")
+            >= (threshold - 1e-6) * F.greatest("_sza", "_szb")
+        )
+        .select("id_a", "id_b")
+    )
+    # Stage 2 — exact verify on the pruned pair set.
     joined = (
-        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}).hint("shuffle_hash"), "id_a")
+        pruned.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}).hint("shuffle_hash"), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}).hint("shuffle_hash"), "id_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -315,8 +370,6 @@ def multiset_jaccard_verify(
         F.map_from_entries(F.collect_list(F.struct("tok", "cnt"))).alias("tf"),
         F.sum("cnt").alias("total"),
     )
-    a = tf.select(F.col(id_col).alias("id_a"), F.col("tf").alias("tf_a"), F.col("total").alias("total_a"))
-    b = tf.select(F.col(id_col).alias("id_b"), F.col("tf").alias("tf_b"), F.col("total").alias("total_b"))
     inter = F.aggregate(
         F.map_values(
             F.map_zip_with(
@@ -328,22 +381,32 @@ def multiset_jaccard_verify(
         lambda acc, x: acc + x,
     )
     jac = F.col("inter") / (F.col("total_a") + F.col("total_b") - F.col("inter"))
-    # Exact pruning bound evaluated BEFORE the expensive map
-    # intersection: inter ≤ min(totals) and the union ≥ max(totals), so
+    # Stage 1 — exact pruning bound on TOTALS ONLY, before any map is
+    # shipped: inter ≤ min(totals) and the union ≥ max(totals), so
     # mjaccard ≤ min/max — a pair failing the length-ratio test can
-    # never reach the threshold.  (1e-6 slack covers the final round().)
-    ratio_ok = F.least("total_a", "total_b") >= (threshold - 1e-6) * F.greatest(
-        "total_a", "total_b"
-    )
-    # SHUFFLE_HASH on the per-doc map sides: they must not be broadcast
+    # never reach the threshold.  Totals are one long per doc; the map
+    # columns (the heavy payload) are only joined to pairs that survive.
+    # (1e-6 slack covers the final round().)
+    tots = tf.select(F.col(id_col), "total")
+    # SHUFFLE_HASH on the per-doc sides: they must not be broadcast
     # (they grow with the corpus — forced broadcast would OOM at scale),
     # and AQE left alone may instead broadcast the sub-threshold but
     # multi-million-row pair list, paying a driver collect + hash build
     # per execution.  Shuffle-hash on id works at any size.
+    pruned = (
+        pairs.join(tots.withColumnsRenamed({id_col: "id_a", "total": "total_a"}).hint("shuffle_hash"), "id_a")
+        .join(tots.withColumnsRenamed({id_col: "id_b", "total": "total_b"}).hint("shuffle_hash"), "id_b")
+        .filter(
+            F.least("total_a", "total_b")
+            >= (threshold - 1e-6) * F.greatest("total_a", "total_b")
+        )
+    )
+    # Stage 2 — map intersection on the pruned pair set only.
+    maps_a = tf.select(F.col(id_col).alias("id_a"), F.col("tf").alias("tf_a"))
+    maps_b = tf.select(F.col(id_col).alias("id_b"), F.col("tf").alias("tf_b"))
     return (
-        pairs.join(a.hint("shuffle_hash"), "id_a")
-        .join(b.hint("shuffle_hash"), "id_b")
-        .filter(ratio_ok)
+        pruned.join(maps_a.hint("shuffle_hash"), "id_a")
+        .join(maps_b.hint("shuffle_hash"), "id_b")
         .withColumn("inter", inter)
         .withColumn("mjaccard", F.round(jac, 6))
         .filter(F.col("mjaccard") >= threshold)
@@ -450,6 +513,10 @@ def simhash_near_duplicates(
     job).
     """
     sigs = simhash_signatures(docs, text_col, id_col, bits)
+    if max_bucket_size is not None:
+        # (id, simhash) feeds the chunk buckets AND both sides of the
+        # verify join — materialize the expensive vote expression once.
+        sigs = sigs.localCheckpoint(eager=False)
     clen = bits // chunks
     chunk_rows = F.explode(
         F.array(
@@ -466,24 +533,35 @@ def simhash_near_duplicates(
         id_col, "simhash", "ch.chunk_id", "ch.chunk"
     )
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("chunk_id", "chunk").agg(F.count("*").alias("_n"))
-        buckets = buckets.join(
-            F.broadcast(sizes.filter(F.col("_n") > max_bucket_size)),
-            ["chunk_id", "chunk"],
-            "left_anti",
+        # group-then-bounded-expansion: one bucket-table shuffle instead
+        # of a self-join's two.  Pairs are generated and deduplicated as
+        # BARE IDS (16 bytes/row) — on clustered corpora the same pair
+        # collides in up to ``chunks`` chunk buckets, so the pre-distinct
+        # stream is large and must stay skinny; the signature strings
+        # are joined back only for the distinct survivors.
+        ids = pairs_within_buckets(
+            buckets, ["chunk_id", "chunk"], F.col(id_col), max_bucket_size
+        ).withColumnsRenamed({"_a": "id_a", "_b": "id_b"})
+        cand = ids.join(
+            sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")).hint("shuffle_hash"),
+            "id_a",
+        ).join(
+            sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b")).hint("shuffle_hash"),
+            "id_b",
         )
-    a = buckets.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk"
-    )
-    b = buckets.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk"
-    )
-    cand = (
-        a.join(b, ["chunk_id", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
-    )
+    else:
+        a = buckets.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk"
+        )
+        b = buckets.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk"
+        )
+        cand = (
+            a.join(b, ["chunk_id", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sim_a", "sim_b")
+            .distinct()
+        )
     hamming = F.size(
         F.filter(
             F.zip_with(

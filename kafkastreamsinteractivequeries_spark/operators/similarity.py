@@ -301,11 +301,6 @@ def embedding_near_duplicates(
     stats_fn = None
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band_id", "band_bits").agg(F.count("*").alias("_n"))
-        buckets = buckets.join(
-            F.broadcast(sizes.filter(F.col("_n") > max_bucket_size)),
-            ["band_id", "band_bits"],
-            "left_anti",
-        )
 
         def stats_fn(sizes=sizes, cap=max_bucket_size):
             # one small agg job over bucket sizes (codes + explode +
@@ -317,14 +312,26 @@ def embedding_near_duplicates(
                 F.coalesce(F.sum("_n"), F.lit(0)).alias("total_rows"),
             ).collect()[0]
             return int(row.dropped_rows), int(row.total_rows)
-    a = buckets.withColumnRenamed(id_col, "id_a")
-    b = buckets.withColumnRenamed(id_col, "id_b")
-    cand = (
-        a.join(b, ["band_id", "band_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+
+        # group-then-bounded-expansion (see dedup.pairs_within_buckets):
+        # one bucket-table shuffle, cap-bounded intermediate arrays, and
+        # the over-cap drop comes free from the group-size filter.
+        from kafkastreamsinteractivequeries_spark.operators.dedup import (
+            pairs_within_buckets,
+        )
+
+        cand = pairs_within_buckets(
+            buckets, ["band_id", "band_bits"], F.col(id_col), max_bucket_size
+        ).withColumnsRenamed({"_a": "id_a", "_b": "id_b"})
+    else:
+        a = buckets.withColumnRenamed(id_col, "id_a")
+        b = buckets.withColumnRenamed(id_col, "id_b")
+        cand = (
+            a.join(b, ["band_id", "band_bits"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     ea = embeddings.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
