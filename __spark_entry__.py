@@ -310,6 +310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x7_bigram_logprob"] = lambda s, d: T.bigram_logprob_scores(_docs(s, d))
     q["x8_repetition_stats"] = lambda s, d: T.repetition_stats(_docs(s, d))
     q["x9_tfidf_top_terms"] = lambda s, d: T.tfidf_top_terms(_docs(s, d), k=3)
+    # x11 — tokenizer/vocab-building step: top-k corpus vocabulary with
+    # rank and cumulative coverage share.
+    q["x11_vocab_coverage"] = lambda s, d: T.vocabulary_coverage(_docs(s, d), top_k=50)
 
     from kafkastreamsinteractivequeries_spark.operators import sketches as SK
 
@@ -1041,6 +1044,26 @@ SELECT doc_id, term, tfidf, rank FROM (
     ) AS INTEGER) AS rank
   FROM scored
 ) WHERE rank <= 3
+"""
+    )
+    # x11 — vocab coverage: corpus token counts, top-k by (count desc,
+    # token), rank + running share of ALL corpus tokens.
+    o["x11_vocab_coverage"] = (
+        t_cte
+        + """, counts AS (
+  SELECT tok AS token, COUNT(*) AS count
+  FROM t, unnest(toks) AS u(tok)
+  GROUP BY tok
+), total AS (SELECT CAST(SUM(count) AS BIGINT) AS tot FROM counts),
+top AS (
+  SELECT token, count FROM counts ORDER BY count DESC, token LIMIT 50
+)
+SELECT token, CAST(count AS BIGINT) AS count,
+       CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) AS INTEGER) AS rank,
+       ROUND(CAST(SUM(count) OVER (ORDER BY count DESC, token
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             / CAST(tot AS DOUBLE), 6) AS cum_fraction
+FROM top CROSS JOIN total
 """
     )
     # x10 — KMV sketch: deterministic 32-bit multiplicative hash ring,

@@ -198,31 +198,72 @@ def pairs_within_buckets(
     ).distinct()
 
 
+def bucket_self_join_pairs(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Distinct ordered id pairs sharing a bucket via the classic
+    equi-self-join (over-cap buckets dropped by an anti-join first).
+
+    Faster than ``pairs_within_buckets`` when buckets are CHUNKY
+    (median occupancy in the hundreds): the hash-probe emits pair rows
+    as two bare longs, while the group form drags the collected id
+    array through its explode chain.  Measured at a 16× corpus with
+    ~256-occupancy SRP buckets: join 2.4 s vs expand 13 s for the same
+    18M pairs; with p99-occupancy-31 minhash buckets the ranking flips
+    (see ``lsh_candidate_pairs``).
+    """
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy(*bucket_cols).agg(F.count("*").alias("_n"))
+        buckets = buckets.join(
+            F.broadcast(sizes.filter(F.col("_n") > max_bucket_size)),
+            bucket_cols,
+            "left_anti",
+        )
+    a = buckets.select(F.col(id_col).alias("id_a"), *bucket_cols)
+    b = buckets.select(F.col(id_col).alias("id_b"), *bucket_cols)
+    return (
+        a.join(b, bucket_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     buckets: DataFrame,
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    strategy: str = "expand",
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing a band bucket.
 
     ``max_bucket_size`` guards the quadratic corner: buckets larger than
     the cap (e.g. boilerplate shared by millions of docs) are dropped —
-    at 100 TB you'd route those to an exact-group path instead.  With a
-    cap set, candidates come from ``pairs_within_buckets`` (one
-    bucket-table shuffle); uncapped falls back to the self-join (the
-    group form would collect unboundedly large arrays).
+    at 100 TB you'd route those to an exact-group path instead.
+
+    ``strategy`` picks the physical shape (both produce identical
+    output; both measured, SCALING.md):
+
+    - ``"expand"`` (default) — ``pairs_within_buckets``: one
+      bucket-table shuffle, group + bounded explode.  Wins when most
+      buckets are SMALL (minhash banding: median ≤ a few, p99 ≤ ~400),
+      where the self-join's second shuffle and probe overhead dominate.
+    - ``"join"`` — ``bucket_self_join_pairs``: the equi-self-join.
+      Wins when buckets are CHUNKY (occupancy engineered to O(100s),
+      e.g. SRP bands, clustered simhash chunks): probe emission is two
+      bare longs/row vs the expand form dragging its id array through
+      the explode chain.  Also the only option uncapped (the group form
+      would collect unboundedly large arrays).
     """
-    if max_bucket_size is not None:
+    if max_bucket_size is not None and strategy == "expand":
         return pairs_within_buckets(
             buckets, ["band_id", "band_hash"], F.col(id_col), max_bucket_size
         ).withColumnsRenamed({"_a": "id_a", "_b": "id_b"})
-    a = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    return bucket_self_join_pairs(
+        buckets, ["band_id", "band_hash"], id_col, max_bucket_size
     )
 
 
@@ -533,15 +574,17 @@ def simhash_near_duplicates(
         id_col, "simhash", "ch.chunk_id", "ch.chunk"
     )
     if max_bucket_size is not None:
-        # group-then-bounded-expansion: one bucket-table shuffle instead
-        # of a self-join's two.  Pairs are generated and deduplicated as
-        # BARE IDS (16 bytes/row) — on clustered corpora the same pair
-        # collides in up to ``chunks`` chunk buckets, so the pre-distinct
-        # stream is large and must stay skinny; the signature strings
-        # are joined back only for the distinct survivors.
-        ids = pairs_within_buckets(
-            buckets, ["chunk_id", "chunk"], F.col(id_col), max_bucket_size
-        ).withColumnsRenamed({"_a": "id_a", "_b": "id_b"})
+        # Pairs are generated and deduplicated as BARE IDS (16
+        # bytes/row) — on clustered corpora the same pair collides in up
+        # to ``chunks`` chunk buckets, so the pre-distinct stream is
+        # large and must stay skinny; the signature strings are joined
+        # back only for the distinct survivors.  Self-join strategy:
+        # simhash chunk buckets on clustered corpora are CHUNKY (p99
+        # ~800 at sf0.1), where probe emission beats the expand form
+        # (measured 1.3 s vs 2.3 s for the same 3.1M pairs).
+        ids = bucket_self_join_pairs(
+            buckets, ["chunk_id", "chunk"], id_col, max_bucket_size
+        )
         cand = ids.join(
             sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")).hint("shuffle_hash"),
             "id_a",

@@ -284,8 +284,8 @@ def embedding_near_duplicates(
     small bucket-size agg job, run only on demand); a nonzero fraction
     is logged as a recall warning when retrieved.
     """
+    n = embeddings.count()  # one parquet row-group-count job
     if num_planes is None:
-        n = embeddings.count()
         num_planes = srp_planes_for(n, chunks)
         logger.info(
             "embedding_near_duplicates auto-sized: corpus=%d -> %d planes (%d-bit bands)",
@@ -313,16 +313,28 @@ def embedding_near_duplicates(
             ).collect()[0]
             return int(row.dropped_rows), int(row.total_rows)
 
-        # group-then-bounded-expansion (see dedup.pairs_within_buckets):
-        # one bucket-table shuffle, cap-bounded intermediate arrays, and
-        # the over-cap drop comes free from the group-size filter.
+        # Strategy by EXPECTED OCCUPANCY n / 2^band_bits (both shapes
+        # produce identical pairs; both measured, SCALING.md): chunky
+        # buckets (auto-sized corpora hold ~target_bucket_size=256) →
+        # equi-self-join, whose probe emission is two bare longs/row —
+        # at a 16× corpus: join 2.4 s vs expand 13 s for the same 18M
+        # pairs.  Sparse buckets (small corpus under a pinned plane
+        # count) → group+expand, which skips the join's second
+        # bucket-table shuffle.
         from kafkastreamsinteractivequeries_spark.operators.dedup import (
+            bucket_self_join_pairs,
             pairs_within_buckets,
         )
 
-        cand = pairs_within_buckets(
-            buckets, ["band_id", "band_bits"], F.col(id_col), max_bucket_size
-        ).withColumnsRenamed({"_a": "id_a", "_b": "id_b"})
+        occupancy = n / float(2 ** (num_planes // chunks))
+        if occupancy <= 64:
+            cand = pairs_within_buckets(
+                buckets, ["band_id", "band_bits"], F.col(id_col), max_bucket_size
+            ).withColumnsRenamed({"_a": "id_a", "_b": "id_b"})
+        else:
+            cand = bucket_self_join_pairs(
+                buckets, ["band_id", "band_bits"], id_col, max_bucket_size
+            )
     else:
         a = buckets.withColumnRenamed(id_col, "id_a")
         b = buckets.withColumnRenamed(id_col, "id_b")

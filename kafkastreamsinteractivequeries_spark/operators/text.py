@@ -193,6 +193,54 @@ def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def vocabulary_coverage(
+    docs: DataFrame,
+    top_k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_k`` corpus vocabulary with rank and cumulative coverage
+    — the tokenizer/vocab-building step of a pre-training pipeline
+    ("how many token types cover 95% of the corpus?").
+
+    Columns: (token, count, rank, cum_fraction) where ``cum_fraction``
+    is the running share of ALL corpus tokens (not just the top-k)
+    covered by ranks 1..r.  Ties break by token string, so the output
+    is deterministic.
+
+    Scale shape: one shuffle for the (token, count) aggregate with
+    map-side partial aggregation; the global top-k is
+    ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k, merge of k-row heaps; never a full sort);
+    rank/cumsum then run on the ≤ k surviving rows (a single tiny
+    partition by construction).  The corpus-total is one scalar
+    broadcast.  No stage touches more than the vocab table.
+    """
+    docs = spread(docs)
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+    )
+    total = counts.agg(F.sum("count").alias("_total"))
+    top = counts.orderBy(F.col("count").desc(), F.col("token")).limit(top_k)
+    w = (
+        Window.orderBy(F.col("count").desc(), F.col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "count",
+            F.row_number().over(
+                Window.orderBy(F.col("count").desc(), F.col("token"))
+            ).alias("rank"),
+            F.round(F.sum("count").over(w) / F.col("_total"), 6).alias("cum_fraction"),
+        )
+    )
+
+
 def length_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact token-length distribution stats of the corpus (the
     pre-training length-histogram sanity check).  Exact percentiles

@@ -412,6 +412,33 @@ def observed(df: DataFrame, name: str = "txn_metrics"):
     return out, obs
 
 
+def streaming_exact_dedup(
+    doc_stream: DataFrame,
+    event_time_col: str = "event_time",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming ingest dedup — the streaming analog of the batch
+    ``dedup.exact_dedup`` (d1): drop records whose normalized-text
+    fingerprint was already seen, with dedup state GC'd past the
+    watermark (unbounded corpora need bounded state; within-watermark
+    exactness is the standard contract).
+
+    Fingerprints the same way as batch d1 (md5 of normalized text), so
+    a corpus ingested via the stream and then batch-deduped produces
+    the same survivors as deduping on ingest.  Uses
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+): state per distinct
+    fingerprint, evicted once the watermark passes — at 100 TB/day the
+    state is bounded by the watermark horizon, not corpus size.
+    """
+    from kafkastreamsinteractivequeries_spark.operators.dedup import normalized_text
+
+    fp = doc_stream.withColumn(
+        "fingerprint", F.md5(normalized_text(F.col(text_col)))
+    ).withWatermark(event_time_col, watermark)
+    return fp.dropDuplicatesWithinWatermark(["fingerprint"])
+
+
 def windowed_streaming_aggregation(
     txn_stream: DataFrame, duration: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

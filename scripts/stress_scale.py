@@ -107,6 +107,36 @@ def stress_s4(spark, emb16x):
           f" = {hit / max(1, len(exact)):.2f}")
 
 
+def stress_d9(spark, doc16x):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        weighted_near_duplicates,
+    )
+
+    doc1 = load_table(spark, SF_DIR, "documents")
+    doc16 = spark.read.parquet(doc16x)
+    res = {}
+    for label, df in (("1x", doc1), ("16x", doc16)):
+        res[label] = timed(
+            f"d9 {label}", lambda df=df: weighted_near_duplicates(df).count()
+        )
+    print(f"d9 growth at {REPLICAS}x corpus: {res['16x'] / res['1x']:.1f}x")
+
+
+def stress_p1(spark, doc16x):
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        curate_documents,
+    )
+
+    doc1 = load_table(spark, SF_DIR, "documents")
+    doc16 = spark.read.parquet(doc16x)
+    res = {}
+    for label, df in (("1x", doc1), ("16x", doc16)):
+        res[label] = timed(
+            f"p1 {label}", lambda df=df: curate_documents(df).count()
+        )
+    print(f"p1 growth at {REPLICAS}x corpus: {res['16x'] / res['1x']:.1f}x")
+
+
 def stress_d10(spark, doc16x):
     from kafkastreamsinteractivequeries_spark.operators.dedup import (
         minhash_near_duplicates,
@@ -128,5 +158,9 @@ if __name__ == "__main__":
     emb16x, doc16x = build_16x(spark)
     if which in ("s4", "all"):
         stress_s4(spark, emb16x)
+    if which in ("d9", "all"):
+        stress_d9(spark, doc16x)
+    if which in ("p1", "all"):
+        stress_p1(spark, doc16x)
     if which in ("d10", "all"):
         stress_d10(spark, doc16x)

@@ -311,3 +311,51 @@ def test_observed_metrics(spark, txn_dir):
     assert m["n_records"] == 18  # 6 symbols x 3 txns
     assert 0 < m["n_buys"] < 18
     assert m["total_amount"] == 1800.0
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming dedup (d1's streaming analog) keeps one record per
+    normalized-text fingerprint within the watermark, matching the
+    batch exact-dedup survivor SET (ids may differ: streaming keeps
+    first-arrival, batch keeps lowest id — fingerprints must agree)."""
+    import pyspark.sql.functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        fingerprint_documents,
+    )
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        streaming_exact_dedup,
+    )
+
+    rows = [
+        (1, "The quick brown fox", T0),
+        (2, "the  quick   BROWN fox", T0 + dt.timedelta(minutes=1)),  # dup of 1
+        (3, "something else entirely", T0 + dt.timedelta(minutes=2)),
+        (4, "Something ELSE entirely", T0 + dt.timedelta(minutes=3)),  # dup of 3
+        (5, "a third distinct text", T0 + dt.timedelta(minutes=4)),
+    ]
+    schema = "doc_id long, text string, event_time timestamp"
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT fingerprint FROM dedup_stream")
+    batch = fingerprint_documents(
+        spark.createDataFrame(rows, schema)
+    ).select("fingerprint").distinct()
+    assert {r.fingerprint for r in got.collect()} == {
+        r.fingerprint for r in batch.collect()
+    }
+    assert got.count() == 3  # one survivor per distinct fingerprint
