@@ -91,6 +91,29 @@ def test_near_dup_verify_uses_shuffle_hash_not_broadcast(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
 
 
+def test_near_dup_verify_is_staged(spark, sf_dir):
+    # d9's verify must prune on one-long-per-doc totals BEFORE the tf
+    # maps are shipped: the exact min/max ratio bound appears as a
+    # filter over total_a/total_b upstream of the map_zip_with
+    # intersection, so the heavy map columns only join to survivors.
+    plan = plan_of(spark, sf_dir, "d9_weighted_near_duplicates")
+    # the ratio bound evaluates at/under the totals join (as a join
+    # condition or a filter), upstream of the tf-map joins
+    assert re.search(r"least\(total_a#\d+L?, total_b[^)]*\)[^\n]*greatest\(total_a", plan)
+    # four ShuffledHashJoins: 2 skinny totals joins + 2 map joins
+    assert plan.count("ShuffledHashJoin") >= 4
+
+
+def test_minhash_pairs_use_group_expansion_not_self_join(spark, sf_dir):
+    # d9's candidate stage (sparse-bucket regime) must be the
+    # group+bounded-expansion shape: a collect_list aggregate over the
+    # band buckets and NO bucket-keyed self-join (whose second
+    # bucket-table shuffle and probe overhead lose in this regime).
+    plan = plan_of(spark, sf_dir, "d9_weighted_near_duplicates")
+    assert "collect_list" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_text_stats_zero_shuffle(spark, sf_dir):
     # x1 is map-only modulo the local spread() repartition: no
     # aggregation or join exchanges.
