@@ -418,19 +418,86 @@ def ivf_centroids(
     )
 
 
+def ivf_train(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-means-trained coarse quantizer: Lloyd iterations as pure
+    DataFrame ops, seeded from the deterministic ``ivf_centroids``.
+
+    Each iteration: (1) nearest-centroid assignment — one corpus scan
+    against the broadcast centroid table; (2) per-list mean via
+    posexplode → (list, dim) partial-agg mean → re-assemble, so the
+    shuffle carries one row per (list, dimension), never a corpus of
+    arrays; empty lists keep their previous centroid.  Centroids are
+    ``localCheckpoint``ed per iteration — the classic iterative-lineage
+    truncation (same pattern as ``dedup.connected_components``);
+    driver traffic is zero (no collect), executor state is
+    n_lists × dim floats.
+
+    Returns (centroid_id, centroid_vec, _nc) — drop-in for
+    ``ivf_assign(..., centroids=...)`` / ``knn_ivf(..., centroids=...)``.
+    """
+    corpus = spread(embeddings).select(
+        id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
+    )
+    cent = ivf_centroids(embeddings, n_lists, vec_col, id_col)
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, n_lists, vec_col, id_col, centroids=cent)
+        members = corpus.join(
+            assigned.withColumnRenamed("list_id", "centroid_id"), id_col
+        )
+        ex = members.select(
+            "centroid_id", F.posexplode(vec_col).alias("_p", "_v")
+        )
+        means = (
+            ex.groupBy("centroid_id", "_p")
+            .agg(F.avg("_v").alias("_m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                    lambda s: s["_m"].cast("float"),
+                ).alias("centroid_vec")
+            )
+        )
+        # empty lists keep their previous centroid
+        cent = (
+            cent.select("centroid_id", F.col("centroid_vec").alias("_prev"))
+            .join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("centroid_vec", "_prev").alias("centroid_vec"),
+            )
+            .withColumn("_nc", norm_expr(F.col("centroid_vec")))
+            .localCheckpoint(eager=False)
+        )
+    return cent
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_lists: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, list_id): nearest-centroid assignment by cosine
     (rounded, centroid-id tie-break — cross-engine deterministic).
 
+    ``centroids`` defaults to the deterministic ``ivf_centroids``
+    quantizer (oracle-mirrorable); pass ``ivf_train(...)`` output for a
+    k-means-trained one — the plan is identical either way.
+
     Scale: centroids are O(n_lists) — genuinely broadcastable at any
     corpus size — so assignment is one corpus scan with a broadcast
     nested-loop against n_lists rows; no corpus shuffle."""
-    cent = ivf_centroids(embeddings, n_lists, vec_col, id_col)
+    cent = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_lists, vec_col, id_col
+    )
     corpus = spread(embeddings).select(
         id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
     )
@@ -458,17 +525,23 @@ def knn_ivf(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``nprobe`` nearest inverted
     lists per query, score only their members exactly.
+
+    ``centroids`` as in ``ivf_assign`` (default deterministic; pass
+    ``ivf_train`` output for the k-means quantizer).
 
     The candidate set is ~corpus × nprobe/n_lists — at 100 TB the
     assignment is precomputed once (a materialized column), queries
     touch only probed lists, and the final exact scoring joins on
     list_id (shuffle on a low-cardinality key; AQE splits skewed
     lists)."""
-    cent = ivf_centroids(embeddings, n_lists, vec_col, id_col)
-    assign = ivf_assign(embeddings, n_lists, vec_col, id_col)
+    cent = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_lists, vec_col, id_col
+    )
+    assign = ivf_assign(embeddings, n_lists, vec_col, id_col, centroids=cent)
 
     qn = queries.select("*", norm_expr(F.col(query_vec_col)).alias("_nb"))
     qcos = F.round(

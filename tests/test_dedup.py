@@ -196,3 +196,34 @@ def test_connected_components_star_giant_component(spark):
     # empty input
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components_star(empty).count() == 0
+
+
+def test_pairs_within_buckets_edge_cases(spark):
+    """Singleton buckets yield nothing (no descending-sequence trap),
+    over-cap buckets are dropped, struct payloads order by leading id."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        pairs_within_buckets,
+    )
+
+    rows = [
+        # bucket A: 3 members -> 3 pairs
+        (1, "b0", "hA"), (2, "b0", "hA"), (3, "b0", "hA"),
+        # bucket B: singleton -> nothing
+        (4, "b0", "hB"),
+        # bucket C: 4 members, over cap 3 -> dropped
+        (5, "b0", "hC"), (6, "b0", "hC"), (7, "b0", "hC"), (8, "b0", "hC"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, band_id string, band_hash string")
+    got = {
+        (r._a, r._b)
+        for r in pairs_within_buckets(
+            df, ["band_id", "band_hash"], F.col("doc_id"), 3
+        ).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    # empty input -> empty output, no error
+    empty = spark.createDataFrame([], "doc_id long, band_id string, band_hash string")
+    assert (
+        pairs_within_buckets(empty, ["band_id", "band_hash"], F.col("doc_id"), 3).count()
+        == 0
+    )

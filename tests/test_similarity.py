@@ -200,3 +200,75 @@ def test_knn_ivf_recall_against_bruteforce(spark, sf_dir):
     # non-trivial, and every IVF hit must be a real vector pair
     assert len(approx & exact) / len(exact) > 0.2
     assert all(q != v for q, v in approx)
+
+
+def test_ivf_train_recovers_separated_clusters(spark):
+    """Lloyd training on 3 well-separated clusters: every trained
+    centroid lands in one cluster, assignments agree with true labels,
+    and quantization error (mean 1 - cosine-to-assigned-centroid)
+    improves on the untrained seed quantizer."""
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        cosine_from_parts,
+        ivf_assign,
+        ivf_centroids,
+        ivf_train,
+        norm_expr,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(3, 16)).astype(np.float32) * 5
+    rows = []
+    for i in range(60):
+        c = i % 3
+        v = centers[c] + rng.normal(scale=0.2, size=16).astype(np.float32)
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+
+    def quant_err(cent):
+        assigned = ivf_assign(df, 3, centroids=cent)
+        joined = (
+            df.join(assigned, "vec_id")
+            .join(
+                cent.withColumnRenamed("centroid_id", "list_id"),
+                "list_id",
+            )
+            .select(
+                (
+                    1
+                    - cosine_from_parts(
+                        F.col("embedding"),
+                        F.col("centroid_vec"),
+                        norm_expr(F.col("embedding")),
+                        F.col("_nc"),
+                    )
+                ).alias("err")
+            )
+        )
+        return joined.agg(F.avg("err")).collect()[0][0]
+
+    seed = ivf_centroids(df, 3).withColumn("_nc", F.col("_nc"))
+    trained = ivf_train(df, 3, iterations=4)
+    assert quant_err(trained) <= quant_err(seed) + 1e-9
+
+    # each trained centroid is essentially one true center (cos > 0.99)
+    got = {r.centroid_id: np.array(r.centroid_vec) for r in trained.collect()}
+    assert len(got) == 3
+    matched = set()
+    for cv in got.values():
+        sims = [
+            float(np.dot(cv, c) / (np.linalg.norm(cv) * np.linalg.norm(c)))
+            for c in centers
+        ]
+        best = int(np.argmax(sims))
+        assert sims[best] > 0.99
+        matched.add(best)
+    assert matched == {0, 1, 2}
+
+    # assignments are consistent with true labels (pure partition)
+    assigned = ivf_assign(df, 3, centroids=trained)
+    pairs = {(r.label, r.list_id) for r in df.join(assigned, "vec_id").collect()}
+    by_label = {}
+    for label, lst in pairs:
+        by_label.setdefault(label, set()).add(lst)
+    assert all(len(v) == 1 for v in by_label.values())
+    assert len({next(iter(v)) for v in by_label.values()}) == 3

@@ -171,3 +171,19 @@ def test_tfidf_top_terms(spark):
     assert top[3] == "other"
     assert top[2] == "common"
     assert all(r.rank == 1 for r in out)
+
+
+def test_vocabulary_coverage_ranks_and_cumulates(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        vocabulary_coverage,
+    )
+
+    rows = [(1, "a a a b b c"), (2, "a b x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.token: r for r in vocabulary_coverage(df, top_k=2).collect()}
+    # a:4 b:3 c:1 x:1, total 9; top-2 = a, b
+    assert set(got) == {"a", "b"}
+    assert got["a"].rank == 1 and got["a"]["count"] == 4
+    assert abs(got["a"].cum_fraction - round(4 / 9, 6)) < 1e-9
+    assert got["b"].rank == 2
+    assert abs(got["b"].cum_fraction - round(7 / 9, 6)) < 1e-9
