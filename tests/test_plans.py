@@ -151,3 +151,12 @@ def test_kmv_uses_salted_two_phase_ranking(spark, sf_dir):
     # each group's whole distinct set.
     plan = plan_of(spark, sf_dir, "x10_kmv_distinct_users")
     assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+
+
+def test_vocab_coverage_uses_take_ordered_not_full_sort(spark, sf_dir):
+    # x11's global top-k must plan as TakeOrderedAndProject (per-partition
+    # k-row heaps merged once) — a full Sort of the vocab table would
+    # serialize millions of rows through one ordering at corpus scale.
+    plan = plan_of(spark, sf_dir, "x11_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine on the token agg
