@@ -577,3 +577,165 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# --------------------------------------------------------------------------
+
+
+def _subvectors(df: DataFrame, m: int, dim: int, vec_col: str, id_col: str) -> DataFrame:
+    """(id, sub_id, subvec): each vector split into ``m`` contiguous
+    ``dim/m``-dim subvectors (one posexplode; no per-subspace scans)."""
+    sub = dim // m
+    slices = F.array(*[F.slice(F.col(vec_col), j * sub + 1, sub) for j in range(m)])
+    return df.select(
+        F.col(id_col), F.posexplode(slices).alias("sub_id", "subvec")
+    )
+
+
+def _l2sq(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance, fixed-order double fold (engine-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_sub_centroid(subs: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """(id, sub_id, code, _dist): nearest centroid per (vector,
+    subspace) by squared L2 (centroid-id tie-break).  ``cent`` is
+    m × k rows — broadcastable at any corpus size."""
+    w = Window.partitionBy(id_col, "sub_id").orderBy(F.col("_dist"), F.col("code"))
+    return (
+        subs.join(F.broadcast(cent), "sub_id")
+        .withColumn("_dist", F.round(_l2sq(F.col("subvec"), F.col("cvec")), 9))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "sub_id", "code", "_dist")
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 5,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codebooks: per-subspace k-means, all ``m``
+    subspaces trained JOINTLY in each iteration's two jobs (assignment +
+    means) rather than m separate training loops.
+
+    Returns (sub_id, code, cvec) — m × k rows, the broadcastable
+    codebook consumed by ``pq_codes`` / ``knn_pq_adc``.
+
+    Scale shape per iteration: one corpus scan for assignment (broadcast
+    m×k codebook), one shuffle of (sub_id, code, dimension) partial
+    means — row count bounded by m × k × dim, independent of corpus
+    size after the partial agg.  Codebook is localCheckpoint'ed per
+    iteration (iterative-lineage truncation).  Seeds are the first
+    ``k`` vectors' subvectors — deterministic, like ``ivf_centroids``.
+    """
+    subs = _subvectors(spread(embeddings), m, dim, vec_col, id_col)
+    cent = (
+        subs.filter(F.col(id_col) < k)
+        .select("sub_id", F.col(id_col).alias("code"), F.col("subvec").alias("cvec"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iterations):
+        assigned = _nearest_sub_centroid(subs, cent, id_col)
+        members = subs.join(assigned.select(id_col, "sub_id", "code"), [id_col, "sub_id"])
+        means = (
+            members.select("sub_id", "code", F.posexplode("subvec").alias("_p", "_v"))
+            .groupBy("sub_id", "code", "_p")
+            .agg(F.avg("_v").alias("_m"))
+            .groupBy("sub_id", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                    lambda s: s["_m"].cast("float"),
+                ).alias("cvec")
+            )
+        )
+        cent = (
+            cent.select("sub_id", "code", F.col("cvec").alias("_prev"))
+            .join(means, ["sub_id", "code"], "left")
+            .select("sub_id", "code", F.coalesce("cvec", "_prev").alias("cvec"))
+            .localCheckpoint(eager=False)
+        )
+    return cent
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes: array<int>[m]) — each vector compressed to m small
+    codes (the 100 TB memory story: 64 float32 dims → m bytes-ish).
+    One corpus scan against the broadcast codebook; codes re-assembled
+    with a sort-by-subspace collect (per-id group of m rows)."""
+    subs = _subvectors(spread(embeddings), m, dim, vec_col, id_col)
+    assigned = _nearest_sub_centroid(subs, codebook, id_col)
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+            lambda s: s["code"].cast("int"),
+        ).alias("codes")
+    )
+
+
+def knn_pq_adc(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC):
+    per-query lookup tables of subvector→centroid distances, summed over
+    each corpus vector's codes.
+
+    (query_id, vec_id, adc_dist, rank) — rank ascending by approximate
+    squared L2.  Scale shape: the distance tables are q × m × k rows
+    (tiny — broadcast); the corpus side is its EXPLODED code table
+    (id, sub_id, code), n × m skinny rows, aggregated back per
+    (query, id) with a partial-agg sum.  The raw vectors are never
+    touched after encoding — that is the point of PQ."""
+    tables = (
+        queries.select(
+            query_id_col, F.posexplode(
+                F.array(*[F.slice(F.col(query_vec_col), j * (dim // m) + 1, dim // m) for j in range(m)])
+            ).alias("sub_id", "qsub")
+        )
+        .join(F.broadcast(codebook), "sub_id")
+        .select(
+            query_id_col, "sub_id", "code",
+            F.round(_l2sq(F.col("qsub"), F.col("cvec")), 9).alias("_d"),
+        )
+    )
+    code_rows = pq_codes(embeddings, codebook, m, dim, vec_col, id_col).select(
+        id_col, F.posexplode("codes").alias("sub_id", "code")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        code_rows.join(F.broadcast(tables), ["sub_id", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_d"), 6).alias("adc_dist"))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )

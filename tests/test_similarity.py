@@ -272,3 +272,46 @@ def test_ivf_train_recovers_separated_clusters(spark):
         by_label.setdefault(label, set()).add(lst)
     assert all(len(v) == 1 for v in by_label.values())
     assert len({next(iter(v)) for v in by_label.values()}) == 3
+
+
+def test_pq_adc_approximates_exact_l2_on_separated_data(spark):
+    """PQ pipeline end-to-end: codebooks train, every vector gets m
+    codes, and ADC top-1 matches exact squared-L2 top-1 for all queries
+    on cluster-structured data (quantization error is small relative to
+    cluster separation)."""
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        knn_pq_adc,
+        pq_codes,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16)).astype(np.float32) * 6
+    vecs = np.stack(
+        [centers[i % 4] + rng.normal(scale=0.15, size=16).astype(np.float32) for i in range(40)]
+    )
+    rows = [(i, [float(x) for x in vecs[i]], i % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+
+    book = pq_train(df, m=4, k=4, iterations=4, dim=16)
+    assert book.count() == 16  # m x k codebook entries
+
+    codes = {r.vec_id: r.codes for r in pq_codes(df, book, m=4, dim=16).collect()}
+    assert len(codes) == 40 and all(len(c) == 4 for c in codes.values())
+    # same-cluster vectors share codes far more than cross-cluster
+    same = [codes[i] == codes[i + 4] for i in range(4)]
+    assert all(same)
+
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        r.query_id: r.vec_id
+        for r in knn_pq_adc(df, queries, book, k=1, m=4, dim=16).collect()
+    }
+    for qid, nn in got.items():
+        dists = ((vecs - vecs[qid]) ** 2).sum(axis=1)
+        dists[qid] = np.inf
+        exact = int(np.argmin(dists))
+        # ADC's winner must be in the same cluster as the exact winner
+        assert nn % 4 == exact % 4 == qid % 4
