@@ -68,6 +68,22 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES
+) -> None:
+    """Register every testdata table as a temp view so the whole engine
+    is reachable from ``spark.sql(...)`` — views are lazy DataFrames,
+    so SQL queries get the same pushdown/pruning as the DataFrame API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
 def transactions_from_events(events: DataFrame) -> DataFrame:
     """Map the testdata ``events`` stream table onto the reference's
     ``StockTransaction`` record shape (FIXTURES.md §5).

@@ -137,6 +137,21 @@ def stress_p1(spark, doc16x):
     print(f"p1 growth at {REPLICAS}x corpus: {res['16x'] / res['1x']:.1f}x")
 
 
+def stress_d8(spark, doc16x):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    doc1 = load_table(spark, SF_DIR, "documents")
+    doc16 = spark.read.parquet(doc16x)
+    res = {}
+    for label, df in (("1x", doc1), ("16x", doc16)):
+        res[label] = timed(
+            f"d8 {label}", lambda df=df: simhash_near_duplicates(df).count()
+        )
+    print(f"d8 growth at {REPLICAS}x corpus: {res['16x'] / res['1x']:.1f}x")
+
+
 def stress_d10(spark, doc16x):
     from kafkastreamsinteractivequeries_spark.operators.dedup import (
         minhash_near_duplicates,
@@ -158,6 +173,8 @@ if __name__ == "__main__":
     emb16x, doc16x = build_16x(spark)
     if which in ("s4", "all"):
         stress_s4(spark, emb16x)
+    if which in ("d8", "all"):
+        stress_d8(spark, doc16x)
     if which in ("d9", "all"):
         stress_d9(spark, doc16x)
     if which in ("p1", "all"):

@@ -60,3 +60,17 @@ def test_write_corpus_parquet_roundtrip(spark, tmp_path):
     write_corpus(df, out, partitions=2)
     back = spark.read.parquet(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_register_views_enables_sql_surface(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    n = spark.sql("SELECT COUNT(*) AS n FROM events").collect()[0].n
+    assert n > 0
+    # pushdown works through the view
+    plan = (
+        spark.sql("SELECT event_id FROM events WHERE event_type = 'click'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "event_type" in plan
