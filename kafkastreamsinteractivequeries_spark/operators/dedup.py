@@ -644,6 +644,12 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # The STATIC input of the iteration: referenced every round, so
+        # without a checkpoint each round re-executes the entire
+        # upstream pair pipeline (measured: 16× d10 spent ~50 of its
+        # 65 s re-running d9 per round).  Iterative algorithms must pin
+        # their static inputs, not just their evolving state.
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -714,6 +720,10 @@ def connected_components_star(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # pin the static input: round 1 references E several times
+        # (union + join sides); without this each reference re-executes
+        # the upstream pair pipeline
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(edges: DataFrame) -> tuple[int, int]:
