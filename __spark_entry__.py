@@ -338,6 +338,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # m6 carries duration_ms, so its per-frame rows subsume the m3
     # frame-sampling plan.
     q["m6_video_frame_features"] = lambda s, d: M.video_frame_features(_assets(s, d))
+    # m7/m8: REAL codec round-trip — encode a genuine PNG / WAV-PCM16
+    # per document (pixels/samples a pure function of doc_id), decode
+    # with the pure-stdlib codec (zlib filter reconstruction / RIFF
+    # walk), aggregate the recovered values.  The oracle computes the
+    # same stats arithmetically — a decode bug breaks the hash.
+    q["m7_png_pixel_stats"] = lambda s, d: M.png_pixel_features(
+        M.png_assets_from_documents(_docs(s, d))
+    )
+    q["m8_wav_sample_stats"] = lambda s, d: M.wav_sample_features(
+        M.wav_assets_from_documents(_docs(s, d))
+    )
 
     # ---- composed curation pipeline (north-star flagship;
     # operators/curation.py): quality gate → exact dedup → near-dup
@@ -376,9 +387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s1_knn_bruteforce"] = lambda s, d: S.knn_bruteforce(
         _emb(s, d), _queries_df(s, d), k=10
     )
-    # s2 unions the two index-build stages under one tagged key:
-    # SRP bit-codes ('srp16') and IVF nearest-centroid assignment
-    # ('ivf16'), each verified against its own oracle branch.
+    # s2 unions the index-build stages under one tagged key: SRP
+    # bit-codes ('srp16'), IVF nearest-centroid assignment off the
+    # deterministic seed quantizer ('ivf16'), and — the TRAINED path —
+    # assignment off a 2-iteration k-means quantizer ('ivf16t') whose
+    # Lloyd trajectory the oracle replays exactly (round-6 means).
     def _s2(s: SparkSession, d: str) -> DataFrame:
         emb = _emb(s, d)
         srp = S.srp_codes(emb).select(
@@ -389,7 +402,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("ivf16").alias("index_kind"),
             F.col("list_id").cast("string").alias("code"),
         )
-        return srp.unionByName(ivf)
+        ivft = S.ivf_assign(
+            emb, n_lists=16,
+            centroids=S.ivf_train(emb, n_lists=16, iterations=2),
+        ).select(
+            "vec_id",
+            F.lit("ivf16t").alias("index_kind"),
+            F.col("list_id").cast("string").alias("code"),
+        )
+        return srp.unionByName(ivf).unionByName(ivft)
 
     q["s2_index_assignments"] = _s2
     q["s3_knn_srp"] = lambda s, d: S.knn_srp(_emb(s, d), _queries_df(s, d), k=10)
@@ -402,6 +423,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s6_knn_ivf"] = lambda s, d: S.knn_ivf(
         _emb(s, d), _queries_df(s, d), k=10, n_lists=16, nprobe=4
     )
+
+    # s7: the TRAINED product-quantization path end-to-end — 2 Lloyd
+    # iterations of per-subspace k-means (round-6 means, oracle replays
+    # the identical trajectory), then ADC top-k over the encoded corpus.
+    def _s7(s: SparkSession, d: str) -> DataFrame:
+        emb = _emb(s, d)
+        book = S.pq_train(emb, m=8, k=16, iterations=2)
+        return S.knn_pq_adc(emb, _queries_df(s, d), book, k=10, m=8)
+
+    q["s7_knn_pq"] = _s7
 
     return q
 
@@ -849,6 +880,53 @@ SELECT asset_id, duration_ms, frame_idx, frame_ms, frame_sig, {luma} AS luma
 FROM sigs
 """
     )
+    # m7/m8 ground truth is computed ARITHMETICALLY from the same
+    # doc_id formulas the Spark encode stage uses — the Spark side must
+    # recover identical values through real PNG-zlib / WAV-RIFF decode
+    # for the hash to match.  Integer sums are exact (≤2^53), so the
+    # floor-6 means and FLOOR(SQRT·1e6) rms are bit-portable.
+    o["m7_png_pixel_stats"] = """
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         4 + doc_id % 13 AS width,
+         4 + (doc_id * 7) % 11 AS height,
+         1 + doc_id % 3 AS channels
+  FROM documents
+), vals AS (
+  SELECT p.asset_id, p.width, p.height, p.channels,
+         (p.asset_id * 31 + g.i) % 256 AS v
+  FROM p, unnest(generate_series(0, p.width * p.height * p.channels - 1)) AS g(i)
+)
+SELECT asset_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(channels AS INTEGER) AS channels,
+       (SUM(v) * 1000000 // COUNT(*)) / 1000000.0 AS pixel_mean,
+       CAST(MIN(v) AS INTEGER) AS pixel_min,
+       CAST(MAX(v) AS INTEGER) AS pixel_max
+FROM vals GROUP BY 1, 2, 3, 4
+"""
+    o["m8_wav_sample_stats"] = """
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         64 + doc_id % 97 AS frames,
+         1 + doc_id % 2 AS ch,
+         8000 + (doc_id % 8) * 1000 AS rate
+  FROM documents
+), vals AS (
+  SELECT p.asset_id, p.frames, p.ch, p.rate,
+         ((p.asset_id * 13 + g.i * 7) % 65536) - 32768 AS v
+  FROM p, unnest(generate_series(0, p.frames * p.ch - 1)) AS g(i)
+)
+SELECT asset_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS n_channels,
+       CAST(frames AS INTEGER) AS n_frames,
+       (SUM(v + 32768) * 1000000 // COUNT(*)) / 1000000.0 - 32768 AS sample_mean,
+       FLOOR(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) * 1000000) / 1000000.0 AS sample_rms,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak
+FROM vals GROUP BY 1, 2, 3, 4
+"""
     return o
 
 
@@ -1180,15 +1258,63 @@ WITH cent AS (
   ) WHERE rn = 1
 )
 """
-    # s2 = both index-build stages under one tagged key: SRP bit-codes
-    # ('srp16') and IVF nearest-centroid assignment ('ivf16').
+    # Trained-quantizer replay: ivf_train rounds each per-dim mean to 6
+    # decimals before the float cast precisely so this oracle can walk
+    # the IDENTICAL Lloyd trajectory — assignment by rounded cosine
+    # (centroid-id tie-break), per-dim ROUND(AVG, 6) means, empty lists
+    # keeping their previous centroid.
+    def ivf_trained_ctes(iterations: int) -> str:
+        parts = [
+            """tcent0 AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16
+)"""
+        ]
+
+        def assign_sql(name: str, cent: str) -> str:
+            return f"""{name} AS (
+  SELECT vec_id, centroid_id AS list_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN {cent} c
+    WHERE {cos('e.embedding', 'c.cvec')} IS NOT NULL
+  ) WHERE rn = 1
+)"""
+
+        for t in range(1, iterations + 1):
+            prev = f"tcent{t - 1}"
+            parts.append(assign_sql(f"tassign{t}", prev))
+            parts.append(f"""tmeans{t} AS (
+  SELECT centroid_id, list(CAST(m AS FLOAT) ORDER BY p) AS cvec FROM (
+    SELECT a.list_id AS centroid_id, g.i AS p,
+           ROUND(AVG(e.embedding[g.i]::DOUBLE), 6) AS m
+    FROM tassign{t} a JOIN embeddings e USING (vec_id)
+    CROSS JOIN generate_series(1, {dim}) AS g(i)
+    GROUP BY 1, 2
+  ) GROUP BY centroid_id
+)""")
+            parts.append(f"""tcent{t} AS (
+  SELECT c.centroid_id, COALESCE(m.cvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN tmeans{t} m USING (centroid_id)
+)""")
+        parts.append(assign_sql("tassign", f"tcent{iterations}"))
+        return ",\n".join(parts)
+
+    # s2 = the index-build stages under one tagged key: SRP bit-codes
+    # ('srp16'), seed-quantizer IVF assignment ('ivf16'), and trained
+    # 2-iteration k-means IVF assignment ('ivf16t').
     o["s2_index_assignments"] = (
         codes_cte.rstrip()
         + ","
-        + ivf_cte.replace("WITH ", "", 1)
-        + """SELECT vec_id, 'srp16' AS index_kind, code FROM codes
+        + ivf_cte.replace("WITH ", "", 1).rstrip()
+        + ",\n"
+        + ivf_trained_ctes(2)
+        + """
+SELECT vec_id, 'srp16' AS index_kind, code FROM codes
 UNION ALL
-SELECT vec_id, 'ivf16' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM assign"""
+SELECT vec_id, 'ivf16' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM assign
+UNION ALL
+SELECT vec_id, 'ivf16t' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM tassign"""
     )
     o["s6_knn_ivf"] = (
         ivf_cte
@@ -1262,6 +1388,88 @@ SELECT id_a, id_b, cosine FROM (
   JOIN embeddings ea ON ea.vec_id = cand.id_a
   JOIN embeddings eb ON eb.vec_id = cand.id_b
 ) WHERE cosine >= 0.4
+"""
+    )
+
+    # s7: trained product quantization end-to-end — replays pq_train's
+    # 2 joint per-subspace Lloyd iterations (rank-coded seeds, squared-
+    # L2 assignment rounded to 9, per-dim ROUND(AVG, 6) means), then
+    # pq_codes + ADC top-k, mirroring knn_pq_adc exactly.
+    mq, kq, sub, pq_iters = 8, 16, 8, 2
+
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum([({a}[i]::DOUBLE - {b}[i]::DOUBLE) ^ 2 "
+            f"for i in generate_series(1, {sub})]), 9)"
+        )
+
+    def pq_assign_sql(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id, sub_id ORDER BY _dist, code) AS rn FROM (
+      SELECT s.vec_id, s.sub_id, c.code, {l2sq('s.subvec', 'c.cvec')} AS _dist
+      FROM subs s JOIN {cent} c USING (sub_id)
+    )
+  ) WHERE rn = 1
+)"""
+
+    pq_parts = [
+        f"""subs AS MATERIALIZED (
+  SELECT vec_id, s.j AS sub_id, embedding[s.j * {sub} + 1 : s.j * {sub} + {sub}] AS subvec
+  FROM embeddings CROSS JOIN generate_series(0, {mq - 1}) AS s(j)
+)""",
+        f"""seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {kq})
+)""",
+        """pcent0 AS (
+  SELECT s.sub_id, sd.code, s.subvec AS cvec
+  FROM subs s JOIN seeds sd USING (vec_id)
+)""",
+    ]
+    for t in range(1, pq_iters + 1):
+        prev = f"pcent{t - 1}"
+        pq_parts.append(pq_assign_sql(f"passign{t}", prev))
+        pq_parts.append(f"""pmeans{t} AS (
+  SELECT sub_id, code, list(CAST(m AS FLOAT) ORDER BY p) AS cvec FROM (
+    SELECT a.sub_id, a.code, g.i AS p,
+           ROUND(AVG(s.subvec[g.i]::DOUBLE), 6) AS m
+    FROM passign{t} a JOIN subs s USING (vec_id, sub_id)
+    CROSS JOIN generate_series(1, {sub}) AS g(i)
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)""")
+        pq_parts.append(f"""pcent{t} AS (
+  SELECT c.sub_id, c.code, COALESCE(m.cvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN pmeans{t} m USING (sub_id, code)
+)""")
+    pq_parts.append(pq_assign_sql("codesf", f"pcent{pq_iters}"))
+    pq_parts.append("""q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
+)""")
+    pq_parts.append(f"""qsubs AS (
+  SELECT query_id, s.j AS sub_id, query_vec[s.j * {sub} + 1 : s.j * {sub} + {sub}] AS qsub
+  FROM q CROSS JOIN generate_series(0, {mq - 1}) AS s(j)
+)""")
+    pq_parts.append(f"""tables AS (
+  SELECT qs.query_id, qs.sub_id, c.code, {l2sq('qs.qsub', 'c.cvec')} AS _d
+  FROM qsubs qs JOIN pcent{pq_iters} c USING (sub_id)
+)""")
+    pq_parts.append("""adc AS (
+  SELECT t.query_id, cf.vec_id, ROUND(SUM(t._d), 6) AS adc_dist
+  FROM codesf cf JOIN tables t ON cf.sub_id = t.sub_id AND cf.code = t.code
+  GROUP BY 1, 2
+)""")
+    o["s7_knn_pq"] = (
+        "WITH "
+        + ",\n".join(pq_parts)
+        + """
+SELECT query_id, vec_id, adc_dist, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+  FROM adc WHERE vec_id != query_id
+) WHERE rank <= 10
 """
     )
     return o

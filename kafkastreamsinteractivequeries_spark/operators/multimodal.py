@@ -2,15 +2,19 @@
 extension): image/audio/video as opaque ``binary`` columns with typed
 metadata, plus decode / feature-extract / resize / frame-sample stages.
 
-The container has no codec libraries (PIL/cv2/soundfile), so the
-*codec* step is a deterministic fake: every payload carries a real
-12-byte header (4-byte ASCII magic + two big-endian uint32 fields)
-that the decode stages genuinely parse — from Spark SQL expressions
-(JVM-side) and from Arrow-batched ``mapInPandas`` (Python-side). The
-Spark plumbing — schema, binary handling, partitioning, batch shape —
-is real and tested; only the pixel/sample math is stubbed. Real-codec
-entry points are gated behind import-try and raise a clearly-marked
-``NotImplementedError`` when the library is absent.
+Two payload families coexist:
+
+- The synthetic ``IMG0/AUD0/VID0`` assets (12-byte header: 4-byte
+  ASCII magic + two big-endian uint32 fields) exercise the header-
+  parse / manifest / resize-plan / frame-sample plumbing — JVM-side
+  Column expressions plus Arrow-batched ``mapInPandas``.
+- REAL codecs: ``png_assets_from_documents`` / ``png_pixel_features``
+  and ``wav_assets_from_documents`` / ``wav_sample_features`` encode
+  and decode genuine PNG (stdlib zlib + full scanline-filter
+  reconstruction) and RIFF/WAVE PCM-16 payloads via
+  ``functions/codecs.py`` — actual pixel/sample math, no external
+  libraries.  Only non-PNG image formats still require Pillow (gated
+  behind import-try in ``decode_image``).
 
 Scale design: the manifest and frame-sampling operators are pure
 Column expressions (single scan, codegen, zero shuffle); the Python
@@ -208,21 +212,197 @@ def audio_features(assets: DataFrame, bytes_per_sample: int = 2) -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Real image decode — requires Pillow, absent in this container.
+    """Real image decode.
 
-    STUB: clearly-marked per the build contract; ``image_features``
-    (fake-header parse) is the tested path.
+    PNG payloads decode via the pure-stdlib decoder in
+    ``functions/codecs.py`` (zlib inflate + full filter
+    reconstruction — real pixel math, no external deps); other formats
+    fall back to Pillow when present, else raise with the supported
+    path named.
     """
+    from kafkastreamsinteractivequeries_spark.functions.codecs import (
+        PNG_MAGIC,
+        decode_png,
+    )
+
+    if bytes(payload[:8]) == PNG_MAGIC:
+        return decode_png(bytes(payload))
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "real image decode requires Pillow (not in this container); "
-            "use image_features() for the deterministic fake-header path"
+            "non-PNG image decode requires Pillow (not in this container); "
+            "PNG decodes natively via functions/codecs.decode_png"
         ) from exc
     import io
 
     return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+# --------------------------------------------------------------------------
+# Real-codec stages: deterministic PNG/WAV payload generation + decode
+# --------------------------------------------------------------------------
+#
+# Pixel/sample content is a pure function of doc_id (formulas below), so
+# a SQL oracle can compute ground-truth stats ARITHMETICALLY while the
+# Spark path goes the long way round — encode to real PNG/WAV bytes,
+# then decode with the real codec (zlib filter reconstruction / RIFF
+# walk) and aggregate the recovered values.  Any decode bug breaks the
+# value-hash match.  Both stages are Arrow-batched ``mapInPandas`` —
+# partition-local, no shuffle, parallelism = input split count.
+#
+#   PNG:  w = 4 + doc_id % 13,  h = 4 + (doc_id*7) % 11,
+#         channels = 1 + doc_id % 3  (gray / gray+alpha / RGB),
+#         pixel[i] = (doc_id*31 + i) % 256   (row-major flattened i),
+#         per-row filter type = y % 5 (exercises every PNG filter).
+#   WAV:  frames = 64 + doc_id % 97,  channels = 1 + doc_id % 2,
+#         sample_rate = 8000 + (doc_id % 8) * 1000,
+#         sample[i] = ((doc_id*13 + i*7) % 65536) - 32768.
+
+
+def png_assets_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, payload): one real PNG per document, pixels derived
+    from doc_id by the module formula — the encode half of the codec
+    round-trip."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import encode_png
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 13
+                h = 4 + (doc_id * 7) % 11
+                ch = 1 + doc_id % 3
+                vals = (doc_id * 31 + np.arange(w * h * ch)) % 256
+                arr = vals.astype(np.uint8).reshape(h, w, ch)
+                rows.append({"asset_id": doc_id, "payload": encode_png(arr)})
+            yield pd.DataFrame(rows)
+
+    return (
+        spread(docs)
+        .select(id_col)
+        .mapInPandas(encode, "asset_id long, payload binary")
+    )
+
+
+def png_pixel_features(assets: DataFrame) -> DataFrame:
+    """REAL pixel statistics from PNG payloads: zlib inflate + filter
+    reconstruction per asset, then exact-integer aggregation of the
+    recovered pixels.  ``pixel_mean`` uses the floor-based 6-decimal
+    trick (exact integer sum ÷ count), portable across engines."""
+    from kafkastreamsinteractivequeries_spark.functions.codecs import decode_png
+
+    schema = (
+        "asset_id long, width int, height int, channels int, "
+        "pixel_mean double, pixel_min int, pixel_max int"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_png(bytes(payload))
+                h, w, ch = arr.shape
+                total = int(arr.sum(dtype="int64"))
+                n = arr.size
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "pixel_mean": (total * 1_000_000 // n) / 1e6,
+                        "pixel_min": int(arr.min()),
+                        "pixel_max": int(arr.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)
+
+
+def wav_assets_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, payload): one real RIFF/WAVE PCM-16 file per
+    document, samples derived from doc_id by the module formula."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import encode_wav_pcm16
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                frames = 64 + doc_id % 97
+                ch = 1 + doc_id % 2
+                rate = 8000 + (doc_id % 8) * 1000
+                vals = ((doc_id * 13 + np.arange(frames * ch) * 7) % 65536) - 32768
+                rows.append(
+                    {
+                        "asset_id": doc_id,
+                        "payload": encode_wav_pcm16(vals.astype("<i2"), rate, ch),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        spread(docs)
+        .select(id_col)
+        .mapInPandas(encode, "asset_id long, payload binary")
+    )
+
+
+def wav_sample_features(assets: DataFrame) -> DataFrame:
+    """REAL sample statistics from WAV payloads: RIFF chunk-walk +
+    PCM-16 recovery, then exact-integer aggregation.  ``sample_mean``
+    shifts to the non-negative range for the floor-6 trick (floor
+    division on negatives is not engine-portable); ``sample_rms``
+    floors sqrt(Σv²/n) at 6 decimals (all-double IEEE ops, portable)."""
+    import math
+
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import decode_wav
+
+    schema = (
+        "asset_id long, sample_rate int, n_channels int, n_frames int, "
+        "sample_mean double, sample_rms double, peak int"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                v = samples.astype("int64")
+                n = v.size
+                shifted_mean6 = (int((v + 32768).sum()) * 1_000_000 // n) / 1e6
+                rms = math.sqrt(int((v * v).sum()) / n)
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "sample_rate": rate,
+                        "n_channels": ch,
+                        "n_frames": n // ch,
+                        "sample_mean": shifted_mean6 - 32768.0,
+                        "sample_rms": math.floor(rms * 1_000_000) / 1e6,
+                        "peak": int(np.abs(v).max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)
 
 
 def video_frame_features(assets: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -174,18 +174,28 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     (query_id, vec_id, cosine, rank) — rank on rounded cosine with
     vec_id tie-break for cross-engine determinism.  The query side is
     broadcast; the corpus is scanned once.
+
+    ``exclude_self=True`` (default) drops rows where the corpus id
+    equals the query id — correct when query ids ARE corpus ids (the
+    "find neighbors of these corpus members" use).  For out-of-corpus
+    queries whose ids could coincidentally collide with corpus ids,
+    pass ``exclude_self=False`` or a legitimate neighbor is silently
+    dropped.
     """
     corpus = spread(embeddings).select(
         id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
     )
     qn = queries.select("*", norm_expr(F.col(query_vec_col)).alias("_nb"))
-    scored = corpus.join(F.broadcast(qn)).filter(F.col(id_col) != F.col(query_id_col))
+    scored = corpus.join(F.broadcast(qn))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     cos = F.round(
         cosine_from_parts(F.col(vec_col), F.col(query_vec_col), F.col("_na"), F.col("_nb")), 6
     )
@@ -210,10 +220,14 @@ def knn_srp(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing ≥1 SRP band
     with the query (the 100 TB path — candidate set shrinks by the
-    band collision rate instead of scanning everything)."""
+    band collision rate instead of scanning everything).
+
+    ``exclude_self``: as in ``knn_bruteforce`` — disable for
+    out-of-corpus queries whose ids may collide with corpus ids."""
     corpus_codes = srp_codes(embeddings, num_planes, dim, vec_col, id_col)
     corpus_buckets = srp_band_buckets(corpus_codes, chunks, id_col)
     qcodes = srp_codes(
@@ -242,8 +256,9 @@ def knn_srp(
             F.broadcast(queries.select("*", norm_expr(F.col(query_vec_col)).alias("_nb"))),
             query_id_col,
         )
-        .filter(F.col(id_col) != F.col(query_id_col))
     )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     cos = F.round(
         cosine_from_parts(F.col(vec_col), F.col(query_vec_col), F.col("_na"), F.col("_nb")), 6
     )
@@ -284,12 +299,22 @@ def embedding_near_duplicates(
     small bucket-size agg job, run only on demand); a nonzero fraction
     is logged as a recall warning when retrieved.
     """
-    n = embeddings.count()  # one parquet row-group-count job
+    # Corpus size is needed only for auto-sizing and the occupancy
+    # routing heuristic — compute it lazily so a fully-pinned call
+    # (num_planes set, max_bucket_size=None) never pays the count job
+    # (cheap on parquet metadata, a real scan on other sources).
+    _n: list[int | None] = [None]
+
+    def corpus_n() -> int:
+        if _n[0] is None:
+            _n[0] = embeddings.count()
+        return _n[0]
+
     if num_planes is None:
-        num_planes = srp_planes_for(n, chunks)
+        num_planes = srp_planes_for(corpus_n(), chunks)
         logger.info(
             "embedding_near_duplicates auto-sized: corpus=%d -> %d planes (%d-bit bands)",
-            n, num_planes, num_planes // chunks,
+            corpus_n(), num_planes, num_planes // chunks,
         )
     codes = srp_codes(embeddings, num_planes, dim, vec_col, id_col)
     # The buckets table feeds BOTH sides of the self-join plus the
@@ -326,7 +351,7 @@ def embedding_near_duplicates(
             pairs_within_buckets,
         )
 
-        occupancy = n / float(2 ** (num_planes // chunks))
+        occupancy = corpus_n() / float(2 ** (num_planes // chunks))
         if occupancy <= 64:
             cand = pairs_within_buckets(
                 buckets, ["band_id", "band_bits"], F.col(id_col), max_bucket_size
@@ -453,9 +478,14 @@ def ivf_train(
         ex = members.select(
             "centroid_id", F.posexplode(vec_col).alias("_p", "_v")
         )
+        # round-6 before the float cast: distributed double-sums are
+        # order-nondeterministic in the last bits; rounding makes the
+        # trained centroids bit-identical across engines/runs (same
+        # trick as the rounded cosines), so a SQL oracle can replay
+        # the identical Lloyd trajectory.
         means = (
             ex.groupBy("centroid_id", "_p")
-            .agg(F.avg("_v").alias("_m"))
+            .agg(F.round(F.avg("_v"), 6).alias("_m"))
             .groupBy("centroid_id")
             .agg(
                 F.transform(
@@ -526,12 +556,16 @@ def knn_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     centroids: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``nprobe`` nearest inverted
     lists per query, score only their members exactly.
 
     ``centroids`` as in ``ivf_assign`` (default deterministic; pass
     ``ivf_train`` output for the k-means quantizer).
+
+    ``exclude_self``: as in ``knn_bruteforce`` — disable for
+    out-of-corpus queries whose ids may collide with corpus ids.
 
     The candidate set is ~corpus × nprobe/n_lists — at 100 TB the
     assignment is precomputed once (a materialized column), queries
@@ -564,8 +598,9 @@ def knn_ivf(
             id_col,
         )
         .join(F.broadcast(qn), query_id_col)
-        .filter(F.col(id_col) != F.col(query_id_col))
     )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     cos = F.round(
         cosine_from_parts(F.col(vec_col), F.col(query_vec_col), F.col("_na"), F.col("_nb")), 6
     )
@@ -606,14 +641,20 @@ def _l2sq(a: F.Column, b: F.Column) -> F.Column:
 def _nearest_sub_centroid(subs: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     """(id, sub_id, code, _dist): nearest centroid per (vector,
     subspace) by squared L2 (centroid-id tie-break).  ``cent`` is
-    m × k rows — broadcastable at any corpus size."""
-    w = Window.partitionBy(id_col, "sub_id").orderBy(F.col("_dist"), F.col("code"))
+    m × k rows — broadcastable at any corpus size.
+
+    The argmin is a min-of-(dist, code) struct under groupBy — it
+    partial-aggregates map-side, so the shuffle carries one row per
+    (vector, subspace) (n × m), not the n × m × k joined rows a
+    Window-over-(id, sub_id) would hash-shuffle.  Lexicographic struct
+    ordering gives the same (dist, code) tie-break as an ORDER BY.
+    """
     return (
         subs.join(F.broadcast(cent), "sub_id")
         .withColumn("_dist", F.round(_l2sq(F.col("subvec"), F.col("cvec")), 9))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "sub_id", "code", "_dist")
+        .groupBy(id_col, "sub_id")
+        .agg(F.min(F.struct(F.col("_dist"), F.col("code"))).alias("_best"))
+        .select(id_col, "sub_id", F.col("_best.code").alias("code"), F.col("_best._dist").alias("_dist"))
     )
 
 
@@ -641,18 +682,30 @@ def pq_train(
     ``k`` vectors' subvectors — deterministic, like ``ivf_centroids``.
     """
     subs = _subvectors(spread(embeddings), m, dim, vec_col, id_col)
+    # Seed = the k lowest-id vectors' subvectors, coded 0..k-1 by RANK —
+    # not filter(id < k), which silently under-seeds (fewer than k codes
+    # per subspace, or none) when ids are not dense 0-based integers.
+    # For dense 0-based ids rank-1 == id, so outputs are unchanged.
+    # limit(k) compiles to TakeOrderedAndProject; the row_number window
+    # then runs over k driver-bounded rows, not the corpus.
+    seeds = (
+        embeddings.select(id_col).orderBy(id_col).limit(k)
+        .withColumn("code", F.row_number().over(Window.orderBy(id_col)) - 1)
+    )
     cent = (
-        subs.filter(F.col(id_col) < k)
-        .select("sub_id", F.col(id_col).alias("code"), F.col("subvec").alias("cvec"))
+        subs.join(F.broadcast(seeds), id_col)
+        .select("sub_id", "code", F.col("subvec").alias("cvec"))
         .localCheckpoint(eager=False)
     )
     for _ in range(iterations):
         assigned = _nearest_sub_centroid(subs, cent, id_col)
         members = subs.join(assigned.select(id_col, "sub_id", "code"), [id_col, "sub_id"])
+        # round-6 before the float cast — engine-portable means, see
+        # the matching comment in ivf_train.
         means = (
             members.select("sub_id", "code", F.posexplode("subvec").alias("_p", "_v"))
             .groupBy("sub_id", "code", "_p")
-            .agg(F.avg("_v").alias("_m"))
+            .agg(F.round(F.avg("_v"), 6).alias("_m"))
             .groupBy("sub_id", "code")
             .agg(
                 F.transform(
@@ -703,6 +756,7 @@ def knn_pq_adc(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC):
     per-query lookup tables of subvector→centroid distances, summed over
@@ -713,7 +767,10 @@ def knn_pq_adc(
     (tiny — broadcast); the corpus side is its EXPLODED code table
     (id, sub_id, code), n × m skinny rows, aggregated back per
     (query, id) with a partial-agg sum.  The raw vectors are never
-    touched after encoding — that is the point of PQ."""
+    touched after encoding — that is the point of PQ.
+
+    ``exclude_self``: as in ``knn_bruteforce`` — disable for
+    out-of-corpus queries whose ids may collide with corpus ids."""
     tables = (
         queries.select(
             query_id_col, F.posexplode(
@@ -730,12 +787,15 @@ def knn_pq_adc(
         id_col, F.posexplode("codes").alias("sub_id", "code")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
-    return (
+    scored = (
         code_rows.join(F.broadcast(tables), ["sub_id", "code"])
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum("_d"), 6).alias("adc_dist"))
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("rank", F.row_number().over(w))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )

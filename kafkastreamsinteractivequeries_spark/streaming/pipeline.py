@@ -425,8 +425,12 @@ def streaming_exact_dedup(
     exactness is the standard contract).
 
     Fingerprints the same way as batch d1 (md5 of normalized text), so
-    a corpus ingested via the stream and then batch-deduped produces
-    the same survivors as deduping on ingest.  Uses
+    within the watermark horizon the stream's surviving FINGERPRINT SET
+    equals batch d1's (the streaming path keeps the first-ARRIVING
+    record per fingerprint; batch keeps the lowest-id one — the
+    surviving row choice may differ even when the sets agree, and
+    duplicates arriving farther apart than the watermark are not
+    collapsed).  Uses
     ``dropDuplicatesWithinWatermark`` (Spark 3.5+): state per distinct
     fingerprint, evicted once the watermark passes — at 100 TB/day the
     state is bounded by the watermark horizon, not corpus size.
