@@ -413,7 +413,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return srp.unionByName(ivf).unionByName(ivft)
 
     q["s2_index_assignments"] = _s2
-    q["s3_knn_srp"] = lambda s, d: S.knn_srp(_emb(s, d), _queries_df(s, d), k=10)
+    # num_planes/chunks pinned to the oracle's static 16-plane/4-band
+    # hyperplane embedding (the library default is the recall-tuned
+    # 36/12 — recall is regression-tested separately, SCALING.md).
+    q["s3_knn_srp"] = lambda s, d: S.knn_srp(
+        _emb(s, d), _queries_df(s, d), k=10, num_planes=16, chunks=4
+    )
     # num_planes pinned (32 planes -> 8-bit bands) rather than the
     # library's corpus-size auto-default, so the static oracle SQL can
     # embed the identical hyperplanes at any sf_dir.

@@ -46,12 +46,17 @@ HEADLINE = [
     "s1_knn_bruteforce",
     "s3_knn_srp",
     "s4_embedding_near_duplicates",
+    # trained product quantization end-to-end (2 Lloyd iterations + ADC)
+    "s7_knn_pq",
     # text analysis
     "x1_text_stats",
     "x4_winnowing_fingerprint",
     # multimodal (JVM header parse + Python feature extraction)
     "m1_asset_manifest",
     "m2_image_features",
+    # real-codec round-trips (PNG zlib+filters, WAV RIFF/PCM16)
+    "m7_png_pixel_stats",
+    "m8_wav_sample_stats",
     # composed curation pipeline (quality → dedup → near-dup → budget)
     "p1_curation_pipeline",
     "p2_sequence_packing",

@@ -213,8 +213,8 @@ def knn_srp(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    num_planes: int = 16,
-    chunks: int = 4,
+    num_planes: int = 48,
+    chunks: int = 16,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -225,6 +225,15 @@ def knn_srp(
     """Approximate top-k: score only corpus vectors sharing ≥1 SRP band
     with the query (the 100 TB path — candidate set shrinks by the
     band collision rate instead of scanning everything).
+
+    Defaults (48 planes / 16 3-bit bands) are RECALL-TUNED to the
+    ≥0.95 recall@10 floor on the synthetic uniform-sphere corpus — the
+    hardest case, since true neighbors sit at weak cosines where band
+    collisions are rare (measured 0.97–0.99 across sf0.001/0.01/0.1,
+    SCALING.md; the old 16/4 default measured 0.43–0.47).  Clustered
+    real-world embeddings reach the floor with fewer bands; tighten
+    ``chunks`` first when tuning cost down, and keep band BITS
+    (num_planes/chunks) growing with the corpus via ``srp_planes_for``.
 
     ``exclude_self``: as in ``knn_bruteforce`` — disable for
     out-of-corpus queries whose ids may collide with corpus ids."""
@@ -419,6 +428,33 @@ def dropped_bucket_stats(result: DataFrame) -> dict[str, float] | None:
     return {"dropped_rows": dropped, "total_rows": total, "fraction": frac}
 
 
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> float:
+    """recall@k of an approximate kNN result against the exact one:
+    |approx top-k ∩ exact top-k| / |exact top-k|, averaged over all
+    queries (both inputs are (query_id, vec_id, …, rank) frames as
+    produced by the ``knn_*`` functions).
+
+    This is the regression surface for the ANN paths — every tuned
+    default (srp num_planes, ivf nprobe, pq m/k) is pinned to a stated
+    floor by ``tests/test_similarity.py::test_ann_recall_floor`` and
+    the table in SCALING.md.  Two bounded aggregate jobs (counts), no
+    driver-side per-row work.
+    """
+    e = exact.filter(F.col("rank") <= k).select(query_id_col, id_col)
+    a = approx.filter(F.col("rank") <= k).select(query_id_col, id_col)
+    denom = e.count()
+    if denom == 0:
+        return 1.0
+    hits = e.join(a, [query_id_col, id_col], "left_semi").count()
+    return hits / denom
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # --------------------------------------------------------------------------
@@ -550,7 +586,7 @@ def knn_ivf(
     queries: DataFrame,
     k: int = 10,
     n_lists: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
@@ -563,6 +599,15 @@ def knn_ivf(
 
     ``centroids`` as in ``ivf_assign`` (default deterministic; pass
     ``ivf_train`` output for the k-means quantizer).
+
+    The ``nprobe=12`` default is RECALL-TUNED to the ≥0.95 recall@10
+    floor against the default 16-list quantizer on the uniform-sphere
+    corpus (0.96–0.98 measured, SCALING.md; nprobe=4 measured
+    0.81–0.93).  The high nprobe/n_lists ratio is a property of the
+    tiny default quantizer and the structure-free corpus: with a real
+    ``n_lists ≈ √n`` quantizer on clustered data the same floor holds
+    at a far smaller probed fraction — scale ``nprobe`` with measured
+    recall, not with n_lists.
 
     ``exclude_self``: as in ``knn_bruteforce`` — disable for
     out-of-corpus queries whose ids may collide with corpus ids.
@@ -757,6 +802,7 @@ def knn_pq_adc(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     exclude_self: bool = True,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC):
     per-query lookup tables of subvector→centroid distances, summed over
@@ -768,6 +814,15 @@ def knn_pq_adc(
     (id, sub_id, code), n × m skinny rows, aggregated back per
     (query, id) with a partial-agg sum.  The raw vectors are never
     touched after encoding — that is the point of PQ.
+
+    ``rerank=R`` enables the standard ADC-then-refine pattern: the ADC
+    pass selects each query's top-R candidates (codes only — still no
+    raw-vector access for the corpus scan), then ONLY those R×q rows
+    join back to the raw vectors for exact cosine scoring and the final
+    top-k.  Raises recall from coarse-quantizer level to near-exact
+    (measured in SCALING.md) while touching R/n of the corpus vectors;
+    output is then (query_id, vec_id, cosine, rank) like the other
+    ``knn_*`` functions.
 
     ``exclude_self``: as in ``knn_bruteforce`` — disable for
     out-of-corpus queries whose ids may collide with corpus ids."""
@@ -794,8 +849,32 @@ def knn_pq_adc(
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
-    return (
+    adc_top = (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= (rerank if rerank is not None else k))
         .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+    if rerank is None:
+        return adc_top
+    qn = queries.select(
+        query_id_col,
+        F.col(query_vec_col),
+        norm_expr(F.col(query_vec_col)).alias("_nb"),
+    )
+    corpus = embeddings.select(
+        id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
+    )
+    cos = F.round(
+        cosine_from_parts(F.col(vec_col), F.col(query_vec_col), F.col("_na"), F.col("_nb")), 6
+    )
+    rw = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        adc_top.select(query_id_col, id_col)
+        .join(corpus.hint("shuffle_hash"), id_col)
+        .join(F.broadcast(qn), query_id_col)
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
     )

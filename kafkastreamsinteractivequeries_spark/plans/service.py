@@ -44,3 +44,41 @@ class InteractiveQueryService:
             self.store_name, [f"{type(query).__name__} over {len(rows)} rows"]
         )
         return resp
+
+    def execute_page(
+        self, query: Query, page_size: int, after: str | None = None
+    ) -> tuple[QueryResponse, str | None]:
+        """One page of a (range) query, keyset-paginated on the key
+        column: rows with key > ``after``, ordered by key, first
+        ``page_size``.  Returns (response, next_cursor) — next_cursor
+        is the last key of the page when more rows exist, else None.
+
+        Scale shape: the cursor predicate ANDs into the scan (same
+        pushdown as the range bounds) and ``orderBy().limit(n+1)``
+        compiles to TakeOrderedAndProject — the driver materializes at
+        most page_size+1 rows per call no matter how many million rows
+        the range matches, which is what lets the REST layer serve
+        unbounded range scans without unbounded collects.
+        """
+        from pyspark.sql import functions as F
+
+        try:
+            df = self.execute(query)
+            if after is not None:
+                df = df.filter(F.col(self.key_col) > after)
+            rows = df.orderBy(self.key_col).limit(page_size + 1).collect()
+        except Exception as exc:
+            return QueryResponse.with_error(str(exc)), None
+        has_more = len(rows) > page_size
+        rows = rows[:page_size]
+        next_cursor = rows[-1][self.key_col] if has_more and rows else None
+        resp = QueryResponse.with_result([r.asDict() for r in rows])
+        resp.host_information = "spark-driver"
+        resp.add_execution_info(
+            self.store_name,
+            [
+                f"{type(query).__name__} page of {len(rows)} rows"
+                + (f", cursor={next_cursor!r}" if next_cursor is not None else ", last page")
+            ],
+        )
+        return resp, next_cursor

@@ -102,6 +102,24 @@ def create_app(
             q = FilteredRangeQuery.with_bounds(lower, upper).predicate(predicate)
         else:
             q = create_range_query(lower, upper)
+        # Keyset pagination: ``limit`` (page size, capped at
+        # collect_limit) + ``after`` (exclusive key cursor).  A range
+        # matching millions of rows pages through in bounded collects;
+        # the envelope gains a ``nextCursor`` field on non-final pages.
+        limit_arg = request.args.get("limit")
+        after = request.args.get("after") or None
+        if limit_arg is not None or after is not None:
+            try:
+                page_size = int(limit_arg) if limit_arg is not None else (collect_limit or 10_000)
+            except ValueError:
+                return jsonify(_envelope(QueryResponse.with_error(
+                    f"bad limit {limit_arg!r}"))), 400
+            if collect_limit is not None:
+                page_size = min(page_size, collect_limit)
+            resp, next_cursor = service.execute_page(q, page_size, after=after)
+            body = _envelope(resp)
+            body["nextCursor"] = next_cursor
+            return jsonify(body), 500 if resp.error_message else 200
         return run(q)
 
     @app.get("/streams-iq/windowrange")

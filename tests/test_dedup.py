@@ -227,3 +227,57 @@ def test_pairs_within_buckets_edge_cases(spark):
         pairs_within_buckets(empty, ["band_id", "band_hash"], F.col("doc_id"), 3).count()
         == 0
     )
+
+
+def test_adversarial_hot_bucket_degrades_gracefully(spark):
+    """Skew hardening: one boilerplate page near-duplicated 10,000×
+    lands every copy in the same LSH buckets.  Uncapped, the per-bucket
+    pair join would emit ~50M pairs from this one bucket; the
+    DEFAULT-ON cap must instead drop the hot bucket (bounded output,
+    no runaway shuffle partition) while normal-sized buckets keep
+    producing verified pairs, and the dropped volume must be visible
+    via bucket-size telemetry rather than silent."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        weighted_near_duplicates,
+    )
+
+    hot = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog boilerplate page "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    normal = spark.range(10_100, 10_120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("genuinely unique document body number "),
+                 F.col("id").cast("string"),
+                 F.lit(" with its own words")).alias("text"),
+    )
+    docs = hot.union(normal)
+
+    # capped candidate generation: the 10k-copy bucket is dropped, so
+    # pair output is bounded by the cap, not by the hot bucket's n^2
+    buckets = lsh_band_buckets(minhash_signatures(docs))
+    pairs = lsh_candidate_pairs(buckets, max_bucket_size=1024)
+    n_pairs = pairs.count()
+    assert n_pairs < 1024 * 1024  # nowhere near the ~50M uncapped blowup
+
+    # the end-to-end detector still completes and still emits verified
+    # pairs from normal-occupancy buckets (the 'normal' family differs
+    # only in its number token — genuine near-dups), while the hot
+    # family's quadratic bucket is suppressed
+    found = weighted_near_duplicates(docs, threshold=0.7, max_bucket_size=1024)
+    ids = {(r.id_a, r.id_b) for r in found.select("id_a", "id_b").collect()}
+    assert any(a >= 10_100 and b >= 10_100 for a, b in ids)
+    hot_pairs = sum(1 for a, b in ids if a < 10_100 and b < 10_100)
+    assert hot_pairs < 1024 * 1024
+
+    # the hot bucket is observable, not silent: its size dwarfs the cap
+    sizes = buckets.groupBy("band_id", "band_hash").count()
+    assert sizes.agg(F.max("count")).collect()[0][0] > 5 * 1024

@@ -144,3 +144,34 @@ def test_window_range_endpoint(spark, sf_dir):
     assert unconfigured.test_client().get(
         "/streams-iq/windowrange?from=a&to=b"
     ).status_code == 501
+
+
+def test_range_pagination_pages_through_more_than_limit(spark):
+    # 26 keys, collect_limit=10: the plain range endpoint would
+    # truncate; the cursor pages through every row in bounded collects.
+    df = spark.createDataFrame(
+        [(f"k{chr(97 + i)}", float(i), float(i) / 2, i) for i in range(26)],
+        "symbol string, buys double, sells double, number_shares long",
+    )
+    app = create_app(InteractiveQueryService(df), collect_limit=10)
+    app.config["TESTING"] = True
+    c = app.test_client()
+
+    seen, cursor, pages = [], None, 0
+    while True:
+        url = "/streams-iq/range?limit=10" + (f"&after={cursor}" if cursor else "")
+        body = c.get(url).get_json()
+        assert body["errorMessage"] is None
+        seen += [r["symbol"] for r in body["result"]]
+        pages += 1
+        cursor = body["nextCursor"]
+        if cursor is None:
+            break
+    assert pages == 3 and len(seen) == 26
+    assert seen == sorted(f"k{chr(97 + i)}" for i in range(26))  # ordered, no dup/skip
+    # page size is capped at collect_limit even if the client asks big
+    body = c.get("/streams-iq/range?limit=9999").get_json()
+    assert len(body["result"]) == 10 and body["nextCursor"] == body["result"][-1]["symbol"]
+    # cursor composes with range bounds and the predicate filter
+    body = c.get("/streams-iq/range?lower=kb&upper=kz&limit=5&after=kc").get_json()
+    assert [r["symbol"] for r in body["result"]] == ["kd", "ke", "kf", "kg", "kh"]

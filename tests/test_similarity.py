@@ -315,3 +315,35 @@ def test_pq_adc_approximates_exact_l2_on_separated_data(spark):
         exact = int(np.argmin(dists))
         # ADC's winner must be in the same cluster as the exact winner
         assert nn % 4 == exact % 4 == qid % 4
+
+
+def test_ann_recall_floor(spark, sf_dir):
+    """Pin the recall-tuned defaults to the stated >=0.95 recall@10
+    floor (SCALING.md): srp (48 planes / 16 bands), ivf (nprobe=12),
+    and the PQ rerank path (m=16, k=32, it=3, rerank=200), all against
+    the exact brute-force baseline on the uniform-sphere corpus — the
+    ANN worst case (no cluster structure, weak-cosine neighbors)."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        knn_pq_adc,
+        knn_srp,
+        pq_train,
+        recall_at_k,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_bruteforce(emb, queries, k=10).localCheckpoint()
+    assert recall_at_k(exact, knn_srp(emb, queries, k=10)) >= 0.95
+    assert recall_at_k(exact, knn_ivf(emb, queries, k=10)) >= 0.95
+    book = pq_train(emb, m=16, k=32, iterations=3)
+    assert (
+        recall_at_k(exact, knn_pq_adc(emb, queries, book, k=10, m=16, rerank=200))
+        >= 0.95
+    )

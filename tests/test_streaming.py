@@ -359,3 +359,78 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
         r.fingerprint for r in batch.collect()
     }
     assert got.count() == 3  # one survivor per distinct fingerprint
+
+
+def test_kafka_source_plan_or_documented_skip(spark):
+    """If the spark-sql-kafka jars ever land in this image, the Kafka
+    source plan must parse with the transaction schema; until then the
+    skip records WHY the path is untested (README 'Known limitation' —
+    no jars, no broker, no network to fetch them)."""
+    import pytest as _pytest
+
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        kafka_transaction_stream,
+    )
+
+    try:
+        df = kafka_transaction_stream(spark, "localhost:9092", topic="txn")
+    except Exception as exc:
+        assert "kafka" in str(exc).lower()  # the missing DataSource, not a code bug
+        _pytest.skip(
+            "spark-sql-kafka connector jars absent in this container "
+            "(documented limitation; file-source analog covers semantics)"
+        )
+    assert {"symbol", "buy", "amount", "number_shares", "event_time"} <= set(df.columns)
+
+
+def test_streaming_dedup_state_bounded_under_watermark(spark, tmp_path):
+    """Short-horizon version of scripts/streaming_soak.py: with a
+    recycling fingerprint space and a watermark, dedup state must
+    plateau at ~the space size instead of tracking total ingest
+    (45 s soak numbers in SCALING.md; this asserts the same bound in
+    ~20 s)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        streaming_exact_dedup,
+    )
+
+    space = 500
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1000")
+        .load()
+        .select(
+            F.col("timestamp").alias("event_time"),
+            F.concat(F.lit("doc "), (F.col("value") % space).cast("string")).alias("text"),
+        )
+    )
+    q = (
+        streaming_exact_dedup(rate, watermark="5 seconds")
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        total, state_samples = 0, []
+        seen = set()
+        while time.time() < deadline:
+            time.sleep(1.0)
+            p = q.lastProgress
+            if not p or p["batchId"] in seen:
+                continue
+            seen.add(p["batchId"])
+            total += p["numInputRows"]
+            ops = p.get("stateOperators") or []
+            if ops:
+                state_samples.append(sum(op["numRowsTotal"] for op in ops))
+    finally:
+        q.stop()
+    assert state_samples and total > 4 * space
+    # state is bounded by the fingerprint space plus watermark churn —
+    # nowhere near total ingest
+    assert max(state_samples) <= 4 * space
