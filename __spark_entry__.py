@@ -349,6 +349,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["m8_wav_sample_stats"] = lambda s, d: M.wav_sample_features(
         M.wav_assets_from_documents(_docs(s, d))
     )
+    # m9: the VIDEO analog — real APNG (multi-frame PNG) round-trip,
+    # one row per decoded frame.
+    q["m9_apng_frame_stats"] = lambda s, d: M.apng_frame_features(
+        M.apng_assets_from_documents(_docs(s, d))
+    )
 
     # ---- composed curation pipeline (north-star flagship;
     # operators/curation.py): quality gate → exact dedup → near-dup
@@ -931,6 +936,33 @@ SELECT asset_id,
        FLOOR(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) * 1000000) / 1000000.0 AS sample_rms,
        CAST(MAX(ABS(v)) AS INTEGER) AS peak
 FROM vals GROUP BY 1, 2, 3, 4
+"""
+    o["m9_apng_frame_stats"] = """
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         2 + doc_id % 4 AS n_frames,
+         4 + doc_id % 9 AS width,
+         4 + (doc_id * 3) % 7 AS height,
+         1 + doc_id % 3 AS channels
+  FROM documents
+), pf AS (
+  SELECT p.*, g.f AS frame_idx
+  FROM p, unnest(generate_series(0, p.n_frames - 1)) AS g(f)
+), vals AS (
+  SELECT pf.asset_id, pf.frame_idx, pf.n_frames, pf.width, pf.height, pf.channels,
+         (pf.asset_id * 31 + pf.frame_idx * 97 + g.i) % 256 AS v
+  FROM pf, unnest(generate_series(0, pf.width * pf.height * pf.channels - 1)) AS g(i)
+)
+SELECT asset_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(channels AS INTEGER) AS channels,
+       (SUM(v) * 1000000 // COUNT(*)) / 1000000.0 AS pixel_mean,
+       CAST(MIN(v) AS INTEGER) AS pixel_min,
+       CAST(MAX(v) AS INTEGER) AS pixel_max
+FROM vals GROUP BY 1, 2, 3, 4, 5, 6
 """
     return o
 

@@ -54,9 +54,10 @@ HEADLINE = [
     # multimodal (JVM header parse + Python feature extraction)
     "m1_asset_manifest",
     "m2_image_features",
-    # real-codec round-trips (PNG zlib+filters, WAV RIFF/PCM16)
+    # real-codec round-trips (PNG zlib+filters, WAV RIFF/PCM16, APNG frames)
     "m7_png_pixel_stats",
     "m8_wav_sample_stats",
+    "m9_apng_frame_stats",
     # composed curation pipeline (quality → dedup → near-dup → budget)
     "p1_curation_pipeline",
     "p2_sequence_packing",

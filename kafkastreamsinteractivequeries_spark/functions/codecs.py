@@ -169,6 +169,120 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """Encode a list of equally-shaped 8-bit frames as an APNG
+    (animated PNG, the public Mozilla/W3C extension): ``acTL`` after
+    IHDR, per-frame ``fcTL``, first frame in ``IDAT``, later frames in
+    ``fdAT`` — every frame full-size, dispose NONE / blend SOURCE, so
+    reconstruction is per-frame independent.
+
+    Each frame's scanlines cycle through all five PNG filter types
+    (same as ``encode_png``), so decoding exercises the full
+    reconstruction path on every frame.
+    """
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    first = np.asarray(frames[0], dtype=np.uint8)
+    if first.ndim == 2:
+        first = first[:, :, None]
+    h, w, ch = first.shape
+    color_type = _CHANNELS_COLOR[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = bytearray(PNG_MAGIC + _chunk(b"IHDR", ihdr))
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))  # loop forever
+    seq = 0
+
+    def fctl(seq_n: int) -> bytes:
+        # full-frame, no offset, delay_ms/1000 s, dispose 0, blend 0
+        return _chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", seq_n, w, h, 0, 0, delay_ms, 1000, 0, 0),
+        )
+
+    for i, frame in enumerate(frames):
+        arr = np.asarray(frame, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape != (h, w, ch):
+            raise ValueError("APNG frames must share one shape")
+        out += fctl(seq)
+        seq += 1
+        # reuse the still-PNG encoder for the filtered+compressed body
+        body = encode_png(arr)
+        # extract its IDAT payload (single IDAT by construction)
+        pos, idat = 8, b""
+        while pos < len(body):
+            (length,) = struct.unpack_from(">I", body, pos)
+            tag = body[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat = body[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+        if i == 0:
+            out += _chunk(b"IDAT", idat)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + idat)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng(data: bytes) -> list[np.ndarray]:
+    """Decode an APNG (full-frame frames, as produced by
+    ``encode_apng``) to a list of H×W×C uint8 arrays — real chunk walk
+    + per-frame zlib inflate + filter reconstruction.
+
+    A plain (non-animated) PNG decodes as a single-frame list, matching
+    APNG's own semantics where the default image is the first frame.
+    """
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr_body = None
+    streams: list[bytearray] = []  # one compressed stream per frame
+    saw_actl = False
+    saw_fctl_before_idat = False
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr_body = body
+        elif tag == b"acTL":
+            saw_actl = True
+        elif tag == b"fcTL":
+            if streams or saw_fctl_before_idat:
+                streams.append(bytearray())  # subsequent frame begins
+            else:
+                saw_fctl_before_idat = True  # first frame = IDAT
+        elif tag == b"IDAT":
+            if not streams:
+                streams.append(bytearray())
+            streams[0] += body
+        elif tag == b"fdAT":
+            if not streams:
+                raise ValueError("APNG fdAT before IDAT")
+            streams[-1] += body[4:]  # strip sequence number
+        elif tag == b"IEND":
+            break
+    if ihdr_body is None or not streams:
+        raise ValueError("PNG missing IHDR/image data")
+    if not saw_actl and len(streams) == 1:
+        return [decode_png(data)]  # plain PNG fast path
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr_body)
+    frames = []
+    for s in streams:
+        # rebuild a minimal still PNG per frame and reuse decode_png
+        still = (
+            PNG_MAGIC
+            + _chunk(b"IHDR", ihdr_body)
+            + _chunk(b"IDAT", bytes(s))
+            + _chunk(b"IEND", b"")
+        )
+        frames.append(decode_png(still))
+    return frames
+
+
 def encode_wav_pcm16(
     samples: np.ndarray, sample_rate: int, n_channels: int = 1
 ) -> bytes:

@@ -148,3 +148,53 @@ def test_wav_sample_features_spark(spark):
         shifted = (int((v + 32768).sum()) * 1_000_000 // v.size) / 1e6
         assert r.sample_mean == shifted - 32768.0
         assert r.sample_rms == math.floor(math.sqrt(int((v * v).sum()) / v.size) * 1e6) / 1e6
+
+
+def test_apng_roundtrip_multiframe():
+    from kafkastreamsinteractivequeries_spark.functions.codecs import (
+        decode_apng,
+        encode_apng,
+    )
+
+    rng = np.random.default_rng(5)
+    for ch in (1, 2, 3, 4):
+        frames = [
+            rng.integers(0, 256, size=(6, 8, ch), dtype=np.uint8) for _ in range(4)
+        ]
+        got = decode_apng(encode_apng(frames))
+        assert len(got) == 4
+        assert all((g == f).all() for g, f in zip(got, frames))
+
+
+def test_apng_plain_png_is_single_frame():
+    from kafkastreamsinteractivequeries_spark.functions.codecs import (
+        decode_apng,
+        encode_png,
+    )
+
+    a = _rand((5, 5, 3), seed=9)
+    got = decode_apng(encode_png(a))
+    assert len(got) == 1 and (got[0] == a).all()
+
+
+def test_apng_frame_features_spark(spark):
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        apng_assets_from_documents,
+        apng_frame_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 1, 2, 7, 11)], "doc_id long, text string"
+    )
+    rows = apng_frame_features(apng_assets_from_documents(docs)).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    for doc_id, frs in by_asset.items():
+        nf, w, h, ch = 2 + doc_id % 4, 4 + doc_id % 9, 4 + (doc_id * 3) % 7, 1 + doc_id % 3
+        assert len(frs) == nf
+        for r in sorted(frs, key=lambda r: r.frame_idx):
+            vals = (doc_id * 31 + r.frame_idx * 97 + np.arange(w * h * ch)) % 256
+            assert (r.width, r.height, r.channels, r.n_frames) == (w, h, ch, nf)
+            assert r.pixel_min == int(vals.min()) and r.pixel_max == int(vals.max())
+            assert r.pixel_mean == (int(vals.sum()) * 1_000_000 // vals.size) / 1e6
