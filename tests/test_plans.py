@@ -160,3 +160,51 @@ def test_vocab_coverage_uses_take_ordered_not_full_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x11_vocab_coverage")
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan  # map-side combine on the token agg
+
+
+def test_pq_adc_stays_columnar_with_broadcast_codebook(spark, sf_dir):
+    # s7: the codebook and per-query distance tables are broadcast
+    # (m×k and q×m×k rows); the corpus-sized code table must never be
+    # sort-merge-joined against them, and the only Python in the plan
+    # is zero — PQ train/encode/ADC are pure Column expressions.
+    plan = plan_of(spark, sf_dir, "s7_knn_pq")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_codec_stages_are_arrow_batched_map_only(spark, sf_dir):
+    # m7/m9: encode and decode are chained mapInPandas stages —
+    # Arrow-batched (never row-at-a-time Python), with no shuffle
+    # between encode and decode (they pipeline in one stage) and no
+    # join anywhere.
+    for key in ("m7_png_pixel_stats", "m9_apng_frame_stats"):
+        plan = plan_of(spark, sf_dir, key)
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan  # row-at-a-time Python forbidden
+        assert "Join" not in plan
+        # exactly one exchange: the spread() fan-out of the narrow doc
+        # id scan; encode→decode must not add another
+        import re as _re
+
+        assert len(_re.findall(r"Exchange", plan)) <= 2
+
+
+def test_pq_rerank_joins_candidates_shuffle_hash(spark, sf_dir):
+    # the rerank refine path joins ADC survivors back to raw vectors:
+    # corpus side must be SHUFFLE_HASH (grows with corpus, never
+    # broadcast), query side broadcast.
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators import similarity as S
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    book = S.pq_train(emb, m=8, k=16, iterations=1)
+    df = S.knn_pq_adc(emb, qs, book, k=5, rerank=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
