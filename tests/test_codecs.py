@@ -198,3 +198,41 @@ def test_apng_frame_features_spark(spark):
             assert (r.width, r.height, r.channels, r.n_frames) == (w, h, ch, nf)
             assert r.pixel_min == int(vals.min()) and r.pixel_max == int(vals.max())
             assert r.pixel_mean == (int(vals.sum()) * 1_000_000 // vals.size) / 1e6
+
+
+# ---- property-based round-trips (hypothesis) ----
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @st.composite
+    def _images(draw):
+        h = draw(st.integers(1, 12))
+        w = draw(st.integers(1, 12))
+        ch = draw(st.sampled_from([1, 2, 3, 4]))
+        seed = draw(st.integers(0, 2**32 - 1))
+        return np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, ch), dtype=np.uint8
+        )
+
+    @given(_images())
+    @settings(max_examples=30, deadline=None)
+    def test_png_roundtrip_property(img):
+        assert (decode_png(encode_png(img)) == img).all()
+
+    @given(
+        st.integers(1, 400),
+        st.sampled_from([1, 2]),
+        st.integers(1, 192000),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_wav_roundtrip_property(frames, ch, rate, seed):
+        s = (
+            np.random.default_rng(seed).integers(0, 65536, size=frames * ch) - 32768
+        ).astype(np.int16)
+        r, c, got = decode_wav(encode_wav_pcm16(s, rate, ch))
+        assert (r, c) == (rate, ch) and (got == s).all()
+
+except ImportError:  # pragma: no cover - hypothesis is baked in per TESTDATA.md
+    pass
