@@ -354,6 +354,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["m9_apng_frame_stats"] = lambda s, d: M.apng_frame_features(
         M.apng_assets_from_documents(_docs(s, d))
     )
+    # m10: REAL pixel resize — decode, nearest-neighbor resample to
+    # longest-side ≤ 8, stats over the RESAMPLED pixels (oracle
+    # replays the integer NN source-index arithmetic).
+    q["m10_png_resize_stats"] = lambda s, d: M.png_resize_features(
+        M.png_assets_from_documents(_docs(s, d)), max_side=8
+    )
 
     # ---- composed curation pipeline (north-star flagship;
     # operators/curation.py): quality gate → exact dedup → near-dup
@@ -959,6 +965,44 @@ SELECT asset_id,
        CAST(width AS INTEGER) AS width,
        CAST(height AS INTEGER) AS height,
        CAST(channels AS INTEGER) AS channels,
+       (SUM(v) * 1000000 // COUNT(*)) / 1000000.0 AS pixel_mean,
+       CAST(MIN(v) AS INTEGER) AS pixel_min,
+       CAST(MAX(v) AS INTEGER) AS pixel_max
+FROM vals GROUP BY 1, 2, 3, 4, 5, 6
+"""
+    # m10: per target pixel (ty,tx,c) the NN source index is
+    # (ty·h//th · w + tx·w//tw) · ch + c — decomposed from the flat
+    # series index i as ty = i // (tw·ch), tx = (i // ch) % tw,
+    # c = i % ch.  The Spark side must reproduce these values through
+    # real decode + numpy resample for the hash to match.
+    o["m10_png_resize_stats"] = """
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         4 + doc_id % 13 AS w,
+         4 + (doc_id * 7) % 11 AS h,
+         1 + doc_id % 3 AS ch
+  FROM documents
+), t AS (
+  SELECT asset_id, w, h, ch,
+         CASE WHEN GREATEST(w, h) <= 8 THEN w
+              ELSE GREATEST(1, (w * 8) // GREATEST(w, h)) END AS tw,
+         CASE WHEN GREATEST(w, h) <= 8 THEN h
+              ELSE GREATEST(1, (h * 8) // GREATEST(w, h)) END AS th
+  FROM p
+), vals AS (
+  SELECT t.asset_id, t.w, t.h, t.tw, t.th, t.ch,
+         (t.asset_id * 31 +
+          ((((g.i // (t.tw * t.ch)) * t.h // t.th) * t.w
+            + (((g.i // t.ch) % t.tw) * t.w // t.tw)) * t.ch
+           + g.i % t.ch)) % 256 AS v
+  FROM t, unnest(generate_series(0, t.tw * t.th * t.ch - 1)) AS g(i)
+)
+SELECT asset_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(tw AS INTEGER) AS target_width,
+       CAST(th AS INTEGER) AS target_height,
+       CAST(ch AS INTEGER) AS channels,
        (SUM(v) * 1000000 // COUNT(*)) / 1000000.0 AS pixel_mean,
        CAST(MIN(v) AS INTEGER) AS pixel_min,
        CAST(MAX(v) AS INTEGER) AS pixel_max

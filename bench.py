@@ -58,6 +58,7 @@ HEADLINE = [
     "m7_png_pixel_stats",
     "m8_wav_sample_stats",
     "m9_apng_frame_stats",
+    "m10_png_resize_stats",
     # composed curation pipeline (quality → dedup → near-dup → budget)
     "p1_curation_pipeline",
     "p2_sequence_packing",

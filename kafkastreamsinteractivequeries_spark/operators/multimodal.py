@@ -170,10 +170,10 @@ def with_resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
 
 def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize planning: compute the scale factor and target dims
-    JVM-side (aspect-preserving, cap longest side at ``max_side``).
-    The pixel resample itself is the stubbed codec step — with PIL
-    present this becomes `Image.resize` inside mapInPandas; here the
-    output carries the plan (deterministic, testable)."""
+    JVM-side (aspect-preserving, cap longest side at ``max_side``)
+    over the synthetic header-parse assets.  For REAL pixel
+    resampling over PNG payloads see ``png_resize_features``
+    (decode → nearest-neighbor resample → stats)."""
     m = asset_manifest(assets).filter(F.col("media_type") == "image")
     return with_resize_plan(m, max_side).select(
         "asset_id", "width", "height", "scale", "target_width", "target_height"
@@ -405,6 +405,70 @@ def apng_frame_features(assets: DataFrame) -> DataFrame:
                             "pixel_max": int(arr.max()),
                         }
                     )
+            yield pd.DataFrame(rows)
+
+    return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)
+
+
+def resample_nearest(arr, target_w: int, target_h: int):
+    """Nearest-neighbor resample of an H×W×C uint8 array — source pixel
+    (ty·h // th, tx·w // tw) per target pixel (the integer-exact NN
+    convention, reproducible arithmetically by the SQL oracle)."""
+    import numpy as np
+
+    h, w, ch = arr.shape
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return arr[ys[:, None], xs[None, :], :]
+
+
+def png_resize_features(assets: DataFrame, max_side: int = 8) -> DataFrame:
+    """REAL image resize: decode each PNG, nearest-neighbor resample so
+    the longest side is capped at ``max_side`` (aspect-preserving,
+    integer dims ``max(1, side*max_side // longest)``), and aggregate
+    the RESAMPLED pixels — the genuine-pixel successor to the
+    plan-only ``resize_images``.
+
+    Output: (asset_id, width, height, target_width, target_height,
+    channels, pixel_mean floor-6, pixel_min, pixel_max) over the
+    resampled image."""
+    from kafkastreamsinteractivequeries_spark.functions.codecs import decode_png
+
+    schema = (
+        "asset_id long, width int, height int, target_width int, "
+        "target_height int, channels int, pixel_mean double, "
+        "pixel_min int, pixel_max int"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_png(bytes(payload))
+                h, w, ch = arr.shape
+                longest = max(w, h)
+                if longest <= max_side:
+                    tw, th = w, h
+                else:
+                    tw = max(1, (w * max_side) // longest)
+                    th = max(1, (h * max_side) // longest)
+                small = resample_nearest(arr, tw, th)
+                total = int(small.sum(dtype="int64"))
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "width": w,
+                        "height": h,
+                        "target_width": tw,
+                        "target_height": th,
+                        "channels": ch,
+                        "pixel_mean": (total * 1_000_000 // small.size) / 1e6,
+                        "pixel_min": int(small.min()),
+                        "pixel_max": int(small.max()),
+                    }
+                )
             yield pd.DataFrame(rows)
 
     return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)

@@ -236,3 +236,38 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in per TESTDATA.md
     pass
+
+
+def test_png_resize_features_spark(spark):
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        png_assets_from_documents,
+        png_resize_features,
+        resample_nearest,
+    )
+
+    # pure-numpy resample semantics: NN source index = (t*src)//target
+    a = np.arange(4 * 6 * 1, dtype=np.uint8).reshape(4, 6, 1)
+    small = resample_nearest(a, 3, 2)
+    assert small.shape == (2, 3, 1)
+    assert (small == a[[0, 2]][:, [0, 2, 4]]).all()
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 4, 9, 12)], "doc_id long, text string"
+    )
+    rows = {
+        r.asset_id: r
+        for r in png_resize_features(
+            png_assets_from_documents(docs), max_side=8
+        ).collect()
+    }
+    for doc_id, r in rows.items():
+        w, h, ch = 4 + doc_id % 13, 4 + (doc_id * 7) % 11, 1 + doc_id % 3
+        longest = max(w, h)
+        tw, th = (w, h) if longest <= 8 else (
+            max(1, w * 8 // longest), max(1, h * 8 // longest)
+        )
+        full = ((doc_id * 31 + np.arange(w * h * ch)) % 256).astype(np.uint8).reshape(h, w, ch)
+        small = resample_nearest(full, tw, th)
+        assert (r.target_width, r.target_height) == (tw, th)
+        assert r.pixel_min == int(small.min()) and r.pixel_max == int(small.max())
+        assert r.pixel_mean == (int(small.sum(dtype='int64')) * 1_000_000 // small.size) / 1e6
