@@ -140,12 +140,50 @@ def create_app(
         query = FilteredWindowRangeQuery.with_bounds(t_from, t_to)
         if predicate:
             query = query.predicate(predicate)
+        # Keyset pagination on the composite (window_start, symbol)
+        # order: ``after`` carries "<window_start iso>|<symbol>"; the
+        # cursor predicate ANDs into the scan and orderBy().limit(n+1)
+        # stays TakeOrderedAndProject — same bounded-collect contract
+        # as the range endpoint.
+        limit_arg = request.args.get("limit")
+        after = request.args.get("after") or None
+        paged = limit_arg is not None or after is not None
+        try:
+            page_size = int(limit_arg) if limit_arg is not None else (collect_limit or 10_000)
+        except ValueError:
+            return jsonify(_envelope(QueryResponse.with_error(
+                f"bad limit {limit_arg!r}"))), 400
+        if collect_limit is not None:
+            page_size = min(page_size, collect_limit)
         try:
             result_df = query.apply(windowed_df)
-            # None = unlimited, matching execute_response's semantics
-            if collect_limit is not None:
-                result_df = result_df.limit(collect_limit)
-            rows = result_df.collect()
+            next_cursor = None
+            if paged:
+                if after is not None:
+                    try:
+                        a_ws, a_sym = after.split("|", 1)
+                    except ValueError:
+                        return jsonify(_envelope(QueryResponse.with_error(
+                            f"bad cursor {after!r}: expected '<window_start>|<symbol>'"))), 400
+                    ws = F.col("window_start")
+                    a_ts = F.lit(a_ws).cast("timestamp")
+                    result_df = result_df.filter(
+                        (ws > a_ts) | ((ws == a_ts) & (F.col("symbol") > a_sym))
+                    )
+                rows = (
+                    result_df.orderBy("window_start", "symbol")
+                    .limit(page_size + 1)
+                    .collect()
+                )
+                if len(rows) > page_size:
+                    rows = rows[:page_size]
+                    last = rows[-1]
+                    next_cursor = f"{last['window_start'].isoformat()}|{last['symbol']}"
+            else:
+                # None = unlimited, matching execute_response's semantics
+                if collect_limit is not None:
+                    result_df = result_df.limit(collect_limit)
+                rows = result_df.collect()
         except Exception as exc:
             return jsonify(_envelope(QueryResponse.with_error(str(exc)))), 500
         resp = QueryResponse.with_result(
@@ -153,7 +191,10 @@ def create_app(
              for r in rows]
         )
         resp.host_information = "spark-driver"
-        return jsonify(_envelope(resp))
+        body = _envelope(resp)
+        if paged:
+            body["nextCursor"] = next_cursor
+        return jsonify(body)
 
     @app.get("/streams-iq/partition/<key>")
     def partition_for_key(key: str):

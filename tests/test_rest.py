@@ -175,3 +175,43 @@ def test_range_pagination_pages_through_more_than_limit(spark):
     # cursor composes with range bounds and the predicate filter
     body = c.get("/streams-iq/range?lower=kb&upper=kz&limit=5&after=kc").get_json()
     assert [r["symbol"] for r in body["result"]] == ["kd", "ke", "kf", "kg", "kh"]
+
+
+def test_window_range_pagination(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.windows import windowed_aggregate
+    from kafkastreamsinteractivequeries_spark.sources.tables import (
+        transactions_from_events,
+    )
+
+    txns = transactions_from_events(load_table(spark, sf_dir, "events"))
+    agg = aggregate_transactions(txns)
+    app = create_app(
+        InteractiveQueryService(agg),
+        collect_limit=25,
+        windowed_df=windowed_aggregate(txns, "1 hour"),
+    )
+    app.config["TESTING"] = True
+    c = app.test_client()
+    base = "/streams-iq/windowrange?from=2024-01-01 00:00:00&to=2024-12-31 00:00:00"
+
+    # unpaged: truncated at collect_limit, no cursor field
+    full = c.get(base).get_json()
+    assert len(full["result"]) == 25 and "nextCursor" not in full
+
+    # paged: walks every (window_start, symbol) row exactly once, ordered
+    seen, cursor, pages = [], None, 0
+    while True:
+        url = base + "&limit=25" + (f"&after={cursor}" if cursor else "")
+        body = c.get(url).get_json()
+        assert body["errorMessage"] is None
+        seen += [(r["window_start"], r["symbol"]) for r in body["result"]]
+        pages += 1
+        cursor = body["nextCursor"]
+        if cursor is None:
+            break
+        assert pages < 1000
+    assert pages > 1 and len(seen) > 25
+    assert seen == sorted(seen) and len(set(seen)) == len(seen)
+
+    bad = c.get(base + "&limit=5&after=nodelimiter")
+    assert bad.status_code == 400
