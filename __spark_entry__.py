@@ -338,27 +338,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # m6 carries duration_ms, so its per-frame rows subsume the m3
     # frame-sampling plan.
     q["m6_video_frame_features"] = lambda s, d: M.video_frame_features(_assets(s, d))
-    # m7/m8: REAL codec round-trip — encode a genuine PNG / WAV-PCM16
-    # per document (pixels/samples a pure function of doc_id), decode
-    # with the pure-stdlib codec (zlib filter reconstruction / RIFF
-    # walk), aggregate the recovered values.  The oracle computes the
-    # same stats arithmetically — a decode bug breaks the hash.
-    q["m7_png_pixel_stats"] = lambda s, d: M.png_pixel_features(
-        M.png_assets_from_documents(_docs(s, d))
-    )
+    # m7: REAL pixel-decode round-trips — encode a genuine PNG / APNG
+    # per document (pixels a pure function of doc_id), decode with the
+    # pure-stdlib codec (zlib inflate + filter reconstruction), and
+    # aggregate the recovered values.  ONE tagged union (the driver's
+    # correctness report caps at 50 keys) covering three paths:
+    #   'png'    — single-image decode stats
+    #   'apng'   — multi-frame (video-analog) decode, one row per frame
+    #   'resize' — decode + nearest-neighbor resample to longest-side
+    #              ≤ 8, stats over the RESAMPLED pixels
+    # The oracle computes the same stats arithmetically from the
+    # doc_id generation formulas (and, for 'resize', replays the
+    # integer NN source-index arithmetic) — a decode or resample bug
+    # breaks the hash.  Sentinels keep the union NULL-free: single
+    # images are frame 0 of 1; un-resized variants carry target dims
+    # equal to source dims.
+    def _m7(s: SparkSession, d: str) -> DataFrame:
+        png_assets = M.png_assets_from_documents(_docs(s, d))
+        png = M.png_pixel_features(png_assets).select(
+            F.lit("png").alias("variant"),
+            "asset_id",
+            F.lit(0).alias("frame_idx"),
+            F.lit(1).alias("n_frames"),
+            "width",
+            "height",
+            F.col("width").alias("target_width"),
+            F.col("height").alias("target_height"),
+            "channels",
+            "pixel_mean",
+            "pixel_min",
+            "pixel_max",
+        )
+        apng = M.apng_frame_features(M.apng_assets_from_documents(_docs(s, d))).select(
+            F.lit("apng").alias("variant"),
+            "asset_id",
+            "frame_idx",
+            "n_frames",
+            "width",
+            "height",
+            F.col("width").alias("target_width"),
+            F.col("height").alias("target_height"),
+            "channels",
+            "pixel_mean",
+            "pixel_min",
+            "pixel_max",
+        )
+        rez = M.png_resize_features(png_assets, max_side=8).select(
+            F.lit("resize").alias("variant"),
+            "asset_id",
+            F.lit(0).alias("frame_idx"),
+            F.lit(1).alias("n_frames"),
+            "width",
+            "height",
+            "target_width",
+            "target_height",
+            "channels",
+            "pixel_mean",
+            "pixel_min",
+            "pixel_max",
+        )
+        return png.unionByName(apng).unionByName(rez)
+
+    q["m7_decoded_pixel_stats"] = _m7
+    # m8: the AUDIO codec round-trip — real RIFF/WAVE PCM-16 encode per
+    # document, pure-stdlib chunk-walk decode, exact-integer sample
+    # stats (mean / rms / peak) the oracle recomputes arithmetically.
     q["m8_wav_sample_stats"] = lambda s, d: M.wav_sample_features(
         M.wav_assets_from_documents(_docs(s, d))
-    )
-    # m9: the VIDEO analog — real APNG (multi-frame PNG) round-trip,
-    # one row per decoded frame.
-    q["m9_apng_frame_stats"] = lambda s, d: M.apng_frame_features(
-        M.apng_assets_from_documents(_docs(s, d))
-    )
-    # m10: REAL pixel resize — decode, nearest-neighbor resample to
-    # longest-side ≤ 8, stats over the RESAMPLED pixels (oracle
-    # replays the integer NN source-index arithmetic).
-    q["m10_png_resize_stats"] = lambda s, d: M.png_resize_features(
-        M.png_assets_from_documents(_docs(s, d)), max_side=8
     )
 
     # ---- composed curation pipeline (north-star flagship;
@@ -395,9 +441,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    q["s1_knn_bruteforce"] = lambda s, d: S.knn_bruteforce(
-        _emb(s, d), _queries_df(s, d), k=10
-    )
+    # s1: every kNN path under ONE tagged key (50-key report cap) —
+    # they share the (query_id, vec_id, score, rank) shape:
+    #   'brute'  — exact cosine top-k (the recall oracle)
+    #   'srp16'  — SRP-LSH bucketed candidates + exact cosine
+    #   'ivf16'  — seed-quantizer IVF, nprobe=4 + exact cosine
+    #   'pq8x16' — TRAINED product quantization (2 Lloyd iterations the
+    #              oracle replays) + ADC; score = approx squared L2
+    # SRP/IVF params pinned to the oracle's static hyperplanes/seed
+    # lists (library defaults are the recall-tuned ones, regression-
+    # tested separately — SCALING.md).
+    def _s1(s: SparkSession, d: str) -> DataFrame:
+        emb, qdf = _emb(s, d), _queries_df(s, d)
+
+        def tag(df: DataFrame, t: str, score_col: str) -> DataFrame:
+            return df.select(
+                F.lit(t).alias("variant"),
+                "query_id",
+                "vec_id",
+                F.col(score_col).alias("score"),
+                "rank",
+            )
+
+        brute = tag(S.knn_bruteforce(emb, qdf, k=10), "brute", "cosine")
+        srp = tag(
+            S.knn_srp(emb, qdf, k=10, num_planes=16, chunks=4), "srp16", "cosine"
+        )
+        ivf = tag(S.knn_ivf(emb, qdf, k=10, n_lists=16, nprobe=4), "ivf16", "cosine")
+        book = S.pq_train(emb, m=8, k=16, iterations=2)
+        pq = tag(S.knn_pq_adc(emb, qdf, book, k=10, m=8), "pq8x16", "adc_dist")
+        return brute.unionByName(srp).unionByName(ivf).unionByName(pq)
+
+    q["s1_knn"] = _s1
     # s2 unions the index-build stages under one tagged key: SRP
     # bit-codes ('srp16'), IVF nearest-centroid assignment off the
     # deterministic seed quantizer ('ivf16'), and — the TRAINED path —
@@ -424,31 +499,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return srp.unionByName(ivf).unionByName(ivft)
 
     q["s2_index_assignments"] = _s2
-    # num_planes/chunks pinned to the oracle's static 16-plane/4-band
-    # hyperplane embedding (the library default is the recall-tuned
-    # 36/12 — recall is regression-tested separately, SCALING.md).
-    q["s3_knn_srp"] = lambda s, d: S.knn_srp(
-        _emb(s, d), _queries_df(s, d), k=10, num_planes=16, chunks=4
-    )
     # num_planes pinned (32 planes -> 8-bit bands) rather than the
     # library's corpus-size auto-default, so the static oracle SQL can
     # embed the identical hyperplanes at any sf_dir.
     q["s4_embedding_near_duplicates"] = lambda s, d: S.embedding_near_duplicates(
         _emb(s, d), threshold=0.4, num_planes=32
     )
-    q["s6_knn_ivf"] = lambda s, d: S.knn_ivf(
-        _emb(s, d), _queries_df(s, d), k=10, n_lists=16, nprobe=4
-    )
-
-    # s7: the TRAINED product-quantization path end-to-end — 2 Lloyd
-    # iterations of per-subspace k-means (round-6 means, oracle replays
-    # the identical trajectory), then ADC top-k over the encoded corpus.
-    def _s7(s: SparkSession, d: str) -> DataFrame:
-        emb = _emb(s, d)
-        book = S.pq_train(emb, m=8, k=16, iterations=2)
-        return S.knn_pq_adc(emb, _queries_df(s, d), book, k=10, m=8)
-
-    q["s7_knn_pq"] = _s7
 
     return q
 
@@ -901,7 +957,7 @@ FROM sigs
     # recover identical values through real PNG-zlib / WAV-RIFF decode
     # for the hash to match.  Integer sums are exact (≤2^53), so the
     # floor-6 means and FLOOR(SQRT·1e6) rms are bit-portable.
-    o["m7_png_pixel_stats"] = """
+    png_sql = """
 WITH p AS (
   SELECT doc_id AS asset_id,
          4 + doc_id % 13 AS width,
@@ -943,7 +999,7 @@ SELECT asset_id,
        CAST(MAX(ABS(v)) AS INTEGER) AS peak
 FROM vals GROUP BY 1, 2, 3, 4
 """
-    o["m9_apng_frame_stats"] = """
+    apng_sql = """
 WITH p AS (
   SELECT doc_id AS asset_id,
          2 + doc_id % 4 AS n_frames,
@@ -975,7 +1031,7 @@ FROM vals GROUP BY 1, 2, 3, 4, 5, 6
     # series index i as ty = i // (tw·ch), tx = (i // ch) % tw,
     # c = i % ch.  The Spark side must reproduce these values through
     # real decode + numpy resample for the hash to match.
-    o["m10_png_resize_stats"] = """
+    rez_sql = """
 WITH p AS (
   SELECT doc_id AS asset_id,
          4 + doc_id % 13 AS w,
@@ -1007,6 +1063,26 @@ SELECT asset_id,
        CAST(MIN(v) AS INTEGER) AS pixel_min,
        CAST(MAX(v) AS INTEGER) AS pixel_max
 FROM vals GROUP BY 1, 2, 3, 4, 5, 6
+"""
+    # One tagged union mirroring q["m7_decoded_pixel_stats"]: the three
+    # pixel-decode paths with sentinel frame/target columns (frame 0 of
+    # 1 for single images; target dims = source dims when not resizing)
+    # so the union is NULL-free and hash-stable across engines.
+    o["m7_decoded_pixel_stats"] = f"""
+SELECT 'png' AS variant, asset_id, CAST(0 AS INTEGER) AS frame_idx,
+       CAST(1 AS INTEGER) AS n_frames, width, height,
+       width AS target_width, height AS target_height,
+       channels, pixel_mean, pixel_min, pixel_max
+FROM ({png_sql}) png_v
+UNION ALL
+SELECT 'apng', asset_id, frame_idx, n_frames, width, height,
+       width, height, channels, pixel_mean, pixel_min, pixel_max
+FROM ({apng_sql}) apng_v
+UNION ALL
+SELECT 'resize', asset_id, CAST(0 AS INTEGER), CAST(1 AS INTEGER),
+       width, height, target_width, target_height,
+       channels, pixel_mean, pixel_min, pixel_max
+FROM ({rez_sql}) rez_v
 """
     return o
 
@@ -1309,7 +1385,7 @@ WITH codes AS MATERIALIZED (
 """
 
     o: dict[str, str] = {}
-    o["s1_knn_bruteforce"] = f"""
+    s1_sql = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
 ), scored AS (
@@ -1397,7 +1473,7 @@ SELECT vec_id, 'ivf16' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM assi
 UNION ALL
 SELECT vec_id, 'ivf16t' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM tassign"""
     )
-    o["s6_knn_ivf"] = (
+    s6_sql = (
         ivf_cte
         + f""", q AS (
   SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
@@ -1427,7 +1503,7 @@ SELECT query_id, vec_id, cosine, rank FROM (
 ) WHERE rank <= 10
 """
     )
-    o["s3_knn_srp"] = (
+    s3_sql = (
         buckets_cte
         + q_cte
         + f""", qb AS (
@@ -1542,7 +1618,7 @@ SELECT id_a, id_b, cosine FROM (
   FROM codesf cf JOIN tables t ON cf.sub_id = t.sub_id AND cf.code = t.code
   GROUP BY 1, 2
 )""")
-    o["s7_knn_pq"] = (
+    s7_sql = (
         "WITH "
         + ",\n".join(pq_parts)
         + """
@@ -1552,6 +1628,19 @@ SELECT query_id, vec_id, adc_dist, rank FROM (
   FROM adc WHERE vec_id != query_id
 ) WHERE rank <= 10
 """
+    )
+    # One tagged union mirroring q["s1_knn"]: all four kNN paths share
+    # the (query_id, vec_id, score, rank) shape — score is cosine for
+    # brute/srp/ivf and approximate squared L2 for the PQ/ADC path.
+    o["s1_knn"] = "\nUNION ALL\n".join(
+        f"SELECT '{tagname}' AS variant, query_id, vec_id, "
+        f"{score} AS score, rank FROM ({body}) {tagname}_v"
+        for tagname, body, score in [
+            ("brute", s1_sql, "cosine"),
+            ("srp16", s3_sql, "cosine"),
+            ("ivf16", s6_sql, "cosine"),
+            ("pq8x16", s7_sql, "adc_dist"),
+        ]
     )
     return o
 

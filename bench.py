@@ -42,23 +42,19 @@ HEADLINE = [
     # dedup (exact + the production near-dup detector)
     "d1_exact_dedup",
     "d9_weighted_near_duplicates",
-    # similarity search (exact kNN + LSH path + near-dup)
-    "s1_knn_bruteforce",
-    "s3_knn_srp",
+    # similarity search: brute/SRP/IVF/trained-PQ kNN in one tagged
+    # union, plus the embedding near-dup detector
+    "s1_knn",
     "s4_embedding_near_duplicates",
-    # trained product quantization end-to-end (2 Lloyd iterations + ADC)
-    "s7_knn_pq",
     # text analysis
     "x1_text_stats",
     "x4_winnowing_fingerprint",
     # multimodal (JVM header parse + Python feature extraction)
     "m1_asset_manifest",
     "m2_image_features",
-    # real-codec round-trips (PNG zlib+filters, WAV RIFF/PCM16, APNG frames)
-    "m7_png_pixel_stats",
+    # real-codec round-trips: PNG/APNG/resize pixel union + WAV PCM16
+    "m7_decoded_pixel_stats",
     "m8_wav_sample_stats",
-    "m9_apng_frame_stats",
-    "m10_png_resize_stats",
     # composed curation pipeline (quality → dedup → near-dup → budget)
     "p1_curation_pipeline",
     "p2_sequence_packing",

@@ -68,11 +68,12 @@ def test_manifest_is_single_scan_no_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
 
 
-def test_knn_bruteforce_no_corpus_shuffle(spark, sf_dir):
-    # s1: query side broadcast; the only exchanges allowed are the
-    # corpus spread() repartition and the top-k window partitioning —
-    # never a corpus-sized join shuffle (no SortMergeJoin).
-    plan = plan_of(spark, sf_dir, "s1_knn_bruteforce")
+def test_knn_union_no_corpus_shuffle(spark, sf_dir):
+    # s1 (tagged union of all four kNN paths): query side broadcast;
+    # the only exchanges allowed are the corpus spread() repartition
+    # and the top-k window partitioning — never a corpus-sized join
+    # shuffle (no SortMergeJoin in ANY branch).
+    plan = plan_of(spark, sf_dir, "s1_knn")
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # query set joined via broadcast
 
@@ -163,11 +164,13 @@ def test_vocab_coverage_uses_take_ordered_not_full_sort(spark, sf_dir):
 
 
 def test_pq_adc_stays_columnar_with_broadcast_codebook(spark, sf_dir):
-    # s7: the codebook and per-query distance tables are broadcast
-    # (m×k and q×m×k rows); the corpus-sized code table must never be
-    # sort-merge-joined against them, and the only Python in the plan
-    # is zero — PQ train/encode/ADC are pure Column expressions.
-    plan = plan_of(spark, sf_dir, "s7_knn_pq")
+    # s1's pq branch: the codebook and per-query distance tables are
+    # broadcast (m×k and q×m×k rows); the corpus-sized code table must
+    # never be sort-merge-joined against them, and the only Python in
+    # the plan is zero — PQ train/encode/ADC are pure Column
+    # expressions.  Asserted on the full s1 union so the invariants
+    # hold for every kNN branch at once.
+    plan = plan_of(spark, sf_dir, "s1_knn")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -178,16 +181,15 @@ def test_codec_stages_are_arrow_batched_map_only(spark, sf_dir):
     # Arrow-batched (never row-at-a-time Python), with no shuffle
     # between encode and decode (they pipeline in one stage) and no
     # join anywhere.
-    for key in ("m7_png_pixel_stats", "m9_apng_frame_stats"):
-        plan = plan_of(spark, sf_dir, key)
-        assert "MapInPandas" in plan
-        assert "BatchEvalPython" not in plan  # row-at-a-time Python forbidden
-        assert "Join" not in plan
-        # exactly one exchange: the spread() fan-out of the narrow doc
-        # id scan; encode→decode must not add another
-        import re as _re
+    plan = plan_of(spark, sf_dir, "m7_decoded_pixel_stats")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python forbidden
+    assert "Join" not in plan
+    # one spread() fan-out exchange per union branch (png / apng /
+    # resize); encode→decode must not add any beyond those
+    import re as _re
 
-        assert len(_re.findall(r"Exchange", plan)) <= 2
+    assert len(_re.findall(r"Exchange", plan)) <= 3
 
 
 def test_pq_rerank_joins_candidates_shuffle_hash(spark, sf_dir):
