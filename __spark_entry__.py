@@ -242,15 +242,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a10_late_lines_by_priority"] = lambda s, d: A.late_lines_by_priority(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
     )
-    q["a11_promo_revenue"] = lambda s, d: A.promo_revenue_ratio(
-        load_table(s, d, "lineitem"),
-        load_table(s, d, "part"),
-        "1995-01-01",
-        "1996-12-31",
-    )
-    q["a12_disjunctive_part_revenue"] = lambda s, d: A.disjunctive_part_revenue(
-        load_table(s, d, "lineitem"), load_table(s, d, "part")
-    )
+    # a11: the two single-row revenue KPIs (Q14-shape promo ratio and
+    # Q19-shape disjunctive-pushdown revenue) as ONE tagged union —
+    # both plans still execute in full (and test_plans pins each one's
+    # pushdown on this union), but they spend one 50-cap report slot.
+    def _a11(s: SparkSession, d: str) -> DataFrame:
+        li, pt = load_table(s, d, "lineitem"), load_table(s, d, "part")
+        promo = A.promo_revenue_ratio(li, pt, "1995-01-01", "1996-12-31").select(
+            F.lit("promo_ratio").alias("variant"),
+            F.col("promo_revenue_pct").alias("value"),
+            F.col("total_revenue").alias("aux"),
+        )
+        disj = A.disjunctive_part_revenue(li, pt).select(
+            F.lit("disjunctive").alias("variant"),
+            F.col("revenue").alias("value"),
+            F.col("n_lines").cast("double").alias("aux"),
+        )
+        return promo.unionByName(disj)
+
+    q["a11_revenue_kpis"] = _a11
 
     # ---- dedup suite (north-star extension; operators/dedup.py).
     # The testdata's injected near-dups are word-order shuffles (token-set
@@ -301,10 +311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafkastreamsinteractivequeries_spark.operators import text as T
 
     # x1 is the one-pass per-doc profile: text_stats ⊕ language_id ⊕
-    # deterministic_split in a single zero-shuffle projection (three
-    # operators, one 50-cap report slot, one corpus scan).
+    # deterministic_split ⊕ token counts (old x2: n_tokens is the ws
+    # count, bpe_tokens the regexp pre-tokenizer count) in a single
+    # zero-shuffle projection — four operators, one 50-cap report
+    # slot, one corpus scan.
     q["x1_text_stats"] = lambda s, d: T.doc_profile(_docs(s, d))
-    q["x2_token_counts"] = lambda s, d: T.token_counts_report(_docs(s, d))
     q["x4_winnowing_fingerprint"] = lambda s, d: T.winnowing_fingerprint(_docs(s, d))
     q["x6_length_percentiles"] = lambda s, d: T.length_percentiles(_docs(s, d))
     q["x7_bigram_logprob"] = lambda s, d: T.bigram_logprob_scores(_docs(s, d))
@@ -319,6 +330,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x10_kmv_distinct_users"] = lambda s, d: SK.kmv_distinct_users(
         load_table(s, d, "events"), k=32
     )
+
+    # x12 — PII redaction.  The synthetic corpus carries no real PII,
+    # so the key plants deterministic contact strings (email / dashed
+    # phone / IPv4, each on a different doc_id residue class) and runs
+    # the REAL redaction operator over them; the oracle rebuilds the
+    # same salted text and replays the regex pipeline, so a pattern or
+    # replacement-order bug breaks counts, lengths, AND the md5 of the
+    # redacted text.
+    def _x12(s: SparkSession, d: str) -> DataFrame:
+        did = F.col("doc_id")
+        salted = _docs(s, d).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    did % 3 == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        did.cast("string"),
+                        F.lit("@example.com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 4 == 0,
+                    F.concat(
+                        F.lit(" call +1-555-"),
+                        F.lpad((did * 7 % 1000).cast("string"), 3, "0"),
+                        F.lit("-"),
+                        F.lpad((did * 13 % 10000).cast("string"), 4, "0"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 5 == 0,
+                    F.concat(
+                        F.lit(" from 10."),
+                        (did % 256).cast("string"),
+                        F.lit("."),
+                        (did * 3 % 256).cast("string"),
+                        F.lit("."),
+                        (did * 7 % 256).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return T.pii_stats(salted).select(
+            "doc_id",
+            "n_email",
+            "n_phone",
+            "n_ipv4",
+            "redacted_len",
+            F.md5("redacted_text").alias("redacted_md5"),
+            "clean",
+        )
+
+    q["x12_pii_redaction"] = _x12
+
+    # x13 — benchmark decontamination: eval set = every 20th doc,
+    # train = the rest; n=3 (the published 13-gram convention is the
+    # library default — 3 pinned here because the synthetic docs are
+    # ~50 tokens over a ~40-word vocabulary, where trigram collisions
+    # give a non-degenerate hit distribution for the oracle).
+    def _x13(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        return T.ngram_decontaminate(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+            n=3,
+        )
+
+    q["x13_decontamination"] = _x13
 
     # ---- multimodal columns (north-star; operators/multimodal.py):
     # binary payloads + typed metadata; codec step deterministically
@@ -651,19 +732,23 @@ FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
 GROUP BY l_returnflag
 """
-    o["a11_promo_revenue"] = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+    # a11: the two single-row KPIs as one tagged union (mirrors
+    # q["a11_revenue_kpis"]) — Q14 promo ratio and Q19 disjunctive
+    # revenue, aux = total_revenue / n_lines respectively.
+    o["a11_revenue_kpis"] = """
+SELECT 'promo_ratio' AS variant,
+       ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS value,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS aux
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
-"""
-    o["a12_disjunctive_part_revenue"] = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       COUNT(*) AS n_lines
+UNION ALL
+SELECT 'disjunctive',
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2),
+       CAST(COUNT(*) AS DOUBLE)
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -1172,16 +1257,9 @@ SELECT doc_id,
        CAST({hex6} AS INTEGER) AS bucket,
        CASE WHEN {hex6} < 90 THEN 'train'
             WHEN {hex6} < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM h
-"""
-    )
-    o["x2_token_counts"] = (
-        t_cte
-        + f"""SELECT doc_id,
-       CAST(len(toks) AS INTEGER) AS ws_tokens,
+            ELSE 'test' END AS split,
        CAST(len(regexp_extract_all(norm, '{BPE_PATTERN}')) AS INTEGER) AS bpe_tokens
-FROM t
+FROM h
 """
     )
     o["x6_length_percentiles"] = (
@@ -1325,6 +1403,81 @@ SELECT event_type,
 FROM kept
 GROUP BY event_type
 """
+    # x12 — PII redaction: rebuild the key's deterministic salted text
+    # (email on doc_id%3, dashed phone on %4, IPv4 on %5), then replay
+    # text.PII_PATTERNS — same regexes, same replacement order — so
+    # counts, redacted length, and the md5 of the redacted text all
+    # have to match the Spark pipeline.
+    from kafkastreamsinteractivequeries_spark.operators.text import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    x12 = """
+WITH salted AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 4 = 0
+              THEN ' call +1-555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+                   || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+              ELSE '' END AS text
+  FROM documents
+), red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, 'EMAIL_PAT')) AS INTEGER) AS n_email,
+         CAST(len(regexp_extract_all(text, 'PHONE_PAT')) AS INTEGER) AS n_phone,
+         CAST(len(regexp_extract_all(text, 'IP_PAT')) AS INTEGER) AS n_ipv4,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             'EMAIL_PAT', '<EMAIL>', 'g'),
+             'PHONE_PAT', '<PHONE>', 'g'),
+             'IP_PAT', '<IP>', 'g') AS rt
+  FROM salted
+)
+SELECT doc_id, n_email, n_phone, n_ipv4,
+       CAST(length(rt) AS INTEGER) AS redacted_len,
+       md5(rt) AS redacted_md5,
+       (n_email + n_phone + n_ipv4) = 0 AS clean
+FROM red
+"""
+    o["x12_pii_redaction"] = (
+        x12.replace("EMAIL_PAT", pats["email"])
+        .replace("PHONE_PAT", pats["phone"])
+        .replace("IP_PAT", pats["ipv4"])
+    )
+    # x13 — decontamination: distinct trigram-md5 collisions of each
+    # train doc (doc_id % 20 != 0) against the eval slice (% 20 = 0),
+    # mirroring text.ngram_decontaminate(n=3) — same normalization,
+    # same md5-of-joined-window hashing as the d6 oracle.
+    o["x13_decontamination"] = (
+        t_cte
+        + """, g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([md5(array_to_string(toks[i:i+2], ' '))
+                                  for i in generate_series(1, len(toks) - 2)])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+), eg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0
+), tg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 != 0
+), hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n
+  FROM tg JOIN eg USING (gram) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(h.n, 0) AS n_contaminated_ngrams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM t LEFT JOIN hits h USING (doc_id)
+WHERE t.doc_id % 20 != 0
+"""
+    )
     return o
 
 

@@ -49,6 +49,8 @@ HEADLINE = [
     # text analysis
     "x1_text_stats",
     "x4_winnowing_fingerprint",
+    "x12_pii_redaction",
+    "x13_decontamination",
     # multimodal (JVM header parse + Python feature extraction)
     "m1_asset_manifest",
     "m2_image_features",

@@ -178,18 +178,22 @@ def _split_cols(id_col: str, train_pct: int = 90, val_pct: int = 5) -> list[F.Co
 
 def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document profile: ``text_stats`` ⊕ ``language_id`` ⊕
-    ``deterministic_split`` in a single zero-shuffle projection.
+    ``deterministic_split`` ⊕ the BPE-ish token count of
+    ``token_counts_report`` in a single zero-shuffle projection
+    (``n_tokens`` already IS that report's whitespace count).
 
-    At 100 TB this is the shape that matters: all three are pure row
+    At 100 TB this is the shape that matters: all four are pure row
     maps over (id, text), so computing them in one ``select`` reads the
-    corpus once and never shuffles — vs three scans or two joins if the
-    operators ran separately.
+    corpus once and never shuffles — vs four scans or three joins if
+    the operators ran separately.
     """
+    norm = normalized_text(F.col(text_col))
     return spread(docs).select(
         F.col(id_col),
         *_stats_cols(text_col),
         *_lang_cols(text_col),
         *_split_cols(id_col),
+        F.regexp_count(norm, F.lit(BPE_PATTERN)).cast("int").alias("bpe_tokens"),
     )
 
 
@@ -389,4 +393,124 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Detection/replacement patterns, applied IN ORDER (emails first so an
+# address's digit runs can't be half-eaten by the phone pattern).  Kept
+# inside the RE2-compatible subset — no lookaround, no backrefs, no \b —
+# so Java regex (Spark) and RE2 (DuckDB oracle) agree byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"[+]?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def pii_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII detection counts + redacted text: emails, dashed
+    phone numbers, and IPv4 literals replaced by typed placeholder
+    tokens (``<EMAIL>``/``<PHONE>``/``<IP>``), the standard scrub
+    before large-scale training-data release.
+
+    Output: (id, n_email, n_phone, n_ipv4, redacted_text,
+    redacted_len, clean).  Counts are measured on the ORIGINAL text;
+    replacements apply sequentially in ``PII_PATTERNS`` order.
+
+    Scale shape: pure Column regexps — single corpus scan, zero
+    shuffle, whole-stage codegen; no Python anywhere.
+    """
+    t = F.col(text_col)
+    raw_counts = [F.regexp_count(t, F.lit(pat)) for _, pat, _ in PII_PATTERNS]
+    counts = [
+        c.cast("int").alias(f"n_{name}")
+        for (name, _, _), c in zip(PII_PATTERNS, raw_counts)
+    ]
+    red = t
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    total = raw_counts[0]
+    for c in raw_counts[1:]:
+        total = total + c
+    return spread(docs).select(
+        F.col(id_col),
+        *counts,
+        red.alias("redacted_text"),
+        F.length(red).cast("int").alias("redacted_len"),
+        (total == 0).alias("clean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with an
+    evaluation/benchmark set — the standard train-set decontamination
+    pass (13-gram overlap is the published convention; pin a smaller
+    ``n`` for short documents).
+
+    Output: one row per train doc — (id, n_contaminated_ngrams,
+    contaminated).  N-grams use the same normalization as the dedup
+    suite; comparison is on md5 of the joined token window, so the
+    shuffle (if any) carries 32-byte hashes, never raw text.
+
+    Scale shape: the eval n-gram set is DISTINCT'd and broadcast by
+    default (benchmarks are MBs, corpora are TBs) — the contamination
+    join is then map-side against the corpus's exploded n-gram stream
+    (≈ tokens-per-doc rows, one corpus scan), followed by a partial-agg
+    count per doc and a skinny id-only left join to restore clean docs.
+    Set ``broadcast_eval=False`` only if the "eval" side is itself
+    corpus-scale (then the join shuffles both sides on the hash).
+    """
+
+    def gram_rows(df: DataFrame) -> DataFrame:
+        toks = tokens_col(F.col(text_col))
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        )
+        # sequence(1, k) RUNS BACKWARDS when k < 1 — guard short docs
+        # to an empty gram set instead.
+        safe = F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return df.select(F.col(id_col), F.explode(safe).alias("gram"))
+
+    eval_grams = gram_rows(eval_docs).select("gram").distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = (
+        gram_rows(spread(train))
+        .join(eval_grams, "gram")
+        .groupBy(id_col)
+        # grams are array_distinct per doc already — count(*) IS the
+        # distinct-collision count, no countDistinct shuffle needed
+        .agg(F.count("*").cast("int").alias("n_contaminated_ngrams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
     )

@@ -128,7 +128,7 @@ def test_disjunctive_filter_pushed_to_both_scans(spark, sf_dir):
     # OR-of-ANDs and push them into BOTH parquet scans — the difference
     # between scanning 2 columns' worth of matching row groups and
     # scanning two full fact tables at 100 TB.
-    plan = plan_of(spark, sf_dir, "a12_disjunctive_part_revenue")
+    plan = plan_of(spark, sf_dir, "a11_revenue_kpis")
     assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan)
     assert re.search(r"PushedFilters: \[[^\]]*p_brand", plan)
 
@@ -142,7 +142,7 @@ def test_late_lines_join_condition_filters_during_probe(spark, sf_dir):
 
 
 def test_promo_revenue_shipdate_pushdown(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "a11_promo_revenue")
+    plan = plan_of(spark, sf_dir, "a11_revenue_kpis")
     assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
 
 
@@ -210,3 +210,26 @@ def test_pq_rerank_joins_candidates_shuffle_hash(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_redaction_is_map_only_zero_shuffle(spark, sf_dir):
+    # x12: detection counts + redaction are pure Column regexps — the
+    # only exchange is the spread() fan-out; no joins, no aggregation,
+    # no Python anywhere.
+    plan = plan_of(spark, sf_dir, "x12_pii_redaction")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # spread() round-robin only
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    # x13: the eval n-gram set must be the BROADCAST side of the
+    # contamination join (benchmarks are MBs, corpora are TBs) — the
+    # corpus's exploded gram stream is never shuffled for the join and
+    # never sort-merge-joined.
+    plan = plan_of(spark, sf_dir, "x13_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # per-doc collision count partial-aggregates map-side
+    assert "partial_count" in plan or "HashAggregate" in plan

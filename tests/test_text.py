@@ -187,3 +187,56 @@ def test_vocabulary_coverage_ranks_and_cumulates(spark):
     assert abs(got["a"].cum_fraction - round(4 / 9, 6)) < 1e-9
     assert got["b"].rank == 2
     assert abs(got["b"].cum_fraction - round(7 / 9, 6)) < 1e-9
+
+
+def test_pii_stats_counts_and_redacts(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+1@corp.example.org today"),
+            (2, "call +1-555-867-5309 or 1-555-000-1234"),
+            (3, "server at 192.168.1.250 went down"),
+            (4, "nothing sensitive here"),
+            (5, "bob@x.io from 10.0.0.1 call 1-555-111-2222"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (1, 0, 0)
+    assert "<EMAIL>" in rows[1]["redacted_text"]
+    assert "bob.smith" not in rows[1]["redacted_text"]
+    assert rows[2]["n_phone"] == 2 and "<PHONE>" in rows[2]["redacted_text"]
+    assert "555" not in rows[2]["redacted_text"]
+    assert rows[3]["n_ipv4"] == 1 and "<IP>" in rows[3]["redacted_text"]
+    assert rows[4]["clean"] and rows[4]["redacted_text"] == "nothing sensitive here"
+    assert (rows[5]["n_email"], rows[5]["n_phone"], rows[5]["n_ipv4"]) == (1, 1, 1)
+    assert not rows[5]["clean"]
+
+
+def test_ngram_decontaminate_flags_planted_overlap(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import ngram_decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the 13.. well n=4 window "quick brown fox jumps"
+            (1, "she saw the quick brown fox jumps over a fence"),
+            # same words, different order — no shared 4-gram
+            (2, "fox brown quick the jumps dog lazy over"),
+            # too short for any 4-gram
+            (3, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(train, eval_docs, n=4).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["contaminated"] and rows[1]["n_contaminated_ngrams"] >= 1
+    assert not rows[2]["contaminated"] and rows[2]["n_contaminated_ngrams"] == 0
+    assert not rows[3]["contaminated"]
