@@ -166,6 +166,35 @@ def stress_d10(spark, doc16x):
     print(f"d10 growth at {REPLICAS}x corpus: {res['16x'] / res['1x']:.1f}x")
 
 
+def stress_x12(spark, doc16x):
+    from kafkastreamsinteractivequeries_spark.operators.text import pii_stats
+
+    doc1 = load_table(spark, SF_DIR, "documents")
+    doc16 = spark.read.parquet(doc16x)
+    res = {}
+    for label, df in (("1x", doc1), ("16x", doc16)):
+        res[label] = timed(f"x12 {label}", lambda df=df: pii_stats(df).count())
+    print(f"x12 growth at {REPLICAS}x corpus: {res['16x'] / res['1x']:.1f}x")
+
+
+def stress_x13(spark, doc16x):
+    from kafkastreamsinteractivequeries_spark.operators.text import ngram_decontaminate
+
+    doc1 = load_table(spark, SF_DIR, "documents")
+    doc16 = spark.read.parquet(doc16x)
+    res = {}
+    for label, df in (("1x", doc1), ("16x", doc16)):
+        res[label] = timed(
+            f"x13 {label}",
+            lambda df=df: ngram_decontaminate(
+                df.filter(F.col("doc_id") % 20 != 0),
+                df.filter(F.col("doc_id") % 20 == 0),
+                n=3,
+            ).count(),
+        )
+    print(f"x13 growth at {REPLICAS}x corpus: {res['16x'] / res['1x']:.1f}x")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("stress")
@@ -181,3 +210,7 @@ if __name__ == "__main__":
         stress_p1(spark, doc16x)
     if which in ("d10", "all"):
         stress_d10(spark, doc16x)
+    if which in ("x12", "all"):
+        stress_x12(spark, doc16x)
+    if which in ("x13", "all"):
+        stress_x13(spark, doc16x)
