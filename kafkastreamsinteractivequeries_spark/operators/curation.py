@@ -95,13 +95,40 @@ def curate_documents(
     token_budget: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    redact: bool = False,
 ) -> DataFrame:
     """The composed pipeline; returns surviving docs with
-    (quality_score, n_tokens, cum_tokens) provenance columns."""
+    (quality_score, n_tokens, cum_tokens) provenance columns.
+
+    Optional stages (both default OFF, keeping the base pipeline's
+    output stable):
+
+    - ``decontaminate_against=eval_df`` inserts a benchmark-
+      decontamination gate between the quality gate and dedup: docs
+      sharing any ``decontaminate_n``-gram with the eval set are
+      dropped via ``text.ngram_decontaminate`` (broadcast eval grams —
+      a map-side filter at corpus scale).
+    - ``redact=True`` scrubs PII (``text.pii_stats`` patterns) from the
+      text BEFORE fingerprinting/near-dup, so two docs differing only
+      in a contact line dedup together and no PII reaches the packed
+      output.
+    """
     # The stats are pure row maps over (id, text) — compute them inline
     # on the corpus scan instead of joining text_stats back on id (a
     # full corpus shuffle join for columns the scan can produce itself).
-    from kafkastreamsinteractivequeries_spark.operators.text import _stats_cols
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        PII_PATTERNS,
+        _stats_cols,
+        ngram_decontaminate,
+    )
+
+    if redact:
+        red = F.col(text_col)
+        for _, pat, rep in PII_PATTERNS:
+            red = F.regexp_replace(red, pat, rep)
+        docs = docs.withColumn(text_col, red)
 
     gated = (
         spread(docs)
@@ -109,6 +136,12 @@ def curate_documents(
         .filter(F.col("quality_score") >= min_quality)
         .select(*docs.columns, "quality_score", "n_tokens")
     )
+    if decontaminate_against is not None:
+        clean_ids = ngram_decontaminate(
+            gated, decontaminate_against, n=decontaminate_n,
+            text_col=text_col, id_col=id_col,
+        ).filter(~F.col("contaminated")).select(id_col)
+        gated = gated.join(clean_ids, id_col, "left_semi")
     # The near-dup stage references `deduped` several times (minhash
     # signatures, token counts, the survivor anti-join), and each
     # reference would otherwise re-execute the scan→stats→gate→dedup

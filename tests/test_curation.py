@@ -102,3 +102,41 @@ def test_stratified_sample_deterministic_and_monotone(spark):
     # still rank in the top-k; shrinking per_stratum nests the sample
     small = {r.doc_id for r in stratified_sample(docs, "source", 10).collect()}
     assert small < a
+
+
+def test_curation_decontaminate_stage_drops_overlapping_docs(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+    from kafkastreamsinteractivequeries_spark.operators.curation import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    base = curate_documents(train, min_quality=0.5, near_dup_threshold=0.8)
+    decon = curate_documents(
+        train, min_quality=0.5, near_dup_threshold=0.8,
+        decontaminate_against=eval_docs, decontaminate_n=3,
+    )
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    decon_ids = {r["doc_id"] for r in decon.select("doc_id").collect()}
+    # decontamination only removes docs, never adds
+    assert decon_ids <= base_ids
+    # with trigrams on this vocab some survivors must actually be dropped
+    assert len(decon_ids) < len(base_ids)
+
+
+def test_curation_redact_scrubs_pii_before_dedup(spark):
+    from kafkastreamsinteractivequeries_spark.operators.curation import curate_documents
+
+    # two docs identical except for their contact lines: with redact=True
+    # they fingerprint identically and dedup to the lower id
+    body = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [
+            (1, body + "contact alice@example.com", "en", "s", 100),
+            (2, body + "contact bob@example.com", "en", "s", 100),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = curate_documents(df, min_quality=0.0, near_dup_threshold=1.01, redact=True)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1]
