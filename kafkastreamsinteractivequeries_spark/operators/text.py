@@ -514,3 +514,134 @@ def ngram_decontaminate(
             (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def _gram_hash_rows(
+    df: DataFrame, n: int, text_col: str, id_col: str | None
+) -> DataFrame:
+    """Exploded distinct n-gram md5 stream: (id?, gram)."""
+    toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+    )
+    safe = F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+    cols = ([F.col(id_col)] if id_col else []) + [F.explode(safe).alias("gram")]
+    return df.select(*cols)
+
+
+def _bloom_positions(gram: F.Column, num_bits: int, num_hashes: int) -> F.Column:
+    """The k bit positions of a gram hash: independent md5-derived
+    integers mod the filter size (15 hex chars < 2^60, exact in a
+    long)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: (
+            F.conv(
+                F.substring(F.md5(F.concat(gram, F.lit(":"), i.cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % num_bits
+        ),
+    )
+
+
+def bloom_filter_grams(
+    eval_docs: DataFrame,
+    n: int = 13,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Build a Bloom filter over the eval set's n-gram hashes as a
+    DataFrame of bitset words: (word_idx int, word long), at most
+    ``num_bits / 64`` rows.
+
+    This is the 100 TB shape of decontamination's eval side: a distinct
+    gram table grows with the benchmark corpus (and must be broadcast
+    in full), while the Bloom filter is a FIXED-size bitset — size it
+    via m ≈ -n·ln(p)/(ln2)² for a target false-positive rate p, e.g.
+    ~1.2 MB of words screens 10⁶ grams at p≈1%.  Build is one pass
+    over the eval grams: explode k positions per gram, partial-agg
+    ``bit_or`` per 64-bit word — fully distributed, mergeable across
+    benchmark shards by construction (bit_or is associative).
+    """
+    pos = _gram_hash_rows(eval_docs, n, text_col, None).select(
+        F.explode(_bloom_positions(F.col("gram"), num_bits, num_hashes)).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def ngram_decontaminate_bloom(
+    train: DataFrame,
+    bloom_words: DataFrame,
+    n: int = 13,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probabilistic variant of ``ngram_decontaminate`` against a
+    ``bloom_filter_grams`` bitset: NO false negatives (every truly
+    contaminated doc is flagged — the guarantee that matters for
+    decontamination), false-positive rate set by the filter sizing.
+
+    Per train gram: compute the k positions, broadcast-join the word
+    table, and flag the gram only if ALL k bits are set; per doc,
+    count flagged grams.  The join side is the fixed-size word table —
+    at corpus scale this replaces a benchmark-sized broadcast with a
+    megabyte-sized one, at the cost of a k× position explode on the
+    train gram stream (pure map-side arithmetic).
+    """
+    probes = (
+        _gram_hash_rows(spread(train), n, text_col, id_col)
+        .select(
+            F.col(id_col),
+            F.col("gram"),
+            F.posexplode(_bloom_positions(F.col("gram"), num_bits, num_hashes)).alias(
+                "_k", "pos"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "gram",
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+    )
+    hit = (
+        probes.join(F.broadcast(bloom_words), "word_idx", "left")
+        .select(
+            F.col(id_col),
+            "gram",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("bit")) != 0).alias(
+                "_set"
+            ),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.min(F.col("_set").cast("int")).alias("_all_set"))
+        .filter(F.col("_all_set") == 1)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("n_contaminated_ngrams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hit, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -5,6 +5,7 @@ these are targeted semantic checks on hand-built fixtures.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafkastreamsinteractivequeries_spark.operators.text import (
     language_id,
@@ -240,3 +241,129 @@ def test_ngram_decontaminate_flags_planted_overlap(spark):
     assert rows[1]["contaminated"] and rows[1]["n_contaminated_ngrams"] >= 1
     assert not rows[2]["contaminated"] and rows[2]["n_contaminated_ngrams"] == 0
     assert not rows[3]["contaminated"]
+
+
+def test_pii_redaction_is_a_fixpoint_on_random_texts(spark):
+    # redacted output must contain no residual matches: running the
+    # operator on its own redacted_text yields zero counts and the
+    # identical text (the placeholders are inert by construction)
+    import random
+
+    from kafkastreamsinteractivequeries_spark.operators.text import pii_stats
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "x9", "hello,", "end."]
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choices(words, k=rng.randint(3, 12)))
+        if i % 3 == 0:
+            body += f" {rng.choice(['a','bob.smith','x+y'])}{i}@ex{i%7}.org"
+        if i % 4 == 0:
+            body += f" +{rng.randint(1,99)}-{rng.randint(100,999)}-{rng.randint(100,999)}-{rng.randint(1000,9999)}"
+        if i % 5 == 0:
+            body += f" {rng.randint(0,255)}.{rng.randint(0,255)}.{rng.randint(0,255)}.{rng.randint(0,255)}"
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    first = pii_stats(df)
+    planted = {
+        r["doc_id"]: r
+        for r in first.collect()
+    }
+    for i, _ in rows:
+        if i % 3 == 0:
+            assert planted[i]["n_email"] >= 1, i
+        if i % 4 == 0:
+            assert planted[i]["n_phone"] >= 1, i
+        if i % 5 == 0:
+            assert planted[i]["n_ipv4"] >= 1, i
+    again = pii_stats(
+        first.select("doc_id", F.col("redacted_text").alias("text"))
+    ).collect()
+    for r in again:
+        assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (0, 0, 0), r
+        assert r["clean"]
+
+
+def test_self_decontamination_flags_every_long_doc(spark, sf_dir):
+    # decontaminating a corpus against ITSELF must flag exactly the
+    # docs long enough to have any n-gram; an n beyond every doc's
+    # length must flag nothing
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        ngram_decontaminate,
+        tokens_col,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    out = {r["doc_id"]: r for r in ngram_decontaminate(docs, docs, n=5).collect()}
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(tokens_col(F.col("text"))).alias("n")).collect()
+    }
+    for did, n in lens.items():
+        assert out[did]["contaminated"] == (n >= 5), (did, n)
+    none = ngram_decontaminate(docs, docs, n=10_000).filter("contaminated").count()
+    assert none == 0
+
+
+def test_bloom_decontamination_no_false_negatives_and_bounded_fps(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        bloom_filter_grams,
+        ngram_decontaminate,
+        ngram_decontaminate_bloom,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+
+    exact = {
+        r["doc_id"]
+        for r in ngram_decontaminate(train, eval_docs, n=3)
+        .filter("contaminated")
+        .collect()
+    }
+    words = bloom_filter_grams(eval_docs, n=3, num_bits=1 << 16, num_hashes=4)
+    approx = {
+        r["doc_id"]
+        for r in ngram_decontaminate_bloom(
+            train, words, n=3, num_bits=1 << 16, num_hashes=4
+        )
+        .filter("contaminated")
+        .collect()
+    }
+    # the decontamination guarantee: nothing truly contaminated escapes
+    assert exact <= approx
+    # FPR sanity at this sizing: false flags stay a small minority of
+    # the clean population
+    n_train = train.count()
+    clean = n_train - len(exact)
+    fps = len(approx - exact)
+    assert clean == 0 or fps / clean < 0.25, (fps, clean)
+
+
+def test_bloom_word_table_is_bounded_and_broadcast(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        bloom_filter_grams,
+        ngram_decontaminate_bloom,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    words = bloom_filter_grams(eval_docs, n=3, num_bits=1 << 16, num_hashes=4)
+    assert words.count() <= (1 << 16) // 64
+    plan = (
+        ngram_decontaminate_bloom(
+            docs.filter(F.col("doc_id") % 20 != 0), words, n=3,
+            num_bits=1 << 16, num_hashes=4,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # fixed-size word table broadcast; the corpus gram stream never
+    # sort-merge-joins
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
