@@ -76,8 +76,13 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep exactly one row (lowest id) per distinct normalized text.
 
-    Window over the fingerprint (not raw text: shuffling a 32-char hash
-    beats shuffling multi-KB documents at 100 TB).
+    Window over the fingerprint — ONE full-row shuffle, which on
+    un-bucketed input is optimal: any fingerprint→winner-id plan still
+    has to move the full rows once to re-attach payloads (a semi join
+    on id shuffles the same bytes PLUS a skinny pass).  When the corpus
+    IS bucketed/pre-partitioned by id (any real 100 TB deployment),
+    use ``exact_dedup_ids`` + a storage-colocated semi join instead —
+    then only (fingerprint, id) pairs ever cross the network.
     """
     fp = fingerprint_documents(docs, text_col)
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
@@ -85,6 +90,25 @@ def exact_dedup(
         fp.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "fingerprint")
+    )
+
+
+def exact_dedup_ids(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor ids of ``exact_dedup`` with a SKINNY shuffle only:
+    the aggregation moves (32-byte fingerprint, id) pairs with a
+    map-side partial min — never document payloads.  Semi-join the
+    result against id-bucketed storage to materialize survivors
+    without re-shuffling the corpus (the bucketing co-locates the
+    join); on un-bucketed input prefer ``exact_dedup`` directly.
+    """
+    fp = fingerprint_documents(spread(docs), text_col)
+    return (
+        fp.select("fingerprint", id_col)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
 
 

@@ -281,3 +281,21 @@ def test_adversarial_hot_bucket_degrades_gracefully(spark):
     # the hot bucket is observable, not silent: its size dwarfs the cap
     sizes = buckets.groupBy("band_id", "band_hash").count()
     assert sizes.agg(F.max("count")).collect()[0][0] > 5 * 1024
+
+
+def test_exact_dedup_ids_matches_full_variant_with_skinny_shuffle(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_ids,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r["doc_id"] for r in exact_dedup(docs).select("doc_id").collect()}
+    ids = {r["doc_id"] for r in exact_dedup_ids(docs).collect()}
+    assert ids == full
+    # the ids variant must aggregate with a map-side partial min and
+    # never carry the text column past the scan
+    plan = exact_dedup_ids(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    assert "Window" not in plan
