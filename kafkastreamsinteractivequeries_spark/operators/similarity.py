@@ -29,7 +29,7 @@ import hashlib
 import logging
 import math
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kafkastreamsinteractivequeries_spark.sources.tables import spread
 
@@ -878,3 +878,47 @@ def knn_pq_adc(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Index persistence
+# --------------------------------------------------------------------------
+
+_IVF_INDEX_COLS = ("centroid_id", "centroid_vec")
+_PQ_INDEX_COLS = ("sub_id", "code", "cvec")
+
+
+def save_index(index: DataFrame, path: str) -> None:
+    """Persist a trained index table (IVF centroids or PQ codebook) to
+    parquet.  Indexes are tiny relative to the corpus (n_lists×dim /
+    m×k×sub-dim floats), so this is the 'train once, serve many'
+    pattern: the expensive Lloyd iterations run in the training job,
+    and query jobs broadcast-load the table in milliseconds.  Internal
+    norm columns (``_nc``) are recomputed on load, so the stored
+    artifact is engine-version-stable."""
+    cols = [c for c in index.columns if not c.startswith("_")]
+    index.select(*cols).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
+    """Load IVF centroids saved by ``save_index``; validates the schema
+    and recomputes the norm column ``ivf_assign``/``knn_ivf`` expect."""
+    df = spark.read.parquet(path)
+    missing = [c for c in _IVF_INDEX_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(f"not an IVF centroid table (missing {missing}): {path}")
+    return df.select(
+        "centroid_id",
+        "centroid_vec",
+        norm_expr(F.col("centroid_vec")).alias("_nc"),
+    )
+
+
+def load_pq_codebook(spark: SparkSession, path: str) -> DataFrame:
+    """Load a PQ codebook saved by ``save_index``; validates the schema
+    expected by ``pq_codes``/``knn_pq_adc``."""
+    df = spark.read.parquet(path)
+    missing = [c for c in _PQ_INDEX_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(f"not a PQ codebook (missing {missing}): {path}")
+    return df.select(*_PQ_INDEX_COLS)

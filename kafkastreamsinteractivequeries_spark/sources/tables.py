@@ -57,7 +57,14 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     ONE task no matter what split hints are set, serializing everything
     above the scan.  At cluster scale inputs have many splits and this
     is a no-op; locally it costs one tiny shuffle of the narrow table.
+
+    Streaming DataFrames pass through untouched: the partition probe
+    (``df.rdd``) is illegal on a stream, and micro-batch parallelism is
+    the source's concern — so the same operators run unchanged in
+    stream and batch mode.
     """
+    if df.isStreaming:
+        return df
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -347,3 +347,46 @@ def test_ann_recall_floor(spark, sf_dir):
         recall_at_k(exact, knn_pq_adc(emb, queries, book, k=10, m=16, rerank=200))
         >= 0.95
     )
+
+
+def test_index_save_load_roundtrip_preserves_knn_results(spark, sf_dir, tmp_path):
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        ivf_train,
+        knn_ivf,
+        knn_pq_adc,
+        load_ivf_centroids,
+        load_pq_codebook,
+        pq_train,
+        save_index,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    cents = ivf_train(emb, n_lists=8, iterations=2)
+    ivf_path = str(tmp_path / "ivf_index")
+    save_index(cents, ivf_path)
+    fresh = knn_ivf(emb, queries, k=5, n_lists=8, nprobe=3, centroids=cents)
+    loaded = knn_ivf(
+        emb, queries, k=5, n_lists=8, nprobe=3,
+        centroids=load_ivf_centroids(spark, ivf_path),
+    )
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, loaded.collect()))
+
+    book = pq_train(emb, m=8, k=16, iterations=2)
+    pq_path = str(tmp_path / "pq_index")
+    save_index(book, pq_path)
+    fresh_pq = knn_pq_adc(emb, queries, book, k=5, m=8)
+    loaded_pq = knn_pq_adc(emb, queries, load_pq_codebook(spark, pq_path), k=5, m=8)
+    assert sorted(map(tuple, fresh_pq.collect())) == sorted(map(tuple, loaded_pq.collect()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a PQ codebook"):
+        load_pq_codebook(spark, ivf_path)
+    with _pytest.raises(ValueError, match="not an IVF centroid"):
+        load_ivf_centroids(spark, pq_path)

@@ -434,3 +434,49 @@ def test_streaming_dedup_state_bounded_under_watermark(spark, tmp_path):
     # state is bounded by the fingerprint space plus watermark churn —
     # nowhere near total ingest
     assert max(state_samples) <= 4 * space
+
+
+def test_stateless_text_operators_run_on_streams(spark, tmp_path):
+    """The per-doc text operators (doc profile, PII redaction) are pure
+    projections, so the SAME functions run unchanged over a streaming
+    DataFrame — stream/batch unification is the point of expressing
+    them as Column maps.  A file-source document stream is profiled and
+    redacted per micro-batch; results must equal the batch run."""
+    import json
+
+    from kafkastreamsinteractivequeries_spark.operators.text import doc_profile, pii_stats
+
+    rows = [
+        {"doc_id": 1, "text": "the cat sat on the mat email bob@x.io"},
+        {"doc_id": 2, "text": "call +1-555-123-4567 about the offer"},
+        {"doc_id": 3, "text": "plain text with no contact info at all"},
+    ]
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    (src / "part0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    batch_docs = spark.read.json(str(src))
+    stream_docs = spark.readStream.schema(batch_docs.schema).json(str(src))
+
+    got = {}
+    q = (
+        pii_stats(doc_profile(stream_docs).join(stream_docs, "doc_id").select("doc_id", "text", "quality_score"))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: got.update({r["doc_id"]: r for r in df.collect()}))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {
+        r["doc_id"]: r
+        for r in pii_stats(
+            doc_profile(batch_docs).join(batch_docs, "doc_id").select("doc_id", "text", "quality_score")
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for k in want:
+        assert got[k]["n_email"] == want[k]["n_email"]
+        assert got[k]["n_phone"] == want[k]["n_phone"]
+        assert got[k]["redacted_text"] == want[k]["redacted_text"]
+    assert got[1]["n_email"] == 1 and got[2]["n_phone"] == 1 and got[3]["clean"]
