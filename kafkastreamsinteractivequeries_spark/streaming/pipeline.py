@@ -455,3 +455,52 @@ def windowed_streaming_aggregation(
     return windowed_aggregate(
         txn_stream.withWatermark("event_time", watermark), duration
     )
+
+
+def streaming_curation(
+    doc_stream: DataFrame,
+    min_quality: float = 0.5,
+    event_time_col: str = "event_time",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+    redact: bool = True,
+) -> DataFrame:
+    """Streaming corpus-ingest curation: the stateless prefix of the
+    batch ``curation.curate_documents`` pipeline applied as documents
+    arrive — PII redaction (optional) → inline quality stats → quality
+    gate → watermark-bounded exact dedup — emitting curated documents
+    continuously instead of in a nightly batch job.
+
+    Stage mapping to batch (and what does NOT carry over):
+
+    - redaction + quality gate are pure projections, so the SAME Column
+      expressions run per micro-batch with zero state;
+    - exact dedup becomes ``streaming_exact_dedup`` (fingerprint state
+      GC'd past the watermark — within-horizon exactness);
+    - near-dup removal and the token-budget prefix sum are deliberately
+      ABSENT: both are corpus-global decisions (LSH buckets over all
+      docs; a global cumulative order) that have no bounded-state
+      streaming form — run them as periodic batch compaction over the
+      landed output, the standard lambda-style split.
+
+    Sink via ``foreachBatch`` + ``ParquetServingSink`` (or any writer);
+    the output schema is the input plus (quality_score, n_tokens).
+    """
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        PII_PATTERNS,
+        _stats_cols,
+    )
+
+    if redact:
+        red = F.col(text_col)
+        for _, pat, rep in PII_PATTERNS:
+            red = F.regexp_replace(red, pat, rep)
+        doc_stream = doc_stream.withColumn(text_col, red)
+    gated = (
+        doc_stream.select("*", *_stats_cols(text_col))
+        .filter(F.col("quality_score") >= min_quality)
+        .select(*doc_stream.columns, "quality_score", "n_tokens")
+    )
+    return streaming_exact_dedup(
+        gated, event_time_col=event_time_col, watermark=watermark, text_col=text_col
+    )

@@ -480,3 +480,44 @@ def test_stateless_text_operators_run_on_streams(spark, tmp_path):
         assert got[k]["n_phone"] == want[k]["n_phone"]
         assert got[k]["redacted_text"] == want[k]["redacted_text"]
     assert got[1]["n_email"] == 1 and got[2]["n_phone"] == 1 and got[3]["clean"]
+
+
+def test_streaming_curation_gates_redacts_and_dedups(spark, tmp_path):
+    """End-to-end streaming ingest curation: PII is scrubbed, low-quality
+    docs are gated out, and within-watermark duplicates collapse —
+    continuously, from a file-source stream."""
+    import json
+
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        streaming_curation,
+    )
+
+    good = "the cat sat on the mat and it is a fine day for all of us "
+    rows = [
+        {"doc_id": 1, "text": good + "mail bob@x.io", "event_time": "2024-01-01T00:00:00"},
+        {"doc_id": 2, "text": good + "mail eve@y.org", "event_time": "2024-01-01T00:01:00"},  # dup of 1 after redaction
+        {"doc_id": 3, "text": "x! y? z.", "event_time": "2024-01-01T00:02:00"},  # low quality
+        {"doc_id": 4, "text": good + "and nothing else follows", "event_time": "2024-01-01T00:03:00"},
+    ]
+    src = tmp_path / "ingest"
+    src.mkdir()
+    (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    schema = "doc_id LONG, text STRING, event_time TIMESTAMP"
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = []
+    q = (
+        streaming_curation(stream, min_quality=0.5, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r for r in out}
+    # doc 2 deduped against doc 1 (identical after <EMAIL> redaction),
+    # doc 3 gated on quality — survivors are 1 and 4
+    assert set(got) == {1, 4}
+    assert "<EMAIL>" in got[1]["text"] and "bob@x.io" not in got[1]["text"]
+    assert got[1]["quality_score"] >= 0.5 and got[1]["n_tokens"] > 0
