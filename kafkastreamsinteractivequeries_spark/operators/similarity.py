@@ -922,3 +922,107 @@ def load_pq_codebook(spark: SparkSession, path: str) -> DataFrame:
     if missing:
         raise ValueError(f"not a PQ codebook (missing {missing}): {path}")
     return df.select(*_PQ_INDEX_COLS)
+
+
+def encode_all(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    num_planes: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serving-time encode for ALL index structures in ONE map-only
+    corpus scan: (id, srp_code [, list_id] [, pq_codes]).
+
+    ``srp_codes`` / ``ivf_assign`` / ``pq_codes`` each scan the corpus
+    (and the latter two broadcast-join + partial-agg an argmin); when
+    the quantizers are already trained, encoding is a pure FUNCTION of
+    the vector — so this fuses everything into one projection: the
+    centroid table (O(n_lists·dim)) and codebook (O(m·k·dim/m)) embed
+    as literals — bounded by construction, like the SRP plane matrix —
+    and each argmin becomes ``array_min``/``array_max`` over a struct
+    array (lexicographic struct order reproduces the exact rounded-
+    distance + id tie-breaks of the join-based operators, asserted
+    equal by test).  Zero joins, zero aggregation, zero shuffle: at
+    100 TB this encodes the corpus at scan speed and is trivially
+    incremental (new rows encode independently).
+
+    For TRAINING-time assignment (quantizer still changing, centroids
+    not yet collectable) keep ``ivf_assign`` / ``pq_codes`` — this is
+    the frozen-index path, typically fed from ``load_ivf_centroids`` /
+    ``load_pq_codebook``.
+    """
+    v = F.col(vec_col)
+    signs = srp_sign_matrix(num_planes, dim)
+    planes = F.array(*[F.array(*[F.lit(float(s)) for s in row]) for row in signs])
+    srp = F.array_join(
+        F.transform(
+            planes,
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(v, p, lambda x, s: x.cast("double") * s),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise("0"),
+        ),
+        "",
+    )
+    cols = [F.col(id_col), srp.alias("srp_code")]
+
+    if centroids is not None:
+        cent_rows = sorted(
+            centroids.select("centroid_id", "centroid_vec").collect(),
+            key=lambda r: r["centroid_id"],
+        )
+        na = norm_expr(v)
+        structs = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine_from_parts(
+                            v,
+                            F.array(*[F.lit(float(x)) for x in r["centroid_vec"]]),
+                            na,
+                            norm_expr(
+                                F.array(*[F.lit(float(x)) for x in r["centroid_vec"]])
+                            ),
+                        ),
+                        6,
+                    ).alias("c"),
+                    F.lit(-int(r["centroid_id"])).alias("ni"),
+                )
+                for r in cent_rows
+            ]
+        )
+        best = F.array_max(F.filter(structs, lambda s: s["c"].isNotNull()))
+        cols.append((-best["ni"]).alias("list_id"))
+
+    if codebook is not None:
+        sub = dim // m
+        book: dict[int, list] = {}
+        for r in codebook.select("sub_id", "code", "cvec").collect():
+            book.setdefault(int(r["sub_id"]), []).append((int(r["code"]), r["cvec"]))
+        codes = []
+        for j in range(m):
+            subvec = F.slice(v, j * sub + 1, sub)
+            dist_structs = F.array(
+                *[
+                    F.struct(
+                        F.round(
+                            _l2sq(subvec, F.array(*[F.lit(float(x)) for x in cvec])), 9
+                        ).alias("d"),
+                        F.lit(code).alias("code"),
+                    )
+                    for code, cvec in sorted(book.get(j, []))
+                ]
+            )
+            codes.append(F.array_min(dist_structs)["code"])
+        cols.append(F.array(*codes).alias("pq_codes"))
+
+    return spread(embeddings).select(*cols)

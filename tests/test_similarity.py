@@ -390,3 +390,41 @@ def test_index_save_load_roundtrip_preserves_knn_results(spark, sf_dir, tmp_path
         load_pq_codebook(spark, ivf_path)
     with _pytest.raises(ValueError, match="not an IVF centroid"):
         load_ivf_centroids(spark, pq_path)
+
+
+def test_encode_all_fuses_three_encoders_in_one_map_only_scan(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        encode_all,
+        ivf_assign,
+        ivf_train,
+        pq_codes,
+        pq_train,
+        srp_codes,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, n_lists=8, iterations=2)
+    book = pq_train(emb, m=8, k=16, iterations=2)
+    fused = encode_all(emb, centroids=cents, codebook=book, num_planes=16)
+    got = {r["vec_id"]: r for r in fused.collect()}
+
+    srp = {r["vec_id"]: r["code"] for r in srp_codes(emb, num_planes=16).collect()}
+    ivf = {r["vec_id"]: r["list_id"] for r in ivf_assign(emb, n_lists=8, centroids=cents).collect()}
+    pq = {r["vec_id"]: list(r["codes"]) for r in pq_codes(emb, book, m=8).collect()}
+
+    assert set(got) == set(srp)
+    for vid, row in got.items():
+        assert row["srp_code"] == srp[vid], vid
+        assert row["list_id"] == ivf[vid], vid
+        assert list(row["pq_codes"]) == pq[vid], vid
+
+    # the whole thing is ONE projection: no joins, no aggregation, no
+    # window — the only exchange is the spread() fan-out
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Window" not in plan
+    # one spread() fan-out (AQE's plan dump may print it twice:
+    # initial + final plan)
+    assert plan.count("Exchange") <= 2
