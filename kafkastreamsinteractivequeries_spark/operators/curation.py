@@ -220,3 +220,77 @@ def stratified_sample(
         .filter(F.col("_rn") <= per_stratum)
         .drop("_rn")
     )
+
+
+def resolve_duplicate_groups(
+    docs: DataFrame,
+    near_dup_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the BEST document per transitive near-dup group (highest
+    quality score, lowest id on ties) instead of the curation
+    pipeline's keep-lowest-id policy — the standard refinement when
+    near-duplicates differ in quality (e.g. one copy is truncated or
+    boilerplate-ridden).
+
+    Composition: ``dedup.near_duplicate_groups`` (connected
+    components) → inline quality stats → per-group ``max_by`` struct
+    argmax.  Docs in no group survive untouched.  Shuffle profile: the
+    group table is (id, group_id) — skinny — and the final winner join
+    is id-only; document payloads move once, in the last semi join.
+    """
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        near_duplicate_groups,
+    )
+    from kafkastreamsinteractivequeries_spark.operators.text import _stats_cols
+
+    groups = near_duplicate_groups(docs, text_col, id_col, near_dup_threshold)
+    scored = spread(docs).select(
+        F.col(id_col), *[c for c in _stats_cols(text_col)]
+    ).select(id_col, "quality_score")
+    member = groups.join(scored, id_col)
+    winners = member.groupBy("group_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col("quality_score"), -F.col(id_col)),
+        ).alias(id_col)
+    ).select(id_col)
+    grouped_ids = groups.select(id_col)
+    ungrouped = docs.join(grouped_ids, id_col, "left_anti")
+    kept_dups = docs.join(winners, id_col, "left_semi")
+    return ungrouped.unionByName(kept_dups)
+
+
+def sample_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture sampling: draw ``total`` documents with
+    per-stratum quotas proportional to ``weights`` (the data-mixture
+    step of pre-training corpus assembly — e.g. 70% web / 20% code /
+    10% reference).  Selection within a stratum is md5(id) order, so
+    the sample is reproducible across runs and engines and grows
+    monotonically with the corpus.
+
+    Strata absent from ``weights`` contribute nothing; quotas round
+    down (the sample may be slightly under ``total``).  One shuffle on
+    the stratum; skewed strata rank only their own rows.
+    """
+    wsum = float(sum(weights.values()))
+    quotas = {s: int(total * w / wsum) for s, w in weights.items()}
+    quota_df = docs.sparkSession.createDataFrame(
+        list(quotas.items()), f"{stratum_col} string, _quota long"
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.join(F.broadcast(quota_df), stratum_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )

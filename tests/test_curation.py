@@ -140,3 +140,43 @@ def test_curation_redact_scrubs_pii_before_dedup(spark):
     out = curate_documents(df, min_quality=0.0, near_dup_threshold=1.01, redact=True)
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [1]
+
+
+def test_resolve_duplicate_groups_keeps_best_quality_member(spark):
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        resolve_duplicate_groups,
+    )
+
+    good = "the cat sat on the mat and it is a fine day for all of us here"
+    rows = [
+        # docs 1/2: doc 2 = doc 1 plus three new stopword tokens —
+        # multiset jaccard 17/20 = 0.85 (same group at 0.7), and the
+        # extra stopwords give doc 2 the higher quality score
+        (1, good, "en", "s", 10),
+        (2, good + " to in that", "en", "s", 10),
+        (3, "completely different text about other things entirely", "en", "s", 10),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = resolve_duplicate_groups(df, near_dup_threshold=0.7)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # doc 3 untouched; of (1,2) only one survives
+    assert 3 in ids and len(ids) == 2
+    survivor = [i for i in ids if i != 3][0]
+    # the higher-quality member wins (doc 2 is longer with more stopwords)
+    assert survivor == 2
+
+
+def test_sample_mixture_quotas_and_determinism(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.curation import sample_mixture
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_mixture(docs, {"src0": 0.6, "src1": 0.2, "src2": 0.2}, total=10)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("src0", 0) == 6
+    assert counts.get("src1", 0) == 2
+    assert counts.get("src2", 0) == 2
+    assert set(counts) == {"src0", "src1", "src2"}  # unweighted strata absent
+    # deterministic under repartitioning
+    again = sample_mixture(docs.repartition(7), {"src0": 0.6, "src1": 0.2, "src2": 0.2}, total=10)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in again.collect())
