@@ -975,30 +975,38 @@ def encode_all(
     )
     cols = [F.col(id_col), srp.alias("srp_code")]
 
+    # Literal-table shape matters: ONE nested array literal iterated by
+    # a transform loop compiles to one codegen'd fold, where per-entry
+    # inline expressions (16 cosine folds / 128 L2 folds spelled out)
+    # cost ~10 s of planning+codegen per query (measured — the same
+    # lesson as srp_codes' plane literal, see its docstring).
     if centroids is not None:
         cent_rows = sorted(
             centroids.select("centroid_id", "centroid_vec").collect(),
             key=lambda r: r["centroid_id"],
         )
-        na = norm_expr(v)
-        structs = F.array(
+        cents_lit = F.array(
             *[
-                F.struct(
-                    F.round(
-                        cosine_from_parts(
-                            v,
-                            F.array(*[F.lit(float(x)) for x in r["centroid_vec"]]),
-                            na,
-                            norm_expr(
-                                F.array(*[F.lit(float(x)) for x in r["centroid_vec"]])
-                            ),
-                        ),
-                        6,
-                    ).alias("c"),
-                    F.lit(-int(r["centroid_id"])).alias("ni"),
-                )
+                F.array(*[F.lit(float(x)) for x in r["centroid_vec"]])
                 for r in cent_rows
             ]
+        )
+        ids_lit = F.array(*[F.lit(int(r["centroid_id"])) for r in cent_rows])
+        na = norm_expr(v)
+        structs = F.transform(
+            F.sequence(F.lit(1), F.lit(len(cent_rows))),
+            lambda i: F.struct(
+                F.round(
+                    cosine_from_parts(
+                        v,
+                        F.element_at(cents_lit, i),
+                        na,
+                        norm_expr(F.element_at(cents_lit, i)),
+                    ),
+                    6,
+                ).alias("c"),
+                (-F.element_at(ids_lit, i)).alias("ni"),
+            ),
         )
         best = F.array_max(F.filter(structs, lambda s: s["c"].isNotNull()))
         cols.append((-best["ni"]).alias("list_id"))
@@ -1008,21 +1016,38 @@ def encode_all(
         book: dict[int, list] = {}
         for r in codebook.select("sub_id", "code", "cvec").collect():
             book.setdefault(int(r["sub_id"]), []).append((int(r["code"]), r["cvec"]))
-        codes = []
-        for j in range(m):
-            subvec = F.slice(v, j * sub + 1, sub)
-            dist_structs = F.array(
-                *[
-                    F.struct(
+        ordered = [sorted(book.get(j, [])) for j in range(m)]
+        book_lit = F.array(
+            *[
+                F.array(
+                    *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in row]
+                )
+                for row in ordered
+            ]
+        )
+        codes_lit = F.array(
+            *[F.array(*[F.lit(int(code)) for code, _ in row]) for row in ordered]
+        )
+        k_per_sub = [len(row) for row in ordered]
+        assert len(set(k_per_sub)) == 1, "ragged codebook"
+        codes = F.transform(
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda j: F.array_min(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(k_per_sub[0])),
+                    lambda c: F.struct(
                         F.round(
-                            _l2sq(subvec, F.array(*[F.lit(float(x)) for x in cvec])), 9
+                            _l2sq(
+                                F.slice(v, (j - 1) * sub + 1, sub),
+                                F.element_at(F.element_at(book_lit, j), c),
+                            ),
+                            9,
                         ).alias("d"),
-                        F.lit(code).alias("code"),
-                    )
-                    for code, cvec in sorted(book.get(j, []))
-                ]
-            )
-            codes.append(F.array_min(dist_structs)["code"])
-        cols.append(F.array(*codes).alias("pq_codes"))
+                        F.element_at(F.element_at(codes_lit, j), c).alias("code"),
+                    ),
+                )
+            )["code"],
+        )
+        cols.append(codes.alias("pq_codes"))
 
     return spread(embeddings).select(*cols)
