@@ -836,3 +836,31 @@ def near_duplicate_groups(
     if method == "label":
         return connected_components(pairs)
     raise ValueError(f"unknown method {method!r}: expected 'star' or 'label'")
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-incremental exact dedup: survivors of ``new_docs`` that are
+    duplicates neither of the already-landed corpus (``seen_fingerprints``:
+    a 1-column ``fingerprint`` table, e.g. the landed corpus's
+    ``fingerprint_documents`` output kept as a side table) nor of each
+    other — the daily-increment pattern, where re-fingerprinting the
+    whole historical corpus per batch would be O(corpus) instead of
+    O(batch).
+
+    Shuffle profile: intra-batch dedup is ``exact_dedup`` over the NEW
+    batch only; the history check is an anti join on the 32-char
+    fingerprint — broadcast when the seen set is small, shuffle-hash on
+    the skinny hash column otherwise (never document payloads).  The
+    streaming analog with watermark-bounded state is
+    ``streaming.pipeline.streaming_exact_dedup``.
+    """
+    batch = exact_dedup(new_docs, text_col, id_col)
+    fp = fingerprint_documents(batch, text_col)
+    return fp.join(
+        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    ).drop("fingerprint")

@@ -299,3 +299,26 @@ def test_exact_dedup_ids_matches_full_variant_with_skinny_shuffle(spark, sf_dir)
     plan = exact_dedup_ids(docs)._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+def test_exact_dedup_incremental_skips_seen_and_intra_batch_dups(spark):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        exact_dedup_incremental,
+        fingerprint_documents,
+    )
+
+    landed = spark.createDataFrame(
+        [(1, "old doc one"), (2, "old doc two")], ["doc_id", "text"]
+    )
+    seen = fingerprint_documents(landed).select("fingerprint")
+    new = spark.createDataFrame(
+        [
+            (10, "old doc one"),        # dup of landed corpus
+            (11, "fresh doc"),          # genuinely new
+            (12, "fresh  doc"),         # intra-batch dup of 11 (whitespace-normalized)
+            (13, "another fresh doc"),  # genuinely new
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(r["doc_id"] for r in exact_dedup_incremental(new, seen).collect())
+    assert out == [11, 13]
