@@ -645,3 +645,87 @@ def ngram_decontaminate_bloom(
             (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def winnowing_fingerprints_full(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Full winnowing fingerprint SET per document (Schleimer et al.,
+    SIGMOD 2003 'local algorithms for document fingerprinting'): hash
+    every ``k``-token gram, slide a ``window`` over consecutive hashes,
+    keep each window's minimum, emit the distinct selected hashes —
+    one row per (doc, fingerprint).
+
+    Guarantees (from the paper): any shared substring of at least
+    ``window + k - 1`` tokens contributes at least one SHARED
+    fingerprint, while only ~2/(window+1) of hashes are kept — the
+    recall-with-compression contract ``winnowing_fingerprint`` (doc-min
+    only) cannot give.  Fingerprint matching across docs is then a
+    group-by join on the fingerprint column (same inverted-index shape
+    as the LSH buckets).
+
+    Pure Column expression (gram hash transform → sliding min
+    transform → array_distinct → explode): single scan, no Python,
+    output ≈ 2·tokens/(window+1) rows per doc."""
+    toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1) - (window - 1)),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    # short docs (< window+k-1 tokens): fall back to the whole-doc hash
+    # so every doc has at least one fingerprint (matches the doc-min
+    # operator's short-doc contract)
+    selected = F.when(
+        F.size(toks) >= window + k - 1, F.array_distinct(mins)
+    ).otherwise(F.array(F.md5(F.array_join(toks, " "))))
+    return spread(docs).select(
+        F.col(id_col), F.explode(selected).alias("fingerprint")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    (id, chunk_idx, chunk_text, n_tokens) — the standard chunking step
+    before embedding/indexing (stride = chunk_tokens - overlap; the
+    final chunk may be short; docs shorter than one chunk yield
+    themselves as chunk 0).
+
+    Pure expression: token split → stride sequence → per-chunk
+    slice/array_join → one explode.  Single scan, no shuffle; at
+    100 TB chunking is a map over the corpus and the output feeds
+    ``similarity``'s embedding/encode stages directly."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, c * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(n - c * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return spread(docs).select(
+        F.col(id_col), F.explode(chunks).alias("chunk")
+    ).select(id_col, "chunk.chunk_idx", "chunk.chunk_text", "chunk.n_tokens")

@@ -367,3 +367,73 @@ def test_bloom_word_table_is_bounded_and_broadcast(spark, sf_dir):
     # sort-merge-joins
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_winnowing_full_matches_python_reference(spark):
+    """The Spark selection must equal a direct Python implementation of
+    the winnowing algorithm, and any shared substring of >= window+k-1
+    tokens must produce a shared fingerprint across docs."""
+    import hashlib
+
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        winnowing_fingerprints_full,
+    )
+
+    K, W = 3, 4
+    texts = {
+        1: "a b c d e f g h i j k l m n",
+        2: "x y z a b c d e f g h i q r",  # shares "a b c d e f g h" (8 >= W+K-1=6)
+        3: "p q",                           # short doc
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {}
+    for r in winnowing_fingerprints_full(df, k=K, window=W).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+
+    def ref(text):
+        t = text.split()
+        if len(t) < W + K - 1:
+            return {hashlib.md5(" ".join(t).encode()).hexdigest()}
+        grams = [
+            hashlib.md5(" ".join(t[i : i + K]).encode()).hexdigest()
+            for i in range(len(t) - K + 1)
+        ]
+        return {min(grams[i : i + W]) for i in range(len(grams) - W + 1)}
+
+    for did, text in texts.items():
+        assert got[did] == ref(text), did
+    # the shared-substring guarantee
+    assert got[1] & got[2]
+    # compression: fewer fingerprints than grams
+    assert len(got[1]) < len(texts[1].split()) - K + 1
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(11))
+    df = spark.createDataFrame([(1, words), (2, "tiny doc")], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 3 over 11 tokens → ceil(10/3)=4 chunks at 0,3,6,9
+    c1 = by_doc[1]
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert c1[3]["chunk_text"] == "w9 w10" and c1[3]["n_tokens"] == 2
+    # every token appears in some chunk; consecutive chunks overlap by 1
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+    # short doc → itself as chunk 0
+    assert [
+        (r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in by_doc[2]
+    ] == [(0, "tiny doc", 2)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
