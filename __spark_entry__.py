@@ -435,7 +435,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # images are frame 0 of 1; un-resized variants carry target dims
     # equal to source dims.
     def _m7(s: SparkSession, d: str) -> DataFrame:
-        png_assets = M.png_assets_from_documents(_docs(s, d))
+        # the per-doc Python PNG ENCODE stage feeds two branches (pixel
+        # stats + resize) — pin it so the mapInPandas encode runs once,
+        # not once per branch (the stage-boundary pattern from
+        # curation/similarity)
+        png_assets = M.png_assets_from_documents(_docs(s, d)).localCheckpoint(
+            eager=False
+        )
         png = M.png_pixel_features(png_assets).select(
             F.lit("png").alias("variant"),
             "asset_id",

@@ -119,16 +119,13 @@ def curate_documents(
     # on the corpus scan instead of joining text_stats back on id (a
     # full corpus shuffle join for columns the scan can produce itself).
     from kafkastreamsinteractivequeries_spark.operators.text import (
-        PII_PATTERNS,
         _stats_cols,
-        ngram_decontaminate,
+        contaminated_ids,
+        redacted_text_col,
     )
 
     if redact:
-        red = F.col(text_col)
-        for _, pat, rep in PII_PATTERNS:
-            red = F.regexp_replace(red, pat, rep)
-        docs = docs.withColumn(text_col, red)
+        docs = docs.withColumn(text_col, redacted_text_col(text_col))
 
     gated = (
         spread(docs)
@@ -137,11 +134,17 @@ def curate_documents(
         .select(*docs.columns, "quality_score", "n_tokens")
     )
     if decontaminate_against is not None:
-        clean_ids = ngram_decontaminate(
+        # pin the gated subtree (it feeds both the gram stream and the
+        # anti-join probe side), and gate on the bad-id set directly —
+        # ngram_decontaminate's per-doc counts + clean-doc restore join
+        # would re-execute scan→stats→gate a third time for output this
+        # stage immediately discards
+        gated = gated.localCheckpoint(eager=False)
+        bad = contaminated_ids(
             gated, decontaminate_against, n=decontaminate_n,
             text_col=text_col, id_col=id_col,
-        ).filter(~F.col("contaminated")).select(id_col)
-        gated = gated.join(clean_ids, id_col, "left_semi")
+        )
+        gated = gated.join(bad, id_col, "left_anti")
     # The near-dup stage references `deduped` several times (minhash
     # signatures, token counts, the survivor anti-join), and each
     # reference would otherwise re-execute the scan→stats→gate→dedup

@@ -954,6 +954,12 @@ def encode_all(
     not yet collectable) keep ``ivf_assign`` / ``pq_codes`` — this is
     the frozen-index path, typically fed from ``load_ivf_centroids`` /
     ``load_pq_codebook``.
+
+    Zero-norm edge case: a degenerate (all-zero) vector gets
+    ``list_id = NULL`` here — the row survives because its SRP/PQ
+    columns are still defined — whereas ``ivf_assign`` omits the row
+    entirely; on non-degenerate vectors (every real embedding corpus)
+    the outputs are row-for-row identical.
     """
     v = F.col(vec_col)
     signs = srp_sign_matrix(num_planes, dim)

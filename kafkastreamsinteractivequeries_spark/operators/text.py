@@ -411,6 +411,17 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def redacted_text_col(text_col: str = "text") -> F.Column:
+    """The ``PII_PATTERNS`` replacement chain as one Column — the
+    SINGLE definition of redaction order, shared by ``pii_stats`` and
+    the batch/streaming curation pipelines (a pattern added here
+    propagates everywhere; the x12 oracle pins the order)."""
+    red = F.col(text_col)
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return red
+
+
 def pii_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -432,9 +443,7 @@ def pii_stats(
         c.cast("int").alias(f"n_{name}")
         for (name, _, _), c in zip(PII_PATTERNS, raw_counts)
     ]
-    red = t
-    for _, pat, rep in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, rep)
+    red = redacted_text_col(text_col)
     total = raw_counts[0]
     for c in raw_counts[1:]:
         total = total + c
@@ -479,24 +488,11 @@ def ngram_decontaminate(
     corpus-scale (then the join shuffles both sides on the hash).
     """
 
-    def gram_rows(df: DataFrame) -> DataFrame:
-        toks = tokens_col(F.col(text_col))
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
-        )
-        # sequence(1, k) RUNS BACKWARDS when k < 1 — guard short docs
-        # to an empty gram set instead.
-        safe = F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-            F.array().cast("array<string>")
-        )
-        return df.select(F.col(id_col), F.explode(safe).alias("gram"))
-
-    eval_grams = gram_rows(eval_docs).select("gram").distinct()
+    eval_grams = _gram_hash_rows(eval_docs, n, text_col, None).distinct()
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
     hits = (
-        gram_rows(spread(train))
+        _gram_hash_rows(spread(train), n, text_col, id_col)
         .join(eval_grams, "gram")
         .groupBy(id_col)
         # grams are array_distinct per doc already — count(*) IS the
@@ -519,7 +515,11 @@ def ngram_decontaminate(
 def _gram_hash_rows(
     df: DataFrame, n: int, text_col: str, id_col: str | None
 ) -> DataFrame:
-    """Exploded distinct n-gram md5 stream: (id?, gram)."""
+    """Exploded distinct n-gram md5 stream: (id?, gram).  The ONE
+    definition of decontamination gram hashing (exact and Bloom paths
+    both call it).  Docs shorter than ``n`` tokens yield no grams —
+    the explicit guard matters because ``sequence(1, k)`` RUNS
+    BACKWARDS when k < 1."""
     toks = tokens_col(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -530,6 +530,31 @@ def _gram_hash_rows(
     )
     cols = ([F.col(id_col)] if id_col else []) + [F.explode(safe).alias("gram")]
     return df.select(*cols)
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Just the ids of train docs sharing any n-gram with the eval set
+    — the anti-join side of a decontamination GATE.  Unlike
+    ``ngram_decontaminate`` (one row per train doc, with counts), this
+    skips the clean-doc restore join, so a pipeline that only needs to
+    DROP contaminated docs evaluates the train subtree once here plus
+    once in its own anti-join — not three times."""
+    eval_grams = _gram_hash_rows(eval_docs, n, text_col, None).distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    return (
+        _gram_hash_rows(spread(train), n, text_col, id_col)
+        .join(eval_grams, "gram")
+        .select(id_col)
+        .distinct()
+    )
 
 
 def _bloom_positions(gram: F.Column, num_bits: int, num_hashes: int) -> F.Column:

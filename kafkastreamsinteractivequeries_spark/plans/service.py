@@ -62,6 +62,13 @@ class InteractiveQueryService:
         """
         from pyspark.sql import functions as F
 
+        if page_size < 1:
+            # a non-positive page would return an empty page with no
+            # cursor — indistinguishable from "scan complete" — so
+            # reject it loudly instead of silently dropping the scan
+            return QueryResponse.with_error(
+                f"page_size must be >= 1, got {page_size}"
+            ), None
         try:
             df = self.execute(query)
             if after is not None:

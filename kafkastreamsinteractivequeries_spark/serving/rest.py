@@ -56,6 +56,31 @@ def _envelope(resp: QueryResponse) -> dict[str, Any]:
     }
 
 
+def _page_params(req, collect_limit: int | None):
+    """Shared limit/after parsing for the paginated endpoints.
+
+    Returns (paged, page_size, after, error) — ``error`` is a ready
+    (json, status) pair for a malformed or non-positive limit, so both
+    endpoints validate the pagination contract identically."""
+    from flask import jsonify  # deferred like create_app's import
+
+    limit_arg = req.args.get("limit")
+    after = req.args.get("after") or None
+    paged = limit_arg is not None or after is not None
+    try:
+        page_size = int(limit_arg) if limit_arg is not None else (collect_limit or 10_000)
+    except ValueError:
+        err = jsonify(_envelope(QueryResponse.with_error(f"bad limit {limit_arg!r}")))
+        return paged, 0, after, (err, 400)
+    if page_size < 1:
+        err = jsonify(_envelope(QueryResponse.with_error(
+            f"limit must be >= 1, got {page_size}")))
+        return paged, 0, after, (err, 400)
+    if collect_limit is not None:
+        page_size = min(page_size, collect_limit)
+    return paged, page_size, after, None
+
+
 def create_app(
     service: InteractiveQueryService,
     streaming_queries: list | None = None,
@@ -106,16 +131,10 @@ def create_app(
         # collect_limit) + ``after`` (exclusive key cursor).  A range
         # matching millions of rows pages through in bounded collects;
         # the envelope gains a ``nextCursor`` field on non-final pages.
-        limit_arg = request.args.get("limit")
-        after = request.args.get("after") or None
-        if limit_arg is not None or after is not None:
-            try:
-                page_size = int(limit_arg) if limit_arg is not None else (collect_limit or 10_000)
-            except ValueError:
-                return jsonify(_envelope(QueryResponse.with_error(
-                    f"bad limit {limit_arg!r}"))), 400
-            if collect_limit is not None:
-                page_size = min(page_size, collect_limit)
+        paged, page_size, after, err = _page_params(request, collect_limit)
+        if err is not None:
+            return err
+        if paged:
             resp, next_cursor = service.execute_page(q, page_size, after=after)
             body = _envelope(resp)
             body["nextCursor"] = next_cursor
@@ -145,16 +164,9 @@ def create_app(
         # cursor predicate ANDs into the scan and orderBy().limit(n+1)
         # stays TakeOrderedAndProject — same bounded-collect contract
         # as the range endpoint.
-        limit_arg = request.args.get("limit")
-        after = request.args.get("after") or None
-        paged = limit_arg is not None or after is not None
-        try:
-            page_size = int(limit_arg) if limit_arg is not None else (collect_limit or 10_000)
-        except ValueError:
-            return jsonify(_envelope(QueryResponse.with_error(
-                f"bad limit {limit_arg!r}"))), 400
-        if collect_limit is not None:
-            page_size = min(page_size, collect_limit)
+        paged, page_size, after, err = _page_params(request, collect_limit)
+        if err is not None:
+            return err
         try:
             result_df = query.apply(windowed_df)
             next_cursor = None

@@ -487,20 +487,20 @@ def streaming_curation(
     the output schema is the input plus (quality_score, n_tokens).
     """
     from kafkastreamsinteractivequeries_spark.operators.text import (
-        PII_PATTERNS,
         _stats_cols,
+        redacted_text_col,
     )
 
     if redact:
-        red = F.col(text_col)
-        for _, pat, rep in PII_PATTERNS:
-            red = F.regexp_replace(red, pat, rep)
-        doc_stream = doc_stream.withColumn(text_col, red)
+        doc_stream = doc_stream.withColumn(text_col, redacted_text_col(text_col))
     gated = (
         doc_stream.select("*", *_stats_cols(text_col))
         .filter(F.col("quality_score") >= min_quality)
         .select(*doc_stream.columns, "quality_score", "n_tokens")
     )
+    # drop the dedup stage's internal fingerprint column so the landed
+    # schema matches the documented contract (input + quality_score,
+    # n_tokens) and unions cleanly with the batch pipeline's output
     return streaming_exact_dedup(
         gated, event_time_col=event_time_col, watermark=watermark, text_col=text_col
-    )
+    ).drop("fingerprint")

@@ -215,3 +215,29 @@ def test_window_range_pagination(spark, sf_dir):
 
     bad = c.get(base + "&limit=5&after=nodelimiter")
     assert bad.status_code == 400
+
+
+def test_nonpositive_limit_rejected_on_both_paginated_endpoints(client, spark, sf_dir):
+    # limit=0 previously crashed windowrange (rows[-1] on an empty
+    # page) and silently ended range pagination with rows left unserved
+    for url in ("/streams-iq/range?limit=0", "/streams-iq/range?limit=-3"):
+        r = client.get(url)
+        assert r.status_code == 400, url
+        assert "limit must be >= 1" in r.get_json()["errorMessage"]
+
+    from kafkastreamsinteractivequeries_spark.operators.windows import windowed_aggregate
+    from kafkastreamsinteractivequeries_spark.sources.tables import (
+        transactions_from_events,
+    )
+
+    txns = transactions_from_events(load_table(spark, sf_dir, "events"))
+    app = create_app(
+        InteractiveQueryService(aggregate_transactions(txns)),
+        windowed_df=windowed_aggregate(txns, "1 hour"),
+    )
+    app.config["TESTING"] = True
+    r = app.test_client().get(
+        "/streams-iq/windowrange?from=2024-01-01 00:00:00&to=2024-01-09 00:00:00&limit=0"
+    )
+    assert r.status_code == 400
+    assert "limit must be >= 1" in r.get_json()["errorMessage"]
