@@ -683,23 +683,40 @@ def _l2sq(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-def _nearest_sub_centroid(subs: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
-    """(id, sub_id, code, _dist): nearest centroid per (vector,
-    subspace) by squared L2 (centroid-id tie-break).  ``cent`` is
-    m × k rows — broadcastable at any corpus size.
+def _nearest_sub_centroid(
+    subs: DataFrame, cent: DataFrame, id_col: str, carry_subvec: bool = False
+) -> DataFrame:
+    """(id, sub_id, code, _dist[, subvec]): nearest centroid per
+    (vector, subspace) by squared L2 (centroid-id tie-break).  ``cent``
+    is m × k rows — broadcastable at any corpus size.
 
     The argmin is a min-of-(dist, code) struct under groupBy — it
     partial-aggregates map-side, so the shuffle carries one row per
     (vector, subspace) (n × m), not the n × m × k joined rows a
     Window-over-(id, sub_id) would hash-shuffle.  Lexicographic struct
     ordering gives the same (dist, code) tie-break as an ORDER BY.
+
+    ``carry_subvec=True`` rides the subvector through the argmin struct
+    (it never affects ordering — (dist, code) is unique per group), so
+    a consumer needing the winner's subvector (pq_train's means step)
+    avoids a second (id, sub_id)-keyed shuffle join back to ``subs`` —
+    one wider shuffle instead of two shuffles plus a join.
     """
+    fields = [F.col("_dist"), F.col("code")] + (
+        [F.col("subvec")] if carry_subvec else []
+    )
+    out = [
+        id_col,
+        "sub_id",
+        F.col("_best.code").alias("code"),
+        F.col("_best._dist").alias("_dist"),
+    ] + ([F.col("_best.subvec").alias("subvec")] if carry_subvec else [])
     return (
         subs.join(F.broadcast(cent), "sub_id")
         .withColumn("_dist", F.round(_l2sq(F.col("subvec"), F.col("cvec")), 9))
         .groupBy(id_col, "sub_id")
-        .agg(F.min(F.struct(F.col("_dist"), F.col("code"))).alias("_best"))
-        .select(id_col, "sub_id", F.col("_best.code").alias("code"), F.col("_best._dist").alias("_dist"))
+        .agg(F.min(F.struct(*fields)).alias("_best"))
+        .select(*out)
     )
 
 
@@ -726,7 +743,12 @@ def pq_train(
     iteration (iterative-lineage truncation).  Seeds are the first
     ``k`` vectors' subvectors — deterministic, like ``ivf_centroids``.
     """
-    subs = _subvectors(spread(embeddings), m, dim, vec_col, id_col)
+    # subs feeds the seed join plus every iteration's assignment — pin
+    # it so the scan + subvector slicing executes once (the iterative
+    # static-input lesson from connected components, SCALING.md -2).
+    subs = _subvectors(spread(embeddings), m, dim, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
     # Seed = the k lowest-id vectors' subvectors, coded 0..k-1 by RANK —
     # not filter(id < k), which silently under-seeds (fewer than k codes
     # per subspace, or none) when ids are not dense 0-based integers.
@@ -743,12 +765,14 @@ def pq_train(
         .localCheckpoint(eager=False)
     )
     for _ in range(iterations):
-        assigned = _nearest_sub_centroid(subs, cent, id_col)
-        members = subs.join(assigned.select(id_col, "sub_id", "code"), [id_col, "sub_id"])
+        # carry_subvec: the winner's subvector rides the argmin shuffle,
+        # replacing the old members join back to subs (two shuffles + a
+        # join → one wider shuffle per iteration)
+        assigned = _nearest_sub_centroid(subs, cent, id_col, carry_subvec=True)
         # round-6 before the float cast — engine-portable means, see
         # the matching comment in ivf_train.
         means = (
-            members.select("sub_id", "code", F.posexplode("subvec").alias("_p", "_v"))
+            assigned.select("sub_id", "code", F.posexplode("subvec").alias("_p", "_v"))
             .groupBy("sub_id", "code", "_p")
             .agg(F.round(F.avg("_v"), 6).alias("_m"))
             .groupBy("sub_id", "code")
