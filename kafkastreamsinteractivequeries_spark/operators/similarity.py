@@ -502,17 +502,22 @@ def ivf_train(
     Returns (centroid_id, centroid_vec, _nc) — drop-in for
     ``ivf_assign(..., centroids=...)`` / ``knn_ivf(..., centroids=...)``.
     """
+    # corpus (vectors + hoisted norms) is the loop's STATIC input — pin
+    # it so the scan + norm fold executes once, not per iteration
+    # (SCALING.md finding -2).
     corpus = spread(embeddings).select(
         id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
-    )
+    ).localCheckpoint(eager=False)
     cent = ivf_centroids(embeddings, n_lists, vec_col, id_col)
     for _ in range(iterations):
-        assigned = ivf_assign(embeddings, n_lists, vec_col, id_col, centroids=cent)
-        members = corpus.join(
-            assigned.withColumnRenamed("list_id", "centroid_id"), id_col
-        )
-        ex = members.select(
-            "centroid_id", F.posexplode(vec_col).alias("_p", "_v")
+        # carry_vec: the winner's vector rides the argmin shuffle —
+        # the old plan re-ran ivf_assign's corpus scan AND joined the
+        # corpus back on id per iteration (two corpus shuffles + a
+        # join → one argmin shuffle)
+        assigned = _ivf_argmax(corpus, cent, id_col, vec_col, carry_vec=True)
+        ex = assigned.select(
+            F.col("list_id").alias("centroid_id"),
+            F.posexplode(vec_col).alias("_p", "_v"),
         )
         # round-6 before the float cast: distributed double-sums are
         # order-nondeterministic in the last bits; rounding makes the
@@ -567,17 +572,46 @@ def ivf_assign(
     corpus = spread(embeddings).select(
         id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
     )
-    cos = F.round(
-        cosine_from_parts(F.col(vec_col), F.col("centroid_vec"), F.col("_na"), F.col("_nc")), 6
+    return _ivf_argmax(corpus, cent, id_col, vec_col).select(
+        id_col, F.col("list_id")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("centroid_id"))
+
+
+def _ivf_argmax(
+    corpus: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(id, list_id[, vec]): per-vector nearest centroid by rounded
+    cosine (centroid-id tie-break), as a min-of-(−cos, centroid_id)
+    struct under groupBy — partial-aggregates map-side, so the shuffle
+    carries one row per vector, not the n × n_lists joined rows the
+    previous Window-over-id plan hash-shuffled (the same argmin shape
+    as ``_nearest_sub_centroid``; ordering is identical to
+    ``ORDER BY cos DESC, centroid_id``).  ``carry_vec`` rides the
+    vector through the struct for consumers that need the winner's
+    vector next (ivf_train's means step) without a corpus join-back."""
+    cos = F.round(
+        cosine_from_parts(
+            F.col(vec_col), F.col("centroid_vec"), F.col("_na"), F.col("_nc")
+        ),
+        6,
+    )
+    fields = [F.col("_ncos"), F.col("centroid_id")] + (
+        [F.col(vec_col)] if carry_vec else []
+    )
+    out = [id_col, F.col("_best.centroid_id").alias("list_id")] + (
+        [F.col(f"_best.{vec_col}").alias(vec_col)] if carry_vec else []
+    )
     return (
         corpus.join(F.broadcast(cent))
-        .withColumn("_cos", cos)
-        .filter(F.col("_cos").isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, F.col("centroid_id").alias("list_id"))
+        .withColumn("_ncos", -cos)
+        .filter(F.col("_ncos").isNotNull())
+        .groupBy(id_col)
+        .agg(F.min(F.struct(*fields)).alias("_best"))
+        .select(*out)
     )
 
 
