@@ -316,7 +316,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # zero-shuffle projection — four operators, one 50-cap report
     # slot, one corpus scan.
     q["x1_text_stats"] = lambda s, d: T.doc_profile(_docs(s, d))
-    q["x4_winnowing_fingerprint"] = lambda s, d: T.winnowing_fingerprint(_docs(s, d))
+    # x4 union: doc-min fingerprint ('docmin') ⊕ the FULL winnowing
+    # selection ('full' — Schleimer et al. sliding-window minima, the
+    # shared-substring guarantee) — same (doc_id, fp) shape, one slot.
+    def _x4(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        docmin = T.winnowing_fingerprint(docs).select(
+            F.lit("docmin").alias("variant"),
+            "doc_id",
+            F.col("winnow_fp").alias("fp"),
+        )
+        full = T.winnowing_fingerprints_full(docs, k=5, window=4).select(
+            F.lit("full").alias("variant"),
+            "doc_id",
+            F.col("fingerprint").alias("fp"),
+        )
+        return docmin.unionByName(full)
+
+    q["x4_winnowing_fingerprint"] = _x4
     q["x6_length_percentiles"] = lambda s, d: T.length_percentiles(_docs(s, d))
     q["x7_bigram_logprob"] = lambda s, d: T.bigram_logprob_scores(_docs(s, d))
     q["x8_repetition_stats"] = lambda s, d: T.repetition_stats(_docs(s, d))
@@ -1303,14 +1320,29 @@ FROM pairs JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
 GROUP BY doc_id
 """
     )
+    # x4 union: the doc-min fingerprint ('docmin', one row per doc,
+    # window=8 grams of the whole doc) ⊕ the FULL Schleimer-et-al.
+    # winnowing selection ('full', k=5 token grams, window=4 sliding
+    # min, one row per selected fingerprint) — same (doc_id, fp) shape,
+    # one 50-cap report slot.
     o["x4_winnowing_fingerprint"] = (
         t_cte
-        + """SELECT doc_id,
+        + """SELECT 'docmin' AS variant, doc_id,
        CASE WHEN len(toks) >= 8
             THEN list_aggregate(
                    [md5(array_to_string(toks[i:i+7], ' '))
                     for i in generate_series(1, len(toks) - 7)], 'min')
-            ELSE md5(array_to_string(toks, ' ')) END AS winnow_fp
+            ELSE md5(array_to_string(toks, ' ')) END AS fp
+FROM t
+UNION ALL
+SELECT 'full', doc_id, unnest(
+    CASE WHEN len(toks) >= 8
+         THEN list_distinct([
+                list_aggregate(
+                  [md5(array_to_string(toks[i+j:i+j+4], ' '))
+                   for j in generate_series(0, 3)], 'min')
+                for i in generate_series(1, len(toks) - 7)])
+         ELSE [md5(array_to_string(toks, ' '))] END) AS fp
 FROM t
 """
     )
