@@ -1115,3 +1115,46 @@ def encode_all(
         cols.append(codes.alias("pq_codes"))
 
     return spread(embeddings).select(*cols)
+
+
+def pool_embeddings(
+    chunk_vecs: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    method: str = "mean",
+    normalize: bool = False,
+) -> DataFrame:
+    """Pool per-chunk vectors back to one vector per document —
+    (id, embedding) — closing the chunk → embed → doc-vector loop that
+    ``text.chunk_documents`` opens (mean pooling is the standard doc
+    representation; ``method='sum'`` skips the division).
+
+    Scale shape: posexplode to (id, dim, value) skinny rows, partial-agg
+    the per-dimension sum/mean map-side, reassemble with a sorted
+    collect_list per id — the same shuffle profile as the k-means mean
+    step (one row per (id, dim) crosses the network, never arrays).
+    ``normalize=True`` L2-normalizes the pooled vector (cosine-ready).
+    """
+    if method not in ("mean", "sum"):
+        raise ValueError(f"unknown pooling method {method!r}")
+    agg = F.avg("_v") if method == "mean" else F.sum("_v")
+    pooled = (
+        spread(chunk_vecs)
+        .select(F.col(id_col), F.posexplode(vec_col).alias("_p", "_v"))
+        .groupBy(id_col, "_p")
+        .agg(agg.alias("_m"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                lambda s: s["_m"].cast("float"),
+            ).alias(vec_col)
+        )
+    )
+    if normalize:
+        n = norm_expr(F.col(vec_col))
+        pooled = pooled.select(
+            id_col,
+            F.transform(F.col(vec_col), lambda x: (x / n).cast("float")).alias(vec_col),
+        )
+    return pooled

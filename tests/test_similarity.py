@@ -428,3 +428,37 @@ def test_encode_all_fuses_three_encoders_in_one_map_only_scan(spark, sf_dir):
     # one spread() fan-out (AQE's plan dump may print it twice:
     # initial + final plan)
     assert plan.count("Exchange") <= 2
+
+
+def test_pool_embeddings_mean_and_normalize(spark):
+    import math
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        pool_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 3.0]),
+            (1, [3.0, 2.0, 1.0]),
+            (2, [0.0, 4.0, 0.0]),
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    out = {r["doc_id"]: list(r["embedding"]) for r in pool_embeddings(df).collect()}
+    assert out[1] == [2.0, 1.0, 2.0]
+    assert out[2] == [0.0, 4.0, 0.0]
+
+    summed = {r["doc_id"]: list(r["embedding"]) for r in pool_embeddings(df, method="sum").collect()}
+    assert summed[1] == [4.0, 2.0, 4.0]
+
+    normed = {r["doc_id"]: list(r["embedding"]) for r in pool_embeddings(df, normalize=True).collect()}
+    n1 = math.sqrt(sum(v * v for v in normed[1]))
+    assert abs(n1 - 1.0) < 1e-6
+    # direction preserved
+    assert abs(normed[1][0] - 2.0 / 3.0) < 1e-6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pool_embeddings(df, method="max")
