@@ -1152,9 +1152,23 @@ def pool_embeddings(
         )
     )
     if normalize:
-        n = norm_expr(F.col(vec_col))
-        pooled = pooled.select(
-            id_col,
-            F.transform(F.col(vec_col), lambda x: (x / n).cast("float")).alias(vec_col),
+        # hoist the norm to its own projection so it evaluates ONCE per
+        # row — embedded in the transform lambda it would re-fold the
+        # whole array per element, O(d²) per doc (the cosine_from_parts
+        # norms-hoisted lesson).  Zero-norm pools (canceling chunks)
+        # stay as-is: dividing would NULL every element silently.
+        pooled = (
+            pooled.select(id_col, vec_col, norm_expr(F.col(vec_col)).alias("_n"))
+            .select(
+                id_col,
+                F.when(
+                    F.col("_n") > 0,
+                    F.transform(
+                        F.col(vec_col), lambda x: (x / F.col("_n")).cast("float")
+                    ),
+                )
+                .otherwise(F.col(vec_col))
+                .alias(vec_col),
+            )
         )
     return pooled

@@ -437,6 +437,14 @@ def streaming_exact_dedup(
     """
     from kafkastreamsinteractivequeries_spark.operators.dedup import normalized_text
 
+    if "fingerprint" in doc_stream.columns:
+        # refuse to silently clobber a caller's own column: the dedup
+        # state key must be OUR md5, and downstream (streaming_curation)
+        # drops the column assuming it is internal
+        raise ValueError(
+            "input stream already has a 'fingerprint' column — rename it "
+            "before streaming_exact_dedup"
+        )
     fp = doc_stream.withColumn(
         "fingerprint", F.md5(normalized_text(F.col(text_col)))
     ).withWatermark(event_time_col, watermark)

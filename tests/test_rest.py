@@ -226,9 +226,6 @@ def test_nonpositive_limit_rejected_on_both_paginated_endpoints(client, spark, s
         assert "limit must be >= 1" in r.get_json()["errorMessage"]
 
     from kafkastreamsinteractivequeries_spark.operators.windows import windowed_aggregate
-    from kafkastreamsinteractivequeries_spark.sources.tables import (
-        transactions_from_events,
-    )
 
     txns = transactions_from_events(load_table(spark, sf_dir, "events"))
     app = create_app(

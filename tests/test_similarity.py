@@ -462,3 +462,18 @@ def test_pool_embeddings_mean_and_normalize(spark):
 
     with _pytest.raises(ValueError):
         pool_embeddings(df, method="max")
+
+
+def test_pool_embeddings_zero_norm_stays_zero(spark):
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        pool_embeddings,
+    )
+
+    # canceling chunks pool to the zero vector; normalization must not
+    # NULL it out — the zero vector passes through unchanged
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (1, [-1.0, 2.0])],
+        "doc_id long, embedding array<float>",
+    )
+    out = pool_embeddings(df, normalize=True).collect()
+    assert list(out[0]["embedding"]) == [0.0, 0.0]

@@ -521,3 +521,22 @@ def test_streaming_curation_gates_redacts_and_dedups(spark, tmp_path):
     assert set(got) == {1, 4}
     assert "<EMAIL>" in got[1]["text"] and "bob@x.io" not in got[1]["text"]
     assert got[1]["quality_score"] >= 0.5 and got[1]["n_tokens"] > 0
+
+
+def test_streaming_exact_dedup_rejects_fingerprint_collision(spark, tmp_path):
+    import json
+
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "fp_docs"
+    src.mkdir()
+    (src / "b.jsonl").write_text(json.dumps(
+        {"doc_id": 1, "text": "x", "fingerprint": "user-owned", "event_time": "2024-01-01T00:00:00"}
+    ))
+    stream = spark.readStream.schema(
+        "doc_id LONG, text STRING, fingerprint STRING, event_time TIMESTAMP"
+    ).json(str(src))
+    with pytest.raises(ValueError, match="already has a 'fingerprint'"):
+        streaming_exact_dedup(stream)
