@@ -754,3 +754,130 @@ def chunk_documents(
     return spread(docs).select(
         F.col(id_col), F.explode(chunks).alias("chunk")
     ).select(id_col, "chunk.chunk_idx", "chunk.chunk_text", "chunk.n_tokens")
+
+
+def _merge_pair_expr(syms: F.Column, left: str, right: str) -> F.Column:
+    """One greedy left-to-right BPE pair merge over a symbol array, as
+    a fold: append each symbol unless it completes the (left, right)
+    pair with the accumulator's last element, in which case the last
+    element becomes the merged symbol.  Equivalent to the reference
+    scan (emit merged, skip 2) — after a merge the last element is
+    left+right, which can never equal ``left`` again, so runs of
+    identical symbols pair up exactly like the sequential algorithm
+    (a two-pass string replace() gets runs of 5+ wrong because Java's
+    replace cannot re-match across a consumed region)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 50,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn byte-pair-encoding merges from a corpus — the classic
+    tokenizer-training loop (Sennrich et al. 2016), DataFrame-native.
+
+    Returns the ordered merge list [(left, right), ...]; apply with
+    ``bpe_segment``.  Determinism: the best pair each round is
+    (max count, then lexicographically smallest pair) — reproducible
+    across runs, partitionings, and engines; verified against a direct
+    Python reference implementation in tests.
+
+    Scale shape: training runs over the DISTINCT-WORD table (word,
+    count) — corpus-size-independent after the first aggregation (the
+    standard BPE formulation trains on word frequencies, not running
+    text).  Per merge: one explode of adjacent symbol pairs weighted by
+    word count, one partial-agg count, and a driver-side top-1 (one
+    row per round — bounded like the connected-components convergence
+    scalar); the word table is re-segmented by a pure fold expression
+    and localCheckpoint'ed so round N+1 never replays rounds 1..N.
+    """
+    words = (
+        spread(docs)
+        .select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        # initial segmentation: characters + end-of-word marker
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        syms = F.col("syms")
+        pairs = words.filter(F.size(syms) >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+                    ),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ", 1)
+        merges.append((left, right))
+        words = words.select(
+            _merge_pair_expr(F.col("syms"), left, right).alias("syms"), "cnt"
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list: (id, bpe_tokens_learned array,
+    n_bpe_tokens) — each word character-segmented then merged in
+    training order, the standard greedy BPE encode.
+
+    Pure Column expression (the merge list unrolls into a chain of
+    fold expressions — no Python, no shuffle).  Suited to the modest
+    merge counts the tests and demos use; a production encode with a
+    30k-merge vocabulary would ship the trained merges into an
+    Arrow-batched ``mapInPandas`` tokenizer instead (expression depth
+    grows linearly with merges) — the Spark-native contribution here
+    is the TRAINING loop, which has no such limit.
+    """
+    toks = tokens_col(F.col(text_col))
+
+    def encode_word(w: F.Column) -> F.Column:
+        syms = F.concat(F.split(w, ""), F.array(F.lit("</w>")))
+        for left, right in merges:
+            syms = _merge_pair_expr(syms, left, right)
+        return syms
+
+    segmented = F.flatten(F.transform(toks, encode_word))
+    return spread(docs).select(
+        F.col(id_col),
+        segmented.alias("bpe_tokens_learned"),
+        F.size(segmented).cast("int").alias("n_bpe_tokens"),
+    )

@@ -437,3 +437,68 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def _ref_bpe_train(word_counts, num_merges):
+    # direct Python reference (Sennrich et al. alg. 1) with the same
+    # (max count, lexicographically smallest pair) tie-break
+    words = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[0]
+        merges.append(best)
+        merged = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        words = merged
+    return merges, words
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    # word counts: low 5, lower 2, lowest 2, newest 6, new 3 — plus
+    # "aaaaaa" 4, whose identical-symbol runs are exactly the case a
+    # string-replace merge implementation gets wrong
+    counts = {"low": 5, "lower": 2, "lowest": 2, "newest": 6, "new": 3, "aaaaaa": 4}
+    text = " ".join(w for w, c in counts.items() for _ in range(c))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = bpe_train(df, num_merges=10)
+    ref_merges, ref_words = _ref_bpe_train(counts, 10)
+    assert merges == ref_merges
+    # segmentation with the learned merges reproduces the reference's
+    # final word segmentations
+    seg = bpe_segment(df, merges).collect()[0]
+    got_tokens = list(seg["bpe_tokens_learned"])
+    # per-word check: segment each distinct word once
+    one_each = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(counts)],
+        ["doc_id", "text"],
+    )
+    per_word = {
+        r["doc_id"]: list(r["bpe_tokens_learned"])
+        for r in bpe_segment(one_each, merges).collect()
+    }
+    ref_seg = {}
+    for syms, c in ref_words.items():
+        ref_seg["".join(syms).replace("</w>", "")] = list(syms)
+    for i, w in enumerate(counts):
+        assert per_word[i] == ref_seg[w], w
+    assert seg["n_bpe_tokens"] == sum(len(ref_seg[w]) * m for w, m in counts.items())
