@@ -344,9 +344,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     from kafkastreamsinteractivequeries_spark.operators import sketches as SK
 
-    q["x10_kmv_distinct_users"] = lambda s, d: SK.kmv_distinct_users(
-        load_table(s, d, "events"), k=32
-    )
+    # x10 — the mergeable-sketch suite in ONE tagged union (kmv ⊕ hll ⊕
+    # cms), normalized to (variant, sketch_key, estimate, detail):
+    # kmv's detail is the k-th smallest hash (the sketch content), hll's
+    # the nonzero register count, cms's the exact frequency the
+    # over-estimate is checked against.  Each sketch is deterministic
+    # arithmetic over the same 32-bit ring hash, so content AND estimate
+    # hash-match the DuckDB oracle.
+    def _x10(s: SparkSession, d: str) -> DataFrame:
+        ev = load_table(s, d, "events")
+        kmv = SK.kmv_distinct_users(ev, k=32).select(
+            F.lit("kmv").alias("variant"),
+            F.col("event_type").alias("sketch_key"),
+            F.col("distinct_estimate").cast("double").alias("estimate"),
+            F.col("kth_hash").cast("long").alias("detail"),
+        )
+        hll = SK.hll_distinct(ev, "user_id", ["event_type"], p=6).select(
+            F.lit("hll").alias("variant"),
+            F.col("event_type").alias("sketch_key"),
+            F.col("distinct_estimate").cast("double").alias("estimate"),
+            F.col("nonzero_buckets").cast("long").alias("detail"),
+        )
+        counters = SK.cms_counters(ev, "user_id", depth=4, width=1024)
+        probes = ev.select("user_id").where(F.col("user_id") % 8 == 0).distinct()
+        exact = ev.groupBy("user_id").agg(F.count("*").alias("_exact"))
+        cms = (
+            SK.cms_estimate(counters, probes, "user_id", depth=4, width=1024)
+            .join(exact, "user_id")
+            .select(
+                F.lit("cms").alias("variant"),
+                F.col("user_id").cast("string").alias("sketch_key"),
+                F.col("cms_estimate").cast("double").alias("estimate"),
+                F.col("_exact").cast("long").alias("detail"),
+            )
+        )
+        return kmv.unionByName(hll).unionByName(cms)
+
+    q["x10_cardinality_sketches"] = _x10
 
     # x12 — PII redaction.  The synthetic corpus carries no real PII,
     # so the key plants deterministic contact strings (email / dashed
@@ -1417,10 +1451,15 @@ SELECT token, CAST(count AS BIGINT) AS count,
 FROM top CROSS JOIN total
 """
     )
-    # x10 — KMV sketch: deterministic 32-bit multiplicative hash ring,
-    # so the sketch CONTENT (and therefore the estimate) is
-    # bit-identical across engines; see operators/sketches.py.
-    o["x10_kmv_distinct_users"] = """
+    # x10 — mergeable-sketch union (kmv ⊕ hll ⊕ cms): every branch is
+    # deterministic integer arithmetic over the same 32-bit ring hash,
+    # so sketch CONTENT (k-th hash / registers / counters) and the
+    # estimates are bit-identical across engines; see
+    # operators/sketches.py.  α·m² for the HLL branch is inlined as the
+    # exact Python double (0.709·64·64) so both engines fold the same
+    # literal instead of re-deriving it in their own numeric types.
+    _hll_alpha_m2 = repr(0.709 * 64 * 64)
+    o["x10_cardinality_sketches"] = f"""
 WITH h AS (
   SELECT DISTINCT event_type,
          (((user_id % 4294967296) * 48271) % 4294967296 * 16807) % 4294967296 AS h
@@ -1431,15 +1470,75 @@ WITH h AS (
   FROM h
 ), kept AS (
   SELECT * FROM ranked WHERE rn <= 32
+), kmv AS (
+  SELECT 'kmv' AS variant, event_type AS sketch_key,
+         CASE WHEN COUNT(*) >= 32
+              THEN ROUND((32 - 1.0) / (MAX(h) / 4294967296.0), 4)
+              ELSE CAST(COUNT(*) AS DOUBLE) END AS estimate,
+         MAX(h) AS detail
+  FROM kept
+  GROUP BY event_type
+), mh1 AS (
+  SELECT event_type, ((user_id % 4294967296) * 48271) % 4294967296 AS h FROM events
+), mh2 AS (
+  SELECT event_type, xor(h, h // 65536) AS h FROM mh1
+), mh3 AS (
+  SELECT event_type, (h * 16807) % 4294967296 AS h FROM mh2
+), mh4 AS (
+  SELECT event_type, xor(h, h // 8192) AS h FROM mh3
+), mh5 AS (
+  SELECT event_type, (h * 69621) % 4294967296 AS h FROM mh4
+), hall AS (
+  SELECT event_type, xor(h, h // 131072) AS h FROM mh5
+), hreg AS (
+  SELECT event_type, h % 64 AS bucket,
+         MAX(CASE WHEN h // 64 > 0 THEN 26 - length(bin(h // 64)) + 1
+                  ELSE 27 END) AS reg
+  FROM hall
+  GROUP BY event_type, h % 64
+), hfold AS (
+  SELECT event_type,
+         SUM(POW(2.0, -reg)) + (64 - COUNT(*)) AS z,
+         COUNT(*) AS nonzero,
+         64 - COUNT(*) AS empty
+  FROM hreg
+  GROUP BY event_type
+), hll AS (
+  SELECT 'hll' AS variant, event_type AS sketch_key,
+         ROUND(CASE WHEN CAST({_hll_alpha_m2} AS DOUBLE) / z <= 160.0 AND empty > 0
+                    THEN 64.0 * LN(64.0 / empty)
+                    ELSE CAST({_hll_alpha_m2} AS DOUBLE) / z END, 4) AS estimate,
+         nonzero AS detail
+  FROM hfold
+), params(row, a, b) AS (
+  VALUES (0, 48271, 1), (1, 16807, 7), (2, 69621, 13), (3, 40692, 31)
+), counters AS (
+  SELECT p.row AS row,
+         ((e.user_id % 2147483647) * p.a + p.b) % 2147483647 % 1024 AS col,
+         COUNT(*) AS cnt
+  FROM events e CROSS JOIN params p
+  GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 8 = 0
+), probe_cells AS (
+  SELECT pr.user_id, p.row AS row,
+         ((pr.user_id % 2147483647) * p.a + p.b) % 2147483647 % 1024 AS col
+  FROM probes pr CROSS JOIN params p
+), est AS (
+  SELECT pc.user_id, MIN(COALESCE(c.cnt, 0)) AS cms_estimate
+  FROM probe_cells pc LEFT JOIN counters c USING (row, col)
+  GROUP BY pc.user_id
+), exact AS (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+), cms AS (
+  SELECT 'cms' AS variant, CAST(est.user_id AS VARCHAR) AS sketch_key,
+         CAST(cms_estimate AS DOUBLE) AS estimate,
+         exact_cnt AS detail
+  FROM est JOIN exact ON est.user_id = exact.user_id
 )
-SELECT event_type,
-       COUNT(*) AS n_kept,
-       MAX(h) AS kth_hash,
-       CASE WHEN COUNT(*) >= 32
-            THEN ROUND((32 - 1.0) / (MAX(h) / 4294967296.0), 4)
-            ELSE CAST(COUNT(*) AS DOUBLE) END AS distinct_estimate
-FROM kept
-GROUP BY event_type
+SELECT * FROM kmv
+UNION ALL SELECT * FROM hll
+UNION ALL SELECT * FROM cms
 """
     # x12 — PII redaction: rebuild the key's deterministic salted text
     # (email on doc_id%3, dashed phone on %4, IPv4 on %5), then replay

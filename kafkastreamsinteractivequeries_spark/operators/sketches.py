@@ -41,6 +41,35 @@ def kmv_hash(col: F.Column) -> F.Column:
     return (h1 * _MUL2) % _RING
 
 
+def _xorshift(h: F.Column, bits: int) -> F.Column:
+    """h XOR (h >> bits) for nonnegative h — the shift as division by
+    2^bits (exact in both engines; avoids engine-specific shift ops)."""
+    return h.bitwiseXOR(F.floor(h / F.lit(2**bits)).cast("long"))
+
+
+def mix_hash32(col: F.Column) -> F.Column:
+    """Multiply–xorshift mixer onto the 32-bit ring (murmur-finalizer
+    shape, built from ops both engines share: *, %, xor, integer div).
+
+    ``kmv_hash``'s pure multiplicative ring walk is a bijection — ideal
+    for KMV's k-th-smallest statistic (equidistributed values give
+    LOWER estimator variance) — but its outputs form a lattice whose
+    too-even bucket occupancy and bounded minimum gaps break HLL's
+    max-rank statistic (measured ~2× overestimate on sequential ids).
+    Interleaving xor-shifts between the odd multiplies destroys the
+    lattice while every intermediate product stays < 2^48 (no int64
+    overflow in any engine); the map stays injective on [0, 2^32)
+    (multiplies are bijections, x ^ (x >> s) is invertible), verified
+    distinct over 1M sequential keys in tests.
+    """
+    h = (F.pmod(col, F.lit(_RING)) * _MUL1) % _RING
+    h = _xorshift(h, 16)
+    h = (h * _MUL2) % _RING
+    h = _xorshift(h, 13)
+    h = (h * 69621) % _RING
+    return _xorshift(h, 17)
+
+
 def kmv_distinct(
     df: DataFrame,
     key_col: str,
@@ -84,8 +113,168 @@ def kmv_distinct(
 
 
 def kmv_distinct_users(events: DataFrame, k: int = 32) -> DataFrame:
-    """x10: approximate distinct users per event type over the events
-    stream — the per-key cardinality profile a pipeline consults before
-    choosing join strategies (broadcast vs shuffle) or partition
+    """x10/kmv: approximate distinct users per event type over the
+    events stream — the per-key cardinality profile a pipeline consults
+    before choosing join strategies (broadcast vs shuffle) or partition
     layouts."""
     return kmv_distinct(events, key_col="user_id", group_cols=["event_type"], k=k)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog — fixed-size registers, the industry-standard cardinality
+# sketch (Flajolet et al. 2007).  Same portability contract as KMV: the
+# registers derive from the deterministic ring hash, so register CONTENT
+# (and the estimate) is bit-identical across engines.
+# --------------------------------------------------------------------------
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant α_m from the HLL paper (driver-side;
+    inlined as a literal into both the Spark plan and the oracle SQL)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 6,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT key) per group via HyperLogLog with
+    ``m = 2^p`` registers.
+
+    Register derivation (low-bits bucketing, engine-portable integer
+    arithmetic): ``h`` is the 32-bit ring hash; ``bucket = h mod m``;
+    the remaining ``w = h div m`` is a ``32-p``-bit word whose leading-
+    zero rank is ``(32-p) - bitlen(w) + 1`` (``bitlen`` via
+    ``length(bin(w))`` — identical in Spark and DuckDB), or ``32-p+1``
+    when ``w = 0``.  Estimator: ``α·m²/Σ 2^-M_j`` with the standard
+    linear-counting small-range correction (``E ≤ 2.5m`` and empty
+    registers present → ``m·ln(m/V)``).
+
+    Scale shape: two partial-aggregating shuffles — (group, bucket) max
+    then per-group fold — with state O(m) per group at every stage; the
+    max-merge of registers IS the sketch's merge operator, so map-side
+    combine performs exactly the distributed merge the paper describes.
+    Unlike KMV's top-k selection this never ranks anything: pure
+    fixed-size aggregation, the cheapest cardinality path at 100 TB.
+    """
+    m = 2**p
+    hi_bits = 32 - p
+    h = mix_hash32(F.col(key_col))
+    bucket = F.pmod(h, F.lit(m))
+    w = F.floor(h / F.lit(m))
+    rank = F.when(w > 0, F.lit(hi_bits) - F.length(F.bin(w)) + 1).otherwise(
+        F.lit(hi_bits + 1)
+    )
+    regs = (
+        df.select(*[F.col(c) for c in group_cols], bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    folded = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_z_present"),
+        F.count("*").alias("nonzero_buckets"),
+    )
+    # absent buckets hold register 0 → contribute 2^0 = 1 each
+    z = F.col("_z_present") + (F.lit(m) - F.col("nonzero_buckets"))
+    raw = F.lit(hll_alpha(m) * m * m) / z
+    empty = F.lit(m) - F.col("nonzero_buckets")
+    corrected = F.when(
+        (raw <= 2.5 * m) & (empty > 0), F.lit(float(m)) * F.log(F.lit(m) / empty)
+    ).otherwise(raw)
+    return folded.select(
+        *group_cols,
+        F.col("nonzero_buckets"),
+        F.round(corrected, 4).alias("distinct_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch — fixed-size frequency estimation (Cormode &
+# Muthukrishnan 2005): d hash rows × w counters; point query = min over
+# rows.  Always an over-estimate; error ≤ 2n/w with prob 1-(1/2)^d.
+# --------------------------------------------------------------------------
+
+_CMS_P = 2**31 - 1  # Mersenne prime for the row-hash family
+_CMS_A = (48271, 16807, 69621, 40692)
+_CMS_B = (1, 7, 13, 31)
+
+
+def _cms_col(key: F.Column, row: int, width: int) -> F.Column:
+    """Row ``row``'s counter column for ``key``: ((k·A + B) mod P) mod w.
+    Every intermediate < 2^48 — no int64 overflow in either engine."""
+    return F.pmod(
+        (F.pmod(key, F.lit(_CMS_P)) * _CMS_A[row] + _CMS_B[row]) % _CMS_P,
+        F.lit(width),
+    )
+
+
+def cms_counters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(row, col, cnt): the count-min counter table for ``key_col``.
+
+    One explode to d skinny (row, col) rows per record, then a
+    partial-aggregating count — after map-side combine at most d×w rows
+    per partition cross the shuffle, so the sketch build is bounded by
+    the SKETCH size, not the corpus: the canonical fixed-memory
+    frequency pass at 100 TB.  The counter table itself (≤ d×w rows) is
+    broadcastable for probe joins at any corpus size.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_col(F.col(key_col), i, width).alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(probe, cms_estimate): point-query the sketch for each probe key
+    — min over the d rows' counters (0 when a cell was never hit).
+
+    The counter table is broadcast (≤ d×w rows by construction); the
+    probe side explodes to d rows per key and a partial-agg min folds
+    them back, so probing n keys is one map-side join + one skinny
+    shuffle of n×d rows."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_col(F.col(probe_col), i, width).alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probe_cells = probes.select(
+        F.col(probe_col), F.explode(cells).alias("cell")
+    ).select(probe_col, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    return (
+        probe_cells.join(F.broadcast(counters), ["row", "col"], "left")
+        .groupBy(probe_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )

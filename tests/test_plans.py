@@ -150,8 +150,11 @@ def test_kmv_uses_salted_two_phase_ranking(spark, sf_dir):
     # x10: the k-smallest selection must ride the skew-safe two-phase
     # top-k (two window passes), never a single global-window sort of
     # each group's whole distinct set.
-    plan = plan_of(spark, sf_dir, "x10_kmv_distinct_users")
+    plan = plan_of(spark, sf_dir, "x10_cardinality_sketches")
     assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+    # the cms branch must broadcast its bounded counter table (≤ d×w
+    # rows by construction), never shuffle-join the probe stream
+    assert "BroadcastHashJoin" in plan
 
 
 def test_vocab_coverage_uses_take_ordered_not_full_sort(spark, sf_dir):

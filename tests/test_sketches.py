@@ -1,8 +1,11 @@
-"""Unit tests for operators/sketches.py (KMV distinct sketch)."""
+"""Unit tests for operators/sketches.py (KMV / HLL / count-min)."""
 
 from pyspark.sql import functions as F
 
 from kafkastreamsinteractivequeries_spark.operators.sketches import (
+    cms_counters,
+    cms_estimate,
+    hll_distinct,
     kmv_distinct,
     kmv_hash,
 )
@@ -34,6 +37,84 @@ def test_kmv_hash_bijective_on_small_domain(spark):
         F.countDistinct("h")
     ).collect()[0][0]
     assert n == 100_000
+
+
+def test_hll_estimate_accuracy(spark):
+    # 2000 distinct keys, m=64 registers: HLL relative standard error
+    # ~ 1.04/sqrt(m) ≈ 13%; assert within ~4 sigma.
+    df = spark.range(2000).select(F.lit("g").alias("g"), F.col("id").alias("key"))
+    row = hll_distinct(df, "key", ["g"], p=6).collect()[0]
+    assert abs(row.distinct_estimate - 2000) / 2000 < 0.5
+
+
+def test_hll_small_range_linear_counting(spark):
+    # Tiny cardinality vs m=64 registers → the linear-counting branch:
+    # estimate stays close to exact (within a couple of counts).
+    df = spark.range(8).select(F.lit("g").alias("g"), F.col("id").alias("key"))
+    row = hll_distinct(df, "key", ["g"], p=6).collect()[0]
+    assert abs(row.distinct_estimate - 8) <= 2
+
+
+def test_hll_insensitive_to_duplication(spark):
+    # max-merge of registers is idempotent — duplicates can't move them.
+    base = spark.range(500).select(F.lit("g").alias("g"), F.col("id").alias("key"))
+    dup = base.union(base).union(base)
+    a = hll_distinct(base, "key", ["g"], p=6).collect()[0]
+    b = hll_distinct(dup, "key", ["g"], p=6).collect()[0]
+    assert a.distinct_estimate == b.distinct_estimate
+    assert a.nonzero_buckets == b.nonzero_buckets
+
+
+def test_hll_register_merge_equals_union(spark):
+    # Mergeability: HLL over A ∪ B must equal HLL over the concatenated
+    # input — the property that makes the sketch shuffle-combinable.
+    a = spark.range(0, 800).select(F.lit("g").alias("g"), F.col("id").alias("key"))
+    b = spark.range(400, 1200).select(F.lit("g").alias("g"), F.col("id").alias("key"))
+    merged = hll_distinct(a.union(b), "key", ["g"], p=6).collect()[0]
+    direct = hll_distinct(
+        spark.range(0, 1200).select(F.lit("g").alias("g"), F.col("id").alias("key")),
+        "key",
+        ["g"],
+        p=6,
+    ).collect()[0]
+    assert merged.distinct_estimate == direct.distinct_estimate
+
+
+def test_cms_never_underestimates_and_is_tight_here(spark):
+    # Zipf-ish frequencies: key i appears (i+1) times for i in 0..99.
+    rows = spark.range(100).select(
+        F.col("id").alias("key"), (F.col("id") + 1).alias("n")
+    )
+    df = rows.select(F.explode(F.sequence(F.lit(1), F.col("n"))).alias("_"), "key")
+    counters = cms_counters(df, "key", depth=4, width=1024)
+    probes = spark.range(100).select(F.col("id").alias("key"))
+    est = {
+        r.key: r.cms_estimate
+        for r in cms_estimate(counters, probes, "key", depth=4, width=1024).collect()
+    }
+    for i in range(100):
+        true = i + 1
+        assert est[i] >= true  # CMS never underestimates
+        # 5050 total increments over width 1024 → expected collision
+        # inflation per cell ~5; generous bound
+        assert est[i] <= true + 60
+
+
+def test_cms_counter_table_bounded_by_sketch_size(spark):
+    # The counter table must never exceed depth × width rows no matter
+    # how many input rows were counted.
+    df = spark.range(50_000).select((F.col("id") % 3000).alias("key"))
+    n = cms_counters(df, "key", depth=4, width=256).count()
+    assert n <= 4 * 256
+
+
+def test_cms_absent_probe_small_estimate(spark):
+    # A probe key never inserted gets only collision mass (possibly 0).
+    df = spark.range(1000).select(F.col("id").alias("key"))
+    counters = cms_counters(df, "key", depth=4, width=1024)
+    probes = spark.createDataFrame([(10_000_000,)], "key long")
+    est = cms_estimate(counters, probes, "key", depth=4, width=1024).collect()[0]
+    assert 0 <= est.cms_estimate <= 10
 
 
 def test_kmv_insensitive_to_duplication(spark):
