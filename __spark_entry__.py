@@ -26,6 +26,7 @@ from kafkastreamsinteractivequeries_spark.plans.queries import (
 from kafkastreamsinteractivequeries_spark.plans.service import InteractiveQueryService
 from kafkastreamsinteractivequeries_spark.sources.tables import (
     load_table,
+    spread,
     transactions_from_events,
 )
 
@@ -590,7 +591,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lists (library defaults are the recall-tuned ones, regression-
     # tested separately — SCALING.md).
     def _s1(s: SparkSession, d: str) -> DataFrame:
-        emb, qdf = _emb(s, d), _queries_df(s, d)
+        # One spread+pin of the corpus shared by all four kNN branches:
+        # each branch otherwise re-scans and re-repartitions the
+        # embeddings table independently (4 scans + 4 probe/shuffles)
+        # and carries the full scan lineage through its plan.  Values
+        # are identical; measured 7.35 → 6.45 s at sf0.1
+        # (scripts/ab_s1_pinned.py).
+        emb = spread(_emb(s, d)).localCheckpoint(eager=False)
+        qdf = _queries_df(s, d)
 
         def tag(df: DataFrame, t: str, score_col: str) -> DataFrame:
             return df.select(

@@ -1,0 +1,105 @@
+"""Tests for operators/layout.py (Z-order clustering)."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kafkastreamsinteractivequeries_spark.operators.layout import (
+    cluster_by_zorder,
+    file_stat_tightness,
+    normalize_to_bits,
+    zorder_key,
+)
+
+
+def _py_zkey(vals: list[int], bits: int) -> int:
+    z = 0
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * len(vals) + j)
+    return z
+
+
+def test_zorder_key_matches_bit_twiddling_reference(spark):
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", zorder_key([F.col("x"), F.col("y")], bits=4)
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _py_zkey([x, y], 4), (x, y)
+
+
+def test_zorder_key_three_dims(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3), (7, 0, 5)], "x long, y long, w long"
+    )
+    rows = df.withColumn(
+        "z", zorder_key([F.col("x"), F.col("y"), F.col("w")], bits=3)
+    ).collect()
+    for r in rows:
+        assert r.z == _py_zkey([r.x, r.y, r.w], 3)
+
+
+def test_normalize_clamps_and_scales(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (50.0,), (100.0,), (200.0,)], "v double"
+    )
+    vals = [
+        r.n
+        for r in df.select(
+            normalize_to_bits(F.col("v"), 0.0, 100.0, bits=8).alias("n")
+        ).collect()
+    ]
+    assert vals[0] == 0  # clamped below
+    assert vals[1] == 0
+    assert vals[2] == 127  # mid-scale
+    assert vals[3] == 255  # top of grid
+    assert vals[4] == 255  # clamped above
+
+
+def test_cluster_by_zorder_tightens_stats_on_both_dims(spark):
+    # Uniform 2-D data: an unclustered write leaves every row group
+    # spanning ~the whole domain in both dims; the Z-layout shrinks the
+    # mean normalized span on BOTH dimensions substantially.
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") * 48271 % 100_000).alias("a"),
+        (F.col("id") * 16807 % 100_000).alias("b"),
+    )
+    plain_dir = tempfile.mkdtemp()
+    z_dir = tempfile.mkdtemp()
+    try:
+        df.repartition(16).write.mode("overwrite").parquet(plain_dir)
+        cluster_by_zorder(
+            df,
+            [("a", 0, 100_000), ("b", 0, 100_000)],
+            bits=12,
+            num_partitions=16,
+        ).drop("_zkey").write.mode("overwrite").parquet(z_dir)
+
+        plain = file_stat_tightness(plain_dir, ["a", "b"])
+        clustered = file_stat_tightness(z_dir, ["a", "b"])
+        # hash-partitioned layout: every file spans ~the full domain
+        assert plain["a"] > 0.9 and plain["b"] > 0.9
+        # Z-order over 16 files in 2-D: ideal span ~16^(-1/2) = 0.25;
+        # allow generous slack for boundary files
+        assert clustered["a"] < 0.5, clustered
+        assert clustered["b"] < 0.5, clustered
+    finally:
+        shutil.rmtree(plain_dir, ignore_errors=True)
+        shutil.rmtree(z_dir, ignore_errors=True)
+
+
+def test_zorder_preserves_rows(spark):
+    df = spark.range(10_000).select(
+        F.col("id").alias("a"), (F.col("id") % 97).alias("b")
+    )
+    out = cluster_by_zorder(df, [("a", 0, 10_000), ("b", 0, 97)], bits=10)
+    assert out.count() == 10_000
+    assert out.select(F.sum("a")).collect()[0][0] == sum(range(10_000))
