@@ -165,6 +165,21 @@ def hll_distinct(
     Unlike KMV's top-k selection this never ranks anything: pure
     fixed-size aggregation, the cheapest cardinality path at 100 TB.
     """
+    regs = hll_registers(df, key_col, group_cols, p)
+    return hll_estimate(regs, group_cols, p)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 6,
+) -> DataFrame:
+    """(group…, bucket, reg): the HLL register table — the sketch's
+    mergeable REPRESENTATION.  Two register tables over different data
+    slices combine by ``groupBy(group, bucket).max(reg)``; that is the
+    whole distributed/streaming merge story (used by the streaming
+    register sink in ``streaming/pipeline.py``)."""
     m = 2**p
     hi_bits = 32 - p
     h = mix_hash32(F.col(key_col))
@@ -173,11 +188,18 @@ def hll_distinct(
     rank = F.when(w > 0, F.lit(hi_bits) - F.length(F.bin(w)) + 1).otherwise(
         F.lit(hi_bits + 1)
     )
-    regs = (
+    return (
         df.select(*[F.col(c) for c in group_cols], bucket.alias("bucket"), rank.alias("rank"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("reg"))
     )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str], p: int = 6) -> DataFrame:
+    """Fold a register table (``hll_registers`` output, possibly merged
+    across slices/batches) into per-group estimates — the second half of
+    ``hll_distinct``."""
+    m = 2**p
     folded = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_z_present"),
         F.count("*").alias("nonzero_buckets"),

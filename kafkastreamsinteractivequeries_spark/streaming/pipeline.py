@@ -512,3 +512,99 @@ def streaming_curation(
     return streaming_exact_dedup(
         gated, event_time_col=event_time_col, watermark=watermark, text_col=text_col
     ).drop("fingerprint")
+
+
+class StreamingHllSink:
+    """foreachBatch sink maintaining a landed HLL register store:
+    continuous distinct-count telemetry over the ingest stream (e.g.
+    distinct users per event type) with TOTAL state bounded by
+    groups × 2^p rows — forever, regardless of ingest volume.
+
+    Why not a streaming aggregation: ``hll_distinct`` chains two
+    aggregations (bucket max, then the per-group fold), which a single
+    streaming query cannot express — and more fundamentally the
+    register store should OUTLIVE any one query (it is the sketch).
+    So each micro-batch computes its own register table (one
+    streaming-legal aggregation's worth of work, executed on the batch
+    DataFrame) and max-merges it into the landed store — the register
+    max-merge IS HyperLogLog's union operator, so the landed store is
+    bit-identical to ``hll_registers`` over everything ever ingested
+    (asserted by test), and estimates never drift from batch.
+
+    Commit protocol: each batch writes the merged registers to a NEW
+    ``v<batch_id>`` directory; readers resolve the highest-numbered
+    version carrying parquet's ``_SUCCESS`` commit marker, so they only
+    ever see complete snapshots.  A batch replay rewrites its own
+    ``v<batch_id>`` directory with identical content (the merge is
+    deterministic given the same input batch), so replays are
+    idempotent.  Old versions are tiny (≤ groups × 2^p rows each) and
+    can be vacuumed by retention.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key_col: str,
+        group_cols: list[str],
+        p: int = 6,
+    ):
+        self.path = path.rstrip("/")
+        self.key_col = key_col
+        self.group_cols = group_cols
+        self.p = p
+
+    def _current_version(
+        self, spark: SparkSession, below: int | None = None
+    ) -> str | None:
+        """Highest committed (``_SUCCESS``-marked) version directory,
+        optionally restricted to ids strictly below ``below``."""
+        fs, jvm = ManifestServingSink._fs(spark, self.path)
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        if not fs.exists(root):
+            return None
+        best: tuple[int, str] | None = None
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not (status.isDirectory() and name.startswith("v")):
+                continue
+            try:
+                vid = int(name[1:])
+            except ValueError:
+                continue
+            if below is not None and vid >= below:
+                continue
+            marker = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{name}/_SUCCESS")
+            if fs.exists(marker) and (best is None or vid > best[0]):
+                best = (vid, name)
+        return best[1] if best else None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from kafkastreamsinteractivequeries_spark.operators.sketches import hll_registers
+
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, self.key_col, self.group_cols, self.p)
+        # a replay of batch N must not merge with its own earlier output:
+        # merge only snapshots strictly OLDER than this batch's version
+        cur = self._current_version(spark, below=batch_id)
+        if cur is not None:
+            prev = spark.read.parquet(f"{self.path}/{cur}")
+            regs = (
+                prev.unionByName(regs)
+                .groupBy(*self.group_cols, "bucket")
+                .agg(F.max("reg").alias("reg"))
+            )
+        regs.write.mode("overwrite").parquet(f"{self.path}/v{batch_id}")
+
+    def registers(self, spark: SparkSession) -> DataFrame:
+        """The landed register table (latest committed snapshot)."""
+        cur = self._current_version(spark)
+        if cur is None:
+            raise FileNotFoundError(f"no committed register snapshot under {self.path}")
+        return spark.read.parquet(f"{self.path}/{cur}")
+
+    def estimates(self, spark: SparkSession) -> DataFrame:
+        """Per-group distinct estimates off the landed registers —
+        identical to batch ``hll_distinct`` over all ingested data."""
+        from kafkastreamsinteractivequeries_spark.operators.sketches import hll_estimate
+
+        return hll_estimate(self.registers(spark), self.group_cols, self.p)

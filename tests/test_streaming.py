@@ -540,3 +540,66 @@ def test_streaming_exact_dedup_rejects_fingerprint_collision(spark, tmp_path):
     ).json(str(src))
     with pytest.raises(ValueError, match="already has a 'fingerprint'"):
         streaming_exact_dedup(stream)
+
+
+def test_streaming_hll_register_store_matches_batch(spark, tmp_path):
+    """The landed register store after N micro-batches must be
+    bit-identical to batch ``hll_registers`` over everything ingested
+    (register max-merge = HLL union), so estimates never drift from
+    batch — with total store size bounded by groups × 2^p rows."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.sketches import (
+        hll_distinct,
+        hll_registers,
+    )
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingHllSink,
+    )
+
+    src = str(tmp_path / "ev")
+    # two disjoint-ish slices written as separate files → separate
+    # micro-batches under maxFilesPerTrigger=1
+    a = spark.range(0, 3000).select(
+        (F.col("id") % 700).alias("user_id"),
+        F.concat(F.lit("type"), (F.col("id") % 3).cast("string")).alias("event_type"),
+    )
+    b = spark.range(3000, 9000).select(
+        (F.col("id") % 1100).alias("user_id"),
+        F.concat(F.lit("type"), (F.col("id") % 3).cast("string")).alias("event_type"),
+    )
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "hll_store")
+    sink = StreamingHllSink(store, "user_id", ["event_type"], p=6)
+    stream = spark.readStream.schema("user_id long, event_type string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = a.unionByName(b)
+    batch_regs = {
+        (r.event_type, r.bucket): r.reg
+        for r in hll_registers(full, "user_id", ["event_type"], p=6).collect()
+    }
+    landed = {
+        (r.event_type, r.bucket): r.reg for r in sink.registers(spark).collect()
+    }
+    assert landed == batch_regs
+    assert len(landed) <= 3 * 64  # groups × m bound
+
+    batch_est = {
+        r.event_type: r.distinct_estimate
+        for r in hll_distinct(full, "user_id", ["event_type"], p=6).collect()
+    }
+    stream_est = {
+        r.event_type: r.distinct_estimate for r in sink.estimates(spark).collect()
+    }
+    assert stream_est == batch_est
