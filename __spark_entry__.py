@@ -338,7 +338,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x6_length_percentiles"] = lambda s, d: T.length_percentiles(_docs(s, d))
     q["x7_bigram_logprob"] = lambda s, d: T.bigram_logprob_scores(_docs(s, d))
     q["x8_repetition_stats"] = lambda s, d: T.repetition_stats(_docs(s, d))
-    q["x9_tfidf_top_terms"] = lambda s, d: T.tfidf_top_terms(_docs(s, d), k=3)
+    # x9 — term-relevance union: per-doc TF-IDF keyword extraction
+    # ('tfidf') ⊕ query-side Okapi BM25 retrieval ('bm25', fixed
+    # three-term query), normalized to (variant, doc_id, term, score,
+    # rank).
+    def _x9(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        tfidf = T.tfidf_top_terms(docs, k=3).select(
+            F.lit("tfidf").alias("variant"),
+            "doc_id",
+            "term",
+            F.col("tfidf").cast("double").alias("score"),
+            "rank",
+        )
+        qterms = ["spark", "vector", "hash"]
+        bm25 = T.bm25_search(docs, qterms, k=10).select(
+            F.lit("bm25").alias("variant"),
+            "doc_id",
+            F.lit(" ".join(qterms)).alias("term"),
+            F.col("bm25").cast("double").alias("score"),
+            "rank",
+        )
+        return tfidf.unionByName(bm25)
+
+    q["x9_term_relevance"] = _x9
     # x11 — tokenizer/vocab-building step: top-k corpus vocabulary with
     # rank and cumulative coverage share.
     q["x11_vocab_coverage"] = lambda s, d: T.vocabulary_coverage(_docs(s, d), top_k=50)
@@ -1411,7 +1434,10 @@ SELECT p.doc_id, p.n_tokens, p.n_distinct_tokens,
 FROM per_doc p JOIN ranked r ON p.doc_id = r.doc_id AND r.rn = 1
 """
     )
-    o["x9_tfidf_top_terms"] = (
+    # x9 — tfidf ⊕ bm25 union; the bm25 branch replays the Okapi
+    # formula (Lucene-style non-negative idf, k1=1.2, b=0.75) over the
+    # same tokenization, query terms ('spark','vector','hash') inlined.
+    o["x9_term_relevance"] = (
         t_cte
         + """, tf AS (
   SELECT doc_id, tok AS term, COUNT(*) AS tf_count
@@ -1430,13 +1456,38 @@ scored AS (
   JOIN doc_len dl ON tf.doc_id = dl.doc_id
   JOIN dfc ON tf.term = dfc.term
   CROSS JOIN n
+),
+tfidf_top AS (
+  SELECT 'tfidf' AS variant, doc_id, term, tfidf AS score, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS INTEGER) AS rank
+    FROM scored
+  ) WHERE rank <= 3
+),
+bstats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM t),
+bposts AS (
+  SELECT t.doc_id, len(t.toks) AS dl, tok AS term, COUNT(*) AS tf
+  FROM t, unnest(toks) AS u(tok)
+  WHERE tok IN ('spark', 'vector', 'hash')
+  GROUP BY t.doc_id, len(t.toks), tok
+),
+bdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM bposts GROUP BY term),
+bscored AS (
+  SELECT p.doc_id,
+         ROUND(SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * p.tf / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))), 6)
+           AS score
+  FROM bposts p JOIN bdf d USING (term) CROSS JOIN bstats s
+  GROUP BY p.doc_id
+),
+btop AS (
+  SELECT 'bm25' AS variant, doc_id, 'spark vector hash' AS term, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+  FROM bscored QUALIFY rank <= 10
 )
-SELECT doc_id, term, tfidf, rank FROM (
-  SELECT *, CAST(ROW_NUMBER() OVER (
-      PARTITION BY doc_id ORDER BY tfidf DESC, term
-    ) AS INTEGER) AS rank
-  FROM scored
-) WHERE rank <= 3
+SELECT * FROM tfidf_top
+UNION ALL SELECT * FROM btop
 """
     )
     # x11 — vocab coverage: corpus token counts, top-k by (count desc,

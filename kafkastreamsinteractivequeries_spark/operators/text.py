@@ -396,6 +396,74 @@ def tfidf_top_terms(
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by Okapi BM25 —
+    the full-text-retrieval side of the text suite (x9's TF-IDF scores
+    a doc's own terms; BM25 ranks docs against a QUERY).
+
+    score(d) = Σ_t idf(t) · tf / (tf + k1·(1 − b + b·dl/avgdl)), with
+    the Lucene-style non-negative idf ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape — the posting-list discipline: exploded tokens are
+    filtered to the BROADCAST query-term set *before* any aggregation,
+    so only matching postings (≈ Σ_t df_t rows) ever shuffle — the
+    corpus-sized token stream never does.  N / avgdl are one-row
+    aggregates broadcast-cross-joined in (no driver scalar, fully
+    lazy); df per term aggregates the already-filtered postings.  The
+    final top-k is a TakeOrderedAndProject-shaped global rank over the
+    ≤ matched-docs scored rows.  Determinism: round-6 scores, doc-id
+    tie-break — the oracle replays the identical formula.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    docs = spread(docs)
+    toks = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_t"))
+    # per-doc length must count ALL tokens (not just matches) — computed
+    # as a projection before the posting filter, no extra aggregation
+    with_len = toks.select(id_col, F.size("_t").alias("dl"), F.explode("_t").alias("term"))
+    postings = (
+        with_len.filter(F.array_contains(terms, F.col("term")))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("_t")).alias("avgdl")
+    )
+    dfc = postings.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = F.col("tf") / (
+        F.col("tf")
+        + F.lit(k1) * (1.0 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), (idf * tfn).alias("_s"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
+    # global top-k as TakeOrderedAndProject (per-partition k-row heaps,
+    # one merge) — a bare ORDER BY window would pull every matched doc
+    # through ONE task, and a common query term matches most of the
+    # corpus; the rank window then runs over k driver-bounded survivors
+    # (the x11 vocab-coverage pattern).
+    top = scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "bm25", "rank"
+    )
+
+
 # --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------

@@ -174,6 +174,57 @@ def test_tfidf_top_terms(spark):
     assert all(r.rank == 1 for r in out)
 
 
+def test_bm25_ranks_relevant_docs_first(spark):
+    import math
+
+    from kafkastreamsinteractivequeries_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),  # high tf for the query
+            (2, "spark filler filler filler filler"),  # one hit
+            (3, "filler filler filler filler filler"),  # no hit
+            (4, "spark spark other other other"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_search(df, ["spark"], k=10).collect()
+    got = {r.doc_id: (r.bm25, r.rank) for r in out}
+    assert 3 not in got  # no-match docs never appear
+    # more query-term occurrences at equal length → higher score
+    assert got[1][0] > got[4][0] > got[2][0]
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [1, 4, 2]
+    # closed-form check for doc 2: N=4, df=3, dl=5, avgdl=5, tf=1
+    idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    expected = idf * 1 / (1 + 1.2 * (1 - 0.75 + 0.75 * 5 / 5))
+    assert abs(got[2][0] - round(expected, 6)) < 1e-9
+
+
+def test_bm25_multi_term_sums_and_breaks_ties_by_id(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "a b x"), (2, "a b x"), (3, "x y z")], ["doc_id", "text"]
+    )
+    out = bm25_search(df, ["a", "b"], k=2).collect()
+    assert [(r.doc_id, r.rank) for r in sorted(out, key=lambda r: r.rank)] == [
+        (1, 1),
+        (2, 2),
+    ]
+
+
+def test_bm25_top_k_plans_as_take_ordered(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import bm25_search
+
+    df = spark.range(100).selectExpr(
+        "id as doc_id", "'spark filler' as text"
+    )
+    plan = bm25_search(df, ["spark"], k=5)._jdf.queryExecution().executedPlan().toString()
+    # global top-k must be per-partition heaps + single merge, never a
+    # full Sort|Window over every matched doc
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_vocabulary_coverage_ranks_and_cumulates(spark):
     from kafkastreamsinteractivequeries_spark.operators.text import (
         vocabulary_coverage,
