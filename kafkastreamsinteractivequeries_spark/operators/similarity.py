@@ -404,6 +404,76 @@ def embedding_near_duplicates(
     return out
 
 
+def embedding_decontaminate(
+    embeddings: DataFrame,
+    eval_embeddings: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 32,
+    chunks: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """(vec_id, eval_id, cosine): training-corpus vectors semantically
+    near an EVAL-set vector — the embedding-space complement of the
+    n-gram benchmark-decontamination gate (``text.ngram_decontaminate``
+    catches verbatim/near-verbatim leakage; this catches paraphrases
+    and translations that share no surface n-grams).
+
+    Scale shape — bipartite, not the s4 self-join: both sides get SRP
+    band codes from the SAME plane matrix, but the eval side is tiny
+    relative to the corpus (benchmarks are KBs–MBs of text), so its
+    bucket table BROADCASTS and candidate generation is a map-side join
+    against the corpus's code projection — the training corpus is
+    scanned once and never shuffled, and there is no quadratic bucket
+    pair join at all.  Recall scales with num_planes/chunks exactly as
+    in ``embedding_near_duplicates`` (band collision probability for
+    cosine ≥ threshold pairs); raise ``num_planes`` for tighter bands
+    on giant corpora, or lower it to widen the candidate net.
+
+    Use ``corpus.join(result.select(id_col).distinct(), id_col,
+    "left_anti")`` to drop contaminated rows (the same anti-join stage
+    ``curation.curate_documents`` uses for the n-gram gate).
+    """
+    corpus_buckets = srp_band_buckets(
+        srp_codes(embeddings, num_planes, dim, vec_col, id_col), chunks, id_col
+    )
+    eval_buckets = srp_band_buckets(
+        srp_codes(
+            eval_embeddings.withColumnsRenamed(
+                {eval_id_col: "vec_id", **({vec_col: "embedding"} if vec_col != "embedding" else {})}
+            ),
+            num_planes,
+            dim,
+        ),
+        chunks,
+    ).withColumnRenamed("vec_id", eval_id_col)
+    cand = (
+        corpus_buckets.join(F.broadcast(eval_buckets), ["band_id", "band_bits"])
+        .select(id_col, eval_id_col)
+        .distinct()
+    )
+    ct = embeddings.select(
+        id_col, F.col(vec_col).alias("_va"), norm_expr(F.col(vec_col)).alias("_na")
+    )
+    et = eval_embeddings.select(
+        F.col(eval_id_col),
+        F.col(vec_col).alias("_vb"),
+        norm_expr(F.col(vec_col)).alias("_nb"),
+    )
+    cos = F.round(
+        cosine_from_parts(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
+    )
+    return (
+        cand.join(ct.hint("shuffle_hash"), id_col)
+        .join(F.broadcast(et), eval_id_col)
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= threshold))
+        .select(id_col, eval_id_col, "cosine")
+    )
+
+
 def dropped_bucket_stats(result: DataFrame) -> dict[str, float] | None:
     """Dropped-bucket telemetry for an ``embedding_near_duplicates``
     result: ``{"dropped_rows", "total_rows", "fraction"}``.

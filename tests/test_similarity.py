@@ -477,3 +477,60 @@ def test_pool_embeddings_zero_norm_stays_zero(spark):
     )
     out = pool_embeddings(df, normalize=True).collect()
     assert list(out[0]["embedding"]) == [0.0, 0.0]
+
+
+def test_embedding_decontaminate_flags_paraphrase_neighbors(spark, emb):
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    df, vecs = emb
+    # eval set: perturbed copies of corpus vectors 5 and 9 under new ids
+    eval_rows = [
+        (1000 + i, [float(x) + 0.005 * ((j % 3) - 1) for j, x in enumerate(vecs[i])])
+        for i in (5, 9)
+    ]
+    eval_df = spark.createDataFrame(
+        eval_rows, "eval_id long, embedding array<float>"
+    )
+    out = embedding_decontaminate(df, eval_df, threshold=0.9).collect()
+    flagged = {(r.vec_id, r.eval_id) for r in out}
+    assert (5, 1005) in flagged
+    assert (9, 1009) in flagged
+    assert all(r.cosine >= 0.9 for r in out)
+    # unrelated random vectors must not be flagged at 0.9
+    assert all(v in (5, 9) for v, _ in flagged)
+
+
+def test_embedding_decontaminate_disjoint_sets_empty(spark, emb):
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    df, _ = emb
+    rng = np.random.default_rng(99)
+    eval_rows = [
+        (2000 + i, [float(x) for x in rng.normal(size=64).astype(np.float32)])
+        for i in range(3)
+    ]
+    eval_df = spark.createDataFrame(eval_rows, "eval_id long, embedding array<float>")
+    assert embedding_decontaminate(df, eval_df, threshold=0.9).count() == 0
+
+
+def test_embedding_decontaminate_never_shuffle_joins_eval_side(spark, emb):
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    df, vecs = emb
+    eval_df = spark.createDataFrame(
+        [(1000, [float(x) for x in vecs[0]])], "eval_id long, embedding array<float>"
+    )
+    plan = (
+        embedding_decontaminate(df, eval_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the eval bucket table and eval vectors broadcast; the corpus is
+    # never sort-merge-joined
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
