@@ -97,6 +97,8 @@ def curate_documents(
     id_col: str = "doc_id",
     decontaminate_against: DataFrame | None = None,
     decontaminate_n: int = 13,
+    decontaminate_embeddings: tuple[DataFrame, DataFrame] | None = None,
+    embedding_threshold: float = 0.9,
     redact: bool = False,
 ) -> DataFrame:
     """The composed pipeline; returns surviving docs with
@@ -114,6 +116,14 @@ def curate_documents(
       text BEFORE fingerprinting/near-dup, so two docs differing only
       in a contact line dedup together and no PII reaches the packed
       output.
+    - ``decontaminate_embeddings=(doc_vectors, eval_vectors)`` adds the
+      SEMANTIC decontamination gate next to the n-gram one:
+      ``doc_vectors`` carries (id_col-matching vec_id, embedding) for
+      the corpus, ``eval_vectors`` (eval_id, embedding) for the
+      benchmark; docs whose vector reaches ``embedding_threshold``
+      cosine against any eval vector are dropped
+      (``similarity.embedding_decontaminate`` — broadcast eval side,
+      zero corpus shuffle, catches paraphrases n-grams miss).
     """
     # The stats are pure row maps over (id, text) — compute them inline
     # on the corpus scan instead of joining text_stats back on id (a
@@ -145,6 +155,20 @@ def curate_documents(
             text_col=text_col, id_col=id_col,
         )
         gated = gated.join(bad, id_col, "left_anti")
+    if decontaminate_embeddings is not None:
+        from kafkastreamsinteractivequeries_spark.operators.similarity import (
+            embedding_decontaminate,
+        )
+
+        doc_vecs, eval_vecs = decontaminate_embeddings
+        bad_sem = (
+            embedding_decontaminate(
+                doc_vecs, eval_vecs, threshold=embedding_threshold
+            )
+            .select(F.col("vec_id").alias(id_col))
+            .distinct()
+        )
+        gated = gated.join(bad_sem, id_col, "left_anti")
     # The near-dup stage references `deduped` several times (minhash
     # signatures, token counts, the survivor anti-join), and each
     # reference would otherwise re-execute the scan→stats→gate→dedup

@@ -124,6 +124,37 @@ def test_curation_decontaminate_stage_drops_overlapping_docs(spark, sf_dir):
     assert len(decon_ids) < len(base_ids)
 
 
+def test_curation_embedding_decontaminate_stage_drops_semantic_matches(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.curation import curate_documents
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")  # vec_id aligns with doc_id
+    # eval set: exact copies of every 25th doc's vector under fresh ids
+    eval_vecs = vecs.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10_000).alias("eval_id"), "embedding"
+    )
+    base = curate_documents(docs, min_quality=0.5, near_dup_threshold=0.8)
+    decon = curate_documents(
+        docs,
+        min_quality=0.5,
+        near_dup_threshold=0.8,
+        decontaminate_embeddings=(vecs, eval_vecs),
+        embedding_threshold=0.99,
+    )
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    decon_ids = {r["doc_id"] for r in decon.select("doc_id").collect()}
+    # every multiple-of-25 doc must be gone (its vector IS in the eval
+    # set at cosine 1.0); strict-subset is deliberately NOT asserted —
+    # removing a doc upstream can resurrect its near-dup partner
+    # downstream (the dropped doc was the pair's surviving id_a)
+    assert not any(i % 25 == 0 for i in decon_ids)
+    assert any(i % 25 == 0 for i in base_ids)  # the assertion has teeth
+    # only docs the gate targeted (or near-dup reshuffles) differ: the
+    # non-%25 survivor count stays within the base count
+    assert len(decon_ids) < len(base_ids)
+
+
 def test_curation_redact_scrubs_pii_before_dedup(spark):
     from kafkastreamsinteractivequeries_spark.operators.curation import curate_documents
 

@@ -125,3 +125,56 @@ def test_kmv_insensitive_to_duplication(spark):
     b = kmv_distinct(dup, "key", ["g"], k=32).collect()[0]
     assert a.distinct_estimate == b.distinct_estimate
     assert a.kth_hash == b.kth_hash
+
+
+# -- property-based: the sketches' core guarantees over arbitrary inputs --
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60)
+)
+def test_cms_point_estimate_never_below_true_count(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    counters = cms_counters(df, "key", depth=4, width=64)
+    probes = spark.createDataFrame([(k,) for k in set(keys)], "key long")
+    est = {
+        r.key: r.cms_estimate
+        for r in cms_estimate(counters, probes, "key", depth=4, width=64).collect()
+    }
+    from collections import Counter
+
+    true = Counter(keys)
+    for k, n in true.items():
+        assert est[k] >= n  # the count-min guarantee
+        assert est[k] <= len(keys)  # a cell can never exceed total inserts
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60)
+)
+def test_hll_exactness_regime_and_duplication_invariance(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys + keys], "key long").select(
+        F.lit("g").alias("g"), "key"
+    )
+    row = hll_distinct(df, "key", ["g"], p=6).collect()[0]
+    # ≤60 distinct keys over 64 registers sits in the linear-counting /
+    # near-exact regime unless registers collide; duplication never
+    # moves the estimate (asserted by construction: input is keys×2)
+    single = (
+        hll_distinct(
+            spark.createDataFrame([(k,) for k in keys], "key long").select(
+                F.lit("g").alias("g"), "key"
+            ),
+            "key",
+            ["g"],
+            p=6,
+        ).collect()[0]
+    )
+    assert row.distinct_estimate == single.distinct_estimate
+    assert row.nonzero_buckets == single.nonzero_buckets
+    n_distinct = len(set(keys))
+    assert abs(row.distinct_estimate - n_distinct) <= max(6, 0.35 * n_distinct)
