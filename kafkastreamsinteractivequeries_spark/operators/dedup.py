@@ -479,6 +479,90 @@ def multiset_jaccard_verify(
     )
 
 
+def cross_corpus_near_duplicates(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    num_hashes: int = 16,
+    bands: int = 2,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """(doc_id, eval_id, mjaccard): training docs that are FUZZY
+    near-duplicates of an eval/benchmark doc — the MinHash bridge
+    between ``text.ngram_decontaminate`` (exact n-gram overlap; misses
+    token-level paraphrase) and ``similarity.embedding_decontaminate``
+    (semantic; needs vectors).  Catches lightly-edited benchmark text —
+    reordered sentences, small substitutions — that defeats exact grams
+    without requiring an embedding model.
+
+    Scale shape — bipartite, like the embedding variant: both corpora
+    get signatures from the SAME md5 minhash family, but the eval side
+    is small by nature, so its band table, totals, and tf-maps all
+    BROADCAST; the training corpus is scanned for signatures and then
+    shuffles only candidate/verify rows keyed by its own ids — there is
+    no quadratic bucket self-join anywhere.  The verify stays staged:
+    the totals-ratio prune (one long per side) runs before any tf-map
+    payload is joined (mjaccard ≤ min(total)/max(total), exact bound).
+    """
+    t_sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    e_sigs = minhash_signatures(eval_docs, text_col, eval_id_col, num_hashes, shingle_n)
+    rows = num_hashes // bands
+    t_buckets = lsh_band_buckets(t_sigs, bands, rows, id_col)
+    e_buckets = lsh_band_buckets(e_sigs, bands, rows, eval_id_col)
+    cand = (
+        t_buckets.join(F.broadcast(e_buckets), ["band_id", "band_hash"])
+        .select(id_col, eval_id_col)
+        .distinct()
+    )
+
+    def _tf(frame: DataFrame, key: str) -> DataFrame:
+        return token_counts(frame, text_col, key).groupBy(key).agg(
+            F.map_from_entries(F.collect_list(F.struct("tok", "cnt"))).alias("tf"),
+            F.sum("cnt").alias("total"),
+        )
+
+    t_tf = _tf(docs, id_col)
+    e_tf = _tf(eval_docs, eval_id_col)
+    pruned = (
+        cand.join(
+            t_tf.select(id_col, F.col("total").alias("total_a")).hint("shuffle_hash"),
+            id_col,
+        )
+        .join(
+            F.broadcast(e_tf.select(eval_id_col, F.col("total").alias("total_b"))),
+            eval_id_col,
+        )
+        .filter(
+            F.least("total_a", "total_b")
+            >= (threshold - 1e-6) * F.greatest("total_a", "total_b")
+        )
+    )
+    inter = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "tf_a", "tf_b",
+                lambda _k, va, vb: F.least(F.coalesce(va, F.lit(0)), F.coalesce(vb, F.lit(0))),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    jac = F.col("inter") / (F.col("total_a") + F.col("total_b") - F.col("inter"))
+    return (
+        pruned.join(
+            t_tf.select(id_col, F.col("tf").alias("tf_a")).hint("shuffle_hash"), id_col
+        )
+        .join(F.broadcast(e_tf.select(eval_id_col, F.col("tf").alias("tf_b"))), eval_id_col)
+        .withColumn("inter", inter)
+        .withColumn("mjaccard", F.round(jac, 6))
+        .filter(F.col("mjaccard") >= threshold)
+        .select(id_col, eval_id_col, "mjaccard")
+    )
+
+
 def weighted_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",

@@ -322,3 +322,50 @@ def test_exact_dedup_incremental_skips_seen_and_intra_batch_dups(spark):
     )
     out = sorted(r["doc_id"] for r in exact_dedup_incremental(new, seen).collect())
     assert out == [11, 13]
+
+
+def test_cross_corpus_near_duplicates_flags_fuzzy_benchmark_leaks(spark):
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        cross_corpus_near_duplicates,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # light edit of eval 100: one substitution in ten tokens
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota NU"),
+            (3, "completely different content about other things entirely now yes"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["eval_id", "text"],
+    )
+    out = cross_corpus_near_duplicates(train, eval_docs, threshold=0.8).collect()
+    flagged = {(r.doc_id, r.eval_id): r.mjaccard for r in out}
+    assert flagged[(1, 100)] == 1.0  # verbatim leak
+    assert (2, 100) in flagged  # one-token edit: 9/11 ≈ 0.818
+    assert abs(flagged[(2, 100)] - round(9 / 11, 6)) < 1e-9
+    assert all(d != 3 for d, _ in flagged)
+
+
+def test_cross_corpus_near_duplicates_broadcasts_eval_side(spark):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        cross_corpus_near_duplicates,
+    )
+
+    train = spark.range(50).selectExpr(
+        "id as doc_id", "concat('tok', id, ' filler words here') as text"
+    )
+    eval_docs = spark.createDataFrame(
+        [(1, "tok7 filler words here")], ["eval_id", "text"]
+    )
+    plan = (
+        cross_corpus_near_duplicates(train, eval_docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
