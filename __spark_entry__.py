@@ -402,7 +402,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("_exact").cast("long").alias("detail"),
             )
         )
-        return kmv.unionByName(hll).unionByName(cms)
+        # kmvset: theta-style segment-overlap estimates from merged
+        # k-min sketches — estimate = |A∩B| estimate per event-type
+        # pair, detail = the k-set's both-sides membership count (sketch
+        # content, so the merge itself is hash-checked).
+        kmvset = SK.kmv_overlap(ev, "user_id", "event_type", k=32).select(
+            F.lit("kmvset").alias("variant"),
+            F.concat_ws("+", "group_a", "group_b").alias("sketch_key"),
+            F.col("intersection_estimate").cast("double").alias("estimate"),
+            F.col("n_both").cast("long").alias("detail"),
+        )
+        return kmv.unionByName(hll).unionByName(cms).unionByName(kmvset)
 
     q["x10_cardinality_sketches"] = _x10
 
@@ -1594,10 +1604,38 @@ WITH h AS (
          CAST(cms_estimate AS DOUBLE) AS estimate,
          exact_cnt AS detail
   FROM est JOIN exact ON est.user_id = exact.user_id
+), opr AS (
+  SELECT a.event_type AS ga, b.event_type AS gb
+  FROM (SELECT DISTINCT event_type FROM kept) a,
+       (SELECT DISTINCT event_type FROM kept) b
+  WHERE a.event_type < b.event_type
+), orows AS (
+  SELECT p.ga, p.gb, k.h,
+         MAX(CASE WHEN k.event_type = p.ga THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN k.event_type = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM opr p JOIN kept k ON k.event_type = p.ga OR k.event_type = p.gb
+  GROUP BY p.ga, p.gb, k.h
+), okset AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM orows
+  ) WHERE rn <= 32
+), ofold AS (
+  SELECT ga, gb, COUNT(*) AS n_kept, MAX(h) AS kth,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+  FROM okset GROUP BY ga, gb
+), kmvset AS (
+  SELECT 'kmvset' AS variant, ga || '+' || gb AS sketch_key,
+         ROUND((CASE WHEN n_kept >= 32
+                     THEN ROUND((32 - 1.0) / (kth / 4294967296.0), 4)
+                     ELSE CAST(n_kept AS DOUBLE) END)
+               * ROUND(n_both / CAST(n_kept AS DOUBLE), 6), 4) AS estimate,
+         n_both AS detail
+  FROM ofold
 )
 SELECT * FROM kmv
 UNION ALL SELECT * FROM hll
 UNION ALL SELECT * FROM cms
+UNION ALL SELECT * FROM kmvset
 """
     # x12 — PII redaction: rebuild the key's deterministic salted text
     # (email on doc_id%3, dashed phone on %4, IPv4 on %5), then replay

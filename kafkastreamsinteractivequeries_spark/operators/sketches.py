@@ -18,7 +18,7 @@ while keeping every property that matters at scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kafkastreamsinteractivequeries_spark.operators.analytics import top_k_per_key_two_phase
 
@@ -118,6 +118,80 @@ def kmv_distinct_users(events: DataFrame, k: int = 32) -> DataFrame:
     before choosing join strategies (broadcast vs shuffle) or partition
     layouts."""
     return kmv_distinct(events, key_col="user_id", group_cols=["event_type"], k=k)
+
+
+def kmv_overlap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Set-operation cardinality estimates for every unordered pair of
+    groups, from merged KMV sketches (the theta-sketch trick): for the
+    pair (a, b), take the k smallest hashes of A ∪ B, count how many
+    belong to both sides, and estimate
+
+        union_estimate        — (k−1)/h_(k) as in ``kmv_distinct``
+        jaccard_estimate      — |k-set ∩ A ∩ B| / |k-set|
+        intersection_estimate — jaccard · union
+
+    — "distinct users in segment A AND B" without an exact distinct over
+    either, the query exact COUNT(DISTINCT) cannot answer from
+    per-segment aggregates.
+
+    Scale shape: set ops run on the SKETCHES, not the data — each
+    group's k-min set is selected once with the skew-safe two-phase
+    top-k (the only corpus-sized work, identical to ``kmv_distinct``),
+    after which the pair expansion handles groups × k rows: broadcast
+    scale for any low-cardinality segment column.  The k smallest of
+    A ∪ B are a subset of kmin(A) ∪ kmin(B), so merging truncated
+    sketches is exact — the mergeability property that makes this
+    legal on pre-aggregated per-segment sketches.
+    """
+    hashes = (
+        df.select(F.col(group_col).alias("_g"), kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+        .withColumn("neg_h", -F.col("h"))
+    )
+    kept = top_k_per_key_two_phase(
+        hashes, ["_g"], order_col="neg_h", tiebreak_col="h", k=k
+    ).select("_g", "h")
+    a = kept.select(F.col("_g").alias("group_a"), "h")
+    b = kept.select(F.col("_g").alias("group_b"), "h")
+    # per-pair membership of each hash in either side's sketch (full
+    # outer on h within the pair frame, built as a union + flag agg)
+    pair_rows = (
+        a.crossJoin(b.select("group_b").distinct())
+        .filter(F.col("group_a") < F.col("group_b"))
+        .select("group_a", "group_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            b.crossJoin(a.select("group_a").distinct())
+            .filter(F.col("group_a") < F.col("group_b"))
+            .select("group_a", "group_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("group_a", "group_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("group_a", "group_b").orderBy("h")
+    kset = pair_rows.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    folded = kset.groupBy("group_a", "group_b").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_kept") >= k,
+        F.round((F.lit(k) - 1.0) / (F.col("kth_hash") / F.lit(float(_RING))), 4),
+    ).otherwise(F.col("n_kept").cast("double"))
+    jacc = F.round(F.col("n_both") / F.col("n_kept"), 6)
+    return folded.select(
+        "group_a",
+        "group_b",
+        F.col("n_both"),
+        union_est.alias("union_estimate"),
+        jacc.alias("jaccard_estimate"),
+        F.round(union_est * jacc, 4).alias("intersection_estimate"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -178,3 +178,40 @@ def test_hll_exactness_regime_and_duplication_invariance(spark, keys):
     assert row.nonzero_buckets == single.nonzero_buckets
     n_distinct = len(set(keys))
     assert abs(row.distinct_estimate - n_distinct) <= max(6, 0.35 * n_distinct)
+
+
+def test_kmv_overlap_estimates_segment_intersection(spark):
+    from kafkastreamsinteractivequeries_spark.operators.sketches import kmv_overlap
+
+    # segments: A = 0..999, B = 500..1499 → |A∪B| = 1500, |A∩B| = 500,
+    # jaccard = 1/3
+    a = spark.range(0, 1000).select(F.lit("A").alias("seg"), F.col("id").alias("u"))
+    b = spark.range(500, 1500).select(F.lit("B").alias("seg"), F.col("id").alias("u"))
+    out = kmv_overlap(a.union(b), "u", "seg", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b) == ("A", "B")
+    # KMV RSE ~ 1/sqrt(k-1) ≈ 12.6%; allow ~4σ on each estimate
+    assert abs(r.union_estimate - 1500) / 1500 < 0.5
+    assert abs(r.jaccard_estimate - 1 / 3) < 0.25
+    assert abs(r.intersection_estimate - 500) / 500 < 0.75
+    assert 0 < r.n_both < 64
+
+
+def test_kmv_overlap_disjoint_and_identical_segments(spark):
+    from kafkastreamsinteractivequeries_spark.operators.sketches import kmv_overlap
+
+    a = spark.range(0, 500).select(F.lit("A").alias("seg"), F.col("id").alias("u"))
+    c = spark.range(10_000, 10_500).select(
+        F.lit("C").alias("seg"), F.col("id").alias("u")
+    )
+    dup = spark.range(0, 500).select(F.lit("D").alias("seg"), F.col("id").alias("u"))
+    out = {
+        (r.group_a, r.group_b): r
+        for r in kmv_overlap(a.union(c).union(dup), "u", "seg", k=32).collect()
+    }
+    assert out[("A", "C")].jaccard_estimate == 0.0
+    assert out[("A", "C")].intersection_estimate == 0.0
+    # identical segments: every k-set hash is in both → jaccard exactly 1
+    assert out[("A", "D")].jaccard_estimate == 1.0
+    assert len(out) == 3  # all unordered pairs
