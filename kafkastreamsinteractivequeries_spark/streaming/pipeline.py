@@ -514,44 +514,37 @@ def streaming_curation(
     ).drop("fingerprint")
 
 
-class StreamingHllSink:
-    """foreachBatch sink maintaining a landed HLL register store:
-    continuous distinct-count telemetry over the ingest stream (e.g.
-    distinct users per event type) with TOTAL state bounded by
-    groups × 2^p rows — forever, regardless of ingest volume.
+class _VersionedSketchSink:
+    """Shared foreachBatch machinery for landed mergeable-sketch stores:
+    each micro-batch computes its own sketch table from the batch rows,
+    merges it with the latest committed snapshot, and writes the result
+    to a NEW ``v<batch_id>`` directory.
 
-    Why not a streaming aggregation: ``hll_distinct`` chains two
-    aggregations (bucket max, then the per-group fold), which a single
-    streaming query cannot express — and more fundamentally the
-    register store should OUTLIVE any one query (it is the sketch).
-    So each micro-batch computes its own register table (one
-    streaming-legal aggregation's worth of work, executed on the batch
-    DataFrame) and max-merges it into the landed store — the register
-    max-merge IS HyperLogLog's union operator, so the landed store is
-    bit-identical to ``hll_registers`` over everything ever ingested
-    (asserted by test), and estimates never drift from batch.
+    Why not a streaming aggregation: the sketches chain two
+    aggregations (streaming-illegal in one query) — and more
+    fundamentally the landed store should OUTLIVE any one query (it IS
+    the sketch).  Total state is bounded by the sketch size forever,
+    regardless of ingest volume.
 
-    Commit protocol: each batch writes the merged registers to a NEW
-    ``v<batch_id>`` directory; readers resolve the highest-numbered
-    version carrying parquet's ``_SUCCESS`` commit marker, so they only
-    ever see complete snapshots.  A batch replay rewrites its own
-    ``v<batch_id>`` directory with identical content (the merge is
-    deterministic given the same input batch), so replays are
-    idempotent.  Old versions are tiny (≤ groups × 2^p rows each) and
-    can be vacuumed by retention.
+    Commit protocol: readers resolve the highest-numbered version
+    carrying parquet's ``_SUCCESS`` commit marker, so they only ever
+    see complete snapshots.  A batch replay merges only snapshots
+    strictly OLDER than its own id and rewrites its own directory with
+    identical content (the merge is deterministic given the same input
+    batch), so replays are idempotent.  Old versions are sketch-sized
+    and can be vacuumed by retention.
     """
 
-    def __init__(
-        self,
-        path: str,
-        key_col: str,
-        group_cols: list[str],
-        p: int = 6,
-    ):
+    def __init__(self, path: str):
         self.path = path.rstrip("/")
-        self.key_col = key_col
-        self.group_cols = group_cols
-        self.p = p
+
+    # subclasses: batch rows → sketch table
+    def _sketch(self, batch_df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    # subclasses: two sketch tables → merged sketch table
+    def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        raise NotImplementedError
 
     def _current_version(
         self, spark: SparkSession, below: int | None = None
@@ -579,28 +572,54 @@ class StreamingHllSink:
         return best[1] if best else None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from kafkastreamsinteractivequeries_spark.operators.sketches import hll_registers
-
         spark = batch_df.sparkSession
-        regs = hll_registers(batch_df, self.key_col, self.group_cols, self.p)
-        # a replay of batch N must not merge with its own earlier output:
-        # merge only snapshots strictly OLDER than this batch's version
+        sketch = self._sketch(batch_df)
         cur = self._current_version(spark, below=batch_id)
         if cur is not None:
-            prev = spark.read.parquet(f"{self.path}/{cur}")
-            regs = (
-                prev.unionByName(regs)
-                .groupBy(*self.group_cols, "bucket")
-                .agg(F.max("reg").alias("reg"))
-            )
-        regs.write.mode("overwrite").parquet(f"{self.path}/v{batch_id}")
+            sketch = self._merge(spark.read.parquet(f"{self.path}/{cur}"), sketch)
+        sketch.write.mode("overwrite").parquet(f"{self.path}/v{batch_id}")
+
+    def _latest(self, spark: SparkSession) -> DataFrame:
+        cur = self._current_version(spark)
+        if cur is None:
+            raise FileNotFoundError(f"no committed sketch snapshot under {self.path}")
+        return spark.read.parquet(f"{self.path}/{cur}")
+
+
+class StreamingHllSink(_VersionedSketchSink):
+    """Landed HLL register store: continuous distinct-count telemetry
+    over the ingest stream with total state ≤ groups × 2^p rows.  The
+    register max-merge IS HyperLogLog's union operator, so the landed
+    store is bit-identical to ``hll_registers`` over everything ever
+    ingested (asserted by test) and estimates never drift from batch."""
+
+    def __init__(
+        self,
+        path: str,
+        key_col: str,
+        group_cols: list[str],
+        p: int = 6,
+    ):
+        super().__init__(path)
+        self.key_col = key_col
+        self.group_cols = group_cols
+        self.p = p
+
+    def _sketch(self, batch_df: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.sketches import hll_registers
+
+        return hll_registers(batch_df, self.key_col, self.group_cols, self.p)
+
+    def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy(*self.group_cols, "bucket")
+            .agg(F.max("reg").alias("reg"))
+        )
 
     def registers(self, spark: SparkSession) -> DataFrame:
         """The landed register table (latest committed snapshot)."""
-        cur = self._current_version(spark)
-        if cur is None:
-            raise FileNotFoundError(f"no committed register snapshot under {self.path}")
-        return spark.read.parquet(f"{self.path}/{cur}")
+        return self._latest(spark)
 
     def estimates(self, spark: SparkSession) -> DataFrame:
         """Per-group distinct estimates off the landed registers —
@@ -608,3 +627,49 @@ class StreamingHllSink:
         from kafkastreamsinteractivequeries_spark.operators.sketches import hll_estimate
 
         return hll_estimate(self.registers(spark), self.group_cols, self.p)
+
+
+class StreamingCmsSink(_VersionedSketchSink):
+    """Landed count-min counter store: continuous frequency telemetry
+    with total state ≤ depth × width rows.  Counters merge by ADDITION
+    (the CMS union operator — contrast HLL's max-merge), so the landed
+    table equals ``cms_counters`` over everything ever ingested and
+    point queries via ``cms_estimate`` never drift from batch."""
+
+    def __init__(
+        self,
+        path: str,
+        key_col: str,
+        depth: int = 4,
+        width: int = 1024,
+    ):
+        super().__init__(path)
+        self.key_col = key_col
+        self.depth = depth
+        self.width = width
+
+    def _sketch(self, batch_df: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.sketches import cms_counters
+
+        return cms_counters(batch_df, self.key_col, self.depth, self.width)
+
+    def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("row", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def counters(self, spark: SparkSession) -> DataFrame:
+        """The landed counter table (latest committed snapshot)."""
+        return self._latest(spark)
+
+    def estimates(self, probes: DataFrame, probe_col: str) -> DataFrame:
+        """Point-query the landed counters for ``probes`` — identical
+        to batch ``cms_estimate`` over all ingested data."""
+        from kafkastreamsinteractivequeries_spark.operators.sketches import cms_estimate
+
+        return cms_estimate(
+            self.counters(probes.sparkSession), probes, probe_col,
+            self.depth, self.width,
+        )

@@ -603,3 +603,59 @@ def test_streaming_hll_register_store_matches_batch(spark, tmp_path):
         r.event_type: r.distinct_estimate for r in sink.estimates(spark).collect()
     }
     assert stream_est == batch_est
+
+
+def test_streaming_cms_counter_store_matches_batch(spark, tmp_path):
+    """Counters merge by ADDITION across micro-batches, so the landed
+    table must equal batch ``cms_counters`` over everything ingested and
+    point estimates must be identical — with store size ≤ depth×width."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingCmsSink,
+    )
+
+    src = str(tmp_path / "ev")
+    a = spark.range(0, 4000).select((F.col("id") % 300).alias("user_id"))
+    b = spark.range(0, 6000).select((F.col("id") % 450).alias("user_id"))
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    sink = StreamingCmsSink(str(tmp_path / "cms_store"), "user_id", depth=4, width=256)
+    stream = spark.readStream.schema("user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = a.unionByName(b)
+    batch = {
+        (r.row, r.col): r.cnt
+        for r in cms_counters(full, "user_id", depth=4, width=256).collect()
+    }
+    landed = {(r.row, r.col): r.cnt for r in sink.counters(spark).collect()}
+    assert landed == batch
+    assert len(landed) <= 4 * 256
+
+    probes = spark.range(10).select(F.col("id").alias("user_id"))
+    batch_est = {
+        r.user_id: r.cms_estimate
+        for r in cms_estimate(
+            cms_counters(full, "user_id", depth=4, width=256),
+            probes, "user_id", depth=4, width=256,
+        ).collect()
+    }
+    stream_est = {
+        r.user_id: r.cms_estimate
+        for r in sink.estimates(probes, "user_id").collect()
+    }
+    assert stream_est == batch_est
