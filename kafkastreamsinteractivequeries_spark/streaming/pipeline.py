@@ -585,6 +585,32 @@ class _VersionedSketchSink:
             raise FileNotFoundError(f"no committed sketch snapshot under {self.path}")
         return spark.read.parquet(f"{self.path}/{cur}")
 
+    def vacuum(self, spark: SparkSession, keep_last: int = 2) -> int:
+        """Delete committed snapshot directories older than the newest
+        ``keep_last`` (≥ 1 — the merge chain only ever reads the latest,
+        older versions exist purely for reader-overlap grace).  Returns
+        the number of directories removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        fs, jvm = ManifestServingSink._fs(spark, self.path)
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        if not fs.exists(root):
+            return 0
+        committed: list[int] = []
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith("v"):
+                try:
+                    vid = int(name[1:])
+                except ValueError:
+                    continue
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{self.path}/{name}/_SUCCESS")):
+                    committed.append(vid)
+        doomed = sorted(committed)[:-keep_last]
+        for vid in doomed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/v{vid}"), True)
+        return len(doomed)
+
 
 class StreamingHllSink(_VersionedSketchSink):
     """Landed HLL register store: continuous distinct-count telemetry

@@ -659,3 +659,25 @@ def test_streaming_cms_counter_store_matches_batch(spark, tmp_path):
         for r in sink.estimates(probes, "user_id").collect()
     }
     assert stream_est == batch_est
+
+
+def test_sketch_sink_vacuum_keeps_latest_snapshots(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingHllSink,
+    )
+
+    sink = StreamingHllSink(str(tmp_path / "store"), "user_id", ["event_type"])
+    ev = spark.range(100).select(
+        (F.col("id") % 37).alias("user_id"), F.lit("t").alias("event_type")
+    )
+    for i in range(4):
+        sink(ev, i)
+    before = sink.estimates(spark).collect()
+    removed = sink.vacuum(spark, keep_last=2)
+    assert removed == 2  # v0, v1 gone; v2, v3 kept
+    after = sink.estimates(spark).collect()
+    assert before == after  # latest snapshot untouched
+    # vacuum is idempotent
+    assert sink.vacuum(spark, keep_last=2) == 0
