@@ -58,6 +58,79 @@ def zorder_key(dims: list[F.Column], bits: int = 16) -> F.Column:
     return reduce(lambda a, b: a + b, terms).cast("long")
 
 
+def with_hilbert_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    key_col: str = "_hkey",
+) -> DataFrame:
+    """Append the 2-D Hilbert-curve distance of grid cell
+    (``x_col``, ``y_col``) — both already on [0, 2^bits) (see
+    ``normalize_to_bits``) — as ``key_col``.
+
+    Hilbert ordering dominates Z-order for locality: the curve never
+    makes the Z's long diagonal jumps, so adjacent cells stay adjacent
+    on the curve almost everywhere and per-file min/max stats come out
+    at least as tight (both are offered because Z generalizes trivially
+    to d dims while this is the standard 2-D rotate/reflect recursion).
+
+    Physical shape: the bit-serial loop (top bit down, carrying the
+    rotated (x, y) state) unrolls into ``bits`` chained PROJECTIONS —
+    one narrow select per level — because a single nested expression
+    would reference the carried coordinates twice per level and grow
+    the Catalyst tree 4^bits.  Catalyst collapses adjacent projections
+    into one codegen stage, so the run-time cost is still one map pass;
+    the carried coordinates go NEGATIVE after reflections (the textbook
+    algorithm relies on two's-complement bit tests there), so rx/ry are
+    ``bitwiseAND`` probes — div/mod disagrees with ``&`` on negatives.
+    Cross-checked against the textbook Python reference in tests.
+    """
+    xc, yc, dc = f"{key_col}_x", f"{key_col}_y", key_col
+    out = df.withColumns({
+        xc: F.col(x_col).cast("long"),
+        yc: F.col(y_col).cast("long"),
+        dc: F.lit(0).cast("long"),
+    })
+    for level in range(bits - 1, -1, -1):
+        s = 2**level
+        x, y = F.col(xc), F.col(yc)
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        flip = (ry == 0) & (rx == 1)
+        nx = F.when(flip, F.lit(s - 1) - x).otherwise(x)
+        ny = F.when(flip, F.lit(s - 1) - y).otherwise(y)
+        out = out.withColumns({
+            dc: F.col(dc) + F.lit(s) * F.lit(s) * (3 * rx).bitwiseXOR(ry),
+            xc: F.when(ry == 0, ny).otherwise(nx),
+            yc: F.when(ry == 0, nx).otherwise(ny),
+        })
+    return out.drop(xc, yc)
+
+
+def cluster_by_hilbert(
+    df: DataFrame,
+    x_dim: tuple[str, float, float],
+    y_dim: tuple[str, float, float],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    key_col: str = "_hkey",
+) -> DataFrame:
+    """``cluster_by_zorder``'s 2-D Hilbert twin: quantize both
+    dimensions, append the curve key, range-partition + sort by it.
+    Same one-shuffle write-time cost, strictly better worst-case
+    locality."""
+    quantized = df.withColumns({
+        f"{key_col}_qx": normalize_to_bits(F.col(x_dim[0]), x_dim[1], x_dim[2], bits),
+        f"{key_col}_qy": normalize_to_bits(F.col(y_dim[0]), y_dim[1], y_dim[2], bits),
+    })
+    keyed = with_hilbert_key(
+        quantized, f"{key_col}_qx", f"{key_col}_qy", bits, key_col
+    ).drop(f"{key_col}_qx", f"{key_col}_qy")
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(n, key_col).sortWithinPartitions(key_col)
+
+
 def cluster_by_zorder(
     df: DataFrame,
     dims: list[tuple[str, float, float]],

@@ -103,3 +103,83 @@ def test_zorder_preserves_rows(spark):
     out = cluster_by_zorder(df, [("a", 0, 10_000), ("b", 0, 97)], bits=10)
     assert out.count() == 10_000
     assert out.select(F.sum("a")).collect()[0][0] == sum(range(10_000))
+
+
+def _py_hilbert(bits: int, x: int, y: int) -> int:
+    s = 2 ** (bits - 1)
+    d = 0
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_textbook_reference(spark):
+    from kafkastreamsinteractivequeries_spark.operators.layout import with_hilbert_key
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    got = {
+        (r.x, r.y): r._hkey
+        for r in with_hilbert_key(df, "x", "y", bits=4).collect()
+    }
+    for (x, y), h in got.items():
+        assert h == _py_hilbert(4, x, y), (x, y)
+    # the 4-bit curve is a bijection over the 16x16 grid
+    assert sorted(got.values()) == list(range(256))
+
+
+def test_hilbert_key_wide_bits_and_strides(spark):
+    from kafkastreamsinteractivequeries_spark.operators.layout import with_hilbert_key
+
+    df = spark.range(200).select(
+        ((F.col("id") * 37) % 65536).alias("x"),
+        ((F.col("id") * 91) % 65536).alias("y"),
+    )
+    rows = with_hilbert_key(df, "x", "y", bits=16).collect()
+    for r in rows:
+        assert r._hkey == _py_hilbert(16, r.x, r.y)
+
+
+def test_hilbert_curve_is_grid_adjacent(spark):
+    from kafkastreamsinteractivequeries_spark.operators.layout import with_hilbert_key
+
+    df = spark.range(64).select(
+        (F.col("id") % 8).alias("x"), (F.col("id") / 8).cast("long").alias("y")
+    )
+    by_key = sorted(
+        with_hilbert_key(df, "x", "y", bits=3).collect(), key=lambda r: r._hkey
+    )
+    for a, b in zip(by_key, by_key[1:]):
+        assert abs(a.x - b.x) + abs(a.y - b.y) == 1  # no Z-order jumps
+
+
+def test_cluster_by_hilbert_tightens_stats_on_both_dims(spark):
+    from kafkastreamsinteractivequeries_spark.operators.layout import (
+        cluster_by_hilbert,
+        file_stat_tightness,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") * 48271 % 100_000).alias("a"),
+        (F.col("id") * 16807 % 100_000).alias("b"),
+    )
+    out_dir = tempfile.mkdtemp()
+    try:
+        cluster_by_hilbert(
+            df, ("a", 0, 100_000), ("b", 0, 100_000), bits=12, num_partitions=16
+        ).drop("_hkey").write.mode("overwrite").parquet(out_dir)
+        tight = file_stat_tightness(out_dir, ["a", "b"])
+        assert tight["a"] < 0.5, tight
+        assert tight["b"] < 0.5, tight
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
