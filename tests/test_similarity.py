@@ -534,3 +534,66 @@ def test_embedding_decontaminate_never_shuffle_joins_eval_side(spark, emb):
     # never sort-merge-joined
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_embed_pool_search_composition(spark):
+    """End-to-end RAG-prep loop: chunk documents → per-chunk vectors
+    (deterministic fake embedder: token-count features) → mean-pool to
+    doc vectors → brute-force kNN retrieves the semantically-matching
+    document for a query built the same way."""
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        knn_bruteforce,
+        pool_embeddings,
+    )
+    from kafkastreamsinteractivequeries_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["apple banana cherry"] * 40)),
+            (2, " ".join(["dog elephant fox"] * 40)),
+            (3, " ".join(["apple banana cherry dog"] * 40)),
+        ],
+        ["doc_id", "text"],
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    assert chunks.groupBy("doc_id").count().filter("count > 1").count() == 3
+
+    # fake embedder: 8-dim token-hash histogram per chunk — pure Column
+    # expressions, deterministic, stands in for the model call the
+    # container can't run
+    vocab_dim = 8
+    emb = chunks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(vocab_dim - 1)),
+            lambda d: F.size(
+                F.filter(
+                    F.split(F.col("chunk_text"), " "),
+                    lambda t: F.pmod(F.abs(F.hash(t)), F.lit(vocab_dim)) == d,
+                )
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    pooled = pool_embeddings(emb, id_col="doc_id", normalize=True).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    query = spark.createDataFrame([(100, "apple banana cherry")], ["qid", "qtext"])
+    qvec = query.select(
+        F.col("qid").alias("query_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(vocab_dim - 1)),
+            lambda d: F.size(
+                F.filter(
+                    F.split(F.col("qtext"), " "),
+                    lambda t: F.pmod(F.abs(F.hash(t)), F.lit(vocab_dim)) == d,
+                )
+            ).cast("float"),
+        ).alias("query_vec"),
+    )
+    top = knn_bruteforce(
+        pooled, qvec, k=3, exclude_self=False
+    ).orderBy("rank").collect()
+    # doc 1 is the pure match, doc 3 partial, doc 2 disjoint
+    assert top[0].vec_id == 1
+    assert top[0].cosine > top[1].cosine >= top[2].cosine
+    assert top[1].vec_id == 3
