@@ -335,7 +335,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docmin.unionByName(full)
 
     q["x4_winnowing_fingerprint"] = _x4
-    q["x6_length_percentiles"] = lambda s, d: T.length_percentiles(_docs(s, d))
+    # x6 — exact corpus length percentiles PLUS the mergeable
+    # fixed-bin histogram estimates (hp25..hp95) in the same single
+    # row: the exact path needs the full multiset, the histogram path
+    # is the one-map-pass 100 TB variant; shipping both under one key
+    # keeps the estimator honest against the exact answer.
+    q["x6_length_percentiles"] = lambda s, d: T.length_percentiles(
+        _docs(s, d)
+    ).crossJoin(T.length_histogram_quantiles(_docs(s, d)))
     q["x7_bigram_logprob"] = lambda s, d: T.bigram_logprob_scores(_docs(s, d))
     q["x8_repetition_stats"] = lambda s, d: T.repetition_stats(_docs(s, d))
     # x9 — term-relevance union: per-doc TF-IDF keyword extraction
@@ -1360,16 +1367,41 @@ SELECT doc_id,
 FROM h
 """
     )
+    # x6 — exact percentiles ⊕ the fixed-bin histogram estimates
+    # (64 bins of width 8 over [0, 512), linear interpolation inside
+    # the first bin whose cumulative count reaches q·N — identical
+    # arithmetic to text.length_histogram_quantiles).
+    _hq = []
+    for _q in (25, 50, 75, 95):
+        _qd = f"CAST({_q / 100!r} AS DOUBLE)"
+        _hq.append(
+            f"""((SELECT MIN(struct_pack(b := bin, e := ROUND(
+            bin * CAST(8.0 AS DOUBLE) + CAST(8.0 AS DOUBLE)
+            * (({_qd} * total) - (cum - cnt)) / cnt, 4)))
+       FROM hcum WHERE cum >= {_qd} * total)).e AS hp{_q}"""
+        )
     o["x6_length_percentiles"] = (
         t_cte
-        + """SELECT COUNT(*) AS n_docs,
+        + f""", hbins AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR(CAST(len(toks) AS DOUBLE) / 8.0), 0), 63)
+              AS INTEGER) AS bin,
+         COUNT(*) AS cnt
+  FROM t GROUP BY 1
+), hcum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM hbins
+)
+SELECT COUNT(*) AS n_docs,
        CAST(MIN(len(toks)) AS INTEGER) AS min_tokens,
        quantile_cont(len(toks), 0.25) AS p25,
        quantile_cont(len(toks), 0.5) AS p50,
        quantile_cont(len(toks), 0.75) AS p75,
        quantile_cont(len(toks), 0.95) AS p95,
        CAST(MAX(len(toks)) AS INTEGER) AS max_tokens,
-       ROUND(AVG(len(toks)), 4) AS mean_tokens
+       ROUND(AVG(len(toks)), 4) AS mean_tokens,
+       {", ".join(_hq)}
 FROM t
 """
     )

@@ -264,6 +264,62 @@ def length_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def length_histogram_quantiles(
+    docs: DataFrame,
+    bins: int = 64,
+    lo: int = 0,
+    hi: int = 512,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    text_col: str = "text",
+) -> DataFrame:
+    """One row of histogram-estimated token-length quantiles
+    (``hp25, hp50, …``) from FIXED-WIDTH bins — the mergeable quantile
+    path for 100 TB.
+
+    ``length_percentiles``'s exact ``percentile`` must see the full
+    value multiset; this needs one map pass producing ≤ ``bins``
+    counter rows (map-side combined), and two histograms MERGE by
+    adding counts — the same pre-aggregability story as the sketches.
+    Estimates interpolate linearly inside the first bin whose
+    cumulative count reaches q·N (the classic histogram quantile);
+    error is bounded by the bin width.  Bin edges are data-INDEPENDENT
+    constants, so partial histograms from different corpus slices /
+    days are combinable without re-binning, and the arithmetic is
+    exactly reproducible in the SQL oracle.  Lengths ≥ ``hi`` clamp to
+    the last bin (widen ``hi`` if the tail matters).
+    """
+    width = (hi - lo) / bins
+    n = F.size(tokens_col(F.col(text_col)))
+    bin_col = F.least(
+        F.greatest(F.floor((n - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    counts = spread(docs).select(bin_col.alias("bin")).groupBy("bin").agg(
+        F.count("*").alias("cnt")
+    )
+    # cumulative + total over ≤ bins rows — bounded windows, not a
+    # corpus-sized ORDER BY (the cumulative_sum lesson doesn't apply at
+    # this cardinality)
+    cum = counts.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    aggs = []
+    for q in quantiles:
+        target = F.lit(q) * F.col("total")
+        est = F.round(
+            F.lit(float(lo))
+            + F.col("bin") * F.lit(width)
+            + F.lit(width) * (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt"),
+            4,
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.struct("bin", est.alias("est"))))[
+                "est"
+            ].alias(f"hp{int(q * 100)}")
+        )
+    return cum.agg(*aggs)
+
+
 def bigram_logprob_scores(
     docs: DataFrame,
     text_col: str = "text",

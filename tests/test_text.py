@@ -553,3 +553,38 @@ def test_bpe_train_matches_python_reference(spark):
     for i, w in enumerate(counts):
         assert per_word[i] == ref_seg[w], w
     assert seg["n_bpe_tokens"] == sum(len(ref_seg[w]) * m for w, m in counts.items())
+
+
+def test_length_histogram_quantiles_track_exact_within_bin_width(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        length_histogram_quantiles,
+        length_percentiles,
+    )
+
+    docs = spark.range(1000).selectExpr(
+        "id as doc_id",
+        # token lengths spread over ~10..100
+        "array_join(transform(sequence(1, 10 + cast(id % 91 as int)), x -> 'w'), ' ') as text",
+    )
+    exact = length_percentiles(docs).collect()[0]
+    hist = length_histogram_quantiles(docs, bins=64, lo=0, hi=512).collect()[0]
+    for q, hq in ((exact.p25, hist.hp25), (exact.p50, hist.hp50),
+                  (exact.p75, hist.hp75), (exact.p95, hist.hp95)):
+        assert abs(hq - q) <= 8.0  # one bin width
+
+
+def test_length_histogram_is_mergeable_across_slices(spark):
+    # fixed bin edges → the histogram over A ∪ B equals the histogram
+    # over the concatenation; quantile estimates follow.
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        length_histogram_quantiles,
+    )
+
+    mk = lambda lo, n: spark.range(lo, lo + n).selectExpr(
+        "id as doc_id",
+        "array_join(transform(sequence(1, 10 + cast(id % 61 as int)), x -> 'w'), ' ') as text",
+    )
+    a, b = mk(0, 400), mk(400, 400)
+    merged = length_histogram_quantiles(a.unionByName(b)).collect()[0]
+    direct = length_histogram_quantiles(mk(0, 800)).collect()[0]
+    assert merged == direct
