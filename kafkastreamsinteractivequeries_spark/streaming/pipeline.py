@@ -655,6 +655,80 @@ class StreamingHllSink(_VersionedSketchSink):
         return hll_estimate(self.registers(spark), self.group_cols, self.p)
 
 
+class StreamingHistogramSink(_VersionedSketchSink):
+    """Landed fixed-bin token-length histogram: continuous length-
+    distribution telemetry with state ≤ ``bins`` rows.  Bin edges are
+    data-independent constants, so per-batch histograms merge by ADDING
+    counts and the landed table equals the batch histogram over
+    everything ingested; quantile estimates come from
+    ``text.length_histogram_quantiles``'s interpolation arithmetic
+    applied to the landed counts."""
+
+    def __init__(
+        self,
+        path: str,
+        text_col: str = "text",
+        bins: int = 64,
+        lo: int = 0,
+        hi: int = 512,
+    ):
+        super().__init__(path)
+        self.text_col = text_col
+        self.bins = bins
+        self.lo = lo
+        self.hi = hi
+
+    def _sketch(self, batch_df: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.dedup import tokens_col
+
+        width = (self.hi - self.lo) / self.bins
+        n = F.size(tokens_col(F.col(self.text_col)))
+        bin_col = F.least(
+            F.greatest(F.floor((n - F.lit(self.lo)) / F.lit(width)), F.lit(0)),
+            F.lit(self.bins - 1),
+        ).cast("int")
+        return batch_df.select(bin_col.alias("bin")).groupBy("bin").agg(
+            F.count("*").alias("cnt")
+        )
+
+    def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.unionByName(b).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+    def histogram(self, spark: SparkSession) -> DataFrame:
+        """The landed (bin, cnt) table (latest committed snapshot)."""
+        return self._latest(spark)
+
+    def quantiles(
+        self, spark: SparkSession, quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+    ) -> DataFrame:
+        """One row of interpolated quantile estimates off the landed
+        counts — same arithmetic as ``length_histogram_quantiles``."""
+        from pyspark.sql import Window
+
+        width = (self.hi - self.lo) / self.bins
+        cum = self.histogram(spark).withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        aggs = []
+        for q in quantiles:
+            target = F.lit(q) * F.col("total")
+            est = F.round(
+                F.lit(float(self.lo))
+                + F.col("bin") * F.lit(width)
+                + F.lit(width) * (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt"),
+                4,
+            )
+            aggs.append(
+                F.min(
+                    F.when(F.col("cum") >= target, F.struct("bin", est.alias("est")))
+                )["est"].alias(f"hp{int(q * 100)}")
+            )
+        return cum.agg(*aggs)
+
+
 class StreamingCmsSink(_VersionedSketchSink):
     """Landed count-min counter store: continuous frequency telemetry
     with total state ≤ depth × width rows.  Counters merge by ADDITION

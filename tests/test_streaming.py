@@ -681,3 +681,40 @@ def test_sketch_sink_vacuum_keeps_latest_snapshots(spark, tmp_path):
     assert before == after  # latest snapshot untouched
     # vacuum is idempotent
     assert sink.vacuum(spark, keep_last=2) == 0
+
+
+def test_streaming_histogram_store_matches_batch_quantiles(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        length_histogram_quantiles,
+    )
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingHistogramSink,
+    )
+
+    mk = lambda lo, n: spark.range(lo, lo + n).selectExpr(
+        "id as doc_id",
+        "array_join(transform(sequence(1, 10 + cast(id % 80 as int)), x -> 'w'), ' ') as text",
+    )
+    src = str(tmp_path / "docs")
+    a, b = mk(0, 600), mk(600, 600)
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    sink = StreamingHistogramSink(str(tmp_path / "hist_store"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = length_histogram_quantiles(a.unionByName(b)).collect()[0]
+    streamed = sink.quantiles(spark).collect()[0]
+    assert streamed == batch
+    assert sink.histogram(spark).count() <= 64
