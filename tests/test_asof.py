@@ -49,3 +49,53 @@ def test_asof_single_shuffle_per_side(spark):
     # one hash-partition exchange for the window (plus AQE reads) — and
     # crucially NO join operator at all: the as-of is a window pass
     assert "Join" not in plan
+
+
+def test_funnel_analysis_orders_and_bounds_steps(spark):
+    import datetime as dt
+
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        funnel_analysis,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "signup", T0), (1, "activate", T0 + h), (1, "purchase", T0 + 2 * h),
+        # user 2: activate BEFORE signup → only step 1 counts
+        (2, "activate", T0), (2, "signup", T0 + h),
+        # user 3: signup + activate, purchase outside the horizon
+        (3, "signup", T0), (3, "activate", T0 + h),
+        (3, "purchase", T0 + dt.timedelta(days=30)),
+        # user 4: irrelevant events only
+        (4, "view", T0),
+        # user 5: repeated steps — first occurrences drive the chain
+        (5, "signup", T0), (5, "signup", T0 + 5 * h),
+        (5, "activate", T0 + h), (5, "purchase", T0 + 2 * h),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        r.user_id: r
+        for r in funnel_analysis(
+            df, ["signup", "activate", "purchase"], horizon_days=7.0
+        ).collect()
+    }
+    assert out[1].steps_completed == 3
+    assert out[2].steps_completed == 1
+    assert out[3].steps_completed == 2  # purchase past the horizon
+    assert 4 not in out  # never entered the funnel
+    assert out[5].steps_completed == 3  # first signup chains cleanly
+    assert out[5].step_1_ts == T0
+
+
+def test_funnel_requires_two_steps(spark):
+    import pytest as _pytest
+
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        funnel_analysis,
+    )
+
+    df = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
+    with _pytest.raises(ValueError):
+        funnel_analysis(df, ["only"])
