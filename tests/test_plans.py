@@ -236,3 +236,50 @@ def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # per-doc collision count partial-aggregates map-side
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_bm25_posting_filter_precedes_aggregation(spark, sf_dir):
+    # the query-term filter must run under the tf aggregate (postings
+    # discipline) — filtering after aggregation would shuffle the whole
+    # corpus token stream
+    from kafkastreamsinteractivequeries_spark.operators.text import bm25_search
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = bm25_search(docs, ["spark", "vector"], k=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    filt = plan.find("Filter array_contains")
+    first_partial_tf = plan.find("partial_count")
+    assert filt != -1 and first_partial_tf != -1
+    # deeper in the tree = later in the printed plan string
+    assert filt > first_partial_tf
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bipartite_decontamination_broadcasts_eval_sides(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        cross_corpus_near_duplicates,
+    )
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev_docs = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    plan = cross_corpus_near_duplicates(docs, ev_docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev_emb = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    eplan = embedding_decontaminate(emb, ev_emb)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "SortMergeJoin" not in eplan
+    assert "BroadcastHashJoin" in eplan
