@@ -474,3 +474,42 @@ def funnel_analysis(
         *[cols[i].alias(f"step_{i + 1}_ts") for i in range(k)],
     )
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST-activity
+    period (the cohort), counted distinct in each subsequent period —
+    (cohort, periods_since, n_active) — the standard retention triangle.
+
+    Scale shape: one user-keyed aggregate finds each user's cohort
+    period (map-side partial min), the activity stream deduplicates to
+    (user, period) pairs, and the two join on ``user_col`` — the same
+    shuffle key on both sides, so at 100 TB this is one co-partitioned
+    join plus a tiny (cohorts × periods) final aggregate.  No window
+    functions, no per-user arrays, state bounded by the output matrix.
+    """
+    if period == "week":
+        # deterministic Monday-based bucket independent of session
+        # locale: days since epoch (a Thursday) shifted to Monday
+        bucket = F.floor((F.unix_timestamp(F.col(ts_col)) / 86400 + 3) / 7).cast("long")
+    elif period == "day":
+        bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long")
+    elif period == "month":
+        bucket = (F.year(ts_col) * 12 + F.month(ts_col)).cast("long")
+    else:
+        raise ValueError(f"unknown period {period!r}")
+    activity = events.select(F.col(user_col), bucket.alias("_p")).distinct()
+    cohorts = activity.groupBy(user_col).agg(F.min("_p").alias("_cohort"))
+    return (
+        activity.join(cohorts, user_col)
+        .groupBy(
+            F.col("_cohort").alias("cohort"),
+            (F.col("_p") - F.col("_cohort")).alias("periods_since"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )

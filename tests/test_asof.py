@@ -99,3 +99,34 @@ def test_funnel_requires_two_steps(spark):
     df = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
     with _pytest.raises(ValueError):
         funnel_analysis(df, ["only"])
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    # Mondays: 2024-01-01 and 2024-01-08
+    w0, w1, w2 = (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8),
+                  dt.datetime(2024, 1, 15))
+    rows = [
+        (1, w0), (1, w1), (1, w2),   # cohort w0, active all three weeks
+        (2, w0), (2, w2),            # cohort w0, skips week 1
+        (3, w1),                     # cohort w1, one week only
+        (1, w0 + dt.timedelta(hours=5)),  # duplicate within a period
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort, r.periods_since): r.n_active
+        for r in cohort_retention(df, period="week").collect()
+    }
+    cohorts = sorted({c for c, _ in out})
+    c0, c1 = cohorts[0], cohorts[1]
+    assert c1 == c0 + 1
+    assert out[(c0, 0)] == 2  # users 1, 2 in week 0
+    assert out[(c0, 1)] == 1  # only user 1 in week 1
+    assert out[(c0, 2)] == 2  # users 1, 2 back in week 2
+    assert out[(c1, 0)] == 1  # user 3's own cohort
+    assert (c1, 1) not in out
