@@ -513,3 +513,50 @@ def cohort_retention(
         )
         .agg(F.count("*").alias("n_active"))
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    ``start ≤ ts < end`` — bucketized so it SCALES.
+
+    A naive ``points.join(intervals, (ts >= start) & (ts < end))`` has
+    no equi-key, so Spark plans BroadcastNestedLoopJoin (fine only
+    while one side broadcasts) or a cartesian — O(|points|·|intervals|)
+    at scale.  The standard fix: quantize time into fixed buckets, give
+    each point its ONE bucket and explode each interval over the
+    buckets it covers, equi-join on the bucket, and re-check the exact
+    bounds.  Each qualifying pair meets in exactly one bucket (the
+    point's), so no dedup pass is needed.  Shuffle cost is
+    |points| + Σ interval_spans/bucket_seconds rows on a uniform key;
+    pick ``bucket_seconds`` ≈ the median interval length so intervals
+    explode to O(1) buckets each.
+
+    Output: all point columns + all interval columns (caller selects).
+    """
+    p_bucket = F.floor(F.unix_timestamp(F.col(point_ts_col)) / bucket_seconds).cast(
+        "long"
+    )
+    i_from = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long")
+    # end is exclusive: a boundary-aligned end must not produce a bucket
+    i_to = F.floor(
+        (F.unix_timestamp(F.col(end_col)) - 1) / F.lit(float(bucket_seconds))
+    ).cast("long")
+    pts = points.withColumn("_bucket", p_bucket)
+    ivs = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(i_from, F.greatest(i_to, i_from)))
+    )
+    return (
+        pts.join(ivs, "_bucket")
+        .filter(
+            (F.col(point_ts_col) >= F.col(start_col))
+            & (F.col(point_ts_col) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )

@@ -130,3 +130,68 @@ def test_cohort_retention_triangle(spark):
     assert out[(c0, 2)] == 2  # users 1, 2 back in week 2
     assert out[(c1, 0)] == 1  # user 3's own cohort
     assert (c1, 1) not in out
+
+
+def test_interval_join_matches_naive_and_avoids_nested_loop(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.analytics import interval_join
+
+    T0 = dt.datetime(2024, 1, 1)
+    mins = lambda m: T0 + dt.timedelta(minutes=m)
+    points = spark.createDataFrame(
+        [(i, mins(i * 7)) for i in range(200)], "point_id long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, mins(0), mins(30)),        # short
+            (101, mins(25), mins(26)),       # sub-bucket
+            (102, mins(100), mins(500)),     # spans many buckets
+            (103, mins(1390), mins(1400)),   # near the end
+            (104, mins(2000), mins(2001)),   # past every point
+        ],
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r.point_id, r.iv_id)
+        for r in interval_join(points, intervals, bucket_seconds=600).collect()
+    }
+    naive = {
+        (r.point_id, r.iv_id)
+        for r in points.join(
+            intervals,
+            (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")),
+        ).collect()
+    }
+    assert got == naive and len(got) > 0
+    # each qualifying pair appears exactly once (no dedup stage needed)
+    rows = interval_join(points, intervals, bucket_seconds=600).count()
+    assert rows == len(got)
+    # the whole point: an equi-join plan, not a nested loop / cartesian
+    plan = (
+        interval_join(points, intervals, bucket_seconds=600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_boundary_semantics(spark):
+    import datetime as dt
+
+    from kafkastreamsinteractivequeries_spark.operators.analytics import interval_join
+
+    T0 = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(1, T0), (2, T0 + dt.timedelta(hours=1))], "point_id long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(9, T0, T0 + dt.timedelta(hours=1))],
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r.point_id, r.iv_id) for r in interval_join(points, intervals).collect()
+    }
+    assert got == {(1, 9)}  # start inclusive, end exclusive
