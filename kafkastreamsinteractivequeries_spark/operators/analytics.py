@@ -560,3 +560,33 @@ def interval_join(
         )
         .drop("_bucket")
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Pre-flight shuffle-skew diagnostic for a prospective join/groupBy
+    key: the ``top_k`` heaviest key values with their row counts and
+    share of the table — the first question to ask before shuffling
+    100 TB on a key (one key holding 10% of rows pins one task; the
+    fix is salting, AQE skew-join, or a different key).
+
+    One partial-aggregating count per key value, then the global top-k
+    as per-partition heaps (TakeOrderedAndProject) — the report itself
+    can never become the skew problem it measures.  ``total_rows`` and
+    ``share`` ride along via a broadcast one-row total.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    total = df.select(F.count("*").alias("_total"))
+    top = counts.orderBy(F.col("n_rows").desc(), *key_cols).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.col("_total").alias("total_rows"),
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        )
+    )

@@ -195,3 +195,21 @@ def test_interval_join_boundary_semantics(spark):
         (r.point_id, r.iv_id) for r in interval_join(points, intervals).collect()
     }
     assert got == {(1, 9)}  # start inclusive, end exclusive
+
+
+def test_skew_report_surfaces_heavy_keys(spark):
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.analytics import skew_report
+
+    # key 7 holds half the table; everything else is uniform
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 5_000, 7).otherwise(F.col("id") % 100).alias("k")
+    )
+    out = skew_report(df, ["k"], top_k=3).collect()
+    assert out[0].k == 7 and out[0].n_rows >= 5_000
+    assert abs(out[0].share - out[0].n_rows / 10_000) < 1e-9
+    assert out[0].total_rows == 10_000
+    # plan: global top-k must be heap-based, not a full sort
+    plan = skew_report(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
