@@ -590,3 +590,36 @@ def skew_report(
             F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
         )
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join where ``skewed``'s key distribution has hot values
+    (diagnose first with ``skew_report``) and ``other`` is too big to
+    broadcast but small enough to replicate ``salt``×.
+
+    Standard salting: every skewed-side row gets a deterministic salt
+    in [0, salt) derived from the FULL row (identical keys with
+    different payloads spread across salts — which is exactly the hot
+    case), and the other side is exploded once per salt value; the join
+    key becomes (key…, salt), so one hot key's probe work lands on
+    ``salt`` tasks instead of one.  Results are row-identical to the
+    unsalted join (asserted by test) for ``inner`` and ``left`` joins.
+
+    At 100 TB prefer AQE's skew-join split when it fires (it needs no
+    replication); salting is for the cases AQE cannot fix — skew into
+    an aggregation-after-join, or map-side-combined workloads where one
+    partition's build side alone exceeds memory.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner and left joins")
+    s = skewed.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt))
+    )
+    o = other.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return s.join(o, [*on, "_salt"], how).drop("_salt")

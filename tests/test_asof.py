@@ -213,3 +213,52 @@ def test_skew_report_surfaces_heavy_keys(spark):
     # plan: global top-k must be heap-based, not a full sort
     plan = skew_report(df, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.analytics import salted_join
+
+    # one hot key (7) holding half the fact side
+    facts = spark.range(20_000).select(
+        F.when(F.col("id") < 10_000, 7).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), "id").alias("attr")
+    )
+    plain = {
+        (r.k, r.payload, r.attr)
+        for r in facts.join(dim, ["k"], "inner").collect()
+    }
+    salted = {
+        (r.k, r.payload, r.attr)
+        for r in salted_join(facts, dim, ["k"], salt=8).collect()
+    }
+    assert salted == plain and len(salted) == 20_000
+
+    # left join: unmatched keys survive with nulls
+    dim_partial = dim.filter(F.col("k") < 10)
+    plain_left = {
+        (r.k, r.payload, r.attr)
+        for r in facts.join(dim_partial, ["k"], "left").collect()
+    }
+    salted_left = {
+        (r.k, r.payload, r.attr)
+        for r in salted_join(facts, dim_partial, ["k"], how="left", salt=8).collect()
+    }
+    assert salted_left == plain_left
+
+
+def test_salted_join_spreads_hot_key_across_salts(spark):
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.analytics import salted_join
+
+    facts = spark.range(10_000).select(F.lit(7).alias("k"), F.col("id").alias("p"))
+    s = facts.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in facts.columns]), F.lit(8))
+    )
+    n_salts = s.select("_salt").distinct().count()
+    assert n_salts == 8  # the hot key's rows really do spread
