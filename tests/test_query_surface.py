@@ -133,3 +133,22 @@ def test_key_query_prunes_partitions(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "CFLT" in plan
     assert q.count() == 1
+
+
+def test_example_pipeline_runs_end_to_end(spark, tmp_path):
+    # keep the demo script from rotting: run it in-process at sf0.001
+    import runpy
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["example_pipeline.py", sf_dir_default(), str(tmp_path / "out")]
+    try:
+        runpy.run_path("scripts/example_pipeline.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+
+
+def sf_dir_default():
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
