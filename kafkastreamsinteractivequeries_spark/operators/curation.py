@@ -321,3 +321,45 @@ def sample_mixture(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup_threshold: float = 0.8,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates CANNOT straddle:
+    the split hash is computed on the doc's near-dup GROUP id (its own
+    id when it has no near-dups), so a benchmark answer paraphrased in
+    three training docs lands every copy on the same side — the split-
+    leakage failure mode a per-doc hash cannot prevent (two near-dup
+    docs hash independently and end up in train AND test).
+
+    Output: (id, group_id, bucket, split) — same bucket/split semantics
+    as ``text.deterministic_split`` and equally stable across runs and
+    corpus growth (group ids are component-MIN doc ids, so adding docs
+    never moves an existing group unless it genuinely merges).
+
+    Scale shape: the near-dup group computation is d10's (bucketed LSH
+    pairs → star connected components); the split itself is one
+    broadcast-size-agnostic join on ``id_col`` plus a pure hash
+    projection.
+    """
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        near_duplicate_groups,
+    )
+    from kafkastreamsinteractivequeries_spark.operators.text import _split_cols
+
+    groups = near_duplicate_groups(docs, text_col, id_col, near_dup_threshold)
+    with_group = (
+        docs.select(id_col)
+        .join(groups, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("group_id"), F.col(id_col)).alias("group_id"),
+        )
+    )
+    return with_group.select(id_col, "group_id", *_split_cols("group_id", train_pct, val_pct))

@@ -211,3 +211,51 @@ def test_sample_mixture_quotas_and_determinism(spark, sf_dir):
     # deterministic under repartitioning
     again = sample_mixture(docs.repartition(7), {"src0": 0.6, "src1": 0.2, "src2": 0.2}, total=10)
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in again.collect())
+
+
+def test_leakage_safe_split_keeps_near_dups_on_one_side(spark):
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    # 40 groups of 3 permutation near-dups + 80 singletons.  Permuted
+    # copies share the token MULTISET, so their minhash signatures are
+    # identical and candidacy is certain — the grouping mechanism is
+    # under test here, not LSH's (tuned, probabilistic) recall, which
+    # at jaccard ~0.97 misses ~5% of pairs by design.
+    rows = []
+    for g in range(40):
+        toks = [f"tok{g}_{i}" for i in range(30)]
+        for j in range(3):
+            rot = toks[j * 7 :] + toks[: j * 7]
+            rows.append((g * 10 + j, f"group {g} body " + " ".join(rot)))
+    for s in range(80):
+        rows.append((1000 + s, f"singleton {s} " + " ".join(f"s{s}_{i}" for i in range(25))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = leakage_safe_split(docs, near_dup_threshold=0.8)
+    assigned = {r.doc_id: (r.group_id, r.split) for r in out.collect()}
+    assert len(assigned) == len(rows)
+    # every member of a replica group shares group id AND split side
+    for g in range(40):
+        trio = [assigned[g * 10 + j] for j in range(3)]
+        assert len({t[0] for t in trio}) == 1, f"group {g} split across group ids"
+        assert len({t[1] for t in trio}) == 1, f"group {g} leaks across splits"
+    # rough split proportions on the ~120 group keys
+    from collections import Counter
+
+    sides = Counter(s for _, s in assigned.values())
+    assert sides["train"] > sides["val"] and sides["train"] > sides["test"]
+
+
+def test_leakage_safe_split_is_deterministic(spark):
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(f"t{i}_{k}" for k in range(20))) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    a = {r.doc_id: r.split for r in leakage_safe_split(docs).collect()}
+    b = {r.doc_id: r.split for r in leakage_safe_split(docs.repartition(7)).collect()}
+    assert a == b
