@@ -462,8 +462,10 @@ def funnel_analysis(
         if i > 0:
             ok_i = ok_i & (cols[i] > cols[i - 1])
         if i >= 1:
+            # unix_timestamp, not cast-to-long: TIMESTAMP_NTZ (what the
+            # nanos-parquet loader produces) cannot cast to bigint
             ok_i = ok_i & (
-                cols[i].cast("long") - cols[0].cast("long")
+                F.unix_timestamp(cols[i]) - F.unix_timestamp(cols[0])
                 <= F.lit(int(horizon_days * 86400))
             )
         prev_ok = prev_ok & ok_i

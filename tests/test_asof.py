@@ -262,3 +262,22 @@ def test_salted_join_spreads_hot_key_across_salts(spark):
     )
     n_salts = s.select("_salt").distinct().count()
     assert n_salts == 8  # the hot key's rows really do spread
+
+
+def test_funnel_handles_ntz_timestamps(spark):
+    # the nanos-parquet loader yields TIMESTAMP_NTZ, which cannot
+    # cast("long") — the horizon arithmetic must go through
+    # unix_timestamp (regression: DATATYPE_MISMATCH on real testdata)
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        funnel_analysis,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (1, "b", "2024-01-01 01:00:00")],
+        "user_id long, event_type string, raw string",
+    ).select("user_id", "event_type", F.to_timestamp_ntz("raw").alias("ts"))
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    out = funnel_analysis(df, ["a", "b"], horizon_days=1.0).collect()
+    assert out[0].steps_completed == 2
