@@ -718,3 +718,52 @@ def test_streaming_histogram_store_matches_batch_quantiles(spark, tmp_path):
     streamed = sink.quantiles(spark).collect()[0]
     assert streamed == batch
     assert sink.histogram(spark).count() <= 64
+
+
+def test_stream_static_enrichment_against_scd2_current(spark, tmp_path):
+    """Micro-batch streams join STATIC DataFrames without extra
+    machinery — here each event enriches against the SCD2 dimension's
+    current version, the standard streaming-enrichment shape (the dim
+    re-reads per micro-batch when backed by storage, so a merge landing
+    between batches is picked up)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.dimensions import (
+        scd2_init,
+        scd2_merge,
+    )
+
+    dim = scd2_init(
+        spark.createDataFrame([(1, "gold"), (2, "silver")], "cust long, seg string"),
+        dt.datetime(2024, 1, 1),
+        key_col="cust",
+    )
+    dim = scd2_merge(
+        dim,
+        spark.createDataFrame(
+            [(1, "platinum", dt.datetime(2024, 6, 1))],
+            "cust long, seg string, effective_ts timestamp",
+        ),
+        "cust",
+        ["seg"],
+    )
+    current = dim.filter(F.col("is_current")).select("cust", "seg")
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(100, 1), (101, 2), (102, 9)], "event_id long, cust long"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("event_id long, cust long").parquet(src)
+    q = (
+        stream.join(current, "cust", "left")
+        .writeStream.format("memory")
+        .queryName("enriched_events")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.event_id: r.seg for r in spark.sql("select * from enriched_events").collect()}
+    assert rows == {100: "platinum", 101: "silver", 102: None}
