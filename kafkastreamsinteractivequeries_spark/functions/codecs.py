@@ -327,3 +327,52 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     if sample_rate is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
     return sample_rate, n_channels, np.frombuffer(pcm, dtype="<i2")
+
+
+# --------------------------------------------------------------------------
+# PPM (P6 binary) — the simplest real raster format: ASCII header +
+# raw RGB bytes.  Zero compression, pure stdlib; widens the natively
+# decodable set beyond PNG (netpbm files are common as intermediate
+# artifacts in vision pipelines).
+# --------------------------------------------------------------------------
+
+PPM_MAGIC = b"P6"
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (maxval 255)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("PPM needs an (h, w, 3) RGB array")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM → (h, w, 3) uint8.  Handles the full header grammar:
+    whitespace-separated tokens with ``#`` comments, exactly one
+    whitespace byte after maxval before the raster."""
+    if not data.startswith(PPM_MAGIC):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comments
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1  # the single whitespace byte after maxval
+    raster = data[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()

@@ -222,17 +222,22 @@ def decode_image(payload: bytes):
     """
     from kafkastreamsinteractivequeries_spark.functions.codecs import (
         PNG_MAGIC,
+        PPM_MAGIC,
         decode_png,
+        decode_ppm,
     )
 
     if bytes(payload[:8]) == PNG_MAGIC:
         return decode_png(bytes(payload))
+    if bytes(payload[:2]) == PPM_MAGIC:
+        return decode_ppm(bytes(payload))
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "non-PNG image decode requires Pillow (not in this container); "
-            "PNG decodes natively via functions/codecs.decode_png"
+            "image decode beyond PNG/PPM requires Pillow (not in this "
+            "container); PNG and binary PPM decode natively via "
+            "functions/codecs"
         ) from exc
     import io
 

@@ -271,3 +271,38 @@ def test_png_resize_features_spark(spark):
         assert (r.target_width, r.target_height) == (tw, th)
         assert r.pixel_min == int(small.min()) and r.pixel_max == int(small.max())
         assert r.pixel_mean == (int(small.sum(dtype='int64')) * 1_000_000 // small.size) / 1e6
+
+
+def test_ppm_round_trip_and_header_grammar():
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(9, 14, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # comments and arbitrary whitespace in the header
+    manual = b"P6 # inline\n# full-line comment\n 2\t2\n255\n" + bytes(range(12))
+    out = decode_ppm(manual)
+    assert out.shape == (2, 2, 3)
+    assert out[1, 1, 2] == 11
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 5)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_decode_image_dispatches_ppm(spark):
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import encode_ppm
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import decode_image
+
+    img = np.full((4, 4, 3), 200, dtype=np.uint8)
+    out = decode_image(encode_ppm(img))
+    assert np.array_equal(out, img)
