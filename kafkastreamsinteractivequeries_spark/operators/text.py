@@ -460,6 +460,7 @@ def bm25_search(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query by Okapi BM25 —
     the full-text-retrieval side of the text suite (x9's TF-IDF scores
@@ -477,6 +478,13 @@ def bm25_search(
     final top-k is a TakeOrderedAndProject-shaped global rank over the
     ≤ matched-docs scored rows.  Determinism: round-6 scores, doc-id
     tie-break — the oracle replays the identical formula.
+
+    ``corpus_stats=(n_docs, avgdl)``: N and the average doc length are
+    corpus CONSTANTS that need all docs, so deriving them here costs a
+    second full scan per query — at serving scale precompute them once
+    (one cheap aggregate at index-build time) and pass them in; every
+    query then touches only its own postings.  Default None keeps the
+    self-contained two-scan form for ad-hoc use.
     """
     terms = F.array(*[F.lit(t) for t in query_terms])
     docs = spread(docs)
@@ -489,9 +497,15 @@ def bm25_search(
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    stats = toks.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size("_t")).alias("avgdl")
-    )
+    if corpus_stats is not None:
+        n_docs, avgdl = corpus_stats
+        stats = docs.sparkSession.range(1).select(
+            F.lit(int(n_docs)).alias("n_docs"), F.lit(float(avgdl)).alias("avgdl")
+        )
+    else:
+        stats = toks.agg(
+            F.count("*").alias("n_docs"), F.avg(F.size("_t")).alias("avgdl")
+        )
     dfc = postings.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log(
         1.0

@@ -588,3 +588,20 @@ def test_length_histogram_is_mergeable_across_slices(spark):
     merged = length_histogram_quantiles(a.unionByName(b)).collect()[0]
     direct = length_histogram_quantiles(mk(0, 800)).collect()[0]
     assert merged == direct
+
+
+def test_bm25_precomputed_stats_matches_self_contained(spark):
+    from kafkastreamsinteractivequeries_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame(
+        [(i, "spark filler " + " ".join(f"w{i}_{j}" for j in range(i % 5))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    base = sorted(map(tuple, bm25_search(df, ["spark"], k=5).collect()))
+    # the exact corpus constants the two-scan form derives internally
+    n_docs = 20
+    avgdl = sum(2 + (i % 5) for i in range(20)) / 20
+    pre = sorted(
+        map(tuple, bm25_search(df, ["spark"], k=5, corpus_stats=(n_docs, avgdl)).collect())
+    )
+    assert pre == base
