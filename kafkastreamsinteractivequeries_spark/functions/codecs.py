@@ -376,3 +376,42 @@ def decode_ppm(data: bytes) -> np.ndarray:
     if len(raster) != w * h * 3:
         raise ValueError("truncated PPM raster")
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+PGM_MAGIC = b"P5"
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale → binary PGM (maxval 255)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("PGM needs an (h, w) grayscale array")
+    h, w = arr.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_pgm(data: bytes) -> np.ndarray:
+    """Binary PGM → (h, w) uint8 (same header grammar as PPM)."""
+    if not data.startswith(PGM_MAGIC):
+        raise ValueError("not a binary PGM (P5) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1
+    raster = data[pos : pos + w * h]
+    if len(raster) != w * h:
+        raise ValueError("truncated PGM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w).copy()

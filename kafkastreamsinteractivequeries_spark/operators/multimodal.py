@@ -221,8 +221,10 @@ def decode_image(payload: bytes):
     path named.
     """
     from kafkastreamsinteractivequeries_spark.functions.codecs import (
+        PGM_MAGIC,
         PNG_MAGIC,
         PPM_MAGIC,
+        decode_pgm,
         decode_png,
         decode_ppm,
     )
@@ -231,13 +233,15 @@ def decode_image(payload: bytes):
         return decode_png(bytes(payload))
     if bytes(payload[:2]) == PPM_MAGIC:
         return decode_ppm(bytes(payload))
+    if bytes(payload[:2]) == PGM_MAGIC:
+        return decode_pgm(bytes(payload))
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "image decode beyond PNG/PPM requires Pillow (not in this "
-            "container); PNG and binary PPM decode natively via "
-            "functions/codecs"
+            "image decode beyond PNG/PPM/PGM requires Pillow (not in "
+            "this container); PNG and binary PPM/PGM decode natively "
+            "via functions/codecs"
         ) from exc
     import io
 

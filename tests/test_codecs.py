@@ -306,3 +306,18 @@ def test_decode_image_dispatches_ppm(spark):
     img = np.full((4, 4, 3), 200, dtype=np.uint8)
     out = decode_image(encode_ppm(img))
     assert np.array_equal(out, img)
+
+
+def test_pgm_round_trip_and_dispatch(spark):
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import (
+        decode_pgm,
+        encode_pgm,
+    )
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(11, 6), dtype=np.uint8)
+    assert np.array_equal(decode_pgm(encode_pgm(img)), img)
+    assert np.array_equal(decode_image(encode_pgm(img)), img)
