@@ -57,6 +57,10 @@ def scd2_merge(
     - update with CHANGED attrs → the open row closes
       (``valid_to = update ts``) and a new open version is inserted;
     - update with identical attrs → no-op (idempotent re-deliveries);
+    - update whose ts does NOT EXCEED the open row's ``valid_from`` →
+      no-op (out-of-order/late batch: applying it would close the open
+      row with ``valid_to < valid_from`` and insert a backwards
+      version, silently corrupting history — stale updates are dropped);
     - key with no update / historical (closed) rows → pass through;
     - brand-new key → inserted as an open version.
     """
@@ -86,13 +90,16 @@ def scd2_merge(
         changed = changed | ~F.col(c).eqNullSafe(F.col(f"_new_{c}"))
     has_open = F.col("valid_from").isNotNull()
     has_update = F.col("_new_ts").isNotNull()
+    # a real transition needs the update to be strictly AFTER the open
+    # row took effect; anything else is a late replay of history
+    applies = has_update & (~has_open | (F.col("_new_ts") > F.col("valid_from")))
 
-    # surviving open rows: untouched keys, or updates that changed
-    # nothing (idempotent)
-    keep_open = j.filter(has_open & (~has_update | ~changed)).select(*dim.columns)
+    # surviving open rows: untouched keys, updates that changed nothing
+    # (idempotent), or stale out-of-order updates (dropped)
+    keep_open = j.filter(has_open & (~applies | ~changed)).select(*dim.columns)
     # closed by this merge
     close_now = (
-        j.filter(has_open & has_update & changed)
+        j.filter(has_open & applies & changed)
         .select(
             *[c for c in dim.columns if c not in ("valid_to", "is_current")],
             F.col("_new_ts").alias("valid_to"),
@@ -111,7 +118,7 @@ def scd2_merge(
             "in attr_cols so inserted versions are fully populated"
         )
     inserted = (
-        j.filter(has_update & (~has_open | changed))
+        j.filter(applies & (~has_open | changed))
         .select(
             F.col(key_col),
             *attr_exprs,

@@ -50,6 +50,12 @@ def zorder_key(dims: list[F.Column], bits: int = 16) -> F.Column:
     cross-checks it against a Python bit-twiddling reference).
     """
     d = len(dims)
+    if d * bits > 63:
+        raise ValueError(
+            f"zorder_key: {d} dims x {bits} bits = {d * bits} key bits "
+            "exceeds the 63 usable bits of a signed int64; reduce bits "
+            f"(max {63 // d} for {d} dims) or drop a dimension"
+        )
     terms = []
     for j, dim in enumerate(dims):
         for i in range(bits):
@@ -100,8 +106,13 @@ def with_hilbert_key(
         flip = (ry == 0) & (rx == 1)
         nx = F.when(flip, F.lit(s - 1) - x).otherwise(x)
         ny = F.when(flip, F.lit(s - 1) - y).otherwise(y)
+        # s*s is computed in Python and cast to long: at level 15 the
+        # IntegerType product 3*2^30 would overflow int32 (ANSI throws
+        # for any coordinate with the top bit set; non-ANSI wraps to a
+        # wrong key), so the whole increment must live in LongType.
         out = out.withColumns({
-            dc: F.col(dc) + F.lit(s) * F.lit(s) * (3 * rx).bitwiseXOR(ry),
+            dc: F.col(dc)
+            + F.lit(s * s).cast("long") * (3 * rx).bitwiseXOR(ry).cast("long"),
             xc: F.when(ry == 0, ny).otherwise(nx),
             yc: F.when(ry == 0, nx).otherwise(ny),
         })

@@ -15,7 +15,7 @@ Rules are plain tuples, not a DSL:
     ("range", col, lo, hi)         — lo ≤ value ≤ hi (NULLs don't pass)
     ("in_set", col, [values])      — value ∈ set (NULLs don't pass)
     ("matches", col, regex)        — full-match regex (NULLs don't pass)
-    ("expr", name, sql_predicate)  — arbitrary SQL predicate must hold
+    ("expr", name, sql_predicate)  — SQL predicate must hold (NULLs don't pass)
 
 Output: one row per rule — (rule, column, violations, total_rows,
 passed) — collectable at any scale (bounded by rule count).
@@ -50,7 +50,10 @@ def _violation_expr(rule: tuple) -> F.Column:
         cond = ~F.col(c).rlike(f"^(?:{pattern})$") | F.col(c).isNull()
     elif kind == "expr":
         _, _name, predicate = rule
-        cond = ~F.expr(predicate)
+        # NULL predicate results count as violations ("NULLs don't
+        # pass", matching every other rule): a bare ~expr is NULL for
+        # NULL inputs and when(NULL, 1) silently yields 0.
+        cond = ~F.coalesce(F.expr(predicate), F.lit(False))
     else:
         raise ValueError(f"unknown rule kind {kind!r}")
     return F.sum(F.when(cond, 1).otherwise(0))

@@ -62,11 +62,21 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     (``df.rdd``) is illegal on a stream, and micro-batch parallelism is
     the source's concern — so the same operators run unchanged in
     stream and batch mode.
+
+    The probe result is memoized on the DataFrame object: ``df.rdd``
+    builds a fresh RDD conversion (plan analysis) per call, which is a
+    per-query planner overhead when the SAME long-lived DataFrame is
+    spread on every request in a hot serving loop.  A DataFrame's
+    partitioning never changes once defined, so the cache is safe.
     """
     if df.isStreaming:
         return df
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = getattr(df, "_spread_partition_probe", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        df._spread_partition_probe = n
+    if n < target:
         return df.repartition(target)
     return df
 

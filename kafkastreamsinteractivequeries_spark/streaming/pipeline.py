@@ -573,6 +573,25 @@ class _VersionedSketchSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Guard against a FRESH checkpoint pointed at an existing store:
+        # batch ids restart at 0, so without this check batch 0 would
+        # overwrite the old v0, merges would silently ignore all landed
+        # history (below=0 matches nothing), and readers would keep
+        # resolving the stale old high-numbered snapshot — silent data
+        # loss with no error.  A committed version STRICTLY ABOVE this
+        # batch id can only mean id-space mismatch (a genuine replay
+        # rewrites its own id; ids within one checkpoint are monotonic),
+        # so fail loudly and tell the operator to keep the checkpoint
+        # and the store paired, or start a fresh store path.
+        newest = self._current_version(spark)
+        if newest is not None and int(newest[1:]) > batch_id:
+            raise RuntimeError(
+                f"sketch store {self.path} already has committed snapshot "
+                f"{newest} > incoming micro-batch id {batch_id}: the query's "
+                "checkpoint does not match this store (fresh checkpoint "
+                "against an existing store?). Restore the original "
+                "checkpoint or point the query at a new store path."
+            )
         sketch = self._sketch(batch_df)
         cur = self._current_version(spark, below=batch_id)
         if cur is not None:

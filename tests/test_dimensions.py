@@ -117,3 +117,33 @@ def test_scd2_rejects_unpopulated_payload_columns(spark):
     )
     with pytest.raises(ValueError, match="non-attribute payload"):
         scd2_merge(dim, updates, "cust", ["segment"])
+
+
+def test_scd2_drops_stale_out_of_order_batch(spark):
+    # An update batch whose effective_ts predates (or equals) the open
+    # row's valid_from is a late replay of history: applying it would
+    # close the open row with valid_to < valid_from and insert a
+    # backwards "current" version.  It must be a no-op instead.
+    dim = scd2_init(
+        spark.createDataFrame([(1, "gold")], "cust long, segment string"),
+        _day(10),
+        key_col="cust",
+    )
+    stale = spark.createDataFrame(
+        [(1, "bronze", _day(3))], "cust long, segment string, effective_ts timestamp"
+    )
+    out = scd2_merge(dim, stale, "cust", ["segment"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.segment, r.is_current, r.valid_from, r.valid_to) == (
+        "gold", True, _day(10), None,
+    )
+    # equal-ts is also stale (a transition needs strictly-later time)
+    same_ts = spark.createDataFrame(
+        [(1, "bronze", _day(10))], "cust long, segment string, effective_ts timestamp"
+    )
+    out2 = scd2_merge(dim, same_ts, "cust", ["segment"]).collect()
+    assert len(out2) == 1 and out2[0].segment == "gold" and out2[0].is_current
+    # validity ranges never go backwards after any merge
+    for r in out + out2:
+        assert r.valid_to is None or r.valid_to > r.valid_from

@@ -228,3 +228,43 @@ def test_zorder_layout_prunes_row_groups_at_scan_time(spark):
     finally:
         shutil.rmtree(plain_dir, ignore_errors=True)
         shutil.rmtree(z_dir, ignore_errors=True)
+
+
+def test_hilbert_key_top_bit_quadrant_no_overflow(spark):
+    # Regression: the level-15 distance increment s*s*((3*rx)^ry) is
+    # 3*2^30 > int32 max whenever the top bit of x or y is set — half
+    # the bits=16 grid.  Computed in IntegerType this throws
+    # ARITHMETIC_OVERFLOW under ANSI (or silently wraps a wrong key).
+    from kafkastreamsinteractivequeries_spark.operators.layout import with_hilbert_key
+
+    pts = [(40_000, 1), (1, 40_000), (65_535, 65_535), (32_768, 32_768), (0, 65_535)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = with_hilbert_key(df, "x", "y", bits=16).collect()
+    for r in rows:
+        assert r._hkey == _py_hilbert(16, r.x, r.y), (r.x, r.y)
+
+
+def test_cluster_by_hilbert_defaults_cover_full_domain(spark):
+    # cluster_by_hilbert at its DEFAULT bits=16 must survive values that
+    # quantize into the top-bit quadrant (the overflow regression).
+    from kafkastreamsinteractivequeries_spark.operators.layout import cluster_by_hilbert
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 48271 % 100_000).alias("a"),
+        (F.col("id") * 16807 % 100_000).alias("b"),
+    )
+    out = cluster_by_hilbert(df, ("a", 0, 100_000), ("b", 0, 100_000))
+    assert out.count() == 10_000
+    assert out.select(F.sum("a")).collect()[0][0] == df.select(F.sum("a")).collect()[0][0]
+
+
+def test_zorder_key_rejects_bit_overflow(spark):
+    # 4 dims x 16 bits = 64 key bits > the 63 usable in int64: must be a
+    # clear ValueError, not a lit-construction crash or a wrapped key.
+    import pytest
+
+    cols = [F.lit(1).cast("long") for _ in range(4)]
+    with pytest.raises(ValueError, match="63 usable bits"):
+        zorder_key(cols, bits=16)
+    # 4 dims x 15 bits = 60 is fine
+    zorder_key(cols, bits=15)

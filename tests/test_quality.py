@@ -78,3 +78,22 @@ def test_testdata_tables_pass_their_contracts(spark, sf_dir):
             ("expr", "value_nonneg", "value IS NULL OR value >= 0"),
         ],
     )
+
+
+def test_expr_rule_counts_null_predicate_as_violation(spark):
+    # "NULLs don't pass" must hold for expr rules too: a bare ~expr is
+    # NULL for NULL inputs and when(NULL, 1) silently yields 0.
+    from kafkastreamsinteractivequeries_spark.operators.quality import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (-2.0,), (3.0,)], "amount double"
+    )
+    rows = {
+        r.rule: r
+        for r in check_constraints(df, [("expr", "amt_pos", "amount > 0")]).collect()
+    }
+    r = rows["expr"]
+    assert r.violations == 2  # the NULL row AND the negative row
+    assert not r.passed

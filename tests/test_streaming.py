@@ -767,3 +767,30 @@ def test_stream_static_enrichment_against_scd2_current(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r.event_id: r.seg for r in spark.sql("select * from enriched_events").collect()}
     assert rows == {100: "platinum", 101: "silver", 102: None}
+
+
+def test_sketch_sink_rejects_fresh_checkpoint_against_existing_store(spark, tmp_path):
+    # A new streaming query with a FRESH checkpoint restarts batch ids
+    # at 0; pointed at an existing store this would overwrite the old
+    # v0, merge none of the landed history, and leave readers on the
+    # stale high-numbered snapshot.  The sink must fail loudly instead.
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingHllSink,
+    )
+
+    sink = StreamingHllSink(str(tmp_path / "store"), "user_id", ["event_type"])
+    ev = spark.range(100).select(
+        (F.col("id") % 37).alias("user_id"), F.lit("t").alias("event_type")
+    )
+    for i in range(3):
+        sink(ev, i)  # landed history: v0, v1, v2
+    with pytest.raises(RuntimeError, match="does not match this store"):
+        sink(ev, 0)  # fresh-checkpoint restart
+    # a genuine replay of the newest batch id is still idempotent
+    before = sorted(map(tuple, sink.registers(spark).collect()))
+    sink(ev, 2)
+    after = sorted(map(tuple, sink.registers(spark).collect()))
+    assert before == after
