@@ -272,10 +272,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _docs(s, d):
         return load_table(s, d, "documents")
 
-    q["d1_exact_dedup"] = lambda s, d: D.exact_dedup(_docs(s, d)).select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-    q["d2_exact_duplicate_groups"] = lambda s, d: D.exact_duplicate_groups(_docs(s, d))
+    # d1 ⊕ d2 in ONE tagged union (the 50-key report cap): the kept
+    # survivors ('dedup': one row per canonical doc with its payload)
+    # and the duplicate-group table ('groups': fingerprint rides the
+    # text column, group size rides n).
+    def _d1(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        kept = D.exact_dedup(docs).select(
+            F.lit("dedup").alias("variant"),
+            "doc_id",
+            "text",
+            F.concat_ws("|", "lang", "source").alias("info"),
+            F.col("n_chars").cast("long").alias("n"),
+        )
+        groups = D.exact_duplicate_groups(docs).select(
+            F.lit("groups").alias("variant"),
+            F.col("keep_id").alias("doc_id"),
+            F.col("fingerprint").alias("text"),
+            F.lit("").alias("info"),
+            F.col("n_docs").cast("long").alias("n"),
+        )
+        return kept.unionByName(groups)
+
+    q["d1_exact_dedup"] = _d1
     # d4 carries the full signature string alongside each band row
     # (zero-shuffle `carry`), so one key verifies both the signature
     # stage (d3) and the banding stage.
@@ -291,10 +310,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["d6_ngram_jaccard_pairs"] = lambda s, d: D.ngram_jaccard_pairs(
         _docs(s, d), shingle_n=3, threshold=0.01
     )
-    q["d7_simhash_signatures"] = lambda s, d: D.simhash_signatures(_docs(s, d))
-    q["d8_simhash_near_duplicates"] = lambda s, d: D.simhash_near_duplicates(
-        _docs(s, d), max_hamming=6
-    )
+    # d7 ⊕ d8 in ONE tagged union: the 64-bit signature table ('sig',
+    # one row per doc, signature rides detail) and the pigeonhole-
+    # bucketed near-dup pairs ('pairs', hamming ≤ 6).
+    def _d7(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        sig = D.simhash_signatures(docs).select(
+            F.lit("sig").alias("variant"),
+            F.col("doc_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.col("simhash").alias("detail"),
+            F.lit(-1).alias("hamming"),
+        )
+        pairs = D.simhash_near_duplicates(docs, max_hamming=6).select(
+            F.lit("pairs").alias("variant"),
+            "id_a",
+            "id_b",
+            F.lit("").alias("detail"),
+            "hamming",
+        )
+        return sig.unionByName(pairs)
+
+    q["d7_simhash"] = _d7
     # The detector that isolates the corpus's injected duplicates:
     # permutation near-dups have multiset-jaccard ≥0.9 while unrelated
     # docs sit ≤0.55 — set-based measures saturate on this vocab.
@@ -369,9 +406,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tfidf.unionByName(bm25)
 
     q["x9_term_relevance"] = _x9
-    # x11 — tokenizer/vocab-building step: top-k corpus vocabulary with
-    # rank and cumulative coverage share.
-    q["x11_vocab_coverage"] = lambda s, d: T.vocabulary_coverage(_docs(s, d), top_k=50)
+    # x11 — the tokenizer-building suite in ONE tagged union: top-k
+    # corpus vocabulary with rank and cumulative coverage ('vocab') ⊕
+    # the first 6 rounds of the BPE merge TRAJECTORY ('bpe': term =
+    # "left right", n = the winning pair's corpus count, rank = merge
+    # step) — the training loop's full decision record, which the
+    # oracle replays round-for-round (greedy-left fold merges, max
+    # count / lexicographic tie-break).
+    def _x11(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        vocab = T.vocabulary_coverage(docs, top_k=50).select(
+            F.lit("vocab").alias("variant"),
+            F.col("token").alias("term"),
+            F.col("count").cast("long").alias("n"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cum_fraction").alias("share"),
+        )
+        traj = T.bpe_train_trajectory(docs, num_merges=6)
+        bpe = s.createDataFrame(
+            traj, "step long, left string, right string, n long"
+        ).select(
+            F.lit("bpe").alias("variant"),
+            F.concat_ws(" ", "left", "right").alias("term"),
+            F.col("n"),
+            F.col("step").alias("rank"),
+            F.lit(-1.0).alias("share"),
+        )
+        return vocab.unionByName(bpe)
+
+    q["x11_vocab_bpe"] = _x11
 
     from kafkastreamsinteractivequeries_spark.operators import sketches as SK
 
@@ -501,13 +564,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _assets(s, d):
         return M.assets_from_documents(_docs(s, d))
 
-    q["m1_asset_manifest"] = lambda s, d: M.asset_manifest(_assets(s, d))
+    # m1 carries m4's audio fields: asset_manifest_full appends
+    # audio_features' derived columns (n_samples / pcm_duration_ms,
+    # NULL for non-audio rows like the manifest's own typed fields) as
+    # the SAME shared Column expressions — one key verifies header
+    # parse AND the audio derivation, still a single map-only scan.
+    q["m1_asset_manifest"] = lambda s, d: M.asset_manifest_full(_assets(s, d))
     # m2 appends the JVM-side resize plan (m5) to the Python feature
     # extraction output — pure row map on width/height, no extra scan.
     q["m2_image_features"] = lambda s, d: M.with_resize_plan(
         M.image_features(_assets(s, d)), max_side=256
     )
-    q["m4_audio_features"] = lambda s, d: M.audio_features(_assets(s, d))
     # m6 carries duration_ms, so its per-frame rows subsume the m3
     # frame-sampling plan.
     q["m6_video_frame_features"] = lambda s, d: M.video_frame_features(_assets(s, d))
@@ -656,7 +723,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ivf = tag(S.knn_ivf(emb, qdf, k=10, n_lists=16, nprobe=4), "ivf16", "cosine")
         book = S.pq_train(emb, m=8, k=16, iterations=2)
         pq = tag(S.knn_pq_adc(emb, qdf, book, k=10, m=8), "pq8x16", "adc_dist")
-        return brute.unionByName(srp).unionByName(ivf).unionByName(pq)
+        # the PRODUCTION PQ config: ADC candidate generation (top-40)
+        # + exact cosine re-scoring of the survivors — the recall-0.97+
+        # path recommended for serving, now driver-verified alongside
+        # the ADC-pure candidate generator.
+        pqr = tag(
+            S.knn_pq_adc(emb, qdf, book, k=10, m=8, rerank=40),
+            "pq_rerank",
+            "cosine",
+        )
+        return (
+            brute.unionByName(srp).unionByName(ivf).unionByName(pq).unionByName(pqr)
+        )
 
     q["s1_knn"] = _s1
     # s2 unions the index-build stages under one tagged key: SRP
@@ -691,6 +769,156 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s4_embedding_near_duplicates"] = lambda s, d: S.embedding_near_duplicates(
         _emb(s, d), threshold=0.4, num_planes=32
     )
+
+    # ---- event analytics / dimensions / layout (previously pytest-only
+    # families, folded into driver keys per the round-4 review) ----
+
+    # e1: funnel ⊕ cohort-retention ⊕ bucketized interval join in ONE
+    # tagged union normalized to (variant, k1, k2, v1, v2, v3) — epoch
+    # seconds for timestamps, -1 sentinels where a branch has fewer
+    # fields.
+    def _e1(s: SparkSession, d: str) -> DataFrame:
+        ev = load_table(s, d, "events")
+        sent = F.lit(-1).cast("long")
+
+        def ep(c: F.Column) -> F.Column:
+            return F.unix_timestamp(c).cast("long")
+
+        fun = A.funnel_analysis(
+            ev, ["view", "click", "purchase"], horizon_days=7.0
+        ).select(
+            F.lit("funnel").alias("variant"),
+            F.col("user_id").cast("long").alias("k1"),
+            F.col("steps_completed").cast("long").alias("k2"),
+            F.coalesce(ep(F.col("step_1_ts")), sent).alias("v1"),
+            F.coalesce(ep(F.col("step_2_ts")), sent).alias("v2"),
+            F.coalesce(ep(F.col("step_3_ts")), sent).alias("v3"),
+        )
+        coh = A.cohort_retention(ev, period="week").select(
+            F.lit("cohort").alias("variant"),
+            F.col("cohort").cast("long").alias("k1"),
+            F.col("periods_since").cast("long").alias("k2"),
+            F.col("n_active").cast("long").alias("v1"),
+            sent.alias("v2"),
+            sent.alias("v3"),
+        )
+        points = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        intervals = (
+            ev.groupBy("user_id")
+            .agg(F.min("ts").alias("start_ts"))
+            .filter(F.col("user_id") % 10 == 0)
+            .select(
+                F.col("user_id").alias("iv_user"),
+                "start_ts",
+                (F.col("start_ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+            )
+        )
+        ij = A.interval_join(
+            points, intervals, point_ts_col="ts", bucket_seconds=3600
+        ).select(
+            F.lit("interval").alias("variant"),
+            F.col("event_id").cast("long").alias("k1"),
+            F.col("iv_user").cast("long").alias("k2"),
+            ep(F.col("ts")).alias("v1"),
+            ep(F.col("start_ts")).alias("v2"),
+            ep(F.col("end_ts")).alias("v3"),
+        )
+        return fun.unionByName(coh).unionByName(ij)
+
+    q["e1_event_analytics"] = _e1
+
+    # e2: SCD Type-2 maintenance end-to-end under one key — init from
+    # the customer table, merge an attribute-change batch (day 10),
+    # merge a SECOND batch carrying out-of-order rows (day 5: applies to
+    # %5 keys still on their day-1 version, is dropped as stale for %15
+    # keys already on day 10 — driver-verifying the late-batch guard),
+    # then as-of lookups at two fact timestamps straddling the changes.
+    # 'dim' rows carry the full versioned table (valid_to sentinel
+    # 9999-01-01 for open versions); 'asof' rows carry the resolved
+    # attribute with the fact ts riding vfrom.
+    def _e2(s: SparkSession, d: str) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.dimensions import (
+            asof_lookup,
+            scd2_init,
+            scd2_merge,
+        )
+
+        cust = load_table(s, d, "customer").select(
+            F.col("c_custkey").cast("long").alias("cust"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        dim0 = scd2_init(cust, "2024-01-01 00:00:00", key_col="cust")
+        b1 = cust.filter(F.col("cust") % 3 == 0).select(
+            "cust",
+            F.concat(F.col("segment"), F.lit("+A")).alias("segment"),
+            F.lit("2024-01-10 00:00:00").cast("timestamp").alias("effective_ts"),
+        )
+        merged1 = scd2_merge(dim0, b1, "cust", ["segment"])
+        b2 = cust.filter(F.col("cust") % 5 == 0).select(
+            "cust",
+            F.lit("B").alias("segment"),
+            F.lit("2024-01-05 00:00:00").cast("timestamp").alias("effective_ts"),
+        )
+        merged2 = scd2_merge(merged1, b2, "cust", ["segment"])
+        sentinel = F.lit("9999-01-01 00:00:00").cast("timestamp")
+        dim_rows = merged2.select(
+            F.lit("dim").alias("variant"),
+            "cust",
+            "segment",
+            F.col("valid_from").alias("vfrom"),
+            F.coalesce(F.col("valid_to"), sentinel).alias("vto"),
+            F.col("is_current").cast("int").alias("cur"),
+        )
+        facts = cust.select("cust").crossJoin(
+            s.createDataFrame(
+                [("2024-01-03 00:00:00",), ("2024-01-12 00:00:00",)], "fts string"
+            ).select(F.col("fts").cast("timestamp").alias("fact_ts"))
+        )
+        asof = asof_lookup(facts, merged2, "cust", "fact_ts").select(
+            F.lit("asof").alias("variant"),
+            "cust",
+            "segment",
+            F.col("fact_ts").alias("vfrom"),
+            sentinel.alias("vto"),
+            F.lit(-1).alias("cur"),
+        )
+        return dim_rows.unionByName(asof)
+
+    q["e2_scd2_asof"] = _e2
+
+    # e3: the layout clustering keys as pure-arithmetic driver rows —
+    # quantization (normalize_to_bits) + Z-curve bit interleave
+    # ('zorder', bits=8 over part key/size) ⊕ the Hilbert rotate/
+    # reflect recursion ('hilbert', bits=16 over part key/retailprice —
+    # the quantized grid reaches the top-bit quadrant, driver-covering
+    # the int64 overflow regression).  The oracle replays the identical
+    # integer arithmetic (recursive CTE for the Hilbert levels).
+    def _e3(s: SparkSession, d: str) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.layout import (
+            normalize_to_bits,
+            with_hilbert_key,
+            zorder_key,
+        )
+
+        part = load_table(s, d, "part")
+        z = part.select(
+            F.lit("zorder").alias("variant"),
+            F.col("p_partkey").cast("long").alias("id"),
+            normalize_to_bits(F.col("p_partkey"), 0, 100_000, bits=8).alias("qx"),
+            normalize_to_bits(F.col("p_size"), 1, 50, bits=8).alias("qy"),
+        ).withColumn("key", zorder_key([F.col("qx"), F.col("qy")], bits=8))
+        h0 = part.select(
+            F.lit("hilbert").alias("variant"),
+            F.col("p_partkey").cast("long").alias("id"),
+            normalize_to_bits(F.col("p_partkey"), 0, 100_000, bits=16).alias("qx"),
+            normalize_to_bits(F.col("p_retailprice"), 900, 2000, bits=16).alias("qy"),
+        )
+        h = with_hilbert_key(h0, "qx", "qy", bits=16, key_col="key")
+        return z.unionByName(h.select("variant", "id", "qx", "qy", "key"))
+
+    q["e3_layout_keys"] = _e3
 
     return q
 
@@ -925,6 +1153,165 @@ FROM daily
     o.update(_text_oracles())
     o.update(_multimodal_oracles())
     o.update(_curation_oracles())
+    o.update(_extension_oracles())
+    return o
+
+
+def _extension_oracles() -> dict[str, str]:
+    """Oracles for the event-analytics / SCD2 / layout driver keys.
+
+    e1 mirrors operators/analytics.py (funnel chain arithmetic, Monday-
+    shifted week buckets, exact interval bounds — the bucketized
+    equi-join is result-identical to the plain range join).  e2 is the
+    CLOSED FORM of the two scd2_merge batches + as-of lookups (every
+    key's version history is decided by its %3 / %5 residues).  e3
+    replays the quantize/interleave integer arithmetic, with a
+    recursive CTE walking the 16 Hilbert levels.
+    """
+    o: dict[str, str] = {}
+    es = "(epoch_ns({c}) // 1000000000)"
+
+    def ep(c: str) -> str:
+        return es.format(c=c)
+
+    o["e1_event_analytics"] = f"""
+WITH steps AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+), fun AS (
+  SELECT user_id,
+         (CASE WHEN c1 THEN 1 ELSE 0 END
+          + CASE WHEN c2 THEN 1 ELSE 0 END
+          + CASE WHEN c3 THEN 1 ELSE 0 END) AS steps_completed,
+         t1, t2, t3
+  FROM (
+    SELECT user_id, t1, t2, t3, c1, c1 AND ok2 AS c2, c1 AND ok2 AND ok3 AS c3
+    FROM (
+      SELECT *,
+             t1 IS NOT NULL AS c1,
+             t2 IS NOT NULL AND t2 > t1
+               AND {ep('t2')} - {ep('t1')} <= 604800 AS ok2,
+             t3 IS NOT NULL AND t3 > t2
+               AND {ep('t3')} - {ep('t1')} <= 604800 AS ok3
+      FROM steps
+    )
+  )
+), act AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(({ep('ts')} / 86400 + 3) / 7) AS BIGINT) AS p
+  FROM events
+), coh AS (
+  SELECT user_id, MIN(p) AS cohort FROM act GROUP BY 1
+), iv AS (
+  SELECT user_id AS iv_user, MIN(ts) AS start_ts,
+         MIN(ts) + INTERVAL 6 HOUR AS end_ts
+  FROM events WHERE user_id % 10 = 0 GROUP BY 1
+)
+SELECT 'funnel' AS variant, CAST(user_id AS BIGINT) AS k1,
+       CAST(steps_completed AS BIGINT) AS k2,
+       COALESCE({ep('t1')}, -1) AS v1,
+       COALESCE({ep('t2')}, -1) AS v2,
+       COALESCE({ep('t3')}, -1) AS v3
+FROM fun
+UNION ALL
+SELECT 'cohort', c.cohort, a.p - c.cohort, CAST(COUNT(*) AS BIGINT), -1, -1
+FROM act a JOIN coh c USING (user_id)
+GROUP BY c.cohort, a.p - c.cohort
+UNION ALL
+SELECT 'interval', CAST(e.event_id AS BIGINT), CAST(i.iv_user AS BIGINT),
+       {ep('e.ts')}, {ep('i.start_ts')}, {ep('i.end_ts')}
+FROM events e JOIN iv i ON e.ts >= i.start_ts AND e.ts < i.end_ts
+WHERE e.event_type = 'purchase'
+"""
+
+    o["e2_scd2_asof"] = """
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS cust, c_mktsegment AS seg,
+         c_custkey % 3 = 0 AS m3, c_custkey % 5 = 0 AS m5
+  FROM customer
+)
+SELECT 'dim' AS variant, cust, seg AS segment,
+       TIMESTAMP '2024-01-01 00:00:00' AS vfrom,
+       TIMESTAMP '2024-01-10 00:00:00' AS vto, CAST(0 AS INTEGER) AS cur
+FROM c WHERE m3
+UNION ALL
+SELECT 'dim', cust, seg || '+A', TIMESTAMP '2024-01-10 00:00:00',
+       TIMESTAMP '9999-01-01 00:00:00', 1
+FROM c WHERE m3
+UNION ALL
+SELECT 'dim', cust, seg, TIMESTAMP '2024-01-01 00:00:00',
+       TIMESTAMP '2024-01-05 00:00:00', 0
+FROM c WHERE m5 AND NOT m3
+UNION ALL
+SELECT 'dim', cust, 'B', TIMESTAMP '2024-01-05 00:00:00',
+       TIMESTAMP '9999-01-01 00:00:00', 1
+FROM c WHERE m5 AND NOT m3
+UNION ALL
+SELECT 'dim', cust, seg, TIMESTAMP '2024-01-01 00:00:00',
+       TIMESTAMP '9999-01-01 00:00:00', 1
+FROM c WHERE NOT m3 AND NOT m5
+UNION ALL
+SELECT 'asof', cust,
+       CASE WHEN fts = TIMESTAMP '2024-01-03 00:00:00' THEN seg
+            WHEN m3 THEN seg || '+A'
+            WHEN m5 THEN 'B'
+            ELSE seg END,
+       fts, TIMESTAMP '9999-01-01 00:00:00', -1
+FROM c CROSS JOIN (
+  VALUES (TIMESTAMP '2024-01-03 00:00:00'), (TIMESTAMP '2024-01-12 00:00:00')
+) AS t(fts)
+"""
+
+    zterms = " + ".join(
+        f"((qx // {2**i}) % 2) * {2**(2 * i)} + ((qy // {2**i}) % 2) * {2**(2 * i + 1)}"
+        for i in range(8)
+    )
+    o["e3_layout_keys"] = f"""
+WITH RECURSIVE quant AS (
+  SELECT CAST(p_partkey AS BIGINT) AS id,
+         CAST(LEAST(GREATEST(FLOOR((CAST(p_partkey AS DOUBLE) - 0.0)
+              / 100000.0 * 255.0), 0), 255) AS BIGINT) AS zqx,
+         CAST(LEAST(GREATEST(FLOOR((CAST(p_size AS DOUBLE) - 1.0)
+              / 49.0 * 255.0), 0), 255) AS BIGINT) AS zqy,
+         CAST(LEAST(GREATEST(FLOOR((CAST(p_partkey AS DOUBLE) - 0.0)
+              / 100000.0 * 65535.0), 0), 65535) AS BIGINT) AS hx,
+         CAST(LEAST(GREATEST(FLOOR((CAST(p_retailprice AS DOUBLE) - 900.0)
+              / 1100.0 * 65535.0), 0), 65535) AS BIGINT) AS hy
+  FROM part
+), hil AS (
+  SELECT id, hx AS x, hy AS y, CAST(0 AS BIGINT) AS d, 15 AS lvl FROM quant
+  UNION ALL
+  SELECT id,
+         CASE WHEN ry = 0 THEN ny ELSE nx END,
+         CASE WHEN ry = 0 THEN nx ELSE ny END,
+         d + s * s * xor(3 * rx, ry),
+         lvl - 1
+  FROM (
+    SELECT id, d, lvl, s, rx, ry,
+           CASE WHEN ry = 0 AND rx = 1 THEN s - 1 - x ELSE x END AS nx,
+           CASE WHEN ry = 0 AND rx = 1 THEN s - 1 - y ELSE y END AS ny
+    FROM (
+      SELECT id, x, y, d, lvl,
+             CAST(1 AS BIGINT) << lvl AS s,
+             CASE WHEN (x & (CAST(1 AS BIGINT) << lvl)) > 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rx,
+             CASE WHEN (y & (CAST(1 AS BIGINT) << lvl)) > 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ry
+      FROM hil WHERE lvl >= 0
+    ) probe
+  ) step
+)
+SELECT 'zorder' AS variant, id, zqx AS qx, zqy AS qy,
+       CAST({zterms} AS BIGINT) AS key
+FROM (SELECT id, zqx, zqy, zqx AS qx, zqy AS qy FROM quant) z
+UNION ALL
+SELECT 'hilbert', q.id, q.hx, q.hy, h.d
+FROM quant q JOIN hil h ON h.id = q.id AND h.lvl = -1
+"""
     return o
 
 
@@ -1076,6 +1463,9 @@ WITH f AS (
 """
 
     o: dict[str, str] = {}
+    # m1 carries m4's audio-derived fields (n_samples /
+    # pcm_duration_ms, NULL for non-audio rows) mirroring the Spark
+    # manifest ⟕ audio_features join.
     o["m1_asset_manifest"] = (
         a_cte
         + """SELECT asset_id, media_type, magic,
@@ -1086,7 +1476,14 @@ WITH f AS (
        CASE WHEN media_type = 'audio' THEN f1 END AS sample_rate,
        CASE WHEN media_type = 'audio' THEN f2 END AS n_channels,
        duration_ms,
-       md5(hex(payload)) AS checksum
+       md5(hex(payload)) AS checksum,
+       CASE WHEN media_type = 'audio'
+            THEN CAST(FLOOR((octet_length(payload) - 12)::DOUBLE / (2 * f2)) AS BIGINT)
+       END AS n_samples,
+       CASE WHEN media_type = 'audio'
+            THEN CAST(FLOOR(CAST(FLOOR((octet_length(payload) - 12)::DOUBLE / (2 * f2)) AS BIGINT)
+                       * 1000 / f1) AS BIGINT)
+       END AS pcm_duration_ms
 FROM a
 """
     )
@@ -1107,17 +1504,6 @@ FROM (
               ELSE 256 / GREATEST(f1, f2)::DOUBLE END AS scale
   FROM a WHERE media_type = 'image'
 )
-"""
-    )
-    o["m4_audio_features"] = (
-        a_cte
-        + """SELECT asset_id, f1 AS sample_rate, f2 AS n_channels,
-       CAST(octet_length(payload) - 12 AS INTEGER) AS body_bytes,
-       CAST(FLOOR((octet_length(payload) - 12)::DOUBLE / (2 * f2)) AS BIGINT) AS n_samples,
-       CAST(FLOOR(CAST(FLOOR((octet_length(payload) - 12)::DOUBLE / (2 * f2)) AS BIGINT)
-                  * 1000 / f1) AS BIGINT) AS pcm_duration_ms,
-       duration_ms
-FROM a WHERE media_type = 'audio'
 """
     )
     # luma = first hex byte of the frame signature, via strpos math
@@ -1534,8 +1920,58 @@ UNION ALL SELECT * FROM btop
     )
     # x11 — vocab coverage: corpus token counts, top-k by (count desc,
     # token), rank + running share of ALL corpus tokens.
-    o["x11_vocab_coverage"] = (
-        t_cte
+    # x11 = vocab coverage ⊕ the first-6-rounds BPE merge trajectory.
+    # The BPE replay walks bpe_train's exact loop: distinct-word table,
+    # char+'</w>' segmentation, per-round (pair-count argmax with
+    # lexicographic tie-break on "left right") and a GREEDY-LEFT fold
+    # merge — a recursive CTE consuming one symbol per step, merging
+    # when the accumulator's last element is `left` and the next symbol
+    # is `right` (string replace() would mis-merge runs of 5+).
+    bpe_rounds = 6
+    bpe_parts = [
+        """words0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(toks) AS w FROM t
+  ) WHERE w != '' GROUP BY w
+), w0 AS (
+  SELECT string_split(w, '') || ['</w>'] AS syms, cnt FROM words0
+)"""
+    ]
+    for t_i in range(1, bpe_rounds + 1):
+        prev = f"w{t_i - 1}"
+        # best{t}/w{t} MATERIALIZED: plain CTEs inline per reference,
+        # and best{t} sits INSIDE f{t}'s recursive member — without the
+        # barrier every recursion step re-derives the whole w0..w{t-1}
+        # chain (measured: minutes at sf0.001 vs sub-second with it).
+        bpe_parts.append(f"""p{t_i} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, cnt
+  FROM {prev}, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+  WHERE len(syms) >= 2
+), best{t_i} AS MATERIALIZED (
+  SELECT l, r, n FROM (
+    SELECT l, r, SUM(cnt) AS n FROM p{t_i} GROUP BY 1, 2
+  ) ORDER BY n DESC, l || ' ' || r LIMIT 1
+), f{t_i} AS (
+  SELECT syms, cnt, syms AS rem, CAST([] AS VARCHAR[]) AS acc FROM {prev}
+  UNION ALL
+  SELECT syms, cnt, rem[2:],
+         CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND rem[1] = b.r
+              THEN acc[1:len(acc) - 1] || [b.l || b.r]
+              ELSE acc || [rem[1]] END
+  FROM f{t_i}, best{t_i} b
+  WHERE len(rem) > 0
+), w{t_i} AS MATERIALIZED (
+  SELECT acc AS syms, cnt FROM f{t_i} WHERE len(rem) = 0
+)""")
+    bpe_traj_union = "\nUNION ALL\n".join(
+        f"SELECT 'bpe' AS variant, l || ' ' || r AS term, CAST(n AS BIGINT) AS n, "
+        f"CAST({t_i} AS BIGINT) AS rank, -1.0 AS share FROM best{t_i}"
+        for t_i in range(1, bpe_rounds + 1)
+    )
+    o["x11_vocab_bpe"] = (
+        t_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", "
+        + ",\n".join(bpe_parts)
         + """, counts AS (
   SELECT tok AS token, COUNT(*) AS count
   FROM t, unnest(toks) AS u(tok)
@@ -1544,13 +1980,15 @@ UNION ALL SELECT * FROM btop
 top AS (
   SELECT token, count FROM counts ORDER BY count DESC, token LIMIT 50
 )
-SELECT token, CAST(count AS BIGINT) AS count,
-       CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) AS INTEGER) AS rank,
+SELECT 'vocab' AS variant, token AS term, CAST(count AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) AS BIGINT) AS rank,
        ROUND(CAST(SUM(count) OVER (ORDER BY count DESC, token
                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             / CAST(tot AS DOUBLE), 6) AS cum_fraction
+             / CAST(tot AS DOUBLE), 6) AS share
 FROM top CROSS JOIN total
+UNION ALL
 """
+        + bpe_traj_union
     )
     # x10 — mergeable-sketch union (kmv ⊕ hll ⊕ cms): every branch is
     # deterministic integer arithmetic over the same 32-bit ring hash,
@@ -2048,9 +2486,40 @@ SELECT query_id, vec_id, adc_dist, rank FROM (
 ) WHERE rank <= 10
 """
     )
-    # One tagged union mirroring q["s1_knn"]: all four kNN paths share
+    # s8: the PRODUCTION PQ config — ADC selects each query's top-40
+    # candidates (codes only), then ONLY those join back to the raw
+    # vectors for exact cosine re-scoring and the final top-10,
+    # mirroring knn_pq_adc(rerank=40).
+    rr_parts = pq_parts + [
+        """radc AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+    FROM adc WHERE vec_id != query_id
+  ) WHERE rn <= 40
+)"""
+    ]
+    s8_sql = (
+        "WITH "
+        + ",\n".join(rr_parts)
+        + f"""
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM (
+    SELECT radc.query_id, radc.vec_id,
+           {cos('e.embedding', 'q.query_vec')} AS cosine
+    FROM radc
+    JOIN embeddings e ON e.vec_id = radc.vec_id
+    JOIN q ON q.query_id = radc.query_id
+  ) WHERE cosine IS NOT NULL
+) WHERE rank <= 10
+"""
+    )
+    # One tagged union mirroring q["s1_knn"]: all five kNN paths share
     # the (query_id, vec_id, score, rank) shape — score is cosine for
-    # brute/srp/ivf and approximate squared L2 for the PQ/ADC path.
+    # brute/srp/ivf/pq_rerank and approximate squared L2 for the
+    # ADC-pure PQ path.
     o["s1_knn"] = "\nUNION ALL\n".join(
         f"SELECT '{tagname}' AS variant, query_id, vec_id, "
         f"{score} AS score, rank FROM ({body}) {tagname}_v"
@@ -2059,6 +2528,7 @@ SELECT query_id, vec_id, adc_dist, rank FROM (
             ("srp16", s3_sql, "cosine"),
             ("ivf16", s6_sql, "cosine"),
             ("pq8x16", s7_sql, "adc_dist"),
+            ("pq_rerank", s8_sql, "cosine"),
         ]
     )
     return o
@@ -2114,16 +2584,21 @@ WITH norm AS (
     )
 
     o: dict[str, str] = {}
+    # d1 ⊕ d2 as one tagged union mirroring q["d1_exact_dedup"]:
+    # survivors + duplicate groups (fingerprint rides text, size rides n).
     o["d1_exact_dedup"] = f"""
-SELECT doc_id, text, lang, source, n_chars FROM (
+SELECT 'dedup' AS variant, doc_id, text,
+       lang || '|' || source AS info, CAST(n_chars AS BIGINT) AS n
+FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
   FROM documents
 ) WHERE rn = 1
-"""
-    o["d2_exact_duplicate_groups"] = f"""
-SELECT md5({norm}) AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-FROM documents
-GROUP BY 1 HAVING COUNT(*) > 1
+UNION ALL
+SELECT 'groups', keep_id, fingerprint, '', CAST(n_docs AS BIGINT) FROM (
+  SELECT md5({norm}) AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+  FROM documents
+  GROUP BY 1 HAVING COUNT(*) > 1
+)
 """
     # d4 rows carry the full signature string (the d3 stage) alongside
     # each band row, mirroring the Spark `carry` column.
@@ -2195,16 +2670,16 @@ SELECT id_a, id_b, jaccard FROM (
 )
 """
     )
-    o["d7_simhash_signatures"] = sim_cte + "SELECT doc_id, simhash FROM sim"
     # chunks=8 (library default): max_hamming=6 < 8 chunks keeps the
     # pigeonhole recall guarantee exact
     chunk_union = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash, {c} AS chunk_id, substr(simhash, {c * 8 + 1}, 8) AS chunk FROM sim"
         for c in range(8)
     )
-    # bucket-join form mirroring the Spark plan, incl. the default
-    # max_bucket_size=1024 (no-op at oracle scales)
-    o["d8_simhash_near_duplicates"] = (
+    # d7 ⊕ d8 as one tagged union mirroring q["d7_simhash"]: signature
+    # rows + the bucket-join pair form (incl. default max_bucket_size
+    # 1024, a no-op at oracle scales).
+    o["d7_simhash"] = (
         sim_cte
         + f""", ch AS (
 {chunk_union}
@@ -2219,7 +2694,11 @@ SELECT id_a, id_b, jaccard FROM (
   FROM fch a JOIN fch b USING (chunk_id, chunk)
   WHERE a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, hamming FROM (
+SELECT 'sig' AS variant, doc_id AS id_a, doc_id AS id_b,
+       simhash AS detail, CAST(-1 AS INTEGER) AS hamming
+FROM sim
+UNION ALL
+SELECT 'pairs', id_a, id_b, '', hamming FROM (
   SELECT id_a, id_b,
          CAST(list_sum(list_transform(generate_series(1, 64),
               i -> CASE WHEN substr(sa, i, 1) != substr(sb, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming

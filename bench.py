@@ -85,23 +85,35 @@ def main() -> None:
         except Exception as exc:  # warm-up must never fail the bench
             print(f"# warm-up {name} failed: {exc}", file=sys.stderr)
 
+    # Per-key MINIMUM of N timed runs (default 3, $SPARK_GRAFT_BENCH_REPS
+    # to override): the bench host is virtualized and its noise is
+    # MULTIPLICATIVE and large (the same tree has measured 26 -> 49 s
+    # across days; single samples occasionally eat a stop-the-world GC
+    # that bills a 0.6 s query 7 s).  The min is the steady-state number
+    # a long-lived cluster sees, and it makes round-over-round artifacts
+    # comparable without forensic noise analysis.  Samples interleave
+    # across keys (pass 1 of every key, then pass 2, ...) so a noisy
+    # minutes-long host episode inflates one SAMPLE per key, not every
+    # sample of whichever key it lands on.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     per_query: dict[str, float] = {}
-    for name in names:
-        # min-of-2 timed runs: a single sample occasionally eats a
-        # stop-the-world GC right after the warm-up pass (observed: a
-        # 0.6s query billed 7s once), which is JVM noise, not plan cost.
-        # The min is the steady-state number a long-lived cluster sees.
-        best = float("inf")
-        for _ in range(2):
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(reps):
+        for name in names:
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             # ONE action that materializes every output column exactly
             # once (count() alone lets Catalyst prune the projections; a
             # second collect() would re-execute the whole plan).
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
-        print(f"# {name}: {per_query[name]:.3f}s", file=sys.stderr)
+            samples[name].append(time.perf_counter() - t0)
+    for name in names:
+        per_query[name] = round(min(samples[name]), 3)
+        print(
+            f"# {name}: {per_query[name]:.3f}s  "
+            f"(samples: {', '.join(f'{s:.3f}' for s in samples[name])})",
+            file=sys.stderr,
+        )
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -112,6 +124,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "meta": {
+                    "reps": reps,
+                    "aggregation": "per_key_min",
+                    "loadavg": list(os.getloadavg()),
+                    "cpus": os.cpu_count(),
+                    "spread": round(
+                        sum(max(s) - min(s) for s in samples.values()), 3
+                    ),
+                },
             }
         )
     )

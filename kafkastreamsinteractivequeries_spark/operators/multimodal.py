@@ -192,22 +192,43 @@ def sample_video_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def _audio_derived(bytes_per_sample: int = 2) -> tuple[F.Column, F.Column]:
+    """(n_samples, pcm_duration_ms) off manifest columns — NULL for
+    non-audio rows (n_channels/sample_rate are NULL there, and the
+    arithmetic propagates it), so the same expressions serve both the
+    audio-only view and the full manifest."""
+    n_samples = F.floor(
+        F.col("body_bytes") / (F.lit(bytes_per_sample) * F.col("n_channels"))
+    ).cast("bigint")
+    pcm = F.floor(n_samples * 1000 / F.col("sample_rate")).cast("bigint")
+    return n_samples, pcm
+
+
 def audio_features(assets: DataFrame, bytes_per_sample: int = 2) -> DataFrame:
     """Audio stats from header + body length (JVM-side): sample count
     and implied duration, assuming ``bytes_per_sample`` PCM. A real
     decoder (soundfile) would replace the arithmetic, not the plan."""
     m = asset_manifest(assets).filter(F.col("media_type") == "audio")
-    n_samples = F.floor(
-        F.col("body_bytes") / (F.lit(bytes_per_sample) * F.col("n_channels"))
-    ).cast("bigint")
+    n_samples, pcm = _audio_derived(bytes_per_sample)
     return m.select(
         "asset_id",
         "sample_rate",
         "n_channels",
         "body_bytes",
         n_samples.alias("n_samples"),
-        F.floor(n_samples * 1000 / F.col("sample_rate")).cast("bigint").alias("pcm_duration_ms"),
+        pcm.alias("pcm_duration_ms"),
         "duration_ms",
+    )
+
+
+def asset_manifest_full(assets: DataFrame, bytes_per_sample: int = 2) -> DataFrame:
+    """The manifest carrying ``audio_features``' derived columns
+    (NULL for non-audio rows, like the manifest's own typed fields) —
+    still ONE map-only projection over the scan, no join: the audio
+    derivation is pure Column arithmetic on manifest columns."""
+    n_samples, pcm = _audio_derived(bytes_per_sample)
+    return asset_manifest(assets).select(
+        "*", n_samples.alias("n_samples"), pcm.alias("pcm_duration_ms")
     )
 
 

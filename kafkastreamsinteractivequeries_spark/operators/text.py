@@ -960,6 +960,23 @@ def bpe_train(
     scalar); the word table is re-segmented by a pure fold expression
     and localCheckpoint'ed so round N+1 never replays rounds 1..N.
     """
+    return [
+        (left, right)
+        for _step, left, right, _n in bpe_train_trajectory(docs, num_merges, text_col)
+    ]
+
+
+def bpe_train_trajectory(
+    docs: DataFrame,
+    num_merges: int = 50,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """``bpe_train``'s merge TRAJECTORY: [(step, left, right,
+    pair_count), ...] with 1-based steps — the training loop's full
+    decision record, suitable for oracle replay (each round's winning
+    pair and its corpus count are deterministic given the corpus:
+    max count, then lexicographically smallest ``left right`` string).
+    Same plan as ``bpe_train``; only the bookkeeping differs."""
     words = (
         spread(docs)
         .select(F.explode(tokens_col(F.col(text_col))).alias("w"))
@@ -975,8 +992,8 @@ def bpe_train(
         )
         .localCheckpoint(eager=False)
     )
-    merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, num_merges + 1):
         syms = F.col("syms")
         pairs = words.filter(F.size(syms) >= 2).select(
             F.explode(
@@ -999,11 +1016,11 @@ def bpe_train(
         if not top:
             break
         left, right = top[0]["pair"].split(" ", 1)
-        merges.append((left, right))
+        out.append((step, left, right, int(top[0]["n"])))
         words = words.select(
             _merge_pair_expr(F.col("syms"), left, right).alias("syms"), "cnt"
         ).localCheckpoint(eager=False)
-    return merges
+    return out
 
 
 def bpe_segment(

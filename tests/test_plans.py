@@ -161,7 +161,7 @@ def test_vocab_coverage_uses_take_ordered_not_full_sort(spark, sf_dir):
     # x11's global top-k must plan as TakeOrderedAndProject (per-partition
     # k-row heaps merged once) — a full Sort of the vocab table would
     # serialize millions of rows through one ordering at corpus scale.
-    plan = plan_of(spark, sf_dir, "x11_vocab_coverage")
+    plan = plan_of(spark, sf_dir, "x11_vocab_bpe")
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan  # map-side combine on the token agg
 

@@ -794,3 +794,112 @@ def test_sketch_sink_rejects_fresh_checkpoint_against_existing_store(spark, tmp_
     sink(ev, 2)
     after = sorted(map(tuple, sink.registers(spark).collect()))
     assert before == after
+
+
+def test_kafka_source_plan_or_documented_absence(spark, tmp_path):
+    # The Kafka connector path (T1) builds the real
+    # readStream.format("kafka") plan.  The container ships no
+    # spark-sql-kafka jars and has no network to vendor them, so in this
+    # environment the DataSource lookup itself must fail with Spark's
+    # canonical kafka-miss error (which names the deployment fix) —
+    # pinned here so the limitation is explicit and the error path is
+    # the documented one.  WITH the jars on the classpath the same call
+    # yields an unresolved streaming plan carrying the broker/topic
+    # options; that branch asserts the plan wiring instead, so this test
+    # is correct in both environments.
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        kafka_transaction_stream,
+    )
+
+    try:
+        df = kafka_transaction_stream(
+            spark, "broker-1:9092,broker-2:9092", topic="stock-transactions"
+        )
+    except AnalysisException as exc:
+        # jar-less container: Spark's dedicated kafka-miss error, which
+        # points at the structured-streaming-kafka deployment doc
+        assert "kafka" in str(exc).lower()
+        assert (
+            "FAILED_TO_LOAD_KAFKA_DATA_SOURCE" in str(exc)
+            or "Failed to find" in str(exc)
+        )
+        return
+    # connector present: the typed projection must be in place and the
+    # logical plan must carry the source options verbatim
+    assert df.isStreaming
+    assert set(df.columns) == {
+        "symbol", "buy", "amount", "number_shares", "event_time"
+    }
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "stock-transactions" in plan or "kafka" in plan.lower()
+
+
+def test_end_to_end_streaming_serving_rest_loop(spark, tmp_path, txn_dir):
+    # The reference's actual PRODUCT, composed: live ingest → standing
+    # aggregate → transactional serving snapshots → the REST surface
+    # (paged range query against the serving table while the stream
+    # runs) → checkpoint restart on new data → re-query sees the
+    # updated aggregate.  Every piece is tested individually elsewhere;
+    # this drives the full loop end-to-end.
+    from kafkastreamsinteractivequeries_spark.serving.rest import create_app
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        ManifestServingSink,
+        start_transactional_serving_pipeline,
+    )
+
+    serving, ckpt = str(tmp_path / "serving"), str(tmp_path / "ckpt")
+    sink = ManifestServingSink(serving)
+    q = start_transactional_serving_pipeline(
+        file_transaction_stream(spark, txn_dir), serving, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        # REST app over the live serving snapshot, stream still running
+        app = create_app(
+            InteractiveQueryService(sink.read(spark)), streaming_queries=[q]
+        )
+        app.config["TESTING"] = True
+        c = app.test_client()
+        status = c.get("/status/all").get_json()
+        assert status["count"] == 1 and status["queries"][0]["isActive"]
+        # paged range query mid-stream: 6 symbols, 2 keyset pages of 4
+        p1 = c.get("/streams-iq/range?limit=4").get_json()
+        assert p1["errorMessage"] is None and len(p1["result"]) == 4
+        assert p1["nextCursor"] is not None
+        p2 = c.get(f"/streams-iq/range?limit=4&after={p1['nextCursor']}").get_json()
+        assert p2["nextCursor"] is None and len(p2["result"]) == 2
+        symbols = [r["symbol"] for r in p1["result"] + p2["result"]]
+        assert symbols == sorted(symbols) and len(set(symbols)) == 6
+        base_cflt = next(r for r in p1["result"] if r["symbol"] == "CFLT")
+    finally:
+        q.stop()
+
+    # checkpoint restart with a new slice: only CFLT changes
+    extra = [("CFLT", True, 1000.0, 10, T0 + dt.timedelta(hours=2))]
+    spark.createDataFrame(extra, STOCK_TRANSACTION_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(txn_dir)
+    q2 = start_transactional_serving_pipeline(
+        file_transaction_stream(spark, txn_dir), serving, ckpt
+    )
+    try:
+        q2.processAllAvailable()
+        app2 = create_app(
+            InteractiveQueryService(sink.read(spark)), streaming_queries=[q2]
+        )
+        app2.config["TESTING"] = True
+        c2 = app2.test_client()
+        body = c2.get("/streams-iq/keyquery/CFLT").get_json()
+        assert body["errorMessage"] is None
+        row = body["result"][0]
+        # the restart resumed from the checkpoint: old state + new batch
+        assert row["buys"] == base_cflt["buys"] + 1000.0
+        assert row["number_shares"] == base_cflt["number_shares"] + 10
+        # untouched key unchanged across the restart
+        zelk = c2.get("/streams-iq/keyquery/ZELK").get_json()["result"][0]
+        assert zelk["number_shares"] == 15
+    finally:
+        q2.stop()
