@@ -546,13 +546,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # library default — 3 pinned here because the synthetic docs are
     # ~50 tokens over a ~40-word vocabulary, where trigram collisions
     # give a non-degenerate hit distribution for the oracle).
+    # Tagged union: the exact broadcast-gram pass ('exact') ⊕ the
+    # fixed-size Bloom-bitset variant ('bloom' — the 100 TB eval-side
+    # shape: no false negatives, sized false-positive rate; its md5-
+    # derived bit positions and bit_or word table are deterministic,
+    # so the oracle replays the filter build AND the probe).
     def _x13(s: SparkSession, d: str) -> DataFrame:
         docs = _docs(s, d)
-        return T.ngram_decontaminate(
-            docs.filter(F.col("doc_id") % 20 != 0),
-            docs.filter(F.col("doc_id") % 20 == 0),
-            n=3,
+        train = docs.filter(F.col("doc_id") % 20 != 0)
+        evald = docs.filter(F.col("doc_id") % 20 == 0)
+        exact = T.ngram_decontaminate(train, evald, n=3).select(
+            F.lit("exact").alias("variant"),
+            "doc_id",
+            "n_contaminated_ngrams",
+            "contaminated",
         )
+        words = T.bloom_filter_grams(evald, n=3, num_bits=1 << 20, num_hashes=4)
+        bloom = T.ngram_decontaminate_bloom(
+            train, words, n=3, num_bits=1 << 20, num_hashes=4
+        ).select(
+            F.lit("bloom").alias("variant"),
+            "doc_id",
+            "n_contaminated_ngrams",
+            "contaminated",
+        )
+        return exact.unionByName(bloom)
 
     q["x13_decontamination"] = _x13
 
@@ -666,11 +684,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p2_sequence_packing"] = lambda s, d: pack_sequences(_docs(s, d), seq_len=2048)
 
-    from kafkastreamsinteractivequeries_spark.operators.curation import stratified_sample
-
-    q["p3_stratified_sample"] = lambda s, d: stratified_sample(
-        _docs(s, d), "source", per_stratum=50
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        leakage_safe_split,
+        sample_mixture,
+        stratified_sample,
     )
+
+    # p3: the sampling/assignment suite in ONE tagged union —
+    # per-stratum quota sample ('stratified'), weighted mixture draw
+    # ('mixture': 50/30/20 over three sources, md5-deterministic), and
+    # the leakage-safe train/val/test split ('split': hash on the
+    # near-dup GROUP id so paraphrase clusters never straddle; its
+    # oracle reuses d10's recursive component CTE).
+    def _p3(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        doc_sent = [
+            F.lit(-1).cast("long").alias("group_id"),
+            F.lit(-1).cast("int").alias("bucket"),
+            F.lit("").alias("split"),
+        ]
+        strat = stratified_sample(docs, "source", per_stratum=50).select(
+            F.lit("stratified").alias("variant"),
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            *doc_sent,
+        )
+        mix = sample_mixture(
+            docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, total=40
+        ).select(
+            F.lit("mixture").alias("variant"),
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            *doc_sent,
+        )
+        spl = leakage_safe_split(docs).select(
+            F.lit("split").alias("variant"),
+            "doc_id",
+            F.lit("").alias("text"),
+            F.lit("").alias("lang"),
+            F.lit("").alias("source"),
+            F.lit(-1).cast("long").alias("n_chars"),
+            F.col("group_id").cast("long").alias("group_id"),
+            F.col("bucket").cast("int").alias("bucket"),
+            "split",
+        )
+        return strat.unionByName(mix).unionByName(spl)
+
+    q["p3_sampling_split"] = _p3
 
     # ---- similarity search (north-star; operators/similarity.py) ----
     from kafkastreamsinteractivequeries_spark.operators import similarity as S
@@ -760,7 +826,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("ivf16t").alias("index_kind"),
             F.col("list_id").cast("string").alias("code"),
         )
-        return srp.unionByName(ivf).unionByName(ivft)
+        # the fused serving-time encoder: SRP bits + IVF assignment in
+        # ONE map-only projection (quantizer embedded as literals) —
+        # must equal the join-based encoders bit-for-bit, now checked
+        # through the driver, not just pytest.
+        fused = S.encode_all(
+            emb, centroids=S.ivf_centroids(emb, n_lists=16), num_planes=16
+        ).select(
+            "vec_id",
+            F.lit("fused").alias("index_kind"),
+            F.concat_ws(":", "srp_code", F.col("list_id").cast("string")).alias(
+                "code"
+            ),
+        )
+        return srp.unionByName(ivf).unionByName(ivft).unionByName(fused)
 
     q["s2_index_assignments"] = _s2
     # num_planes pinned (32 planes -> 8-bit bands) rather than the
@@ -1424,17 +1503,51 @@ SELECT doc_id,
        CAST((cum - n) % 2048 AS BIGINT) AS offset_in_bin
 FROM c
 """
-    p3 = """
-SELECT doc_id, text, lang, source, n_chars FROM (
+    # p3 union: stratified ⊕ hardcoded mixture quotas (int(40·w/Σw):
+    # src0=20, src1=12, src2=8 — the Spark side computes them driver-
+    # side from the same formula) ⊕ the leakage-safe split, whose group
+    # ids come from d10's recursive component SQL and whose bucket is
+    # the first-6-hex-digits-of-md5 % 100 hash on the GROUP id.
+    d10_sql = _dedup_oracles()["d10_near_duplicate_groups"]
+    hex6g = (
+        "(CAST(list_sum(list_transform(generate_series(1, 6), i -> "
+        "(strpos('0123456789abcdef', substr(md5(CAST(group_id AS VARCHAR)), i, 1)) - 1)"
+        " * (16 ** (6 - i)))) AS BIGINT) % 100)"
+    )
+    p3 = f"""
+SELECT 'stratified' AS variant, doc_id, text, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(-1 AS BIGINT) AS group_id, CAST(-1 AS INTEGER) AS bucket,
+       '' AS split
+FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY source
       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 50
+UNION ALL
+SELECT 'mixture', doc_id, text, lang, source, CAST(n_chars AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS INTEGER), ''
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+) WHERE (source = 'src0' AND rn <= 20)
+   OR (source = 'src1' AND rn <= 12)
+   OR (source = 'src2' AND rn <= 8)
+UNION ALL
+SELECT 'split', doc_id, '', '', '', CAST(-1 AS BIGINT),
+       group_id, CAST({hex6g} AS INTEGER),
+       CASE WHEN {hex6g} < 90 THEN 'train'
+            WHEN {hex6g} < 95 THEN 'val' ELSE 'test' END
+FROM (
+  SELECT d0.doc_id, COALESCE(gg.group_id, d0.doc_id) AS group_id
+  FROM documents d0 LEFT JOIN ({d10_sql}) gg USING (doc_id)
+)
 """
     return {
         "p1_curation_pipeline": sql,
         "p2_sequence_packing": p2,
-        "p3_stratified_sample": p3,
+        "p3_sampling_split": p3,
     }
 
 
@@ -2154,13 +2267,28 @@ FROM red
         .replace("PHONE_PAT", pats["phone"])
         .replace("IP_PAT", pats["ipv4"])
     )
-    # x13 — decontamination: distinct trigram-md5 collisions of each
-    # train doc (doc_id % 20 != 0) against the eval slice (% 20 = 0),
-    # mirroring text.ngram_decontaminate(n=3) — same normalization,
-    # same md5-of-joined-window hashing as the d6 oracle.
+    # x13 — decontamination union: exact broadcast-gram collisions
+    # ('exact') ⊕ the Bloom-bitset replay ('bloom').  Bit positions:
+    # Spark computes conv(first-15-hex-of-md5, 16, 10) % 2^20 — the low
+    # 20 bits of a 15-hex-char window are exactly its LAST 5 hex chars,
+    # so the oracle converts just those 5 digits (exact in doubles:
+    # every product ≤ 15·16^4).  Words merge by bit_or; a gram is
+    # flagged only when ALL 4 probe bits are set — false positives and
+    # all.
+    hex5pos = (
+        "CAST(list_sum(list_transform(generate_series(1, 5), j -> "
+        "(strpos('0123456789abcdef', substr(substr(md5({g} || ':' || CAST(k.i AS VARCHAR)), 11, 5), j, 1)) - 1)"
+        " * (16 ** (5 - j)))) AS BIGINT)"
+    )
+    # Spark's shiftleft(1L, 63) silently wraps to long-min; DuckDB's <<
+    # raises on the overflow, so bit 63 is spelled out.
+    bit_of = (
+        "(CASE WHEN {p} % 64 = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT) "
+        "ELSE CAST(1 AS BIGINT) << CAST({p} % 64 AS INTEGER) END)"
+    )
     o["x13_decontamination"] = (
         t_cte
-        + """, g AS (
+        + f""", g AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= 3
               THEN list_distinct([md5(array_to_string(toks[i:i+2], ' '))
@@ -2169,16 +2297,41 @@ FROM red
   FROM t
 ), eg AS (
   SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0
-), tg AS (
+), tg AS MATERIALIZED (
   SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 != 0
 ), hits AS (
   SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n
   FROM tg JOIN eg USING (gram) GROUP BY doc_id
+), bw AS MATERIALIZED (
+  SELECT CAST(pos // 64 AS INTEGER) AS word_idx,
+         bit_or({bit_of.format(p='pos')}) AS word
+  FROM (
+    SELECT {hex5pos.format(g='eg.gram')} AS pos
+    FROM eg CROSS JOIN generate_series(0, 3) AS k(i)
+  ) GROUP BY 1
+), probes AS (
+  SELECT tg.doc_id, tg.gram, {hex5pos.format(g='tg.gram')} AS pos
+  FROM tg CROSS JOIN generate_series(0, 3) AS k(i)
+), ph AS (
+  SELECT doc_id, gram,
+         MIN(CASE WHEN (COALESCE(w.word, 0)
+                        & {bit_of.format(p='p.pos')}) != 0
+                  THEN 1 ELSE 0 END) AS all_set
+  FROM probes p
+  LEFT JOIN bw w ON w.word_idx = CAST(p.pos // 64 AS INTEGER)
+  GROUP BY doc_id, gram
+), bhits AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n
+  FROM ph WHERE all_set = 1 GROUP BY doc_id
 )
-SELECT t.doc_id,
+SELECT 'exact' AS variant, t.doc_id,
        COALESCE(h.n, 0) AS n_contaminated_ngrams,
        COALESCE(h.n, 0) > 0 AS contaminated
 FROM t LEFT JOIN hits h USING (doc_id)
+WHERE t.doc_id % 20 != 0
+UNION ALL
+SELECT 'bloom', t.doc_id, COALESCE(bh.n, 0), COALESCE(bh.n, 0) > 0
+FROM t LEFT JOIN bhits bh USING (doc_id)
 WHERE t.doc_id % 20 != 0
 """
     )
@@ -2328,7 +2481,11 @@ SELECT vec_id, 'srp16' AS index_kind, code FROM codes
 UNION ALL
 SELECT vec_id, 'ivf16' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM assign
 UNION ALL
-SELECT vec_id, 'ivf16t' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM tassign"""
+SELECT vec_id, 'ivf16t' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM tassign
+UNION ALL
+SELECT c.vec_id, 'fused' AS index_kind,
+       c.code || ':' || CAST(a.list_id AS VARCHAR) AS code
+FROM codes c JOIN assign a USING (vec_id)"""
     )
     s6_sql = (
         ivf_cte

@@ -60,7 +60,6 @@ HEADLINE = [
     # composed curation pipeline (quality → dedup → near-dup → budget)
     "p1_curation_pipeline",
     "p2_sequence_packing",
-    "p3_stratified_sample",
 ]
 
 
