@@ -167,9 +167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "number_shares",
         )
 
-    # One tagged union: the full windowed aggregate ('window_all') plus
-    # the reference's Q5 filtered-window-range over it
-    # ('filtered_range') — both verified under one 50-cap report slot.
+    # One tagged union: the full windowed aggregate ('window_all'), the
+    # reference's Q5 filtered-window-range over it ('filtered_range'),
+    # and the HOPPING variant ('hopping': 2-hour windows sliding 1 hour
+    # — every event lands in two epoch-aligned windows) — all verified
+    # under one 50-cap report slot.
     def _q5(s: SparkSession, d: str) -> DataFrame:
         from kafkastreamsinteractivequeries_spark.plans.queries import (
             FilteredWindowRangeQuery,
@@ -179,8 +181,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         query = FilteredWindowRangeQuery.with_bounds(
             "2024-01-02 00:00:00", "2024-01-05 00:00:00"
         ).predicate("@.buys > @.sells")
-        return w.select(F.lit("window_all").alias("variant"), "*").unionByName(
-            query.apply(w).select(F.lit("filtered_range").alias("variant"), "*")
+        txns = transactions_from_events(load_table(s, d, "events"))
+        hop = windowed_aggregate(txns, "2 hours", slide="1 hour").select(
+            "window_start",
+            "window_end",
+            "symbol",
+            F.round("buys", 2).alias("buys"),
+            F.round("sells", 2).alias("sells"),
+            "number_shares",
+        )
+        return (
+            w.select(F.lit("window_all").alias("variant"), "*")
+            .unionByName(
+                query.apply(w).select(F.lit("filtered_range").alias("variant"), "*")
+            )
+            .unionByName(hop.select(F.lit("hopping").alias("variant"), "*"))
         )
 
     q["q5_filtered_window_range"] = _q5
@@ -682,7 +697,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     from kafkastreamsinteractivequeries_spark.operators.curation import pack_sequences
 
-    q["p2_sequence_packing"] = lambda s, d: pack_sequences(_docs(s, d), seq_len=2048)
+    # p2: token-budget packing ('pack') ⊕ fixed-window chunking with
+    # overlap ('chunk': 64-token windows, stride 48 — the RAG/embedding
+    # prep step; chunk text rides the payload column so the slicing
+    # itself is hash-verified).
+    def _p2(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        pack = pack_sequences(docs, seq_len=2048).select(
+            F.lit("pack").alias("variant"),
+            "doc_id",
+            "n_tokens",
+            "start_token",
+            "bin_id",
+            "offset_in_bin",
+            F.lit("").alias("payload"),
+        )
+        chunks = T.chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+            F.lit("chunk").alias("variant"),
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("chunk_idx") * 48).cast("long").alias("start_token"),
+            F.col("chunk_idx").cast("long").alias("bin_id"),
+            F.lit(-1).cast("long").alias("offset_in_bin"),
+            F.col("chunk_text").alias("payload"),
+        )
+        return pack.unionByName(chunks)
+
+    q["p2_packing_chunking"] = _p2
 
     from kafkastreamsinteractivequeries_spark.operators.curation import (
         leakage_safe_split,
@@ -839,7 +880,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "code"
             ),
         )
-        return srp.unionByName(ivf).unionByName(ivft).unionByName(fused)
+        # chunk→doc pooling: mean-pool 4 "chunk" vectors per synthetic
+        # doc (vec_id % 500), rounded-6 before the float cast (the
+        # ivf_train/pq_train portability pattern) and printf'd at fixed
+        # precision so the vector CONTENT is hash-verified.
+        pooled = S.pool_embeddings(
+            emb.select((F.col("vec_id") % 500).alias("doc_id"), "embedding"),
+            portable_round=6,
+        ).select(
+            F.col("doc_id").alias("vec_id"),
+            F.lit("pooled").alias("index_kind"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "embedding",
+                    lambda x: F.format_string("%.6f", x.cast("double")),
+                ),
+            ).alias("code"),
+        )
+        return (
+            srp.unionByName(ivf)
+            .unionByName(ivft)
+            .unionByName(fused)
+            .unionByName(pooled)
+        )
 
     q["s2_index_assignments"] = _s2
     # num_planes pinned (32 planes -> 8-bit bands) rather than the
@@ -1066,14 +1130,32 @@ SELECT user_id,
        ROUND(SUM(value), 2) AS total_value
 FROM sess GROUP BY user_id, sid
 """
+    # hopping: 2-hour windows sliding 1 hour — every event lands in the
+    # two epoch-aligned windows starting at trunc_hour(t) and
+    # trunc_hour(t) - 1h (Spark's F.window(t, '2 hours', '1 hour')).
     o["q5_filtered_window_range"] = (
         _wagg_cte
-        + """SELECT 'window_all' AS variant, * FROM wagg
+        + """, hop AS (
+  SELECT date_trunc('hour', event_time) - o.off * INTERVAL 1 HOUR AS window_start,
+         date_trunc('hour', event_time) - o.off * INTERVAL 1 HOUR
+           + INTERVAL 2 HOUR AS window_end,
+         symbol, buy, amount, number_shares
+  FROM txns CROSS JOIN (VALUES (0), (1)) AS o(off)
+), hopagg AS (
+  SELECT window_start, window_end, symbol,
+         ROUND(SUM(CASE WHEN buy THEN amount ELSE 0.0 END), 2) AS buys,
+         ROUND(SUM(CASE WHEN NOT buy THEN amount ELSE 0.0 END), 2) AS sells,
+         CAST(SUM(number_shares) AS BIGINT) AS number_shares
+  FROM hop GROUP BY 1, 2, 3
+)
+SELECT 'window_all' AS variant, * FROM wagg
 UNION ALL
 SELECT 'filtered_range', * FROM wagg
 WHERE window_start >= TIMESTAMP '2024-01-02 00:00:00'
   AND window_end <= TIMESTAMP '2024-01-05 00:00:00'
-  AND buys > sells"""
+  AND buys > sells
+UNION ALL
+SELECT 'hopping', * FROM hopagg"""
     )
     o["a1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
@@ -1490,18 +1572,34 @@ WITH t AS (
 )
 SELECT * FROM cum WHERE cum_tokens <= 20000
 """
+    # p2 union: token-budget packing ('pack') ⊕ 64-token/stride-48
+    # chunking ('chunk'), the chunk text itself hash-verified.  DuckDB
+    # list slices are INCLUSIVE and end-clamped, mirroring Spark's
+    # F.slice(toks, start, length).
     p2 = f"""
 WITH t AS (
-  SELECT doc_id, len(string_split({norm}, ' ')) AS n FROM documents
+  SELECT doc_id, string_split({norm}, ' ') AS toks,
+         len(string_split({norm}, ' ')) AS n
+  FROM documents
 ), c AS (
   SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum FROM t
 )
-SELECT doc_id,
+SELECT 'pack' AS variant, doc_id,
        CAST(n AS INTEGER) AS n_tokens,
        CAST(cum - n AS BIGINT) AS start_token,
        CAST((cum - n) // 2048 AS BIGINT) AS bin_id,
-       CAST((cum - n) % 2048 AS BIGINT) AS offset_in_bin
+       CAST((cum - n) % 2048 AS BIGINT) AS offset_in_bin,
+       '' AS payload
 FROM c
+UNION ALL
+SELECT 'chunk', doc_id,
+       CAST(LEAST(n - g.c * 48, 64) AS INTEGER),
+       CAST(g.c * 48 AS BIGINT),
+       CAST(g.c AS BIGINT),
+       CAST(-1 AS BIGINT),
+       array_to_string(toks[g.c * 48 + 1 : g.c * 48 + 64], ' ')
+FROM t, unnest(generate_series(0,
+       GREATEST(1, CAST(CEIL((n - 16) / 48.0) AS BIGINT)) - 1)) AS g(c)
 """
     # p3 union: stratified ⊕ hardcoded mixture quotas (int(40·w/Σw):
     # src0=20, src1=12, src2=8 — the Spark side computes them driver-
@@ -1546,7 +1644,7 @@ FROM (
 """
     return {
         "p1_curation_pipeline": sql,
-        "p2_sequence_packing": p2,
+        "p2_packing_chunking": p2,
         "p3_sampling_split": p3,
     }
 
@@ -2485,7 +2583,17 @@ SELECT vec_id, 'ivf16t' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM tas
 UNION ALL
 SELECT c.vec_id, 'fused' AS index_kind,
        c.code || ':' || CAST(a.list_id AS VARCHAR) AS code
-FROM codes c JOIN assign a USING (vec_id)"""
+FROM codes c JOIN assign a USING (vec_id)
+UNION ALL
+SELECT did AS vec_id, 'pooled' AS index_kind,
+       string_agg(printf('%.6f', CAST(CAST(m AS FLOAT) AS DOUBLE)),
+                  ',' ORDER BY p) AS code
+FROM (
+  SELECT vec_id % 500 AS did, g.p AS p,
+         ROUND(AVG(embedding[g.p]::DOUBLE), 6) AS m
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(p)
+  GROUP BY 1, 2
+) pool GROUP BY did"""
     )
     s6_sql = (
         ivf_cte

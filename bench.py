@@ -59,7 +59,7 @@ HEADLINE = [
     "m8_wav_sample_stats",
     # composed curation pipeline (quality → dedup → near-dup → budget)
     "p1_curation_pipeline",
-    "p2_sequence_packing",
+    "p2_packing_chunking",
 ]
 
 

@@ -1193,6 +1193,7 @@ def pool_embeddings(
     vec_col: str = "embedding",
     method: str = "mean",
     normalize: bool = False,
+    portable_round: int | None = None,
 ) -> DataFrame:
     """Pool per-chunk vectors back to one vector per document —
     (id, embedding) — closing the chunk → embed → doc-vector loop that
@@ -1204,10 +1205,16 @@ def pool_embeddings(
     collect_list per id — the same shuffle profile as the k-means mean
     step (one row per (id, dim) crosses the network, never arrays).
     ``normalize=True`` L2-normalizes the pooled vector (cosine-ready).
+    ``portable_round`` rounds the per-dimension aggregate to N decimals
+    BEFORE the float cast — the engine-portability pattern of
+    ``ivf_train``/``pq_train``, for outputs that must hash-match a
+    replaying SQL oracle.
     """
     if method not in ("mean", "sum"):
         raise ValueError(f"unknown pooling method {method!r}")
     agg = F.avg("_v") if method == "mean" else F.sum("_v")
+    if portable_round is not None:
+        agg = F.round(agg, portable_round)
     pooled = (
         spread(chunk_vecs)
         .select(F.col(id_col), F.posexplode(vec_col).alias("_p", "_v"))
