@@ -283,3 +283,51 @@ def test_bipartite_decontamination_broadcasts_eval_sides(spark, sf_dir):
     ).executedPlan().toString()
     assert "SortMergeJoin" not in eplan
     assert "BroadcastHashJoin" in eplan
+
+
+def test_layout_keys_are_map_only(spark, sf_dir):
+    # e3: quantize + interleave + the 16 Hilbert levels are pure Column
+    # arithmetic over the part scan — chained projections Catalyst
+    # collapses into one codegen stage.  Any Exchange/join here would
+    # mean the layout KEY computation itself shuffles, which at write
+    # time would double the one layout shuffle the operator budgets.
+    plan = plan_of(spark, sf_dir, "e3_layout_keys")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_event_analytics_never_nested_loops(spark, sf_dir):
+    # e1: the funnel is a pivot aggregate (no k-way self-join chain) and
+    # the interval join is bucketized — a plain ts-range join would plan
+    # BroadcastNestedLoopJoin/CartesianProduct, O(|points|x|intervals|)
+    # at scale.
+    plan = plan_of(spark, sf_dir, "e1_event_analytics")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the funnel pivot compiles to one per-user aggregate (partial
+    # map-side), not a join chain
+    assert "partial_min" in plan or "partial_first" in plan
+
+
+def test_scd2_asof_joins_are_equi_partitioned(spark, sf_dir):
+    # e2: the merge is one co-partitioned full-outer join per batch and
+    # the as-of lookup an equi-join with the validity range as residual
+    # — never a nested loop over the dimension (the 2-row fact-ts
+    # broadcast crossJoin is the only nested-loop-shaped node and is
+    # bounded by construction).
+    plan = plan_of(spark, sf_dir, "e2_scd2_asof")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # the 2-row ts table only
+
+
+def test_chunking_branch_is_map_only(spark, sf_dir):
+    # p2's chunk branch: token split -> stride sequence -> slice/join ->
+    # one explode; the only exchanges in the union come from the pack
+    # branch's documented prefix-sum machinery.
+    from kafkastreamsinteractivequeries_spark.operators.text import chunk_documents
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan  # no aggregation — pure row map
