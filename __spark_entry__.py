@@ -561,11 +561,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # library default — 3 pinned here because the synthetic docs are
     # ~50 tokens over a ~40-word vocabulary, where trigram collisions
     # give a non-degenerate hit distribution for the oracle).
-    # Tagged union: the exact broadcast-gram pass ('exact') ⊕ the
-    # fixed-size Bloom-bitset variant ('bloom' — the 100 TB eval-side
-    # shape: no false negatives, sized false-positive rate; its md5-
-    # derived bit positions and bit_or word table are deterministic,
-    # so the oracle replays the filter build AND the probe).
+    # The decontamination TRIO under one tagged union, normalized to
+    # (variant, doc_id, partner, score, contaminated):
+    #   'exact' — broadcast-gram collisions (partner -1, score = count)
+    #   'bloom' — fixed-size Bloom bitset (the 100 TB eval-side shape:
+    #             no false negatives, sized FPR; the oracle replays the
+    #             md5 bit positions, the bit_or word build, and the
+    #             all-k-bits probe — false positives included)
+    #   'fuzzy' — bipartite MinHash near-dup vs the eval slice
+    #             (partner = eval_id, score = multiset jaccard;
+    #             catches reordered/lightly-edited benchmark text)
     def _x13(s: SparkSession, d: str) -> DataFrame:
         docs = _docs(s, d)
         train = docs.filter(F.col("doc_id") % 20 != 0)
@@ -573,7 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact = T.ngram_decontaminate(train, evald, n=3).select(
             F.lit("exact").alias("variant"),
             "doc_id",
-            "n_contaminated_ngrams",
+            F.lit(-1).cast("long").alias("partner"),
+            F.col("n_contaminated_ngrams").cast("double").alias("score"),
             "contaminated",
         )
         words = T.bloom_filter_grams(evald, n=3, num_bits=1 << 20, num_hashes=4)
@@ -582,10 +588,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(
             F.lit("bloom").alias("variant"),
             "doc_id",
-            "n_contaminated_ngrams",
+            F.lit(-1).cast("long").alias("partner"),
+            F.col("n_contaminated_ngrams").cast("double").alias("score"),
             "contaminated",
         )
-        return exact.unionByName(bloom)
+        fuzzy = D.cross_corpus_near_duplicates(
+            train,
+            evald.select(F.col("doc_id").alias("eval_id"), "text"),
+            threshold=0.5,
+        ).select(
+            F.lit("fuzzy").alias("variant"),
+            "doc_id",
+            F.col("eval_id").cast("long").alias("partner"),
+            F.col("mjaccard").alias("score"),
+            F.lit(True).alias("contaminated"),
+        )
+        return exact.unionByName(bloom).unionByName(fuzzy)
 
     q["x13_decontamination"] = _x13
 
@@ -727,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     from kafkastreamsinteractivequeries_spark.operators.curation import (
         leakage_safe_split,
+        resolve_duplicate_groups,
         sample_mixture,
         stratified_sample,
     )
@@ -775,7 +794,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("bucket").cast("int").alias("bucket"),
             "split",
         )
-        return strat.unionByName(mix).unionByName(spl)
+        # keep-best dedup resolution: the quality-argmax winner per
+        # near-dup group (highest quality_score, lowest id on ties),
+        # ungrouped docs untouched.
+        best = resolve_duplicate_groups(docs, near_dup_threshold=0.8).select(
+            F.lit("keepbest").alias("variant"),
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            *doc_sent,
+        )
+        return strat.unionByName(mix).unionByName(spl).unionByName(best)
 
     q["p3_sampling_split"] = _p3
 
@@ -908,10 +939,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s2_index_assignments"] = _s2
     # num_planes pinned (32 planes -> 8-bit bands) rather than the
     # library's corpus-size auto-default, so the static oracle SQL can
-    # embed the identical hyperplanes at any sf_dir.
-    q["s4_embedding_near_duplicates"] = lambda s, d: S.embedding_near_duplicates(
-        _emb(s, d), threshold=0.4, num_planes=32
-    )
+    # embed the identical hyperplanes at any sf_dir.  Tagged union:
+    # the self-join near-dup detector ('self') ⊕ the BIPARTITE semantic
+    # decontamination gate ('decon': eval slice = vec_id % 20 == 0
+    # broadcast against the training corpus — the corpus never
+    # shuffles; threshold 0.3 keeps the verified pair set non-trivial).
+    def _s4(s: SparkSession, d: str) -> DataFrame:
+        emb = _emb(s, d)
+        self_pairs = S.embedding_near_duplicates(
+            emb, threshold=0.4, num_planes=32
+        ).select(
+            F.lit("self").alias("variant"), "id_a", "id_b", "cosine"
+        )
+        train = emb.filter(F.col("vec_id") % 20 != 0)
+        evals = emb.filter(F.col("vec_id") % 20 == 0).select(
+            F.col("vec_id").alias("eval_id"), "embedding"
+        )
+        decon = S.embedding_decontaminate(
+            train, evals, threshold=0.3, num_planes=32
+        ).select(
+            F.lit("decon").alias("variant"),
+            F.col("vec_id").alias("id_a"),
+            F.col("eval_id").alias("id_b"),
+            "cosine",
+        )
+        return self_pairs.unionByName(decon)
+
+    q["s4_embedding_near_duplicates"] = _s4
 
     # ---- event analytics / dimensions / layout (previously pytest-only
     # families, folded into driver keys per the round-4 review) ----
@@ -1613,6 +1667,37 @@ FROM t, unnest(generate_series(0,
         " * (16 ** (6 - i)))) AS BIGINT) % 100)"
     )
     p3 = f"""
+WITH ndgroups AS MATERIALIZED (
+  SELECT * FROM ({d10_sql}) _g
+), qual AS MATERIALIZED (
+  SELECT doc_id,
+         COALESCE(ROUND(
+             0.4 * LEAST(n_tokens::DOUBLE / 100.0, 1.0)
+             + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+             + 0.2 * (1.0 - LEAST(digit_ratio * 5.0, 1.0))
+             + 0.2 * LEAST(stop_ratio * 3.0, 1.0), 6), 0.0) AS quality_score
+  FROM (
+    SELECT doc_id,
+           ROUND(punct::DOUBLE / NULLIF(n_chars_n, 0), 6) AS punct_ratio,
+           ROUND(digits::DOUBLE / NULLIF(n_chars_n, 0), 6) AS digit_ratio,
+           ROUND(stop_en::DOUBLE / NULLIF(n_tokens, 0), 6) AS stop_ratio,
+           n_tokens
+    FROM (
+      SELECT doc_id, len(toks) AS n_tokens, length(norm) AS n_chars_n,
+             length(norm) - length(regexp_replace(norm, '{PUNCT_CLASS}', '', 'g')) AS punct,
+             length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS digits,
+             len(list_filter(toks, t -> list_contains([{stop_words}], t))) AS stop_en
+      FROM (SELECT doc_id, {norm} AS norm, string_split({norm}, ' ') AS toks
+            FROM documents)
+    )
+  )
+), winners AS (
+  SELECT doc_id FROM (
+    SELECT g.doc_id, ROW_NUMBER() OVER (
+        PARTITION BY g.group_id ORDER BY q.quality_score DESC, g.doc_id) AS rn
+    FROM ndgroups g JOIN qual q USING (doc_id)
+  ) WHERE rn = 1
+)
 SELECT 'stratified' AS variant, doc_id, text, lang, source,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(-1 AS BIGINT) AS group_id, CAST(-1 AS INTEGER) AS bucket,
@@ -1639,8 +1724,14 @@ SELECT 'split', doc_id, '', '', '', CAST(-1 AS BIGINT),
             WHEN {hex6g} < 95 THEN 'val' ELSE 'test' END
 FROM (
   SELECT d0.doc_id, COALESCE(gg.group_id, d0.doc_id) AS group_id
-  FROM documents d0 LEFT JOIN ({d10_sql}) gg USING (doc_id)
+  FROM documents d0 LEFT JOIN ndgroups gg USING (doc_id)
 )
+UNION ALL
+SELECT 'keepbest', d.doc_id, d.text, d.lang, d.source,
+       CAST(d.n_chars AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS INTEGER), ''
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM ndgroups)
+   OR d.doc_id IN (SELECT doc_id FROM winners)
 """
     return {
         "p1_curation_pipeline": sql,
@@ -2384,6 +2475,17 @@ FROM red
         "(CASE WHEN {p} % 64 = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT) "
         "ELSE CAST(1 AS BIGINT) << CAST({p} % 64 AS INTEGER) END)"
     )
+    fz_minhash = ",\n         ".join(
+        f"list_aggregate(list_transform(utoks, t -> md5('{i}:' || t)), 'min')"
+        for i in range(16)
+    )
+    fz_bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_hash FROM fsig".format(
+            b=b,
+            expr=" || '|' || ".join(f"minhash[{b * 8 + r + 1}]" for r in range(8)),
+        )
+        for b in range(2)
+    )
     o["x13_decontamination"] = (
         t_cte
         + f""", g AS (
@@ -2400,6 +2502,34 @@ FROM red
 ), hits AS (
   SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n
   FROM tg JOIN eg USING (gram) GROUP BY doc_id
+), fsig AS MATERIALIZED (
+  SELECT doc_id, [{fz_minhash}] AS minhash
+  FROM (SELECT doc_id, list_distinct(toks) AS utoks FROM t)
+), fb AS MATERIALIZED (
+{fz_bands}
+), fcand AS (
+  SELECT DISTINCT a.doc_id AS did, b.doc_id AS eid
+  FROM fb a JOIN fb b USING (band_id, band_hash)
+  WHERE a.doc_id % 20 != 0 AND b.doc_id % 20 = 0
+), ftc AS MATERIALIZED (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+), ftot AS (
+  SELECT doc_id, SUM(cnt) AS total FROM ftc GROUP BY 1
+), fpairs AS (
+  SELECT did, eid, mj FROM (
+    SELECT i.did, i.eid,
+           ROUND(i.inter::DOUBLE / (ta.total + tb.total - i.inter), 6) AS mj
+    FROM (
+      SELECT c.did, c.eid, SUM(LEAST(x.cnt, y.cnt)) AS inter
+      FROM fcand c
+      JOIN ftc x ON x.doc_id = c.did
+      JOIN ftc y ON y.doc_id = c.eid AND y.tok = x.tok
+      GROUP BY 1, 2
+    ) i
+    JOIN ftot ta ON ta.doc_id = i.did
+    JOIN ftot tb ON tb.doc_id = i.eid
+  ) WHERE mj >= 0.5
 ), bw AS MATERIALIZED (
   SELECT CAST(pos // 64 AS INTEGER) AS word_idx,
          bit_or({bit_of.format(p='pos')}) AS word
@@ -2423,14 +2553,18 @@ FROM red
   FROM ph WHERE all_set = 1 GROUP BY doc_id
 )
 SELECT 'exact' AS variant, t.doc_id,
-       COALESCE(h.n, 0) AS n_contaminated_ngrams,
+       CAST(-1 AS BIGINT) AS partner,
+       CAST(COALESCE(h.n, 0) AS DOUBLE) AS score,
        COALESCE(h.n, 0) > 0 AS contaminated
 FROM t LEFT JOIN hits h USING (doc_id)
 WHERE t.doc_id % 20 != 0
 UNION ALL
-SELECT 'bloom', t.doc_id, COALESCE(bh.n, 0), COALESCE(bh.n, 0) > 0
+SELECT 'bloom', t.doc_id, CAST(-1 AS BIGINT),
+       CAST(COALESCE(bh.n, 0) AS DOUBLE), COALESCE(bh.n, 0) > 0
 FROM t LEFT JOIN bhits bh USING (doc_id)
 WHERE t.doc_id % 20 != 0
+UNION ALL
+SELECT 'fuzzy', did, CAST(eid AS BIGINT), mj, TRUE FROM fpairs
 """
     )
     return o
@@ -2649,6 +2783,10 @@ SELECT query_id, vec_id, cosine, rank FROM (
 ) WHERE rank <= 10
 """
     )
+    # Tagged union mirroring q["s4_embedding_near_duplicates"]: the
+    # capped self-join detector ('self') ⊕ the BIPARTITE semantic
+    # decontamination gate ('decon': train = vec_id % 20 != 0 vs eval
+    # slice; no bucket cap — the eval side broadcasts in the engine).
     o["s4_embedding_near_duplicates"] = (
         s4_buckets_cte
         + f""", fb AS MATERIALIZED (
@@ -2660,13 +2798,25 @@ SELECT query_id, vec_id, cosine, rank FROM (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM fb a JOIN fb b ON a.band_id = b.band_id AND a.band_bits = b.band_bits
   WHERE a.vec_id < b.vec_id
+), dcand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+  WHERE a.vec_id % 20 != 0 AND b.vec_id % 20 = 0
 )
-SELECT id_a, id_b, cosine FROM (
+SELECT 'self' AS variant, id_a, id_b, cosine FROM (
   SELECT cand.id_a, cand.id_b, {cos('ea.embedding', 'eb.embedding')} AS cosine
   FROM cand
   JOIN embeddings ea ON ea.vec_id = cand.id_a
   JOIN embeddings eb ON eb.vec_id = cand.id_b
 ) WHERE cosine >= 0.4
+UNION ALL
+SELECT 'decon', id_a, id_b, cosine FROM (
+  SELECT dcand.id_a, dcand.id_b, {cos('ea.embedding', 'eb.embedding')} AS cosine
+  FROM dcand
+  JOIN embeddings ea ON ea.vec_id = dcand.id_a
+  JOIN embeddings eb ON eb.vec_id = dcand.id_b
+) WHERE cosine >= 0.3
 """
     )
 
