@@ -1032,9 +1032,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # %5 keys still on their day-1 version, is dropped as stale for %15
     # keys already on day 10 — driver-verifying the late-batch guard),
     # then as-of lookups at two fact timestamps straddling the changes.
-    # 'dim' rows carry the full versioned table (valid_to sentinel
-    # 9999-01-01 for open versions); 'asof' rows carry the resolved
-    # attribute with the fact ts riding vfrom.
+    # 'dim' rows carry the full versioned table; 'asof' rows carry the
+    # resolved attribute with the fact ts riding vfrom.  vfrom/vto are
+    # projected as EPOCH-SECOND LONGS (like e1's ep()): the driver
+    # materializes results through pandas, whose datetime64[ns] range
+    # caps at 2262-04-11, so a far-future open-version timestamp
+    # sentinel (9999-01-01, round-5 regression) throws
+    # OutOfBoundsDatetime in the driver harness.  Longs are immune;
+    # the open-version sentinel is epoch(9999-01-01) = 253370764800.
     def _e2(s: SparkSession, d: str) -> DataFrame:
         from kafkastreamsinteractivequeries_spark.operators.dimensions import (
             asof_lookup,
@@ -1059,13 +1064,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("2024-01-05 00:00:00").cast("timestamp").alias("effective_ts"),
         )
         merged2 = scd2_merge(merged1, b2, "cust", ["segment"])
-        sentinel = F.lit("9999-01-01 00:00:00").cast("timestamp")
+
+        def ep(c: F.Column) -> F.Column:
+            return F.unix_timestamp(c).cast("long")
+
+        sentinel = F.lit(253370764800).cast("long")  # 9999-01-01 UTC
         dim_rows = merged2.select(
             F.lit("dim").alias("variant"),
             "cust",
             "segment",
-            F.col("valid_from").alias("vfrom"),
-            F.coalesce(F.col("valid_to"), sentinel).alias("vto"),
+            ep(F.col("valid_from")).alias("vfrom"),
+            F.coalesce(ep(F.col("valid_to")), sentinel).alias("vto"),
             F.col("is_current").cast("int").alias("cur"),
         )
         facts = cust.select("cust").crossJoin(
@@ -1077,7 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("asof").alias("variant"),
             "cust",
             "segment",
-            F.col("fact_ts").alias("vfrom"),
+            ep(F.col("fact_ts")).alias("vfrom"),
             sentinel.alias("vto"),
             F.lit(-1).alias("cur"),
         )
@@ -1443,41 +1452,49 @@ FROM events e JOIN iv i ON e.ts >= i.start_ts AND e.ts < i.end_ts
 WHERE e.event_type = 'purchase'
 """
 
-    o["e2_scd2_asof"] = """
+    # e2 emits vfrom/vto as epoch-second BIGINTs (pandas datetime64[ns]
+    # cannot represent the 9999-01-01 open-version sentinel — round-5
+    # driver regression).  Literal epochs, TZ=UTC:
+    #   2024-01-01 = 1704067200   2024-01-03 = 1704240000
+    #   2024-01-05 = 1704412800   2024-01-10 = 1704844800
+    #   2024-01-12 = 1705017600   9999-01-01 = 253370764800
+    o["e2_scd2_asof"] = f"""
 WITH c AS (
   SELECT CAST(c_custkey AS BIGINT) AS cust, c_mktsegment AS seg,
          c_custkey % 3 = 0 AS m3, c_custkey % 5 = 0 AS m5
   FROM customer
 )
 SELECT 'dim' AS variant, cust, seg AS segment,
-       TIMESTAMP '2024-01-01 00:00:00' AS vfrom,
-       TIMESTAMP '2024-01-10 00:00:00' AS vto, CAST(0 AS INTEGER) AS cur
+       {ep("TIMESTAMP '2024-01-01 00:00:00'")} AS vfrom,
+       {ep("TIMESTAMP '2024-01-10 00:00:00'")} AS vto,
+       CAST(0 AS INTEGER) AS cur
 FROM c WHERE m3
 UNION ALL
-SELECT 'dim', cust, seg || '+A', TIMESTAMP '2024-01-10 00:00:00',
-       TIMESTAMP '9999-01-01 00:00:00', 1
+SELECT 'dim', cust, seg || '+A', {ep("TIMESTAMP '2024-01-10 00:00:00'")},
+       253370764800, 1
 FROM c WHERE m3
 UNION ALL
-SELECT 'dim', cust, seg, TIMESTAMP '2024-01-01 00:00:00',
-       TIMESTAMP '2024-01-05 00:00:00', 0
+SELECT 'dim', cust, seg, {ep("TIMESTAMP '2024-01-01 00:00:00'")},
+       {ep("TIMESTAMP '2024-01-05 00:00:00'")}, 0
 FROM c WHERE m5 AND NOT m3
 UNION ALL
-SELECT 'dim', cust, 'B', TIMESTAMP '2024-01-05 00:00:00',
-       TIMESTAMP '9999-01-01 00:00:00', 1
+SELECT 'dim', cust, 'B', {ep("TIMESTAMP '2024-01-05 00:00:00'")},
+       253370764800, 1
 FROM c WHERE m5 AND NOT m3
 UNION ALL
-SELECT 'dim', cust, seg, TIMESTAMP '2024-01-01 00:00:00',
-       TIMESTAMP '9999-01-01 00:00:00', 1
+SELECT 'dim', cust, seg, {ep("TIMESTAMP '2024-01-01 00:00:00'")},
+       253370764800, 1
 FROM c WHERE NOT m3 AND NOT m5
 UNION ALL
 SELECT 'asof', cust,
-       CASE WHEN fts = TIMESTAMP '2024-01-03 00:00:00' THEN seg
+       CASE WHEN fts = {ep("TIMESTAMP '2024-01-03 00:00:00'")} THEN seg
             WHEN m3 THEN seg || '+A'
             WHEN m5 THEN 'B'
             ELSE seg END,
-       fts, TIMESTAMP '9999-01-01 00:00:00', -1
+       fts, 253370764800, -1
 FROM c CROSS JOIN (
-  VALUES (TIMESTAMP '2024-01-03 00:00:00'), (TIMESTAMP '2024-01-12 00:00:00')
+  VALUES ({ep("TIMESTAMP '2024-01-03 00:00:00'")}),
+         ({ep("TIMESTAMP '2024-01-12 00:00:00'")})
 ) AS t(fts)
 """
 

@@ -32,3 +32,23 @@ def test_oracle_parity(spark, sf_dir, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_harness_rejects_out_of_range_timestamps(spark, sf_dir):
+    """The driver materializes results through pandas, whose
+    datetime64[ns] caps at 2262-04-11 — a far-future sentinel timestamp
+    passes ``collect()`` locally but errors at the driver
+    (OutOfBoundsDatetime, round-5 ``e2_scd2_asof`` regression).  The
+    harness must reject such outputs *locally* so the gap can't recur.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        "id", F.lit("9999-01-01 00:00:00").cast("timestamp").alias("vto")
+    )
+    sql = (
+        "SELECT CAST(range AS BIGINT) AS id, "
+        "TIMESTAMP '9999-01-01 00:00:00' AS vto FROM range(3)"
+    )
+    with pytest.raises(AssertionError, match="datetime64"):
+        compare(df, sql, sf_dir)
