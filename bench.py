@@ -63,9 +63,64 @@ HEADLINE = [
 ]
 
 
+# Tagged-union keys whose branches get individual sub-timings in
+# meta.branches: one extra filtered pass per branch AFTER the timed
+# union passes.  `variant = '<tag>'` is a literal-vs-literal predicate
+# in every other union child, so Catalyst folds it to false and
+# PropagateEmptyRelation prunes those children — the filtered run
+# executes only the branch under test.  Branch timings are diagnostic:
+# their SUM exceeds the union's time where branches share a subplan
+# (e.g. s1's pinned corpus scan is paid once by the union but once per
+# branch here).
+BRANCHES: dict[str, list[str]] = {
+    "q5_filtered_window_range": ["filtered_range", "window_all", "hopping"],
+    "d1_exact_dedup": ["dedup", "groups"],
+    "s1_knn": ["brute", "srp16", "ivf16", "pq8x16", "pq_rerank"],
+    "s4_embedding_near_duplicates": ["self", "decon"],
+    "x13_decontamination": ["exact", "bloom", "fuzzy"],
+    "p2_packing_chunking": ["pack", "chunk"],
+}
+
+
+def wait_for_quiet_host(max_wait_sec: float) -> dict:
+    """Refuse to measure on a loaded host: a start loadavg above
+    cores/2 inflated BENCH_r05 (x13 committed 6.2 s vs 2.47 s quiet-host
+    min).  Poll until the 1-min loadavg drops below cores/2 or the wait
+    budget runs out; either way record what happened in the artifact so
+    round-over-round deltas are attributable without BENCH_NOTES
+    forensics.
+    """
+    cpus = os.cpu_count() or 1
+    threshold = cpus / 2
+    initial = os.getloadavg()[0]
+    waited = 0.0
+    load = initial
+    while load > threshold and waited < max_wait_sec:
+        step = min(15.0, max_wait_sec - waited)
+        time.sleep(step)
+        waited += step
+        load = os.getloadavg()[0]
+    if load > threshold:
+        print(
+            f"# WARNING: proceeding on loaded host (loadavg {load:.2f} > "
+            f"{threshold:.1f} after {waited:.0f}s wait) — timings inflated",
+            file=sys.stderr,
+        )
+    return {
+        "initial_loadavg_1m": round(initial, 2),
+        "start_loadavg_1m": round(load, 2),
+        "threshold": round(threshold, 1),
+        "waited_sec": round(waited, 1),
+        "proceeded_loaded": load > threshold,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_guard = wait_for_quiet_host(
+        float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+    )
     spark = get_spark("ksiq-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -114,6 +169,27 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Per-branch sub-timings for the tagged-union keys (one filtered
+    # pass each; see BRANCHES docstring for semantics).
+    from pyspark.sql import functions as F
+
+    branches: dict[str, dict[str, float]] = {}
+    for name, tags in BRANCHES.items():
+        if name not in names:
+            continue
+        branches[name] = {}
+        for tag in tags:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).filter(F.col("variant") == tag).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            branches[name][tag] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# {name} branches: "
+            + ", ".join(f"{t}={v:.3f}s" for t, v in branches[name].items()),
+            file=sys.stderr,
+        )
+
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -131,6 +207,8 @@ def main() -> None:
                     "spread": round(
                         sum(max(s) - min(s) for s in samples.values()), 3
                     ),
+                    "load_guard": load_guard,
+                    "branches": branches,
                 },
             }
         )
