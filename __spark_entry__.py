@@ -307,7 +307,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("").alias("info"),
             F.col("n_docs").cast("long").alias("n"),
         )
-        return kept.unionByName(groups)
+        # 'incremental' (previously pytest-only): the daily-increment
+        # pattern — even doc_ids play the landed corpus (its fingerprint
+        # side table is all history ever re-reads), odd doc_ids the new
+        # batch; survivors dedup within the batch AND anti-join the
+        # landed fingerprints.
+        landed_fp = D.fingerprint_documents(
+            docs.filter(F.col("doc_id") % 2 == 0)
+        ).select("fingerprint")
+        inc = D.exact_dedup_incremental(
+            docs.filter(F.col("doc_id") % 2 == 1), landed_fp
+        ).select(
+            F.lit("incremental").alias("variant"),
+            "doc_id",
+            "text",
+            F.concat_ws("|", "lang", "source").alias("info"),
+            F.col("n_chars").cast("long").alias("n"),
+        )
+        return kept.unionByName(groups).unionByName(inc)
 
     q["d1_exact_dedup"] = _d1
     # d4 carries the full signature string alongside each band row
@@ -387,14 +404,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docmin.unionByName(full)
 
     q["x4_winnowing_fingerprint"] = _x4
-    # x6 — exact corpus length percentiles PLUS the mergeable
-    # fixed-bin histogram estimates (hp25..hp95) in the same single
-    # row: the exact path needs the full multiset, the histogram path
-    # is the one-map-pass 100 TB variant; shipping both under one key
-    # keeps the estimator honest against the exact answer.
-    q["x6_length_percentiles"] = lambda s, d: T.length_percentiles(
-        _docs(s, d)
-    ).crossJoin(T.length_histogram_quantiles(_docs(s, d)))
+    # x6 — the batch QUALITY-GATE union (key renamed from
+    # x6_length_percentiles when it widened; renames under the 50-cap
+    # are established practice):
+    #   'length'     — exact corpus length percentiles ⊕ the mergeable
+    #                  fixed-bin histogram estimates (hp25..hp95),
+    #                  unpivoted to (name, value) rows; shipping both
+    #                  keeps the 100 TB estimator honest vs the exact
+    #                  answer.
+    #   'constraint' — quality.check_constraints: the whole Deequ-shaped
+    #                  rule suite evaluated in ONE aggregate pass over
+    #                  orders (previously pytest-only).
+    #   'skew'       — analytics.skew_report: top-20 heaviest l_suppkey
+    #                  values with row counts and share — the pre-flight
+    #                  shuffle-skew diagnostic (previously pytest-only).
+    # Shared shape: (variant, name, value double, n long, total long).
+    def _x6(s: SparkSession, d: str) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.quality import (
+            check_constraints,
+        )
+
+        docs = _docs(s, d)
+        wide = T.length_percentiles(docs).crossJoin(
+            T.length_histogram_quantiles(docs)
+        )
+        metrics = [
+            "n_docs", "min_tokens", "p25", "p50", "p75", "p95",
+            "max_tokens", "mean_tokens", "hp25", "hp50", "hp75", "hp95",
+        ]
+        sent = F.lit(-1).cast("long")
+        length_rows = wide.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(m).alias("name"),
+                        F.round(F.col(m).cast("double"), 6).alias("value"),
+                    )
+                    for m in metrics
+                ])
+            ).alias("m")
+        ).select(
+            F.lit("length").alias("variant"),
+            F.col("m.name").alias("name"),
+            F.col("m.value").alias("value"),
+            sent.alias("n"),
+            sent.alias("total"),
+        )
+        orders = load_table(s, d, "orders")
+        rules = [
+            ("not_null", "o_orderkey"),
+            ("range", "o_totalprice", 0.0, 300000.0),
+            ("in_set", "o_orderstatus", ["O", "F"]),
+            ("matches", "o_orderpriority", "[1-5]-[A-Z]+"),
+            ("expr", "key_not_7mult", "o_orderkey % 7 != 0"),
+            ("unique", ["o_orderkey"]),
+            ("unique", ["o_custkey"]),
+        ]
+        cons = check_constraints(orders, rules).select(
+            F.lit("constraint").alias("variant"),
+            F.concat_ws(":", "rule", "column").alias("name"),
+            F.col("passed").cast("double").alias("value"),
+            F.col("violations").cast("long").alias("n"),
+            F.col("total_rows").cast("long").alias("total"),
+        )
+        li = load_table(s, d, "lineitem")
+        skew = A.skew_report(li, ["l_suppkey"], top_k=20).select(
+            F.lit("skew").alias("variant"),
+            F.col("l_suppkey").cast("string").alias("name"),
+            F.col("share").alias("value"),
+            F.col("n_rows").cast("long").alias("n"),
+            F.col("total_rows").cast("long").alias("total"),
+        )
+        return length_rows.unionByName(cons).unionByName(skew)
+
+    q["x6_quality_gates"] = _x6
     q["x7_bigram_logprob"] = lambda s, d: T.bigram_logprob_scores(_docs(s, d))
     q["x8_repetition_stats"] = lambda s, d: T.repetition_stats(_docs(s, d))
     # x9 — term-relevance union: per-doc TF-IDF keyword extraction
@@ -447,7 +530,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("step").alias("rank"),
             F.lit(-1.0).alias("share"),
         )
-        return vocab.unionByName(bpe)
+        # 'segment' (previously pytest-only): greedy BPE ENCODE with the
+        # merge table just learned — per-doc segmented token stream
+        # riding term, token count riding n, doc_id riding rank.  Docs
+        # whose normalized text is empty are excluded on both sides
+        # (they have no words; training never saw them).
+        merges = [(left, right) for _step, left, right, _n in traj]
+        from kafkastreamsinteractivequeries_spark.operators.dedup import (
+            normalized_text,
+        )
+
+        seg = T.bpe_segment(
+            docs.filter(normalized_text(F.col("text")) != ""), merges
+        ).select(
+            F.lit("segment").alias("variant"),
+            F.concat_ws(" ", "bpe_tokens_learned").alias("term"),
+            F.col("n_bpe_tokens").cast("long").alias("n"),
+            F.col("doc_id").cast("long").alias("rank"),
+            F.lit(-1.0).alias("share"),
+        )
+        return vocab.unionByName(bpe).unionByName(seg)
 
     q["x11_vocab_bpe"] = _x11
 
@@ -2085,7 +2187,58 @@ FROM h
             * (({_qd} * total) - (cum - cnt)) / cnt, 4)))
        FROM hcum WHERE cum >= {_qd} * total)).e AS hp{_q}"""
         )
-    o["x6_length_percentiles"] = (
+    # x6 union: 'length' metric rows (the old single wide row unpivoted)
+    # ⊕ 'constraint' (quality.check_constraints rule suite over orders,
+    # one row per rule) ⊕ 'skew' (top-20 l_suppkey skew report).
+    _x6_metrics = [
+        "n_docs", "min_tokens", "p25", "p50", "p75", "p95",
+        "max_tokens", "mean_tokens", "hp25", "hp50", "hp75", "hp95",
+    ]
+    _x6_length_rows = "\nUNION ALL\n".join(
+        f"SELECT 'length' AS variant, '{m}' AS name, "
+        f"ROUND(CAST({m} AS DOUBLE), 6) AS value, "
+        f"CAST(-1 AS BIGINT) AS n, CAST(-1 AS BIGINT) AS total FROM wide"
+        for m in _x6_metrics
+    )
+    _x6_scalar_rules = [
+        ("not_null:o_orderkey", "o_orderkey IS NULL"),
+        (
+            "range:o_totalprice",
+            "o_totalprice IS NULL OR NOT (o_totalprice BETWEEN 0.0 AND 300000.0)",
+        ),
+        (
+            "in_set:o_orderstatus",
+            "o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')",
+        ),
+        (
+            "matches:o_orderpriority",
+            "o_orderpriority IS NULL OR NOT regexp_matches("
+            "o_orderpriority, '^(?:[1-5]-[A-Z]+)$')",
+        ),
+        ("expr:key_not_7mult", "NOT COALESCE(o_orderkey % 7 != 0, FALSE)"),
+    ]
+    _x6_rule_aggs = ",\n         ".join(
+        f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS v{i}"
+        for i, (_, cond) in enumerate(_x6_scalar_rules)
+    )
+    _x6_rule_rows = "\nUNION ALL\n".join(
+        f"SELECT 'constraint', '{label}', "
+        f"CASE WHEN v{i} = 0 THEN 1.0 ELSE 0.0 END, "
+        f"CAST(v{i} AS BIGINT), CAST(ototal AS BIGINT) FROM ocnt"
+        for i, (label, _) in enumerate(_x6_scalar_rules)
+    )
+    _x6_uniq_rows = "\nUNION ALL\n".join(
+        f"""SELECT 'constraint', 'unique:{c}',
+       CASE WHEN v = 0 THEN 1.0 ELSE 0.0 END, CAST(v AS BIGINT),
+       CAST(tot AS BIGINT)
+FROM (
+  SELECT COALESCE(SUM(CASE WHEN cn > 1 THEN cn END), 0) AS v,
+         COALESCE(SUM(cn), 0) AS tot
+  FROM (SELECT COUNT(*) AS cn FROM orders GROUP BY {c})
+)"""
+        for c in ("o_orderkey", "o_custkey")
+    )
+    o["x6_quality_gates"] = (
         t_cte
         + f""", hbins AS (
   SELECT CAST(LEAST(GREATEST(FLOOR(CAST(len(toks) AS DOUBLE) / 8.0), 0), 63)
@@ -2097,17 +2250,39 @@ FROM h
          SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
          SUM(cnt) OVER () AS total
   FROM hbins
+), wide AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(MIN(len(toks)) AS INTEGER) AS min_tokens,
+         quantile_cont(len(toks), 0.25) AS p25,
+         quantile_cont(len(toks), 0.5) AS p50,
+         quantile_cont(len(toks), 0.75) AS p75,
+         quantile_cont(len(toks), 0.95) AS p95,
+         CAST(MAX(len(toks)) AS INTEGER) AS max_tokens,
+         ROUND(AVG(len(toks)), 4) AS mean_tokens,
+         {", ".join(_hq)}
+  FROM t
+), ocnt AS (
+  SELECT COUNT(*) AS ototal,
+         {_x6_rule_aggs}
+  FROM orders
+), sk AS (
+  SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+), sktot AS (SELECT COUNT(*) AS total FROM lineitem),
+sktop AS (
+  SELECT l_suppkey, n_rows,
+         ROW_NUMBER() OVER (ORDER BY n_rows DESC, l_suppkey) AS rn
+  FROM sk
 )
-SELECT COUNT(*) AS n_docs,
-       CAST(MIN(len(toks)) AS INTEGER) AS min_tokens,
-       quantile_cont(len(toks), 0.25) AS p25,
-       quantile_cont(len(toks), 0.5) AS p50,
-       quantile_cont(len(toks), 0.75) AS p75,
-       quantile_cont(len(toks), 0.95) AS p95,
-       CAST(MAX(len(toks)) AS INTEGER) AS max_tokens,
-       ROUND(AVG(len(toks)), 4) AS mean_tokens,
-       {", ".join(_hq)}
-FROM t
+{_x6_length_rows}
+UNION ALL
+{_x6_rule_rows}
+UNION ALL
+{_x6_uniq_rows}
+UNION ALL
+SELECT 'skew', CAST(l_suppkey AS VARCHAR),
+       ROUND(n_rows / CAST(total AS DOUBLE), 6), CAST(n_rows AS BIGINT),
+       CAST(total AS BIGINT)
+FROM sktop CROSS JOIN sktot WHERE rn <= 20
 """
     )
     o["x7_bigram_logprob"] = (
@@ -2247,13 +2422,17 @@ UNION ALL SELECT * FROM btop
     # when the accumulator's last element is `left` and the next symbol
     # is `right` (string replace() would mis-merge runs of 5+).
     bpe_rounds = 6
+    # Each w{t} carries the ORIGINAL word `w` through the fold so the
+    # final w{bpe_rounds} doubles as the word→segmentation lookup the
+    # 'segment' branch joins against (greedy encode with the learned
+    # merges == the training fold's final state, by construction).
     bpe_parts = [
         """words0 AS MATERIALIZED (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(toks) AS w FROM t
   ) WHERE w != '' GROUP BY w
 ), w0 AS (
-  SELECT string_split(w, '') || ['</w>'] AS syms, cnt FROM words0
+  SELECT w, string_split(w, '') || ['</w>'] AS syms, cnt FROM words0
 )"""
     ]
     for t_i in range(1, bpe_rounds + 1):
@@ -2271,16 +2450,17 @@ UNION ALL SELECT * FROM btop
     SELECT l, r, SUM(cnt) AS n FROM p{t_i} GROUP BY 1, 2
   ) ORDER BY n DESC, l || ' ' || r LIMIT 1
 ), f{t_i} AS (
-  SELECT syms, cnt, syms AS rem, CAST([] AS VARCHAR[]) AS acc FROM {prev}
+  SELECT w, syms, cnt, syms AS rem, CAST([] AS VARCHAR[]) AS acc
+  FROM {prev}
   UNION ALL
-  SELECT syms, cnt, rem[2:],
+  SELECT w, syms, cnt, rem[2:],
          CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND rem[1] = b.r
               THEN acc[1:len(acc) - 1] || [b.l || b.r]
               ELSE acc || [rem[1]] END
   FROM f{t_i}, best{t_i} b
   WHERE len(rem) > 0
 ), w{t_i} AS MATERIALIZED (
-  SELECT acc AS syms, cnt FROM f{t_i} WHERE len(rem) = 0
+  SELECT w, acc AS syms, cnt FROM f{t_i} WHERE len(rem) = 0
 )""")
     bpe_traj_union = "\nUNION ALL\n".join(
         f"SELECT 'bpe' AS variant, l || ' ' || r AS term, CAST(n AS BIGINT) AS n, "
@@ -2308,6 +2488,19 @@ FROM top CROSS JOIN total
 UNION ALL
 """
         + bpe_traj_union
+        + f"""
+UNION ALL
+SELECT 'segment', array_to_string(bpe, ' '), CAST(len(bpe) AS BIGINT),
+       CAST(doc_id AS BIGINT), -1.0
+FROM (
+  SELECT doc_id, flatten(list(ws ORDER BY pos)) AS bpe
+  FROM (
+    SELECT t.doc_id, g.i AS pos, wf.syms AS ws
+    FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+    JOIN w{bpe_rounds} wf ON wf.w = toks[g.i]
+    WHERE t.norm != ''
+  ) GROUP BY doc_id
+)"""
     )
     # x10 — mergeable-sketch union (kmv ⊕ hll ⊕ cms): every branch is
     # deterministic integer arithmetic over the same 32-bit ring hash,
@@ -3030,6 +3223,16 @@ SELECT 'groups', keep_id, fingerprint, '', CAST(n_docs AS BIGINT) FROM (
   SELECT md5({norm}) AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
   FROM documents
   GROUP BY 1 HAVING COUNT(*) > 1
+)
+UNION ALL
+SELECT 'incremental', doc_id, text, lang || '|' || source,
+       CAST(n_chars AS BIGINT)
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({norm})
+                               ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id % 2 = 1
+) WHERE rn = 1 AND md5({norm}) NOT IN (
+  SELECT md5({norm}) FROM documents WHERE doc_id % 2 = 0
 )
 """
     # d4 rows carry the full signature string (the d3 stage) alongside

@@ -5,6 +5,7 @@ sf0.01 to reproduce the driver's exact scale.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 from tests.oracle import compare
@@ -32,6 +33,49 @@ def test_oracle_parity(spark, sf_dir, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+# The widest tagged unions: one driver hash covers every branch, so a
+# future mismatch wouldn't localize.  Assert per-branch row counts
+# Spark-vs-oracle so a regression names its branch without bisecting
+# the union.
+UNION_KEYS = {
+    "s1_knn": "variant",
+    "s2_index_assignments": "index_kind",
+    "x10_cardinality_sketches": "variant",
+    "x13_decontamination": "variant",
+    "q5_filtered_window_range": "variant",
+    "d1_exact_dedup": "variant",
+    "x11_vocab_bpe": "variant",
+    "x6_quality_gates": "variant",
+    "s4_embedding_near_duplicates": "variant",
+    "e1_event_analytics": "variant",
+    "q3_range_query": "variant",
+    "q4_filtered_range": "variant",
+    "p3_sampling_split": "variant",
+}
+
+
+@pytest.mark.parametrize("name", sorted(UNION_KEYS))
+def test_union_branch_counts(spark, sf_dir, name):
+    from tests.oracle import duckdb_con
+
+    tag = UNION_KEYS[name]
+    df = QUERIES[name](spark, sf_dir)
+    assert tag in df.columns, f"{name} listed in UNION_KEYS but has no {tag!r}"
+    s_counts = {
+        r[tag]: r["cnt"]
+        for r in df.groupBy(tag).agg(F.count("*").alias("cnt")).collect()
+    }
+    con = duckdb_con(sf_dir)
+    o_counts = dict(
+        con.execute(
+            f"SELECT {tag}, COUNT(*) FROM ({ORACLES[name]}) GROUP BY 1"
+        ).fetchall()
+    )
+    assert s_counts == o_counts, (
+        f"{name} per-branch counts diverge: spark={s_counts} oracle={o_counts}"
+    )
 
 
 def test_harness_rejects_out_of_range_timestamps(spark, sf_dir):
