@@ -11,6 +11,7 @@ value-hash comparison is stable against summation-order differences.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -475,7 +476,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_rows").cast("long").alias("n"),
             F.col("total_rows").cast("long").alias("total"),
         )
-        return length_rows.unionByName(cons).unionByName(skew)
+        # 'salted' (previously pytest-only): the skew REMEDY next to its
+        # diagnostic — revenue per supplier nation through salted_join
+        # (skewed lineitem side salted 8 ways, supplier side replicated)
+        # must be row-identical to the plain join the oracle runs.
+        sup = load_table(s, d, "supplier").select(
+            F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+        )
+        salted = (
+            A.salted_join(
+                li.select("l_suppkey", "l_extendedprice", "l_discount"),
+                sup,
+                ["l_suppkey"],
+                salt=8,
+            )
+            .groupBy("s_nationkey")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+            .select(
+                F.lit("salted").alias("variant"),
+                F.col("s_nationkey").cast("string").alias("name"),
+                F.col("revenue").alias("value"),
+                F.col("n_items").cast("long").alias("n"),
+                sent.alias("total"),
+            )
+        )
+        return (
+            length_rows.unionByName(cons).unionByName(skew).unionByName(salted)
+        )
 
     q["x6_quality_gates"] = _x6
     q["x7_bigram_logprob"] = lambda s, d: T.bigram_logprob_scores(_docs(s, d))
@@ -992,12 +1024,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("ivf16").alias("index_kind"),
             F.col("list_id").cast("string").alias("code"),
         )
-        ivft = S.ivf_assign(
-            emb, n_lists=16,
-            centroids=S.ivf_train(emb, n_lists=16, iterations=2),
-        ).select(
+        trained = S.ivf_train(emb, n_lists=16, iterations=2)
+        ivft = S.ivf_assign(emb, n_lists=16, centroids=trained).select(
             "vec_id",
             F.lit("ivf16t").alias("index_kind"),
+            F.col("list_id").cast("string").alias("code"),
+        )
+        # 'ivf16s' (previously pytest-only): the train-once/serve-many
+        # index PERSISTENCE round-trip — save the trained centroids to
+        # parquet, load them back (norm column recomputed on load), and
+        # assign; must equal ivf16t assignment-for-assignment, which the
+        # oracle asserts by emitting the same tassign rows twice.
+        import tempfile
+
+        idx_path = os.path.join(
+            tempfile.gettempdir(), "ksiq_s2_ivf_index.parquet"
+        )
+        S.save_index(trained, idx_path)
+        ivfs = S.ivf_assign(
+            emb, n_lists=16, centroids=S.load_ivf_centroids(s, idx_path)
+        ).select(
+            "vec_id",
+            F.lit("ivf16s").alias("index_kind"),
             F.col("list_id").cast("string").alias("code"),
         )
         # the fused serving-time encoder: SRP bits + IVF assignment in
@@ -1034,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             srp.unionByName(ivf)
             .unionByName(ivft)
+            .unionByName(ivfs)
             .unionByName(fused)
             .unionByName(pooled)
         )
@@ -2283,6 +2332,12 @@ SELECT 'skew', CAST(l_suppkey AS VARCHAR),
        ROUND(n_rows / CAST(total AS DOUBLE), 6), CAST(n_rows AS BIGINT),
        CAST(total AS BIGINT)
 FROM sktop CROSS JOIN sktot WHERE rn <= 20
+UNION ALL
+SELECT 'salted', CAST(s_nationkey AS VARCHAR),
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2),
+       CAST(COUNT(*) AS BIGINT), CAST(-1 AS BIGINT)
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
 """
     )
     o["x7_bigram_logprob"] = (
@@ -2924,6 +2979,8 @@ UNION ALL
 SELECT vec_id, 'ivf16' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM assign
 UNION ALL
 SELECT vec_id, 'ivf16t' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM tassign
+UNION ALL
+SELECT vec_id, 'ivf16s' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM tassign
 UNION ALL
 SELECT c.vec_id, 'fused' AS index_kind,
        c.code || ':' || CAST(a.list_id AS VARCHAR) AS code

@@ -72,21 +72,29 @@ def check_constraints(df: DataFrame, rules: list[tuple]) -> DataFrame:
         for i, r in enumerate(scalar_rules):
             aggs.append(_violation_expr(r).alias(f"_v{i}"))
         row = df.agg(*aggs)
-        parts = []
+        # Unpivot the single agg row via explode, NOT one unioned
+        # Project per rule: unioned selects of the same DataFrame each
+        # re-execute its whole subplan (N rules = N table scans —
+        # exactly the cost this operator exists to avoid; plan-asserted
+        # by test_quality_gates_constraint_branch_is_single_pass).
+        rule_structs = []
         for i, r in enumerate(scalar_rules):
             kind, label = _rule_label(r)
-            parts.append(
-                row.select(
+            rule_structs.append(
+                F.struct(
                     F.lit(kind).alias("rule"),
                     F.lit(label).alias("column"),
-                    F.coalesce(F.col(f"_v{i}"), F.lit(0)).cast("long").alias("violations"),
+                    F.coalesce(F.col(f"_v{i}"), F.lit(0))
+                    .cast("long")
+                    .alias("violations"),
                     F.col("_total").alias("total_rows"),
                 )
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        reports.append(out)
+        reports.append(
+            row.select(F.explode(F.array(*rule_structs)).alias("_r")).select(
+                "_r.rule", "_r.column", "_r.violations", "_r.total_rows"
+            )
+        )
 
     for r in unique_rules:
         cols = r[1]

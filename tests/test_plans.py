@@ -331,3 +331,74 @@ def test_chunking_branch_is_map_only(spark, sf_dir):
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "HashAggregate" not in plan  # no aggregation — pure row map
+
+
+def test_quality_gates_constraint_branch_is_single_pass(spark, sf_dir):
+    # x6 'constraint': the whole scalar-rule suite compiles into ONE
+    # aggregate over orders (conditional counts), never one scan per
+    # rule; each unique rule adds exactly one keyed aggregate.  5
+    # scalar rules + 2 unique rules must read orders 3 times, not 7.
+    from kafkastreamsinteractivequeries_spark.operators.quality import (
+        check_constraints,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        ("not_null", "o_orderkey"),
+        ("range", "o_totalprice", 0.0, 300000.0),
+        ("in_set", "o_orderstatus", ["O", "F"]),
+        ("matches", "o_orderpriority", "[1-5]-[A-Z]+"),
+        ("expr", "key_not_7mult", "o_orderkey % 7 != 0"),
+        ("unique", ["o_orderkey"]),
+        ("unique", ["o_custkey"]),
+    ]
+    plan = (
+        check_constraints(orders, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 3  # 1 scalar pass + 2 unique aggs
+
+
+def test_quality_gates_skew_branch_uses_heap_topk(spark, sf_dir):
+    # x6 'skew': the top-20 must plan TakeOrderedAndProject (bounded
+    # per-partition heaps), never a full global Sort of the key-count
+    # table — the report must not itself become a skew/scale problem.
+    from kafkastreamsinteractivequeries_spark.operators.analytics import skew_report
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = (
+        skew_report(li, ["l_suppkey"], top_k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_spreads_hot_keys_without_nested_loop(spark, sf_dir):
+    # x6 'salted': the salted join is still an equi join on
+    # (key, salt) — salting must not degrade it to a nested loop, and
+    # the replicated side carries the salt explode.
+    from kafkastreamsinteractivequeries_spark.operators.analytics import salted_join
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    plan = (
+        salted_join(li, sup, ["l_suppkey"], salt=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # the salt replication
