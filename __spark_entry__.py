@@ -79,6 +79,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return _serving(spark, "/root/testdata/sf0.001")
 
 
+def knn_union(s: SparkSession, d: str) -> DataFrame:
+    """The five-branch kNN union (brute ⊕ srp16 ⊕ ivf16 ⊕ pq8x16 ⊕
+    pq_rerank) BEFORE the localCheckpoint pin `_s1` adds for the recall
+    branches.  Module-level so the plan-contract tests
+    (`test_knn_union_no_corpus_shuffle`,
+    `test_pq_adc_stays_columnar_with_broadcast_codebook`) can audit the
+    full kNN lineage — the checkpoint boundary in the driver key
+    truncates it to a Scan ExistingRDD."""
+    from kafkastreamsinteractivequeries_spark.operators import similarity as S
+
+    emb = spread(load_table(s, d, "embeddings")).localCheckpoint(eager=False)
+    qdf = (
+        load_table(s, d, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+    )
+
+    def tag(df: DataFrame, t: str, score_col: str) -> DataFrame:
+        return df.select(
+            F.lit(t).alias("variant"),
+            "query_id",
+            "vec_id",
+            F.col(score_col).alias("score"),
+            "rank",
+        )
+
+    brute = tag(S.knn_bruteforce(emb, qdf, k=10), "brute", "cosine")
+    srp = tag(S.knn_srp(emb, qdf, k=10, num_planes=16, chunks=4), "srp16", "cosine")
+    ivf = tag(S.knn_ivf(emb, qdf, k=10, n_lists=16, nprobe=4), "ivf16", "cosine")
+    book = S.pq_train(emb, m=8, k=16, iterations=2)
+    pq = tag(S.knn_pq_adc(emb, qdf, book, k=10, m=8), "pq8x16", "adc_dist")
+    # the PRODUCTION PQ config: ADC candidate generation (top-40)
+    # + exact cosine re-scoring of the survivors — the recall-0.97+
+    # path recommended for serving, driver-verified alongside the
+    # ADC-pure candidate generator.
+    pqr = tag(
+        S.knn_pq_adc(emb, qdf, book, k=10, m=8, rerank=40), "pq_rerank", "cosine"
+    )
+    return brute.unionByName(srp).unionByName(ivf).unionByName(pq).unionByName(pqr)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -970,43 +1013,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lists (library defaults are the recall-tuned ones, regression-
     # tested separately — SCALING.md).
     def _s1(s: SparkSession, d: str) -> DataFrame:
-        # One spread+pin of the corpus shared by all four kNN branches:
-        # each branch otherwise re-scans and re-repartitions the
-        # embeddings table independently (4 scans + 4 probe/shuffles)
-        # and carries the full scan lineage through its plan.  Values
-        # are identical; measured 7.35 → 6.45 s at sf0.1
-        # (scripts/ab_s1_pinned.py).
-        emb = spread(_emb(s, d)).localCheckpoint(eager=False)
-        qdf = _queries_df(s, d)
-
-        def tag(df: DataFrame, t: str, score_col: str) -> DataFrame:
-            return df.select(
-                F.lit(t).alias("variant"),
-                "query_id",
-                "vec_id",
-                F.col(score_col).alias("score"),
-                "rank",
+        # One spread+pin of the corpus shared by all five kNN branches
+        # (inside knn_union): each branch otherwise re-scans and
+        # re-repartitions the embeddings table independently and
+        # carries the full scan lineage through its plan.  Values are
+        # identical; measured 7.35 → 6.45 s at sf0.1
+        # (scripts/ab_s1_pinned.py).  knn_union is module-level so the
+        # plan-contract tests audit the pre-checkpoint lineage.
+        res = knn_union(s, d)
+        # 'recall_*' branches: per-query recall@10 of every approximate
+        # path against the brute branch — the ANN quality claim itself
+        # (SCALING.md's recall-led defaults) hash-verified by the
+        # driver, not just pytest floors.  The 5-branch union is pinned
+        # once (localCheckpoint) so the recall joins read the ~50-row
+        # materialized result instead of re-executing each kNN plan.
+        pinned = res.localCheckpoint(eager=False)
+        bru = pinned.filter(F.col("variant") == "brute")
+        recalls = []
+        for t in ("srp16", "ivf16", "pq8x16", "pq_rerank"):
+            recalls.append(
+                S.recall_at_k_per_query(
+                    bru, pinned.filter(F.col("variant") == t), k=10
+                ).select(
+                    F.lit(f"recall_{t}").alias("variant"),
+                    "query_id",
+                    F.lit(-1).cast("long").alias("vec_id"),
+                    F.col("recall").alias("score"),
+                    F.lit(-1).cast("int").alias("rank"),
+                )
             )
-
-        brute = tag(S.knn_bruteforce(emb, qdf, k=10), "brute", "cosine")
-        srp = tag(
-            S.knn_srp(emb, qdf, k=10, num_planes=16, chunks=4), "srp16", "cosine"
-        )
-        ivf = tag(S.knn_ivf(emb, qdf, k=10, n_lists=16, nprobe=4), "ivf16", "cosine")
-        book = S.pq_train(emb, m=8, k=16, iterations=2)
-        pq = tag(S.knn_pq_adc(emb, qdf, book, k=10, m=8), "pq8x16", "adc_dist")
-        # the PRODUCTION PQ config: ADC candidate generation (top-40)
-        # + exact cosine re-scoring of the survivors — the recall-0.97+
-        # path recommended for serving, now driver-verified alongside
-        # the ADC-pure candidate generator.
-        pqr = tag(
-            S.knn_pq_adc(emb, qdf, book, k=10, m=8, rerank=40),
-            "pq_rerank",
-            "cosine",
-        )
-        return (
-            brute.unionByName(srp).unionByName(ivf).unionByName(pq).unionByName(pqr)
-        )
+        out = pinned
+        for r in recalls:
+            out = out.unionByName(r)
+        return out
 
     q["s1_knn"] = _s1
     # s2 unions the index-build stages under one tagged key: SRP
@@ -3202,16 +3241,34 @@ SELECT query_id, vec_id, cosine, rank FROM (
     # the (query_id, vec_id, score, rank) shape — score is cosine for
     # brute/srp/ivf/pq_rerank and approximate squared L2 for the
     # ADC-pure PQ path.
-    o["s1_knn"] = "\nUNION ALL\n".join(
-        f"SELECT '{tagname}' AS variant, query_id, vec_id, "
-        f"{score} AS score, rank FROM ({body}) {tagname}_v"
-        for tagname, body, score in [
-            ("brute", s1_sql, "cosine"),
-            ("srp16", s3_sql, "cosine"),
-            ("ivf16", s6_sql, "cosine"),
-            ("pq8x16", s7_sql, "adc_dist"),
-            ("pq_rerank", s8_sql, "cosine"),
-        ]
+    s1_bodies = [
+        ("brute", s1_sql, "cosine"),
+        ("srp16", s3_sql, "cosine"),
+        ("ivf16", s6_sql, "cosine"),
+        ("pq8x16", s7_sql, "adc_dist"),
+        ("pq_rerank", s8_sql, "cosine"),
+    ]
+    # recall_* rows mirror similarity.recall_at_k_per_query: per-query
+    # |method top-10 ∩ brute top-10| / |brute top-10|, rounded 6.
+    s1_recalls = "\nUNION ALL\n".join(
+        f"""SELECT 'recall_{tagname}' AS variant, b.query_id,
+       CAST(-1 AS BIGINT) AS vec_id,
+       ROUND(CAST(COUNT(m.vec_id) AS DOUBLE) / COUNT(*), 6) AS score,
+       CAST(-1 AS INTEGER) AS rank
+FROM ({s1_sql}) b LEFT JOIN ({body}) m
+  ON b.query_id = m.query_id AND b.vec_id = m.vec_id AND m.rank <= 10
+WHERE b.rank <= 10
+GROUP BY b.query_id"""
+        for tagname, body, _score in s1_bodies[1:]
+    )
+    o["s1_knn"] = (
+        "\nUNION ALL\n".join(
+            f"SELECT '{tagname}' AS variant, query_id, vec_id, "
+            f"{score} AS score, rank FROM ({body}) {tagname}_v"
+            for tagname, body, score in s1_bodies
+        )
+        + "\nUNION ALL\n"
+        + s1_recalls
     )
     return o
 

@@ -525,6 +525,43 @@ def recall_at_k(
     return hits / denom
 
 
+def recall_at_k_per_query(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k as a DataFrame — the distributed,
+    driver-verifiable form of ``recall_at_k`` (which collects one
+    averaged scalar): |approx top-k ∩ exact top-k| / |exact top-k| per
+    query, rounded to 6 places for cross-engine hashing.
+
+    One left join of two ≤ (queries×k)-row result tables + a keyed
+    aggregate — bounded by the result sizes, never by the corpus, so
+    the recall audit itself is free at 100 TB.
+    """
+    e = exact.filter(F.col("rank") <= k).select(query_id_col, id_col)
+    a = (
+        approx.filter(F.col("rank") <= k)
+        .select(query_id_col, id_col)
+        .withColumn("_hit", F.lit(1))
+    )
+    # broadcast-hint the approx side: both inputs are ≤ queries×k rows,
+    # but when they come off a localCheckpoint Spark has no stats and
+    # falls back to a sort-merge join — a needless shuffle of two tiny
+    # result tables (and a violation of the s1 no-SMJ plan contract).
+    return (
+        e.join(F.broadcast(a), [query_id_col, id_col], "left")
+        .groupBy(query_id_col)
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*"), 6
+            ).alias("recall")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # --------------------------------------------------------------------------

@@ -69,13 +69,25 @@ def test_manifest_is_single_scan_no_shuffle(spark, sf_dir):
 
 
 def test_knn_union_no_corpus_shuffle(spark, sf_dir):
-    # s1 (tagged union of all four kNN paths): query side broadcast;
+    # s1 (tagged union of all five kNN paths): query side broadcast;
     # the only exchanges allowed are the corpus spread() repartition
     # and the top-k window partitioning — never a corpus-sized join
-    # shuffle (no SortMergeJoin in ANY branch).
-    plan = plan_of(spark, sf_dir, "s1_knn")
+    # shuffle (no SortMergeJoin in ANY branch).  Audited on the
+    # module-level knn_union (the driver key checkpoints this union
+    # before adding the recall branches, which truncates the lineage
+    # the audit needs)...
+    plan = (
+        entry_mod.knn_union(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # query set joined via broadcast
+    # ...and the full driver key (checkpoint + bounded recall joins)
+    # must not add a shuffle join of its own either.
+    full = plan_of(spark, sf_dir, "s1_knn")
+    assert "SortMergeJoin" not in full
 
 
 def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
@@ -171,9 +183,14 @@ def test_pq_adc_stays_columnar_with_broadcast_codebook(spark, sf_dir):
     # broadcast (m×k and q×m×k rows); the corpus-sized code table must
     # never be sort-merge-joined against them, and the only Python in
     # the plan is zero — PQ train/encode/ADC are pure Column
-    # expressions.  Asserted on the full s1 union so the invariants
-    # hold for every kNN branch at once.
-    plan = plan_of(spark, sf_dir, "s1_knn")
+    # expressions.  Asserted on the full pre-checkpoint kNN union so
+    # the invariants hold for every kNN branch at once.
+    plan = (
+        entry_mod.knn_union(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
