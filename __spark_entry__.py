@@ -432,8 +432,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x1_text_stats"] = lambda s, d: T.doc_profile(_docs(s, d))
     # x4 union: doc-min fingerprint ('docmin') ⊕ the FULL winnowing
     # selection ('full' — Schleimer et al. sliding-window minima, the
-    # shared-substring guarantee) — same (doc_id, fp) shape, one slot.
+    # shared-substring guarantee) ⊕ exact-substring duplicate spans
+    # (Lee et al. arXiv:2107.06499 — 'dupspan': every corpus-repeated
+    # 8-gram occurrence; 'dupfrac': per-doc merged-span report, the
+    # number a trim/drop gate thresholds on) — same (doc_id, fp)
+    # string shape, one slot.
     def _x4(s: SparkSession, d: str) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators import dedup as DD
+
         docs = _docs(s, d)
         docmin = T.winnowing_fingerprint(docs).select(
             F.lit("docmin").alias("variant"),
@@ -445,7 +451,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.col("fingerprint").alias("fp"),
         )
-        return docmin.unionByName(full)
+        # pos disambiguates same-gram re-occurrences inside one doc so
+        # the row multiset is position-faithful across engines.
+        spans = DD.duplicate_span_occurrences(docs, k=8).select(
+            F.lit("dupspan").alias("variant"),
+            "doc_id",
+            F.concat_ws(":", "gram", "pos").alias("fp"),
+        )
+        frac = DD.duplicate_span_stats(docs, k=8).select(
+            F.lit("dupfrac").alias("variant"),
+            "doc_id",
+            F.format_string(
+                "%d:%d:%d:%.6f",
+                "n_dup_grams",
+                "n_spans",
+                "dup_tokens",
+                "dup_token_fraction",
+            ).alias("fp"),
+        )
+        # 'trimmed': the REMEDIATION step — every doc with its repeated
+        # spans excised, verified as removed-count:md5(trimmed text).
+        trimmed = DD.remove_duplicate_spans(docs, k=8).select(
+            F.lit("trimmed").alias("variant"),
+            "doc_id",
+            F.concat_ws(
+                ":", "removed_tokens", F.md5("trimmed_text")
+            ).alias("fp"),
+        )
+        return (
+            docmin.unionByName(full)
+            .unionByName(spans)
+            .unionByName(frac)
+            .unionByName(trimmed)
+        )
 
     q["x4_winnowing_fingerprint"] = _x4
     # x6 — the batch QUALITY-GATE union (key renamed from
@@ -548,8 +586,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 sent.alias("total"),
             )
         )
+        # 'dsir' — DSIR importance-weighted data selection (Xie et al.
+        # arXiv:2302.03169): every doc scored by target-likeness under
+        # hashed-ngram bucket models (target = the English subset), the
+        # top-40 flagged in `total` — weights AND the deterministic
+        # selection hash-verified.  The weight table is pinned once so
+        # the top-k probe doesn't re-run the gram pipeline.
+        from kafkastreamsinteractivequeries_spark.operators.curation import (
+            dsir_importance_weights,
+        )
+
+        w = dsir_importance_weights(
+            docs, docs.filter(F.col("lang") == "en")
+        ).localCheckpoint(eager=False)
+        top = (
+            w.orderBy(F.col("log_weight").desc(), "doc_id")
+            .limit(40)
+            .select("doc_id", F.lit(1).alias("sel"))
+        )
+        dsir = w.join(F.broadcast(top), "doc_id", "left").select(
+            F.lit("dsir").alias("variant"),
+            F.col("doc_id").cast("string").alias("name"),
+            F.col("log_weight").alias("value"),
+            F.col("n_grams").cast("long").alias("n"),
+            F.coalesce(F.col("sel"), F.lit(0)).cast("long").alias("total"),
+        )
         return (
-            length_rows.unionByName(cons).unionByName(skew).unionByName(salted)
+            length_rows.unionByName(cons)
+            .unionByName(skew)
+            .unionByName(salted)
+            .unionByName(dsir)
         )
 
     q["x6_quality_gates"] = _x6
@@ -2360,7 +2426,43 @@ sktop AS (
   SELECT l_suppkey, n_rows,
          ROW_NUMBER() OVER (ORDER BY n_rows DESC, l_suppkey) AS rn
   FROM sk
-)
+),
+dsg AS MATERIALIZED (
+  -- curation._hashed_gram_stream replay: unigrams + bigrams, bucket =
+  -- low 3 hex digits of md5 (strtol; DuckDB has no conv()) mod 4096
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(1, 3), j ->
+             (strpos('0123456789abcdef', substr(md5(gram), 29 + j, 1)) - 1)
+             * (16 ** (3 - j)))) AS BIGINT) % 4096 AS bucket
+  FROM (
+    SELECT doc_id, unnest(list_concat(toks,
+        CASE WHEN len(toks) >= 2
+             THEN [array_to_string(toks[i:i+1], ' ')
+                   for i in generate_series(1, len(toks) - 1)]
+             ELSE [] END)) AS gram
+    FROM t)
+),
+dtc AS (
+  SELECT bucket, COUNT(*) AS ct
+  FROM dsg JOIN documents USING (doc_id) WHERE lang = 'en'
+  GROUP BY bucket
+),
+drc AS (SELECT bucket, COUNT(*) AS cr FROM dsg GROUP BY bucket),
+dtot AS (
+  SELECT CAST((SELECT SUM(ct) FROM dtc) AS BIGINT) AS nt,
+         CAST((SELECT SUM(cr) FROM drc) AS BIGINT) AS nr
+),
+dlam AS (
+  SELECT COALESCE(dtc.bucket, drc.bucket) AS bucket,
+         ln((COALESCE(ct, 0) + 1) / (nt + 4096.0))
+           - ln((COALESCE(cr, 0) + 1) / (nr + 4096.0)) AS lam
+  FROM dtc FULL OUTER JOIN drc ON dtc.bucket = drc.bucket CROSS JOIN dtot
+),
+dw AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n_grams, ROUND(SUM(lam), 6) AS log_weight
+  FROM dsg JOIN dlam USING (bucket) GROUP BY doc_id
+),
+dtop AS (SELECT doc_id FROM dw ORDER BY log_weight DESC, doc_id LIMIT 40)
 {_x6_length_rows}
 UNION ALL
 {_x6_rule_rows}
@@ -2377,6 +2479,12 @@ SELECT 'salted', CAST(s_nationkey AS VARCHAR),
        CAST(COUNT(*) AS BIGINT), CAST(-1 AS BIGINT)
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
+UNION ALL
+SELECT 'dsir', CAST(doc_id AS VARCHAR), log_weight,
+       CAST(n_grams AS BIGINT),
+       CAST(CASE WHEN doc_id IN (SELECT doc_id FROM dtop)
+                 THEN 1 ELSE 0 END AS BIGINT)
+FROM dw
 """
     )
     o["x7_bigram_logprob"] = (
@@ -2406,8 +2514,55 @@ GROUP BY doc_id
     # winnowing selection ('full', k=5 token grams, window=4 sliding
     # min, one row per selected fingerprint) — same (doc_id, fp) shape,
     # one 50-cap report slot.
+    # dupspan/dupfrac mirror dedup.duplicate_span_occurrences/_stats:
+    # corpus-repeated 8-gram positions, then per-doc interval merge
+    # (span starts where pos exceeds the running max end) — same
+    # windows, same %-formatting, exact string match.
+    dup_cte = """, dg AS (
+  SELECT doc_id, s.g.pos AS pos, s.g.pos + 8 AS end_pos,
+         s.g.gram AS gram, len(toks) AS n_toks
+  FROM t, unnest(CASE WHEN len(toks) >= 8 THEN
+      [{'pos': i, 'gram': md5(array_to_string(toks[i:i+7], ' '))}
+       for i in generate_series(1, len(toks) - 7)]
+      ELSE [] END) AS s(g)
+), docc AS (
+  SELECT * FROM (
+    SELECT dg.*, COUNT(*) OVER (PARTITION BY gram) AS gram_count FROM dg
+  ) WHERE gram_count >= 2
+), dspan AS (
+  SELECT doc_id, pos, end_pos, n_toks,
+         CASE WHEN pos > COALESCE(MAX(end_pos) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_start
+  FROM docc
+), disl AS (
+  SELECT doc_id, pos, end_pos, n_toks,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM dspan
+), dper AS (
+  SELECT doc_id, island, COUNT(*) AS n_grams,
+         MAX(end_pos) - MIN(pos) AS span_tokens,
+         MIN(pos) AS span_s, MAX(end_pos) AS span_e,
+         ANY_VALUE(n_toks) AS n_toks
+  FROM disl GROUP BY doc_id, island
+), dsl AS (
+  SELECT doc_id, list({'s': span_s, 'e': span_e}) AS spans
+  FROM dper GROUP BY doc_id
+), dtrim AS (
+  SELECT t.doc_id,
+         len(toks) AS n_toks,
+         [toks[i] for i in generate_series(1, len(toks))
+          if len(list_filter(COALESCE(spans, []),
+                             sp -> i >= sp.s AND i < sp.e)) = 0] AS kept
+  FROM t LEFT JOIN dsl ON t.doc_id = dsl.doc_id
+)
+"""
     o["x4_winnowing_fingerprint"] = (
         t_cte
+        + dup_cte
         + """SELECT 'docmin' AS variant, doc_id,
        CASE WHEN len(toks) >= 8
             THEN list_aggregate(
@@ -2425,6 +2580,25 @@ SELECT 'full', doc_id, unnest(
                 for i in generate_series(1, len(toks) - 7)])
          ELSE [md5(array_to_string(toks, ' '))] END) AS fp
 FROM t
+UNION ALL
+SELECT 'dupspan', doc_id, gram || ':' || CAST(pos AS VARCHAR) AS fp
+FROM docc
+UNION ALL
+SELECT 'dupfrac', doc_id,
+       printf('%d:%d:%d:%.6f',
+              CAST(SUM(n_grams) AS BIGINT),
+              COUNT(*),
+              CAST(SUM(span_tokens) AS BIGINT),
+              ROUND(SUM(span_tokens) / CAST(ANY_VALUE(n_toks) AS DOUBLE), 6))
+         AS fp
+FROM dper GROUP BY doc_id
+UNION ALL
+SELECT 'trimmed', doc_id,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+       -- array_join: coalesce so fully-duplicated docs hash md5('')
+       CAST(n_toks - len(kept) AS VARCHAR) || ':'
+         || md5(COALESCE(array_to_string(kept, ' '), '')) AS fp
+FROM dtrim
 """
     )
     o["x8_repetition_stats"] = (

@@ -174,13 +174,21 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     branches: dict[str, dict[str, float]] = {}
+    # s1's driver key localCheckpoints the 5-way kNN union before its
+    # recall branches, and a checkpoint materializes ALL parents — a
+    # variant filter on the full key would bill every branch the whole
+    # union.  Time the kNN branches on the pre-checkpoint knn_union
+    # instead, where Catalyst's constant-fold + empty-relation pruning
+    # actually isolates the branch under test.
+    branch_source = {"s1_knn": entry_mod.knn_union}
     for name, tags in BRANCHES.items():
         if name not in names:
             continue
         branches[name] = {}
+        src = branch_source.get(name, queries[name])
         for tag in tags:
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).filter(F.col("variant") == tag).write.format(
+            src(spark, sf_dir).filter(F.col("variant") == tag).write.format(
                 "noop"
             ).mode("overwrite").save()
             branches[name][tag] = round(time.perf_counter() - t0, 3)

@@ -363,3 +363,118 @@ def leakage_safe_split(
         )
     )
     return with_group.select(id_col, "group_id", *_split_cols("group_id", train_pct, val_pct))
+
+
+# --------------------------------------------------------------------------
+# DSIR — importance-weighted data selection
+# --------------------------------------------------------------------------
+
+
+def _hashed_gram_stream(
+    docs: DataFrame,
+    num_buckets: int,
+    text_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exploded hashed-ngram feature stream: one row per word unigram +
+    bigram occurrence, bucketed to ``num_buckets`` via the low hex
+    digits of md5 (bit-identical in Spark and DuckDB, so the oracle can
+    replay the exact feature map).  Pure Column expressions + one
+    explode — no Python, no join."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import tokens_col
+
+    hex_digits = max(1, (num_buckets - 1).bit_length() // 4 + (1 if (num_buckets - 1).bit_length() % 4 else 0))
+    toks = tokens_col(F.col(text_col))
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.explode(F.concat(toks, bis)).alias("gram")
+    ]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 33 - hex_digits, hex_digits), 16, 10)
+        .cast("int")
+        % num_buckets
+    )
+    return docs.select(*cols).select(
+        *([id_col] if id_col else []), bucket.alias("bucket")
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", arXiv:2302.03169): score every
+    raw-corpus document by how target-like its hashed-ngram profile is,
+    ``log_weight`` = Σ_grams ln(p_target[bucket] / p_raw[bucket]) under
+    add-1-smoothed bucket unigram models.  The standard recipe for
+    "find me 10 B web tokens that look like Wikipedia" selection.
+
+    Output: (id, n_grams, log_weight) — log_weight rounded to 6 places
+    for cross-engine comparison; rank on (rounded weight, id) for a
+    deterministic selection.
+
+    Scale shape: the target model and both bucket tables are ≤
+    ``num_buckets`` rows (bounded aggregates); the raw gram stream is
+    scanned twice (once for its own bucket distribution, once for
+    scoring) but each pass is map-side explode + broadcast join + one
+    keyed aggregate — nothing corpus-sized ever shuffles except the
+    final per-doc sum, and at 100 TB the raw distribution pass can run
+    on a sample without changing this function's contract (pass the
+    sample as ``raw`` to a first call and reuse its λ table).
+    """
+    b = F.lit(num_buckets)
+    tgt = _hashed_gram_stream(target, num_buckets, text_col).groupBy("bucket").agg(
+        F.count("*").alias("ct")
+    )
+    raw_stream = _hashed_gram_stream(spread(raw), num_buckets, text_col, id_col)
+    rawc = raw_stream.groupBy("bucket").agg(F.count("*").alias("cr"))
+    totals = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
+        rawc.agg(F.sum("cr").alias("nr"))
+    )
+    lam = (
+        tgt.join(rawc, "bucket", "full")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + b))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1) / (F.col("nr") + b))
+            ).alias("lam"),
+        )
+    )
+    return (
+        raw_stream.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("lam"), 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The top-``n`` most target-like raw docs by DSIR weight — the
+    τ→0 deterministic limit of the paper's Gumbel-top-k resampling
+    (reproducible across engines and cluster layouts; rank on the
+    ROUNDED weight so engine-ulp noise can't reorder near-ties).
+    TakeOrderedAndProject physical form: per-partition heap top-n, one
+    bounded merge — no global sort at any scale."""
+    w = dsir_importance_weights(raw, target, num_buckets, text_col, id_col)
+    return w.orderBy(F.col("log_weight").desc(), F.col(id_col)).limit(n)

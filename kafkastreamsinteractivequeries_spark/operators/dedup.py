@@ -396,6 +396,108 @@ def ngram_jaccard_pairs(
     return jaccard_verify(cand, sh, threshold, id_col)
 
 
+def duplicate_span_occurrences(
+    docs: DataFrame,
+    k: int = 8,
+    min_repeats: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every position of a ``k``-token gram that occurs at least
+    ``min_repeats`` times across the corpus (within-doc repeats count):
+    (id, pos, end_pos, gram, n_toks) — the detection core of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499, which removes any
+    ≥50-token substring occurring twice; ``k`` is the minimum match
+    length here).
+
+    One shuffle: positions are generated per-row (transform over an
+    index sequence, no join), then a count window partitioned by the
+    gram hash marks repeated grams — hash-partition the token stream by
+    gram once, filter, done.  No posting-list self-join, so cost is
+    linear in corpus token count, not quadratic in duplicate count.
+    """
+    toks = tokens_col(F.col(text_col))
+    rows = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_toks"),
+        F.explode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).alias("g"),
+    ).select(
+        id_col,
+        "n_toks",
+        F.col("g.pos").alias("pos"),
+        (F.col("g.pos") + F.lit(k)).alias("end_pos"),
+        F.col("g.gram").alias("gram"),
+    )
+    counts = Window.partitionBy("gram")
+    return rows.withColumn("gram_count", F.count("*").over(counts)).filter(
+        F.col("gram_count") >= min_repeats
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    min_repeats: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicated-substring report: repeated-gram occurrences
+    merged into maximal spans (two k-gram hits starting ≤ k apart cover
+    a contiguous duplicated substring), then
+    ``dup_token_fraction`` = merged span tokens / doc tokens — the
+    number a curation gate thresholds on to drop or trim boilerplate-
+    heavy documents.
+
+    Interval merge is the classic window recipe: a span STARTS where its
+    position exceeds the running max end of all earlier spans in the
+    doc; island id = running count of starts; per-island tokens =
+    max(end) - min(start).  Both windows partition by doc — after the
+    one gram-count shuffle in ``duplicate_span_occurrences`` this is one
+    doc-keyed shuffle, so the whole operator is two shuffles of the
+    token stream regardless of corpus size.  Docs with no repeated gram
+    are absent (left-join + coalesce 0 in the caller if a dense report
+    is needed).
+    """
+    occ = duplicate_span_occurrences(docs, k, min_repeats, text_col, id_col)
+    by_pos = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = (
+        F.max("end_pos")
+        .over(by_pos.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    spans = occ.withColumn(
+        "is_start",
+        F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("is_start").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = spans.groupBy(id_col, "island").agg(
+        F.count("*").alias("n_grams"),
+        (F.max("end_pos") - F.min("pos")).alias("span_tokens"),
+        F.first("n_toks").alias("n_toks"),
+    )
+    return per_island.groupBy(id_col).agg(
+        F.sum("n_grams").alias("n_dup_grams"),
+        F.count("*").alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.round(
+            F.sum("span_tokens") / F.first("n_toks").cast("double"), 6
+        ).alias("dup_token_fraction"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Frequency-weighted (multiset) near-dup
 # --------------------------------------------------------------------------
@@ -948,3 +1050,65 @@ def exact_dedup_incremental(
     return fp.join(
         seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
     ).drop("fingerprint")
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_repeats: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Excise every merged duplicated span from each document — the
+    remediation step of exact-substring dedup (Lee et al.
+    arXiv:2107.06499 cut the repeated substrings out of the corpus
+    rather than dropping whole docs).  Returns every input doc with
+    ``trimmed_text`` (tokens inside any repeated span removed; docs
+    with no repeated span pass through normalized-joined) and
+    ``removed_tokens``.
+
+    Shape: ``duplicate_span_stats``'s two shuffles + a per-doc
+    collect_list of its (bounded: ≤ n_tokens/k) merged spans + one
+    equi-join back to the corpus + a pure filter-by-position
+    projection.  The span list rides a broadcastable skinny table when
+    few docs are affected — Catalyst/AQE decides; nothing here is ever
+    quadratic.
+    """
+    occ = duplicate_span_occurrences(docs, k, min_repeats, text_col, id_col)
+    by_pos = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end_pos").over(
+        by_pos.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        occ.withColumn(
+            "is_start",
+            F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("is_start").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "island")
+        .agg(F.min("pos").alias("s"), F.max("end_pos").alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    toks = tokens_col(F.col(text_col))
+    with_spans = docs.join(spans, id_col, "left").select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.coalesce(
+            F.col("spans"), F.array().cast("array<struct<s:int,e:int>>")
+        ).alias("spans"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda tok, i: ~F.exists(
+            F.col("spans"), lambda sp: (i + 1 >= sp["s"]) & (i + 1 < sp["e"])
+        ),
+    )
+    return with_spans.select(
+        id_col,
+        F.array_join(kept, " ").alias("trimmed_text"),
+        (F.size("toks") - F.size(kept)).alias("removed_tokens"),
+    )

@@ -259,3 +259,57 @@ def test_leakage_safe_split_is_deterministic(spark):
     a = {r.doc_id: r.split for r in leakage_safe_split(docs).collect()}
     b = {r.doc_id: r.split for r in leakage_safe_split(docs.repartition(7)).collect()}
     assert a == b
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    # DSIR (arXiv:2302.03169): docs sharing the target's hashed-ngram
+    # profile must outscore docs that don't.
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        dsir_importance_weights,
+        dsir_select,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "a cat and a dog sat")],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat today"),       # target-like
+            (1, "quantum flux capacitors emit tachyon bursts"),  # not
+            (2, "a dog sat on a mat"),                 # target-like
+        ],
+        ["doc_id", "text"],
+    )
+    w = {r.doc_id: r.log_weight for r in dsir_importance_weights(raw, target).collect()}
+    assert w[0] > w[1] and w[2] > w[1]
+    sel = [r.doc_id for r in dsir_select(raw, target, 2).collect()]
+    assert set(sel) == {0, 2}
+
+
+def test_dsir_plan_broadcasts_model_no_corpus_shuffle_join(spark):
+    # the λ table (≤ num_buckets rows) must broadcast to the raw gram
+    # stream — a sort-merge join there would shuffle the whole corpus'
+    # token stream by bucket, the 100 TB killer.
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    target = spark.range(20).selectExpr(
+        "id as doc_id", "concat('alpha beta gamma doc ', id) as text"
+    )
+    raw = spark.range(200).selectExpr(
+        "id as doc_id", "concat('some raw words number ', id) as text"
+    )
+    plan = (
+        dsir_importance_weights(raw, target)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the ONLY sort-merge join allowed is the FullOuter merge of the
+    # two ≤ num_buckets-row bucket-count tables (full-outer cannot
+    # broadcast; both sides are bounded, so it's scale-safe) — never an
+    # inner SMJ, which would mean the corpus stream shuffled by bucket.
+    smj_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert all("FullOuter" in ln for ln in smj_lines)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

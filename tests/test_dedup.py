@@ -369,3 +369,99 @@ def test_cross_corpus_near_duplicates_broadcasts_eval_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_duplicate_span_stats_merges_overlapping_grams(spark):
+    # Lee-et-al. exact-substring detection (arXiv:2107.06499): a shared
+    # 5-token run yields k-1-overlapping 3-gram hits that must merge
+    # into ONE maximal span per doc.
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two alpha beta gamma delta epsilon nine ten"),
+            (2, "totally unrelated words that repeat in no document at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(docs, k=3).collect()}
+    # doc 2 has no repeated gram -> absent from the sparse report
+    assert set(out) == {0, 1}
+    # doc 0: grams at pos 1,2,3 merge to [1,6) = 5 tokens of 8
+    assert out[0].n_dup_grams == 3 and out[0].n_spans == 1
+    assert out[0].dup_tokens == 5 and out[0].dup_token_fraction == 0.625
+    # doc 1: same 5-token run at pos 3..7 of 9 tokens
+    assert out[1].dup_tokens == 5 and out[1].n_spans == 1
+
+
+def test_duplicate_span_stats_within_doc_and_disjoint_spans(spark):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # within-doc repetition: every 3-gram of "x y z"*3 recurs;
+            # the merged span covers the whole 9-token doc
+            (0, "x y z x y z x y z"),
+            # the SAME phrase at two separated positions + shared with
+            # doc 2 -> two disjoint spans, counted separately
+            (1, "p q r a b c d p q r"),
+            (2, "p q r something entirely else"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(docs, k=3).collect()}
+    assert out[0].n_spans == 1 and out[0].dup_tokens == 9
+    assert out[0].dup_token_fraction == 1.0
+    assert out[1].n_spans == 2 and out[1].dup_tokens == 6
+    assert round(out[1].dup_token_fraction, 6) == 0.6
+    assert out[2].n_spans == 1 and out[2].dup_tokens == 3
+
+
+def test_duplicate_span_plan_is_two_shuffles_no_join(spark):
+    # the 100 TB contract: detection is gram-count-window + doc-window
+    # over ONE generated position stream - two exchanges, no join of
+    # any kind, no Python.
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = spark.range(100).selectExpr(
+        "id as doc_id",
+        "concat('w', id, ' a b c d e f g h i j k l m n o p') as text",
+    )
+    plan = (
+        duplicate_span_stats(docs, k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_remove_duplicate_spans_excises_and_passes_through(spark):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two alpha beta gamma delta epsilon nine ten"),
+            (2, "totally unrelated words that repeat nowhere at all"),
+            # exact dup pair: BOTH become fully-excised (empty text) -
+            # whole-doc dups are d1's job; this operator cuts substrings
+            (3, "x y z p q r"),
+            (4, "x y z p q r"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=3).collect()}
+    assert len(out) == 5  # every doc present, affected or not
+    assert out[0].trimmed_text == "zeta eta theta" and out[0].removed_tokens == 5
+    assert out[1].trimmed_text == "one two nine ten"
+    assert out[2].removed_tokens == 0 and out[2].trimmed_text.startswith("totally")
+    assert out[3].trimmed_text == "" and out[3].removed_tokens == 6

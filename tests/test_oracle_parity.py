@@ -47,6 +47,7 @@ UNION_KEYS = {
     "q5_filtered_window_range": "variant",
     "d1_exact_dedup": "variant",
     "x11_vocab_bpe": "variant",
+    "x4_winnowing_fingerprint": "variant",
     "x6_quality_gates": "variant",
     "s4_embedding_near_duplicates": "variant",
     "e1_event_analytics": "variant",
