@@ -384,7 +384,15 @@ def _hashed_gram_stream(
     from kafkastreamsinteractivequeries_spark.operators.dedup import tokens_col
 
     hex_digits = max(1, (num_buckets - 1).bit_length() // 4 + (1 if (num_buckets - 1).bit_length() % 4 else 0))
-    toks = tokens_col(F.col(text_col))
+    # materialize the token array BEFORE the bigram lambda slices it —
+    # subexpression elimination doesn't reach inside higher-order
+    # lambdas, so slicing the raw split() expression re-runs
+    # normalize+split per bigram (~10x the whole stream's cost).
+    tok_docs = docs.select(
+        *([F.col(id_col)] if id_col else []),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
     bis = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -400,7 +408,7 @@ def _hashed_gram_stream(
         .cast("int")
         % num_buckets
     )
-    return docs.select(*cols).select(
+    return tok_docs.select(*cols).select(
         *([id_col] if id_col else []), bucket.alias("bucket")
     )
 

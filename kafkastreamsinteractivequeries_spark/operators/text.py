@@ -657,8 +657,18 @@ def _gram_hash_rows(
     definition of decontamination gram hashing (exact and Bloom paths
     both call it).  Docs shorter than ``n`` tokens yield no grams —
     the explicit guard matters because ``sequence(1, k)`` RUNS
-    BACKWARDS when k < 1."""
-    toks = tokens_col(F.col(text_col))
+    BACKWARDS when k < 1.
+
+    The token array is materialized as a column before the gram lambda
+    slices it: subexpression elimination doesn't reach inside
+    higher-order lambdas, so slicing the raw split() expression would
+    re-run normalize+split once PER GRAM (measured ~10x on this
+    stream's cost at sf0.1)."""
+    tok_df = df.select(
+        *([F.col(id_col)] if id_col else []),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
@@ -667,7 +677,7 @@ def _gram_hash_rows(
         F.array().cast("array<string>")
     )
     cols = ([F.col(id_col)] if id_col else []) + [F.explode(safe).alias("gram")]
-    return df.select(*cols)
+    return tok_df.select(*cols)
 
 
 def contaminated_ids(
