@@ -635,13 +635,18 @@ def cross_corpus_near_duplicates(
             F.sum("cnt").alias("total"),
         )
 
-    t_tf = _tf(docs, id_col)
+    # Stage 1 (cheap): totals are just the token-array SIZE — a map-only
+    # projection, no token explode/shuffle.  The tf-MAP build (explode +
+    # collect_list + map_from_entries over every token) used to run for
+    # the ENTIRE corpus before any join could drop rows; it now runs
+    # only for candidate-surviving train docs (stage 2) — the same
+    # staged-verify contract d9 already keeps.
+    tot_a = docs.select(
+        F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("total_a")
+    )
     e_tf = _tf(eval_docs, eval_id_col)
     pruned = (
-        cand.join(
-            t_tf.select(id_col, F.col("total").alias("total_a")).hint("shuffle_hash"),
-            id_col,
-        )
+        cand.join(tot_a.hint("shuffle_hash"), id_col)
         .join(
             F.broadcast(e_tf.select(eval_id_col, F.col("total").alias("total_b"))),
             eval_id_col,
@@ -651,6 +656,15 @@ def cross_corpus_near_duplicates(
             >= (threshold - 1e-6) * F.greatest("total_a", "total_b")
         )
     )
+    # Stage 2 (heavy, candidates only): eval-side collisions bound the
+    # survivor set, so its id list broadcasts; the corpus is filtered by
+    # a broadcast semi join — never shuffled — before the map build.
+    # The pruned pair table is pinned once (it is read twice: as the
+    # survivor id source and as the output spine), so candidate
+    # generation never re-executes.
+    pruned = pruned.localCheckpoint(eager=False)
+    surv = pruned.select(id_col).distinct()
+    t_tf = _tf(docs.join(F.broadcast(surv), id_col, "left_semi"), id_col)
     inter = F.aggregate(
         F.map_values(
             F.map_zip_with(
