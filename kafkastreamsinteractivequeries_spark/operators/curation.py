@@ -470,6 +470,68 @@ def dsir_importance_weights(
     )
 
 
+def dsir_train_model(
+    raw_sample: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """The frozen DSIR model: (bucket, lam) log-ratio table, ≤
+    ``num_buckets`` rows — train once on a target set + a raw SAMPLE,
+    persist/broadcast, score any amount of data with
+    ``dsir_score_with_model``.  This split is the 100 TB deployment
+    shape (the paper fits its bucket models on samples too): the full
+    corpus never contributes to the model pass, only to scoring.
+    """
+    b = F.lit(num_buckets)
+    tgt = _hashed_gram_stream(target, num_buckets, text_col).groupBy("bucket").agg(
+        F.count("*").alias("ct")
+    )
+    rawc = (
+        _hashed_gram_stream(raw_sample, num_buckets, text_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cr"))
+    )
+    totals = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
+        rawc.agg(F.sum("cr").alias("nr"))
+    )
+    return (
+        tgt.join(rawc, "bucket", "full")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + b))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1) / (F.col("nr") + b))
+            ).alias("lam"),
+        )
+    )
+
+
+def dsir_score_with_model(
+    docs: DataFrame,
+    model: DataFrame,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a frozen DSIR model (``dsir_train_model``
+    output): gram explode → broadcast λ join → per-doc sum.  Stateless
+    except the final keyed aggregate, so it runs unchanged on a
+    Structured Streaming frame (per-doc rows never split across
+    micro-batches; use ``update`` output mode) — the continuous-ingest
+    quality gate."""
+    stream = _hashed_gram_stream(docs, num_buckets, text_col, id_col)
+    return (
+        stream.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("lam"), 6).alias("log_weight"),
+        )
+    )
+
+
 def dsir_select(
     raw: DataFrame,
     target: DataFrame,

@@ -313,3 +313,37 @@ def test_dsir_plan_broadcasts_model_no_corpus_shuffle_join(spark):
     smj_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
     assert all("FullOuter" in ln for ln in smj_lines)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_frozen_model_matches_one_pass(spark):
+    # train-once/score-many must equal the fused one-pass form when the
+    # model sample IS the full raw corpus.
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        dsir_importance_weights,
+        dsir_score_with_model,
+        dsir_train_model,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "a cat and a dog sat")],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat today"),
+            (1, "quantum flux capacitors emit tachyon bursts"),
+            (2, "a dog sat on a mat"),
+        ],
+        ["doc_id", "text"],
+    )
+    model = dsir_train_model(raw, target)
+    assert model.count() <= 4096
+    frozen = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_score_with_model(raw, model).collect()
+    }
+    fused = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_importance_weights(raw, target).collect()
+    }
+    assert frozen == fused

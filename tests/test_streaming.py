@@ -903,3 +903,49 @@ def test_end_to_end_streaming_serving_rest_loop(spark, tmp_path, txn_dir):
         assert zelk["number_shares"] == 15
     finally:
         q2.stop()
+
+
+def test_dsir_scoring_runs_on_streams(spark, tmp_path):
+    """DSIR serving: the frozen lambda model broadcasts into a streaming
+    gram scan — continuous target-likeness scoring of an ingest stream,
+    micro-batch results equal to the batch run (complete mode: the
+    per-doc aggregate is the only stateful node)."""
+    import json
+
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        dsir_score_with_model,
+        dsir_train_model,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "the cat sat on the mat"},
+        {"doc_id": 2, "text": "tachyon flux capacitors hum"},
+        {"doc_id": 3, "text": "a cat and a dog sat down"},
+    ]
+    src = tmp_path / "dsir_stream"
+    src.mkdir()
+    (src / "part0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    batch_docs = spark.read.json(str(src))
+    target = batch_docs.filter("doc_id != 2")
+    model = dsir_train_model(batch_docs, target).localCheckpoint()
+
+    stream_docs = spark.readStream.schema(batch_docs.schema).json(str(src))
+    got = {}
+    q = (
+        dsir_score_with_model(stream_docs, model)
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda df, _id: got.update({r["doc_id"]: r["log_weight"] for r in df.collect()})
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_score_with_model(batch_docs, model).collect()
+    }
+    assert got == want
+    assert got[1] > got[2] and got[3] > got[2]  # target-like docs outscore
