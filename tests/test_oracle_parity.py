@@ -54,6 +54,8 @@ UNION_KEYS = {
     "q3_range_query": "variant",
     "q4_filtered_range": "variant",
     "p3_sampling_split": "variant",
+    "x9_term_relevance": "variant",
+    "m7_decoded_pixel_stats": "variant",
 }
 
 
