@@ -792,3 +792,163 @@ class StreamingCmsSink(_VersionedSketchSink):
             self.counters(probes.sparkSession), probes, probe_col,
             self.depth, self.width,
         )
+
+
+class StreamingNearDupFilter(_VersionedSketchSink):
+    """Cross-batch streaming NEAR-dup gate (the fuzzy sibling of
+    ``streaming_exact_dedup`` / the streaming form of batch
+    ``exact_dedup_incremental``): each micro-batch drops documents that
+    are MinHash near-duplicates of any LANDED survivor from earlier
+    batches or of a lower-id document in the same batch, writes the
+    survivors to ``out_path/b<batch_id>``, and appends their
+    signature/bucket rows to the versioned landed store — the
+    "dedup the incoming crawl against the corpus we already kept"
+    production loop.
+
+    Cross-batch verification uses the MinHash component-agreement
+    estimate (matching signature fraction ≥ threshold — the standard
+    unbiased Jaccard estimator), so only 16-hash signatures persist:
+    no shingle payloads ever land or cross batches, keeping the store
+    a skinny (doc, band, sig) table.  Within-batch candidates come
+    from the same band-bucket equi-join as batch LSH (d4/d5).
+
+    Scale shape: the batch side is micro-batch-sized; the landed join
+    is keyed by (band_id, band_hash), so with the store bucketed on
+    band_hash only colliding buckets are read.  Store growth is one
+    row per surviving doc per band — linear in the KEPT corpus, the
+    same asymptotics as any landed dedup index.
+
+    Commit protocol and replay idempotency are inherited from the
+    versioned-store machinery: survivors land in per-batch directories
+    rewritten wholesale on replay, and the store merge only reads
+    snapshots strictly older than the incoming batch id.
+    """
+
+    def __init__(
+        self,
+        store_path: str,
+        out_path: str,
+        threshold: float = 0.8,
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        super().__init__(store_path)
+        self.out_path = out_path.rstrip("/")
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.shingle_n = shingle_n
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _est(self, a, b):
+        """Estimated Jaccard: fraction of agreeing minhash components."""
+        return F.size(
+            F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda m: m)
+        ) / F.lit(float(self.num_hashes))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from kafkastreamsinteractivequeries_spark.operators.dedup import (
+            lsh_band_buckets,
+            minhash_signatures,
+        )
+
+        spark = batch_df.sparkSession
+        newest = self._current_version(spark)
+        if newest is not None and int(newest[1:]) > batch_id:
+            raise RuntimeError(
+                f"near-dup store {self.path} already has committed snapshot "
+                f"{newest} > incoming micro-batch id {batch_id}: the query's "
+                "checkpoint does not match this store (fresh checkpoint "
+                "against an existing store?). Restore the original "
+                "checkpoint or point the query at a new store path."
+            )
+        # signatures pinned once: read by the intra-batch pair join
+        # (twice), the landed probe, and the store append
+        sigs = (
+            minhash_signatures(
+                batch_df.select(self.id_col, self.text_col),
+                self.text_col,
+                self.id_col,
+                self.num_hashes,
+                self.shingle_n,
+            )
+            .drop("shingles")
+            .localCheckpoint()
+        )
+        buckets = lsh_band_buckets(
+            sigs, self.bands, self.rows_per_band, self.id_col, carry=("minhash",)
+        )
+        a = buckets.select(
+            F.col(self.id_col).alias("_ida"),
+            F.col("minhash").alias("_ma"),
+            "band_id",
+            "band_hash",
+        )
+        b = buckets.select(
+            F.col(self.id_col).alias("_idb"),
+            F.col("minhash").alias("_mb"),
+            "band_id",
+            "band_hash",
+        )
+        intra = (
+            a.join(b, ["band_id", "band_hash"])
+            .filter(F.col("_ida") < F.col("_idb"))
+            .select("_ida", "_idb", "_ma", "_mb")
+            .distinct()
+            .filter(self._est(F.col("_ma"), F.col("_mb")) >= self.threshold)
+            .select(F.col("_idb").alias(self.id_col))
+            .distinct()
+        )
+        cur = self._current_version(spark, below=batch_id)
+        if cur is not None:
+            landed = spark.read.parquet(f"{self.path}/{cur}")
+            cross = (
+                buckets.join(
+                    landed.select(
+                        "band_id", "band_hash", F.col("minhash").alias("_mb")
+                    ),
+                    ["band_id", "band_hash"],
+                )
+                .select(self.id_col, "minhash", "_mb")
+                .distinct()
+                .filter(self._est(F.col("minhash"), F.col("_mb")) >= self.threshold)
+                .select(self.id_col)
+                .distinct()
+            )
+            dropped = intra.unionByName(cross).distinct()
+        else:
+            dropped = intra
+        survivors = batch_df.join(dropped, self.id_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(f"{self.out_path}/b{batch_id}")
+        new_rows = buckets.join(dropped, self.id_col, "left_anti")
+        if cur is not None:
+            new_rows = spark.read.parquet(f"{self.path}/{cur}").unionByName(new_rows)
+        new_rows.write.mode("overwrite").parquet(f"{self.path}/v{batch_id}")
+
+    def survivors(self, spark: SparkSession) -> DataFrame:
+        """Everything kept so far: the union of committed per-batch
+        survivor directories."""
+        fs, jvm = ManifestServingSink._fs(spark, self.out_path)
+        root = jvm.org.apache.hadoop.fs.Path(self.out_path)
+        dirs = []
+        if fs.exists(root):
+            for status in fs.listStatus(root):
+                name = status.getPath().getName()
+                if (
+                    status.isDirectory()
+                    and name.startswith("b")
+                    and fs.exists(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{self.out_path}/{name}/_SUCCESS"
+                        )
+                    )
+                ):
+                    dirs.append(f"{self.out_path}/{name}")
+        if not dirs:
+            raise FileNotFoundError(f"no committed survivor batches under {self.out_path}")
+        return spark.read.parquet(*dirs)

@@ -949,3 +949,92 @@ def test_dsir_scoring_runs_on_streams(spark, tmp_path):
     }
     assert got == want
     assert got[1] > got[2] and got[3] > got[2]  # target-like docs outscore
+
+
+def test_streaming_near_dup_filter_drops_cross_batch_fuzzy_dups(spark, tmp_path):
+    """The fuzzy streaming gate: batch-1 docs near-duplicating a
+    LANDED batch-0 survivor are dropped, unique docs pass, and a
+    replayed micro-batch rewrites identical output (idempotent)."""
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingNearDupFilter,
+    )
+
+    sink = StreamingNearDupFilter(
+        str(tmp_path / "store"), str(tmp_path / "kept"), threshold=0.7
+    )
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b0 = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " extra"),  # near-dup of 0 within the batch
+            (2, "completely different text about spark engines and parquet files"),
+        ],
+        ["doc_id", "text"],
+    )
+    sink(b0, 0)
+    kept0 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "kept/b0")).collect()}
+    assert kept0 == {0, 2}
+
+    b1 = spark.createDataFrame(
+        [
+            (10, base),  # exact copy of LANDED doc 0 -> dropped cross-batch
+            (11, base.replace("lazy", "sleepy")),  # near-dup of landed 0
+            (12, "an entirely novel document mentioning tensors and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    sink(b1, 1)
+    kept1 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "kept/b1")).collect()}
+    assert 10 not in kept1 and 12 in kept1
+    assert kept1 <= {11, 12}  # 11 may drop depending on sig agreement
+
+    # replay of batch 1 (same input, same id) must rewrite identical output
+    sink(b1, 1)
+    kept1b = {r.doc_id for r in spark.read.parquet(str(tmp_path / "kept/b1")).collect()}
+    assert kept1b == kept1
+
+    # the survivors() reader unions committed batches
+    allkept = {r.doc_id for r in sink.survivors(spark).collect()}
+    assert allkept == kept0 | kept1
+
+    # fresh-checkpoint guard: a batch id below the committed snapshots fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        sink(b0, 0)
+
+
+def test_streaming_near_dup_filter_end_to_end_stream(spark, tmp_path):
+    """Driven by a real file-source stream (availableNow): the gate
+    runs as a foreachBatch sink and keeps exactly the non-duplicated
+    docs."""
+    import json
+
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingNearDupFilter,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta iota"},
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta eta theta iota kappa"},
+        {"doc_id": 3, "text": "unrelated corpus of words with nothing shared at all"},
+    ]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "p0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = spark.read.json(str(src)).schema
+
+    sink = StreamingNearDupFilter(
+        str(tmp_path / "st2"), str(tmp_path / "kept2"), threshold=0.7
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in sink.survivors(spark).collect()}
+    assert 1 in kept and 3 in kept and 2 not in kept
