@@ -423,7 +423,7 @@ def duplicate_span_occurrences(
     re-run normalize+split once per position — measured 6.9 s vs 0.7 s
     at sf0.1 (same trap winnowing_fingerprints_full documents).
     """
-    tok_docs = docs.select(
+    tok_docs = spread(docs).select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     )
     toks = F.col("_toks")

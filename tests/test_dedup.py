@@ -465,3 +465,28 @@ def test_remove_duplicate_spans_excises_and_passes_through(spark):
     assert out[1].trimmed_text == "one two nine ten"
     assert out[2].removed_tokens == 0 and out[2].trimmed_text.startswith("totally")
     assert out[3].trimmed_text == "" and out[3].removed_tokens == 6
+
+
+def test_duplicate_span_hot_gram_stays_linear(spark):
+    # adversarial input: ONE boilerplate gram shared by every doc.  The
+    # gram-count window puts all its occurrences in one partition, but
+    # the work is a COUNT + a per-doc merge - linear rows in, linear
+    # rows out, never the k^2 pair blowup a posting self-join would hit.
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        duplicate_span_occurrences,
+        duplicate_span_stats,
+    )
+
+    boiler = "all rights reserved by the example corporation inc"
+    docs = spark.range(2000).selectExpr(
+        "id as doc_id",
+        f"concat('unique lead token u', id, ' ', '{boiler}') as text",
+    )
+    occ = duplicate_span_occurrences(docs, k=8)
+    # exactly one hot-gram occurrence row per doc (the 8-gram fully
+    # inside the boilerplate tail), not pairs
+    assert occ.count() <= 3 * 2000
+    stats = duplicate_span_stats(docs, k=8)
+    rows = stats.collect()
+    assert len(rows) == 2000
+    assert all(r.n_spans == 1 for r in rows)
