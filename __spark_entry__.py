@@ -1219,7 +1219,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("eval_id").alias("id_b"),
             "cosine",
         )
-        return self_pairs.unionByName(decon)
+        # SemDeDup (Abbas et al. 2303.09540): cluster-then-prune
+        # semantic dedup — every member of a multi-vector duplicate
+        # group ('semgroup': id_b = transitive group id, cosine = the
+        # member's cosine TO ITS CLUSTER CENTROID) plus the paper's
+        # drop set ('semdrop': all but the lowest-centroid-cosine
+        # member per group), which hash-verifies assignment, pairing,
+        # components, and the keep rule in one union.  Pinned once:
+        # both branches read the same computed table.
+        sd = S.semdedup(emb, n_lists=16, threshold=0.3).localCheckpoint(
+            eager=False
+        )
+        semgroup = sd.select(
+            F.lit("semgroup").alias("variant"),
+            F.col("vec_id").alias("id_a"),
+            F.col("group_id").alias("id_b"),
+            F.col("centroid_cosine").alias("cosine"),
+        )
+        semdrop = sd.filter(~F.col("keep")).select(
+            F.lit("semdrop").alias("variant"),
+            F.col("vec_id").alias("id_a"),
+            F.col("group_id").alias("id_b"),
+            F.col("centroid_cosine").alias("cosine"),
+        )
+        return (
+            self_pairs.unionByName(decon)
+            .unionByName(semgroup)
+            .unionByName(semdrop)
+        )
 
     q["s4_embedding_near_duplicates"] = _s4
 
@@ -3266,9 +3293,16 @@ SELECT query_id, vec_id, cosine, rank FROM (
     # Tagged union mirroring q["s4_embedding_near_duplicates"]: the
     # capped self-join detector ('self') ⊕ the BIPARTITE semantic
     # decontamination gate ('decon': train = vec_id % 20 != 0 vs eval
-    # slice; no bucket cap — the eval side broadcasts in the engine).
+    # slice; no bucket cap — the eval side broadcasts in the engine)
+    # ⊕ SemDeDup ('semgroup'/'semdrop': 16-cluster assignment by
+    # rounded cosine with centroid-id tie-break, within-cluster pairs
+    # at cosine ≥ 0.3, recursive min-label components, keep = lowest
+    # centroid cosine per group with min-id tie-break — the engine's
+    # 4096 cluster cap is not modeled: at n_lists=16 it binds only
+    # past ~65k vectors, far above any testdata sf).  WITH RECURSIVE
+    # prefixes the whole chain; only sreach recurses.
     o["s4_embedding_near_duplicates"] = (
-        s4_buckets_cte
+        s4_buckets_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + f""", fb AS MATERIALIZED (
   SELECT buckets.* FROM buckets
   JOIN (SELECT band_id, band_bits FROM buckets
@@ -3283,6 +3317,37 @@ SELECT query_id, vec_id, cosine, rank FROM (
   FROM buckets a JOIN buckets b
     ON a.band_id = b.band_id AND a.band_bits = b.band_bits
   WHERE a.vec_id % 20 != 0 AND b.vec_id % 20 = 0
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16
+), sasg AS MATERIALIZED (
+  SELECT vec_id, centroid_id AS list_id, c2c FROM (
+    SELECT e.vec_id, c.centroid_id, {cos('e.embedding', 'c.cvec')} AS c2c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE {cos('e.embedding', 'c.cvec')} IS NOT NULL
+  ) WHERE rn = 1
+), sp AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sasg a JOIN sasg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {cos('ea.embedding', 'eb.embedding')} >= 0.3
+), sedges AS (
+  SELECT id_a AS src, id_b AS dst FROM sp
+  UNION
+  SELECT id_b, id_a FROM sp
+), sreach AS (
+  SELECT src AS node, src AS label FROM sedges
+  UNION
+  SELECT e.dst AS node, r.label FROM sreach r JOIN sedges e ON e.src = r.node
+), smem AS MATERIALIZED (
+  SELECT g.vec_id, g.group_id, a.c2c,
+         ROW_NUMBER() OVER (PARTITION BY g.group_id
+             ORDER BY a.c2c ASC, g.vec_id) AS krn
+  FROM (SELECT node AS vec_id, MIN(label) AS group_id
+        FROM sreach GROUP BY node) g
+  JOIN sasg a USING (vec_id)
 )
 SELECT 'self' AS variant, id_a, id_b, cosine FROM (
   SELECT cand.id_a, cand.id_b, {cos('ea.embedding', 'eb.embedding')} AS cosine
@@ -3297,6 +3362,11 @@ SELECT 'decon', id_a, id_b, cosine FROM (
   JOIN embeddings ea ON ea.vec_id = dcand.id_a
   JOIN embeddings eb ON eb.vec_id = dcand.id_b
 ) WHERE cosine >= 0.3
+UNION ALL
+SELECT 'semgroup', vec_id AS id_a, group_id AS id_b, c2c AS cosine FROM smem
+UNION ALL
+SELECT 'semdrop', vec_id AS id_a, group_id AS id_b, c2c AS cosine
+FROM smem WHERE krn > 1
 """
     )
 

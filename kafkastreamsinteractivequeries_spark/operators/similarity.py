@@ -690,16 +690,20 @@ def _ivf_argmax(
     id_col: str,
     vec_col: str,
     carry_vec: bool = False,
+    carry_cos: bool = False,
 ) -> DataFrame:
-    """(id, list_id[, vec]): per-vector nearest centroid by rounded
-    cosine (centroid-id tie-break), as a min-of-(−cos, centroid_id)
-    struct under groupBy — partial-aggregates map-side, so the shuffle
-    carries one row per vector, not the n × n_lists joined rows the
-    previous Window-over-id plan hash-shuffled (the same argmin shape
-    as ``_nearest_sub_centroid``; ordering is identical to
+    """(id, list_id[, vec][, centroid_cosine]): per-vector nearest
+    centroid by rounded cosine (centroid-id tie-break), as a
+    min-of-(−cos, centroid_id) struct under groupBy —
+    partial-aggregates map-side, so the shuffle carries one row per
+    vector, not the n × n_lists joined rows the previous
+    Window-over-id plan hash-shuffled (the same argmin shape as
+    ``_nearest_sub_centroid``; ordering is identical to
     ``ORDER BY cos DESC, centroid_id``).  ``carry_vec`` rides the
     vector through the struct for consumers that need the winner's
-    vector next (ivf_train's means step) without a corpus join-back."""
+    vector next (ivf_train's means step) without a corpus join-back;
+    ``carry_cos`` surfaces the winning cosine itself (negated struct
+    head) for consumers ranking WITHIN a list (semdedup's keep rule)."""
     cos = F.round(
         cosine_from_parts(
             F.col(vec_col), F.col("centroid_vec"), F.col("_na"), F.col("_nc")
@@ -711,6 +715,8 @@ def _ivf_argmax(
     )
     out = [id_col, F.col("_best.centroid_id").alias("list_id")] + (
         [F.col(f"_best.{vec_col}").alias(vec_col)] if carry_vec else []
+    ) + (
+        [(-F.col("_best._ncos")).alias("centroid_cosine")] if carry_cos else []
     )
     return (
         corpus.join(F.broadcast(cent))
@@ -797,6 +803,102 @@ def knn_ivf(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540 — public): prune
+    semantically duplicated examples by clustering embeddings with a
+    coarse quantizer and comparing cosines only WITHIN clusters.
+
+    Returns one row per member of a multi-vector duplicate group:
+    ``(vec_id, list_id, group_id, centroid_cosine, keep)`` — vectors
+    with no within-cluster neighbor at ``cosine >= threshold`` are
+    implicitly kept and not emitted (the scalable shape: survivors =
+    corpus anti-join on the emitted drop set, as in
+    ``near_duplicate_groups``).  ``group_id`` is the transitive
+    component minimum; ``keep`` marks the paper's survivor — the member
+    with the LOWEST cosine to its cluster centroid (maximum-diversity
+    choice; min-id tie-break).
+
+    Scale: clustering bounds the quadratic corner to within-cluster —
+    pick ``n_lists ≈ corpus_size / target_cluster_size`` (the paper
+    runs 50k clusters over LAION-440M); ``max_cluster_size`` (default
+    4096) is the backstop cap on adversarial clusters, same contract as
+    ``embedding_near_duplicates``.  Assignment is one corpus scan
+    against the broadcast centroid table; pair verification joins only
+    within-cluster candidates; components converge in O(log² n)
+    large-star/small-star rounds; the keep rule is one bounded window
+    over group members.  ``centroids`` defaults to the deterministic
+    ``ivf_centroids`` (oracle-replayable); pass ``ivf_train(...)``
+    output for a k-means quantizer — plans are identical.
+    """
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        bucket_self_join_pairs,
+        connected_components_star,
+    )
+
+    cent = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_lists, vec_col, id_col
+    )
+    corpus = spread(embeddings).select(
+        id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
+    )
+    # (id, list_id, centroid_cosine) — one argmin shuffle; pinned
+    # because it feeds both pair-join sides AND the final members join.
+    asg = _ivf_argmax(
+        corpus, cent, id_col, vec_col, carry_cos=True
+    ).localCheckpoint(eager=False)
+
+    cand = bucket_self_join_pairs(
+        asg.select(id_col, "list_id"), ["list_id"], id_col, max_cluster_size
+    )
+    ea = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm_expr(F.col(vec_col)).alias("_pa"),
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm_expr(F.col(vec_col)).alias("_pb"),
+    )
+    cos = F.round(
+        cosine_from_parts(F.col("vec_a"), F.col("vec_b"), F.col("_pa"), F.col("_pb")),
+        6,
+    )
+    # shuffle_hash as in embedding_near_duplicates: the embedding side
+    # grows with the corpus, never broadcast it.
+    pairs = (
+        cand.join(ea.hint("shuffle_hash"), "id_a")
+        .join(eb.hint("shuffle_hash"), "id_b")
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos").isNotNull() & (F.col("_cos") >= threshold))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components_star(pairs)
+    # shuffle_hash: both sides are one-row-per-member tables with no
+    # useful ordering — skip the sort a merge join would add.
+    members = comp.select(F.col("doc_id").alias(id_col), "group_id").join(
+        asg.hint("shuffle_hash"), id_col
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("centroid_cosine").asc(), F.col(id_col)
+    )
+    return members.select(
+        id_col,
+        "list_id",
+        "group_id",
+        "centroid_cosine",
+        (F.row_number().over(w) == 1).alias("keep"),
     )
 
 

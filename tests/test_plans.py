@@ -419,3 +419,25 @@ def test_salted_join_spreads_hot_keys_without_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan  # the salt replication
+
+
+def test_semdedup_assignment_broadcasts_only_the_quantizer(spark, sf_dir):
+    """SemDeDup's scale contract: the corpus is never the build side of
+    a broadcast — the only broadcast inputs are the O(n_lists) centroid
+    table (assignment's nested-loop over 16 rows) and over-cap cluster
+    ids; pair verification joins shuffle-hash; no sort-merge join
+    anywhere (nothing needs a sort at this shape)."""
+    from kafkastreamsinteractivequeries_spark.operators.similarity import semdedup
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = semdedup(emb, threshold=0.3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # no all-pairs corner: never a cartesian; the lone nested-loop is
+    # the bounded centroid broadcast (connected_components_star's
+    # internal label joins are sort-merge by Spark's choice and carry
+    # two-long rows — its scale contract is pinned by the d10 tests)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # pair verification ships embeddings via shuffle-hash, not broadcast
+    assert "ShuffledHashJoin" in plan

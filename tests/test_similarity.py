@@ -597,3 +597,70 @@ def test_chunk_embed_pool_search_composition(spark):
     assert top[0].vec_id == 1
     assert top[0].cosine > top[1].cosine >= top[2].cosine
     assert top[1].vec_id == 3
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. arXiv:2303.09540): cluster-then-prune semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _angle_vec(deg: float) -> list[float]:
+    import math
+
+    r = math.radians(deg)
+    return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+
+def test_semdedup_transitive_group_keeps_farthest_from_centroid(spark):
+    """Controlled geometry: ids 0-3 are the 4 basis centroids; ids
+    10/11/12 sit at 0/7/14 degrees inside cluster 0.  At threshold
+    0.99 (cos 7 deg = .9925 >= t, cos 14 deg = .9703 < t) the dup
+    relation is a CHAIN 10-11-12 whose transitive closure is one
+    group; the paper's keep rule retains the member FARTHEST from the
+    centroid (id 12), and the singleton in cluster 1 is not emitted."""
+    from kafkastreamsinteractivequeries_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 0.0, 1.0], 0),
+        (10, _angle_vec(0.0), 0),
+        (11, _angle_vec(7.0), 0),
+        (12, _angle_vec(14.0), 0),
+        (20, [0.1, 0.9, 0.3, 0.0], 0),  # cluster 1, no neighbor
+    ]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    out = semdedup(df, n_lists=4, threshold=0.99).collect()
+    by_id = {r.vec_id: r for r in out}
+    # chain members (plus centroid 0 itself at 0 deg joins the group:
+    # cos(c0, id10) = 1 >= t) — the centroid seed IS a corpus vector
+    assert set(by_id) == {0, 10, 11, 12}
+    assert len({r.group_id for r in out}) == 1
+    assert all(r.list_id == 0 for r in out)
+    # keep = lowest centroid cosine = the 14-degree member
+    assert by_id[12].keep and not by_id[10].keep and not by_id[11].keep
+    assert by_id[0].centroid_cosine == pytest.approx(1.0)
+    # survivors = corpus minus emitted drop set
+    dropped = {r.vec_id for r in out if not r.keep}
+    assert dropped == {0, 10, 11}
+
+
+def test_semdedup_cluster_cap_bounds_the_quadratic_corner(spark):
+    """max_cluster_size=1 drops every cluster from pair generation —
+    the backstop that keeps one adversarial hot cluster from going
+    quadratic at scale; result is empty, never an error."""
+    from kafkastreamsinteractivequeries_spark.operators.similarity import semdedup
+
+    rows = [(i, _angle_vec(float(i % 3)), 0) for i in range(30)]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    assert semdedup(df, n_lists=4, threshold=0.99, max_cluster_size=1).count() == 0
+    # Uncapped on the same input: the first 3 vectors (0/1/2 degrees)
+    # seed three centroids, so each angle becomes its OWN cluster and
+    # the cross-angle near-dups (cos 1 deg = .99985 >= t) are never
+    # compared — the paper's documented approximation: recall is
+    # bounded by cluster granularity.  Within-cluster exact dups still
+    # collapse: 3 groups of 10, one survivor each.
+    out = semdedup(df, n_lists=4, threshold=0.99, max_cluster_size=None).collect()
+    assert len({r.group_id for r in out}) == 3
+    assert len(out) == 30 and sum(1 for r in out if r.keep) == 3
