@@ -611,11 +611,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_grams").cast("long").alias("n"),
             F.coalesce(F.col("sel"), F.lit(0)).cast("long").alias("total"),
         )
+        # 'qlrw' + 'qlr' — the fastText-style MODEL-BASED quality
+        # classifier (Joulin et al. 1607.01759 shape): 3 full-batch GD
+        # iterations of logistic regression over L2-normalized hashed
+        # gram features, label = (lang == 'en').  Both the learned
+        # weight table (the whole trajectory, 'qlrw') and the frozen-
+        # model scoring pass over every doc ('qlr': prob, label,
+        # prediction) are hash-verified; the oracle replays the GD
+        # rounds like ivf_train's Lloyd replay.  The model is pinned
+        # once — it feeds both branches.
+        from kafkastreamsinteractivequeries_spark.operators.curation import (
+            quality_classifier_score,
+            quality_classifier_train,
+        )
+
+        ydocs = docs.withColumn("_y", (F.col("lang") == "en").cast("int"))
+        model = quality_classifier_train(
+            ydocs, "_y", num_buckets=4096, iterations=3, lr=1.0
+        ).localCheckpoint(eager=False)
+        qlrw = model.select(
+            F.lit("qlrw").alias("variant"),
+            F.col("bucket").cast("string").alias("name"),
+            F.col("w").alias("value"),
+            sent.alias("n"),
+            sent.alias("total"),
+        )
+        qlr = (
+            quality_classifier_score(docs, model, num_buckets=4096)
+            .join(ydocs.select("doc_id", "_y"), "doc_id")
+            .select(
+                F.lit("qlr").alias("variant"),
+                F.col("doc_id").cast("string").alias("name"),
+                F.col("prob").alias("value"),
+                F.col("_y").cast("long").alias("n"),
+                (F.col("prob") >= 0.5).cast("long").alias("total"),
+            )
+        )
         return (
             length_rows.unionByName(cons)
             .unionByName(skew)
             .unionByName(salted)
             .unionByName(dsir)
+            .unionByName(qlrw)
+            .unionByName(qlr)
         )
 
     q["x6_quality_gates"] = _x6
@@ -2371,6 +2409,35 @@ FROM h
     # x6 union: 'length' metric rows (the old single wide row unpivoted)
     # ⊕ 'constraint' (quality.check_constraints rule suite over orders,
     # one row per rule) ⊕ 'skew' (top-20 l_suppkey skew report).
+    # 3 GD rounds + the frozen-model scoring pass, one CTE block per
+    # round — qw{t} is the full weight table after round t (FULL OUTER
+    # with the previous round keeps buckets whose gradient is absent).
+    _x6_qlr_iters = "".join(
+        f""",
+qs{t} AS MATERIALIZED (
+  SELECT f.doc_id, ROUND(ROUND(SUM(f.x * COALESCE(w.w, 0)), 12), 6) AS s
+  FROM qfe f LEFT JOIN qw{t - 1} w USING (bucket) GROUP BY f.doc_id
+),
+qe{t} AS MATERIALIZED (
+  SELECT s.doc_id, ROUND(ROUND(1.0 / (1.0 + exp(-s.s)), 12), 6) - l.y AS e
+  FROM qs{t} s JOIN qlab l USING (doc_id)
+),
+qg{t} AS (
+  SELECT f.bucket,
+         ROUND(ROUND(SUM(f.x * e.e) / (SELECT nd FROM qnd), 15), 9) AS g
+  FROM qfe f JOIN qe{t} e USING (doc_id) GROUP BY f.bucket
+),
+qw{t} AS MATERIALIZED (
+  SELECT COALESCE(g.bucket, w.bucket) AS bucket,
+         ROUND(ROUND(COALESCE(w.w, 0) - 1.0 * COALESCE(g.g, 0), 14), 8) AS w
+  FROM qg{t} g FULL OUTER JOIN qw{t - 1} w ON g.bucket = w.bucket
+)"""
+        for t in range(1, 4)
+    ) + """,
+qsf AS MATERIALIZED (
+  SELECT f.doc_id, ROUND(ROUND(SUM(f.x * COALESCE(w.w, 0)), 12), 6) AS s
+  FROM qfe f LEFT JOIN qw3 w USING (bucket) GROUP BY f.doc_id
+)"""
     _x6_metrics = [
         "n_docs", "min_tokens", "p25", "p50", "p75", "p95",
         "max_tokens", "mean_tokens", "hp25", "hp50", "hp75", "hp95",
@@ -2489,7 +2556,30 @@ dw AS MATERIALIZED (
   SELECT doc_id, COUNT(*) AS n_grams, ROUND(SUM(lam), 6) AS log_weight
   FROM dsg JOIN dlam USING (bucket) GROUP BY doc_id
 ),
-dtop AS (SELECT doc_id FROM dw ORDER BY log_weight DESC, doc_id LIMIT 40)
+dtop AS (SELECT doc_id FROM dw ORDER BY log_weight DESC, doc_id LIMIT 40),
+-- quality_classifier_train replay: L2-normalized hashed-gram features
+-- (bias at bucket -1), then 3 full-batch logistic-GD rounds with the
+-- engine's exact rounding ladder (score 6, sigmoid 6, gradient 9,
+-- weights 8) so the trajectory is bit-replayable, as with the Lloyd
+-- and BPE oracles.  Reuses the dsg gram stream (same 4096 buckets).
+qcnt AS MATERIALIZED (
+  SELECT doc_id, bucket, COUNT(*) AS c FROM dsg GROUP BY 1, 2
+),
+qfe AS MATERIALIZED (
+  SELECT qcnt.doc_id, bucket, ROUND(CAST(c AS DOUBLE) / sqrt(n2), 6) AS x
+  FROM qcnt JOIN (
+    SELECT doc_id, CAST(SUM(c * c) AS DOUBLE) AS n2 FROM qcnt GROUP BY doc_id
+  ) qn2 ON qcnt.doc_id = qn2.doc_id
+  UNION ALL
+  SELECT doc_id, -1 AS bucket, 1.0 AS x FROM documents
+),
+qlab AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+qnd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+qw0 AS (SELECT CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS w WHERE FALSE)
+{_x6_qlr_iters}
 {_x6_length_rows}
 UNION ALL
 {_x6_rule_rows}
@@ -2512,6 +2602,17 @@ SELECT 'dsir', CAST(doc_id AS VARCHAR), log_weight,
        CAST(CASE WHEN doc_id IN (SELECT doc_id FROM dtop)
                  THEN 1 ELSE 0 END AS BIGINT)
 FROM dw
+UNION ALL
+SELECT 'qlrw', CAST(bucket AS VARCHAR), w,
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM qw3
+UNION ALL
+SELECT 'qlr', CAST(qsf.doc_id AS VARCHAR),
+       ROUND(ROUND(1.0 / (1.0 + exp(-s)), 12), 6),
+       CAST(y AS BIGINT),
+       CAST(CASE WHEN ROUND(ROUND(1.0 / (1.0 + exp(-s)), 12), 6) >= 0.5
+                 THEN 1 ELSE 0 END AS BIGINT)
+FROM qsf JOIN qlab ON qsf.doc_id = qlab.doc_id
 """
     )
     o["x7_bigram_logprob"] = (

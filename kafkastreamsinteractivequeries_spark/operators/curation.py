@@ -548,3 +548,176 @@ def dsir_select(
     bounded merge — no global sort at any scale."""
     w = dsir_importance_weights(raw, target, num_buckets, text_col, id_col)
     return w.orderBy(F.col("log_weight").desc(), F.col(id_col)).limit(n)
+
+
+def _classifier_features(
+    docs: DataFrame,
+    num_buckets: int,
+    text_col: str,
+    id_col: str,
+    feature_scale: float,
+) -> DataFrame:
+    """(doc_id, bucket, x): tf-normalized hashed unigram+bigram features
+    plus a constant bias feature at bucket -1 — the fastText input
+    layer, shared by training and scoring so the two can never skew.
+
+    Features are L2-NORMALIZED per document (x = cnt / ||cnt||₂,
+    times ``feature_scale``): with unit-norm rows the logistic Hessian
+    eigenvalues are bounded by ~(scale² + 1)/4, so full-batch GD is
+    stable at lr ≈ 1 — tf (L1) normalization was measured to either
+    freeze the bucket weights (bias 200× the feature magnitude) or
+    oscillate when rescaled, while the L2 form separates monotonically."""
+    counts = (
+        _hashed_gram_stream(docs, num_buckets, text_col, id_col)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("_c"))
+    )
+    tot = counts.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("_c") * F.col("_c"))).alias("_n")
+    )
+    # shuffle_hash: both sides are already doc-keyed aggregates — the
+    # norm join needs no sort, and the doc-id partitioning it creates
+    # is exactly what training's per-doc score aggregate reuses.
+    feat = counts.join(tot.hint("shuffle_hash"), id_col).select(
+        id_col,
+        "bucket",
+        F.round(
+            F.lit(feature_scale) * F.col("_c").cast("double") / F.col("_n"), 6
+        ).alias("x"),
+    )
+    bias = docs.select(
+        F.col(id_col), F.lit(-1).alias("bucket"), F.lit(1.0).alias("x")
+    )
+    return feat.unionByName(bias)
+
+
+def _pround(col: F.Column, d: int) -> F.Column:
+    """Portable round: snap at d+6 decimals first so distributed
+    sum-order noise (~1e-15) can't leave the value on the wrong side
+    of a d-decimal half-boundary — the classifier's rounded-grid
+    inputs make sums land EXACTLY on such boundaries (measured: one
+    doc's score flipped 0.453247 vs 0.453246 between engines)."""
+    return F.round(F.round(col, d + 6), d)
+
+
+def quality_classifier_train(
+    docs: DataFrame,
+    label_col: str,
+    num_buckets: int = 1024,
+    iterations: int = 3,
+    lr: float = 1.0,
+    feature_scale: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear quality classifier — logistic regression
+    over tf-normalized hashed unigram+bigram features (Joulin et al.
+    arXiv:1607.01759 is the public model shape), trained by full-batch
+    gradient descent entirely in DataFrame ops so a SQL oracle can
+    replay the trajectory step-for-step (the same contract as
+    ``ivf_train``'s Lloyd rounds and ``bpe_train``'s merges).
+
+    Returns the frozen model: ``(bucket, w)`` with the bias at bucket
+    -1 — at most ``num_buckets + 1`` rows at ANY corpus size, so the
+    model broadcasts everywhere; score any amount of data (or a
+    stream) with ``quality_classifier_score``.
+
+    Portability: per iteration the per-doc score is rounded to 6, the
+    sigmoid to 6, the per-bucket gradient to 9, and the weights to 8
+    decimals — distributed double-sum ordering and engine libm ulps
+    cannot drift the replayed trajectory.
+
+    Scale (the DSIR deployment split): train on a labeled SAMPLE —
+    model quality needs thousands of docs, not the corpus — then score
+    the full 100 TB with the frozen table.  Per iteration the cost is
+    one broadcast model join, one per-doc aggregate (co-partitioned
+    with the pinned feature stream), and one per-bucket aggregate: two
+    linear shuffles, no step proportional to iterations × corpus
+    re-tokenization (features are computed once and pinned)."""
+    feats = (
+        _classifier_features(
+            spread(docs), num_buckets, text_col, id_col, feature_scale
+        )
+        .repartition(F.col(id_col))
+        .localCheckpoint(eager=False)
+    )
+    labels = docs.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y")
+    ).localCheckpoint(eager=False)
+    n_docs = labels.count()
+    spark = docs.sparkSession
+    w = spark.createDataFrame([], "bucket int, w double")
+    for _ in range(iterations):
+        scored = (
+            feats.join(F.broadcast(w), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                _pround(
+                    F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))), 6
+                ).alias("_s")
+            )
+        )
+        err = scored.join(labels.hint("shuffle_hash"), id_col).select(
+            F.col(id_col),
+            (
+                _pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_s"))), 6)
+                - F.col("_y")
+            ).alias("_e"),
+        )
+        grad = (
+            feats.join(err.hint("shuffle_hash"), id_col)
+            .groupBy("bucket")
+            .agg(
+                _pround(
+                    F.sum(F.col("x") * F.col("_e")) / F.lit(float(n_docs)), 9
+                ).alias("_g")
+            )
+        )
+        w = (
+            grad.join(w, "bucket", "full")
+            .select(
+                "bucket",
+                _pround(
+                    F.coalesce(F.col("w"), F.lit(0.0))
+                    - F.lit(lr) * F.coalesce(F.col("_g"), F.lit(0.0)),
+                    8,
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return w
+
+
+def quality_classifier_score(
+    docs: DataFrame,
+    model: DataFrame,
+    num_buckets: int = 1024,
+    feature_scale: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, score, prob): documents scored against a frozen
+    classifier — gram explode → tf features → broadcast model join →
+    per-doc sum + sigmoid.  Scoring is a PER-DOC pure function of
+    (text, model), so on a stream apply it inside ``foreachBatch`` —
+    micro-batch boundaries cannot change any doc's probability (a
+    direct streaming plan is not possible: the L2 feature norm needs
+    two chained keyed aggregates, which Structured Streaming forbids).
+    ``num_buckets`` and ``feature_scale`` must match the training
+    call."""
+    feats = _classifier_features(docs, num_buckets, text_col, id_col, feature_scale)
+    s = _pround(
+        F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))), 6
+    )
+    return (
+        feats.join(F.broadcast(model), "bucket", "left")
+        .groupBy(id_col)
+        .agg(s.alias("score"))
+        .select(
+            id_col,
+            "score",
+            _pround(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6
+            ).alias("prob"),
+        )
+    )

@@ -347,3 +347,70 @@ def test_dsir_frozen_model_matches_one_pass(spark):
         for r in dsir_importance_weights(raw, target).collect()
     }
     assert frozen == fused
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_* — fastText-style trained quality gate
+# ---------------------------------------------------------------------------
+
+
+def _labeled_corpus(spark, n=200):
+    import random
+
+    random.seed(11)
+    good = "insightful rigorous thorough detailed measured careful documented verified".split()
+    bad = "spam click buy now free winner lottery prize".split()
+    rows = []
+    for i in range(n):
+        pos = i % 2 == 0
+        vocab = good if pos else bad
+        rows.append(
+            (i, " ".join(random.choice(vocab) for _ in range(30)), 1 if pos else 0)
+        )
+    return spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+
+def test_quality_classifier_learns_separable_labels(spark):
+    """On disjoint-vocabulary positives/negatives, 10 full-batch GD
+    rounds must fully separate the classes — the training is a real
+    optimizer, not a deterministic ritual.  Training cost is
+    sample-sized (the 100 TB pass is scoring, not training), so
+    iterations in the tens are the expected deployment config."""
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    docs = _labeled_corpus(spark)
+    model = quality_classifier_train(docs, "y", num_buckets=1024, iterations=10, lr=2.0)
+    scored = quality_classifier_score(docs, model, num_buckets=1024).join(
+        docs.select("doc_id", "y"), "doc_id"
+    )
+    rows = scored.collect()
+    acc = sum(1 for r in rows if (r.prob >= 0.5) == (r.y == 1)) / len(rows)
+    assert acc == 1.0
+    mean_pos = sum(r.prob for r in rows if r.y == 1) / sum(r.y for r in rows)
+    mean_neg = sum(r.prob for r in rows if r.y == 0) / sum(1 - r.y for r in rows)
+    assert mean_pos > 0.8 and mean_neg < 0.2
+
+
+def test_quality_classifier_model_is_bounded_and_broadcast(spark):
+    """Scale contract: the frozen model is <= num_buckets + 1 rows at
+    any corpus size, and scoring joins it via broadcast — never a
+    corpus-stream shuffle-by-bucket; no Python in the plan."""
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    docs = _labeled_corpus(spark, n=60)
+    model = quality_classifier_train(docs, "y", num_buckets=64, iterations=2)
+    assert model.count() <= 65
+    plan = (
+        quality_classifier_score(docs, model, num_buckets=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    smj_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert not smj_lines
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

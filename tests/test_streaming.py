@@ -1038,3 +1038,58 @@ def test_streaming_near_dup_filter_end_to_end_stream(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r.doc_id for r in sink.survivors(spark).collect()}
     assert 1 in kept and 3 in kept and 2 not in kept
+
+
+def test_quality_classifier_scores_streams(spark, tmp_path):
+    """The trained quality gate in serving: scoring is a PER-DOC pure
+    function of (text, frozen model) — micro-batch boundaries cannot
+    change any doc's probability — so it rides foreachBatch (the repo's
+    streaming-sink pattern; a direct streaming plan would need the
+    L2-norm's two chained keyed aggregates, which Structured Streaming
+    forbids).  Per-batch results must equal the batch run exactly."""
+    import json
+
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "rigorous detailed verified analysis", "y": 1},
+        {"doc_id": 2, "text": "free prize click now winner", "y": 0},
+        {"doc_id": 3, "text": "careful measured documented findings", "y": 1},
+    ]
+    src = tmp_path / "qlr_stream"
+    src.mkdir()
+    (src / "part0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    batch_docs = spark.read.json(str(src))
+    model = quality_classifier_train(
+        batch_docs, "y", num_buckets=64, iterations=8, lr=2.0
+    ).localCheckpoint()
+
+    stream_docs = spark.readStream.schema(batch_docs.schema).json(str(src))
+    got = {}
+    q = (
+        stream_docs.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _id: got.update(
+                {
+                    r["doc_id"]: r["prob"]
+                    for r in quality_classifier_score(
+                        df, model, num_buckets=64
+                    ).collect()
+                }
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {
+        r["doc_id"]: r["prob"]
+        for r in quality_classifier_score(batch_docs, model, num_buckets=64).collect()
+    }
+    assert got == want
+    assert got[1] > got[2] and got[3] > got[2]  # good docs outscore spam
