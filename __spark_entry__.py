@@ -1222,12 +1222,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             ).alias("code"),
         )
+        # int8 symmetric quantization: the 4×-smaller serving copy —
+        # code = rounded-6 scale + the full int vector, so the whole
+        # quantized corpus representation is hash-verified (cosine over
+        # these is scale-free integer math, recall floor in pytest).
+        int8 = S.quantize_embeddings(emb).select(
+            "vec_id",
+            F.lit("int8").alias("index_kind"),
+            F.concat_ws(
+                ":",
+                F.format_string("%.6f", F.round(F.col("scale"), 6)),
+                F.concat_ws(
+                    ",", F.transform("qvec", lambda v: v.cast("string"))
+                ),
+            ).alias("code"),
+        )
         return (
             srp.unionByName(ivf)
             .unionByName(ivft)
             .unionByName(ivfs)
             .unionByName(fused)
             .unionByName(pooled)
+            .unionByName(int8)
         )
 
     q["s2_index_assignments"] = _s2
@@ -3326,6 +3342,20 @@ UNION ALL
 SELECT c.vec_id, 'fused' AS index_kind,
        c.code || ':' || CAST(a.list_id AS VARCHAR) AS code
 FROM codes c JOIN assign a USING (vec_id)
+UNION ALL
+SELECT vec_id, 'int8' AS index_kind,
+       printf('%.6f', ROUND(scale, 6)) || ':' ||
+       array_to_string([CAST(ROUND(x / scale, 0) AS INTEGER) for x in emb_d],
+                       ',') AS code
+FROM (
+  SELECT vec_id, emb_d,
+         CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+  FROM (
+    SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb_d,
+           list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS m
+    FROM embeddings
+  )
+)
 UNION ALL
 SELECT did AS vec_id, 'pooled' AS index_kind,
        string_agg(printf('%.6f', CAST(CAST(m AS FLOAT) AS DOUBLE)),

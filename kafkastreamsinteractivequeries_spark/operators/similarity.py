@@ -1326,6 +1326,94 @@ def encode_all(
     return spread(embeddings).select(*cols)
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, qvec array<int> in [-127, 127], scale double): symmetric
+    per-vector int8 quantization — the 4×-smaller serving copy of the
+    corpus (float32 → int8), the memory-bound middle ground between raw
+    vectors and PQ's 32× codes.
+
+    ``scale = max(|x|) / 127``; dequantized value = ``q * scale``.
+    Cosine over quantized vectors needs NO dequantization at all: the
+    per-vector scales cancel, so scoring is integer dot products —
+    bit-exact across engines (``knn_int8``).  Map-only projection, no
+    shuffle; zero vectors quantize to zeros under a unit scale."""
+    absmax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    with_scale = spread(embeddings).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0)).alias(
+            "scale"
+        ),
+    )
+    return with_scale.select(
+        id_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
+        ).alias("qvec"),
+        "scale",
+    )
+
+
+def knn_int8(
+    quantized: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact brute-force cosine top-k over an int8-quantized corpus
+    (``quantize_embeddings`` output on BOTH sides): cosine(a, b) =
+    Σ qa·qb / (‖qa‖‖qb‖) — the per-vector scales cancel, so candidate
+    scoring is pure integer arithmetic over 4×-smaller rows.  Same plan
+    as ``knn_bruteforce``: queries broadcast, one corpus scan, per-query
+    top-k window; recall vs float brute force is bounded only by the
+    quantization error (≥ 0.99 @10 on the testdata corpus, pinned in
+    pytest)."""
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), F.col("_qq"), lambda a, b: (a * b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qnorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+    )
+    qn = queries.select(
+        F.col(query_id_col),
+        F.col("qvec").alias("_qq"),
+        qnorm("qvec").alias("_nb"),
+    )
+    scored = quantized.select(
+        id_col, "qvec", qnorm("qvec").alias("_na")
+    ).join(F.broadcast(qn))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    cos = F.round(idot / (F.col("_na") * F.col("_nb")), 6)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("cosine", cos)
+        .filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def pool_embeddings(
     chunk_vecs: DataFrame,
     id_col: str = "doc_id",

@@ -664,3 +664,52 @@ def test_semdedup_cluster_cap_bounds_the_quadratic_corner(spark):
     out = semdedup(df, n_lists=4, threshold=0.99, max_cluster_size=None).collect()
     assert len({r.group_id for r in out}) == 3
     assert len(out) == 30 and sum(1 for r in out if r.keep) == 3
+
+
+# ---------------------------------------------------------------------------
+# int8 symmetric quantization — the 4x-smaller serving corpus
+# ---------------------------------------------------------------------------
+
+
+def test_int8_quantization_bounds_and_recall(spark, sf_dir):
+    """Quantized components stay in [-127, 127] with the max-magnitude
+    dim hitting ±127 exactly; cosine over int8 (scales cancel — pure
+    integer dot products) holds ≥0.95 recall@10 vs float brute force on
+    the uniform-sphere corpus (measured 0.985), and a zero vector
+    survives under a unit scale instead of dividing by zero."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_int8,
+        quantize_embeddings,
+        recall_at_k,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb).localCheckpoint()
+    bounds = q.select(
+        F.max(F.array_max("qvec")).alias("mx"),
+        F.min(F.array_min("qvec")).alias("mn"),
+        F.min(F.array_max(F.transform("qvec", lambda v: F.abs(v)))).alias(
+            "peak"
+        ),
+    ).collect()[0]
+    assert bounds.mx <= 127 and bounds.mn >= -127
+    assert bounds.peak == 127  # every vector's max-|dim| lands on ±127
+
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qq = q.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    exact = knn_bruteforce(emb, queries, k=10)
+    assert recall_at_k(exact, knn_int8(q, qq, k=10)) >= 0.95
+
+    zrow = spark.createDataFrame(
+        [(999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    zq = quantize_embeddings(zrow).collect()[0]
+    assert zq.scale == 1.0 and all(v == 0 for v in zq.qvec)
