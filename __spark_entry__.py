@@ -778,7 +778,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("intersection_estimate").cast("double").alias("estimate"),
             F.col("n_both").cast("long").alias("detail"),
         )
-        return kmv.unionByName(hll).unionByName(cms).unionByName(kmvset)
+        # drift_*: the corpus-distribution drift monitor next to the
+        # sketches it complements — JS/KL scalars + top-20 contributing
+        # buckets, for a REAL split (en vs rest, 'drift_lang') and a
+        # same-distribution control (even vs odd ids, 'drift_split');
+        # counts ride the key string so totals are hash-verified too.
+        docs = _docs(s, d)
+
+        def _drift(tag: str, a, b) -> DataFrame:
+            return T.distribution_divergence(a, b, top_k=20).select(
+                F.lit(tag).alias("variant"),
+                F.concat_ws(
+                    ":",
+                    "metric",
+                    F.col("count_a").cast("string"),
+                    F.col("count_b").cast("string"),
+                ).alias("sketch_key"),
+                F.col("value").alias("estimate"),
+                F.col("bucket").cast("long").alias("detail"),
+            )
+
+        drift_lang = _drift(
+            "drift_lang",
+            docs.filter(F.col("lang") == "en"),
+            docs.filter(F.col("lang") != "en"),
+        )
+        drift_split = _drift(
+            "drift_split",
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        )
+        return (
+            kmv.unionByName(hll)
+            .unionByName(cms)
+            .unionByName(kmvset)
+            .unionByName(drift_lang)
+            .unionByName(drift_split)
+        )
 
     q["x10_cardinality_sketches"] = _x10
 
@@ -2922,6 +2958,71 @@ FROM (
     # exact Python double (0.709·64·64) so both engines fold the same
     # literal instead of re-deriving it in their own numeric types.
     _hll_alpha_m2 = repr(0.709 * 64 * 64)
+    def _drift_sql(tag: str, ca: str, cb: str) -> str:
+        # arithmetic mirrors text.distribution_divergence term-for-term
+        # (operation order matters for double determinism)
+        p0 = "(1 / (na + 4096.0))"
+        q0 = "(1 / (nb + 4096.0))"
+        m0 = f"(({p0} + {q0}) / 2)"
+        return f""",
+{tag}_h AS MATERIALIZED (
+  SELECT bucket, {ca} AS ca, {cb} AS cb FROM ddh WHERE {ca} + {cb} > 0
+),
+{tag}_tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS n_obs FROM {tag}_h
+),
+{tag}_c AS MATERIALIZED (
+  SELECT bucket, ca, cb, na, nb, n_obs,
+         p * ln(p / q) AS kab, q * ln(q / p) AS kba,
+         0.5 * p * ln(p / ((p + q) / 2))
+           + 0.5 * q * ln(q / ((p + q) / 2)) AS jsc
+  FROM (
+    SELECT bucket, ca, cb, na, nb, n_obs,
+           (ca + 1) / (na + 4096.0) AS p, (cb + 1) / (nb + 4096.0) AS q
+    FROM {tag}_h CROSS JOIN {tag}_tot
+  )
+),
+{tag}_sum AS (
+  SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         ROUND(ROUND(SUM(kab)
+           + (4096 - n_obs) * {p0} * ln({p0} / {q0}), 12), 6) AS kl_ab,
+         ROUND(ROUND(SUM(kba)
+           + (4096 - n_obs) * {q0} * ln({q0} / {p0}), 12), 6) AS kl_ba,
+         ROUND(ROUND(SUM(jsc)
+           + (4096 - n_obs) * (0.5 * {p0} * ln({p0} / {m0})
+                               + 0.5 * {q0} * ln({q0} / {m0})), 12), 6) AS js
+  FROM {tag}_c GROUP BY na, nb, n_obs
+),
+{tag}_top AS (
+  SELECT bucket, ca, cb, v FROM (
+    SELECT bucket, ca, cb, ROUND(ROUND(jsc, 15), 9) AS v,
+           ROW_NUMBER() OVER (
+               ORDER BY ABS(ROUND(ROUND(jsc, 15), 9)) DESC, bucket) AS rn
+    FROM {tag}_c
+  ) WHERE rn <= 20
+)"""
+
+    drift_ctes = _drift_sql("dl", "ca_lang", "cb_lang") + _drift_sql(
+        "dsp", "ca_split", "cb_split"
+    )
+    drift_selects = "".join(
+        f"""
+UNION ALL
+SELECT '{variant}' AS variant,
+       m || ':' || CAST(na AS VARCHAR) || ':' || CAST(nb AS VARCHAR),
+       v, CAST(-1 AS BIGINT)
+FROM (
+  SELECT 'js' AS m, js AS v, na, nb FROM {tag}_sum
+  UNION ALL SELECT 'kl_ab', kl_ab, na, nb FROM {tag}_sum
+  UNION ALL SELECT 'kl_ba', kl_ba, na, nb FROM {tag}_sum
+)
+UNION ALL
+SELECT '{variant}',
+       'bucket:' || CAST(ca AS VARCHAR) || ':' || CAST(cb AS VARCHAR),
+       v, CAST(bucket AS BIGINT)
+FROM {tag}_top"""
+        for tag, variant in (("dl", "drift_lang"), ("dsp", "drift_split"))
+    )
     o["x10_cardinality_sketches"] = f"""
 WITH h AS (
   SELECT DISTINCT event_type,
@@ -3025,11 +3126,41 @@ WITH h AS (
                * ROUND(n_both / CAST(n_kept AS DOUBLE), 6), 4) AS estimate,
          n_both AS detail
   FROM ofold
-)
+),
+-- distribution_divergence replay: the dsg gram/bucket stream (4096
+-- buckets) carrying lang and id-parity, one histogram per split pair
+-- (per-pair observed set = buckets either side touched), add-1
+-- smoothed JS/KL with the closed-form absent-bucket tail, and the
+-- top-20 |JS contribution| buckets.  Double-rounding ladder as in the
+-- engine (12→6 scalars, 15→9 contributions).
+ddt AS MATERIALIZED (
+  SELECT doc_id, lang, string_split({norm}, ' ') AS toks FROM documents
+),
+ddg AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(list_sum(list_transform(generate_series(1, 3), j ->
+             (strpos('0123456789abcdef', substr(md5(gram), 29 + j, 1)) - 1)
+             * (16 ** (3 - j)))) AS BIGINT) % 4096 AS bucket
+  FROM (
+    SELECT doc_id, lang, unnest(list_concat(toks,
+        CASE WHEN len(toks) >= 2
+             THEN [array_to_string(toks[i:i+1], ' ')
+                   for i in generate_series(1, len(toks) - 1)]
+             ELSE [] END)) AS gram
+    FROM ddt)
+),
+ddh AS MATERIALIZED (
+  SELECT bucket,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca_lang,
+         SUM(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS cb_lang,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca_split,
+         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb_split
+  FROM ddg GROUP BY bucket
+){drift_ctes}
 SELECT * FROM kmv
 UNION ALL SELECT * FROM hll
 UNION ALL SELECT * FROM cms
-UNION ALL SELECT * FROM kmvset
+UNION ALL SELECT * FROM kmvset{drift_selects}
 """
     # x12 — PII redaction: rebuild the key's deterministic salted text
     # (email on doc_id%3, dashed phone on %4, IPv4 on %5), then replay

@@ -1065,3 +1065,129 @@ def bpe_segment(
         segmented.alias("bpe_tokens_learned"),
         F.size(segmented).cast("int").alias("n_bpe_tokens"),
     )
+
+
+def distribution_divergence(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-distribution DRIFT monitor: compare two corpus snapshots
+    by add-1-smoothed hashed unigram+bigram histograms (DSIR's feature
+    space — ``curation._hashed_gram_stream``), reporting Jensen-Shannon
+    divergence, both KL directions, and the ``top_k`` buckets by
+    absolute JS contribution.
+
+    Returns (metric, bucket, value, count_a, count_b):
+
+    - metric 'js' / 'kl_ab' / 'kl_ba': bucket = -1, value = nats,
+      count_* = total gram occurrences per corpus;
+    - metric 'bucket': the top contributors, value = the bucket's JS
+      contribution, count_* = its raw occurrence counts — the "what
+      changed" drill-down next to the "how much" scalar.
+
+    Smoothing covers ABSENT buckets in closed form: a bucket unseen in
+    both corpora contributes a constant term, so the (num_buckets −
+    observed) tail is added arithmetically — the compare never
+    materializes more than the observed ≤ num_buckets rows.
+
+    Scale: one linear gram scan per corpus collapsing to a bounded
+    histogram, one full-outer join of two ≤ num_buckets-row tables, one
+    aggregate.  Run between any two snapshots (yesterday/today, source
+    A vs B, pre/post filter) for ingest observability; on a stream,
+    land the histogram via a sketch-style sink and diff snapshots."""
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        _hashed_gram_stream,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import spread
+
+    ha = (
+        _hashed_gram_stream(spread(corpus_a), num_buckets, text_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ca"))
+    )
+    hb = (
+        _hashed_gram_stream(spread(corpus_b), num_buckets, text_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cb"))
+    )
+    hist = (
+        ha.join(hb, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = hist.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count("*").alias("n_obs"),
+    )
+    B = float(num_buckets)
+    p = (F.col("ca") + 1) / (F.col("na") + B)
+    q = (F.col("cb") + 1) / (F.col("nb") + B)
+    m = (p + q) / 2
+    jsc = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    scored = hist.crossJoin(F.broadcast(totals)).select(
+        "bucket", "ca", "cb", "na", "nb", "n_obs",
+        (p * F.log(p / q)).alias("_kab"),
+        (q * F.log(q / p)).alias("_kba"),
+        jsc.alias("_js"),
+    )
+    # absent-bucket constant terms (ca = cb = 0), added in closed form
+    p0 = 1 / (F.col("na") + B)
+    q0 = 1 / (F.col("nb") + B)
+    m0 = (p0 + q0) / 2
+    tail = F.lit(num_buckets) - F.col("n_obs")
+    sums = (
+        scored.groupBy("na", "nb", "n_obs")
+        .agg(
+            F.sum("_kab").alias("skab"),
+            F.sum("_kba").alias("skba"),
+            F.sum("_js").alias("sjs"),
+        )
+        .select(
+            "na", "nb",
+            F.round(F.round(F.col("skab") + tail * p0 * F.log(p0 / q0), 12), 6).alias("kl_ab"),
+            F.round(F.round(F.col("skba") + tail * q0 * F.log(q0 / p0), 12), 6).alias("kl_ba"),
+            F.round(
+                F.round(
+                    F.col("sjs")
+                    + tail * (0.5 * p0 * F.log(p0 / m0) + 0.5 * q0 * F.log(q0 / m0)),
+                    12,
+                ),
+                6,
+            ).alias("js"),
+        )
+    )
+    metrics = sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"),
+                        F.lit(-1).alias("bucket"),
+                        F.col(name).alias("value"),
+                        F.col("na").cast("long").alias("count_a"),
+                        F.col("nb").cast("long").alias("count_b"),
+                    )
+                    for name in ("js", "kl_ab", "kl_ba")
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    top = (
+        scored.select(
+            F.lit("bucket").alias("metric"),
+            "bucket",
+            F.round(F.round(F.col("_js"), 15), 9).alias("value"),
+            F.col("ca").cast("long").alias("count_a"),
+            F.col("cb").cast("long").alias("count_b"),
+        )
+        .orderBy(F.abs(F.col("value")).desc(), "bucket")
+        .limit(top_k)
+    )
+    return metrics.unionByName(top)

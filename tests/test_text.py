@@ -605,3 +605,62 @@ def test_bm25_precomputed_stats_matches_self_contained(spark):
         map(tuple, bm25_search(df, ["spark"], k=5, corpus_stats=(n_docs, avgdl)).collect())
     )
     assert pre == base
+
+
+# ---------------------------------------------------------------------------
+# distribution_divergence — corpus drift monitor
+# ---------------------------------------------------------------------------
+
+
+def test_distribution_divergence_orders_real_vs_null_drift(spark):
+    """Disjoint-vocabulary corpora must show far larger JS divergence
+    than two samples of the SAME distribution; identical corpora sit at
+    exactly zero; and JS is symmetric."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        distribution_divergence,
+    )
+
+    a = spark.range(50).selectExpr(
+        "id AS doc_id", "'alpha beta gamma delta epsilon' AS text"
+    )
+    b = spark.range(50).selectExpr(
+        "id + 100 AS doc_id", "'omega sigma tau upsilon phi' AS text"
+    )
+    a2 = spark.range(50).selectExpr(
+        "id + 200 AS doc_id", "'alpha beta gamma delta epsilon' AS text"
+    )
+
+    def js(x, y):
+        rows = distribution_divergence(x, y).filter("metric = 'js'").collect()
+        return rows[0].value
+
+    disjoint = js(a, b)
+    null_drift = js(a, a2)
+    assert disjoint > 10 * max(null_drift, 1e-9)
+    assert null_drift == 0.0  # identical gram multisets
+    assert js(a, b) == js(b, a)  # symmetric
+
+    # top buckets carry the drill-down: every contributor is one-sided
+    top = (
+        distribution_divergence(a, b).filter("metric = 'bucket'").collect()
+    )
+    assert top and all((r.count_a == 0) != (r.count_b == 0) for r in top)
+    assert all(r.value > 0 for r in top)
+
+
+def test_distribution_divergence_plan_is_bounded(spark):
+    """Scale contract: the compare side is a full-outer join of two
+    <= num_buckets-row histograms — the corpus appears only in the two
+    linear gram scans, never in a join; no Python anywhere."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        distribution_divergence,
+    )
+
+    a = spark.range(500).selectExpr("id AS doc_id", "concat('w', id % 97, ' x', id % 31) AS text")
+    b = spark.range(500).selectExpr("id AS doc_id", "concat('w', id % 89, ' x', id % 37) AS text")
+    plan = (
+        distribution_divergence(a, b)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # the totals ride a broadcast
