@@ -1067,52 +1067,43 @@ def bpe_segment(
     )
 
 
-def distribution_divergence(
-    corpus_a: DataFrame,
-    corpus_b: DataFrame,
+def gram_histogram(
+    corpus: DataFrame,
     num_buckets: int = 4096,
     text_col: str = "text",
-    top_k: int = 20,
 ) -> DataFrame:
-    """Corpus-distribution DRIFT monitor: compare two corpus snapshots
-    by add-1-smoothed hashed unigram+bigram histograms (DSIR's feature
-    space — ``curation._hashed_gram_stream``), reporting Jensen-Shannon
-    divergence, both KL directions, and the ``top_k`` buckets by
-    absolute JS contribution.
-
-    Returns (metric, bucket, value, count_a, count_b):
-
-    - metric 'js' / 'kl_ab' / 'kl_ba': bucket = -1, value = nats,
-      count_* = total gram occurrences per corpus;
-    - metric 'bucket': the top contributors, value = the bucket's JS
-      contribution, count_* = its raw occurrence counts — the "what
-      changed" drill-down next to the "how much" scalar.
-
-    Smoothing covers ABSENT buckets in closed form: a bucket unseen in
-    both corpora contributes a constant term, so the (num_buckets −
-    observed) tail is added arithmetically — the compare never
-    materializes more than the observed ≤ num_buckets rows.
-
-    Scale: one linear gram scan per corpus collapsing to a bounded
-    histogram, one full-outer join of two ≤ num_buckets-row tables, one
-    aggregate.  Run between any two snapshots (yesterday/today, source
-    A vs B, pre/post filter) for ingest observability; on a stream,
-    land the histogram via a sketch-style sink and diff snapshots."""
+    """(bucket, cnt): the hashed unigram+bigram occurrence histogram of
+    a corpus — one linear gram scan collapsing to ≤ num_buckets rows.
+    The snapshot artifact `distribution_divergence_from_histograms`
+    compares; the streaming twin is
+    ``streaming.pipeline.StreamingGramHistogramSink`` (same bucketing,
+    add-mergeable, so landed snapshots diff against any batch
+    histogram)."""
     from kafkastreamsinteractivequeries_spark.operators.curation import (
         _hashed_gram_stream,
     )
     from kafkastreamsinteractivequeries_spark.sources.tables import spread
 
-    ha = (
-        _hashed_gram_stream(spread(corpus_a), num_buckets, text_col)
+    return (
+        _hashed_gram_stream(spread(corpus), num_buckets, text_col)
         .groupBy("bucket")
-        .agg(F.count("*").alias("ca"))
+        .agg(F.count("*").alias("cnt"))
     )
-    hb = (
-        _hashed_gram_stream(spread(corpus_b), num_buckets, text_col)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("cb"))
-    )
+
+
+def distribution_divergence_from_histograms(
+    hist_a: DataFrame,
+    hist_b: DataFrame,
+    num_buckets: int = 4096,
+    top_k: int = 20,
+) -> DataFrame:
+    """`distribution_divergence` over precomputed (bucket, cnt)
+    histograms (``gram_histogram`` output or a landed
+    ``StreamingGramHistogramSink`` snapshot) — the snapshot-diff form:
+    yesterday-vs-today needs no second pass over yesterday's corpus,
+    only its ≤ num_buckets-row artifact."""
+    ha = hist_a.select("bucket", F.col("cnt").alias("ca"))
+    hb = hist_b.select("bucket", F.col("cnt").alias("cb"))
     hist = (
         ha.join(hb, "bucket", "full")
         .select(
@@ -1191,3 +1182,43 @@ def distribution_divergence(
         .limit(top_k)
     )
     return metrics.unionByName(top)
+
+
+def distribution_divergence(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-distribution DRIFT monitor: compare two corpus snapshots
+    by add-1-smoothed hashed unigram+bigram histograms (DSIR's feature
+    space — ``curation._hashed_gram_stream``), reporting Jensen-Shannon
+    divergence, both KL directions, and the ``top_k`` buckets by
+    absolute JS contribution.
+
+    Returns (metric, bucket, value, count_a, count_b):
+
+    - metric 'js' / 'kl_ab' / 'kl_ba': bucket = -1, value = nats,
+      count_* = total gram occurrences per corpus;
+    - metric 'bucket': the top contributors, value = the bucket's JS
+      contribution, count_* = its raw occurrence counts — the "what
+      changed" drill-down next to the "how much" scalar.
+
+    Smoothing covers ABSENT buckets in closed form: a bucket unseen in
+    both corpora contributes a constant term, so the (num_buckets −
+    observed) tail is added arithmetically — the compare never
+    materializes more than the observed ≤ num_buckets rows.
+
+    Scale: one linear gram scan per corpus collapsing to a bounded
+    histogram, one full-outer join of two ≤ num_buckets-row tables, one
+    aggregate.  Run between any two snapshots (yesterday/today, source
+    A vs B, pre/post filter) for ingest observability; on a stream,
+    land the histogram via ``StreamingGramHistogramSink`` and diff
+    snapshots with ``distribution_divergence_from_histograms``."""
+    return distribution_divergence_from_histograms(
+        gram_histogram(corpus_a, num_buckets, text_col),
+        gram_histogram(corpus_b, num_buckets, text_col),
+        num_buckets,
+        top_k,
+    )

@@ -748,6 +748,58 @@ class StreamingHistogramSink(_VersionedSketchSink):
         return cum.agg(*aggs)
 
 
+class StreamingGramHistogramSink(_VersionedSketchSink):
+    """Landed hashed-gram histogram: continuous corpus-DISTRIBUTION
+    telemetry with state ≤ ``num_buckets`` rows.  Per-batch histograms
+    merge by ADDING counts, so the landed table equals
+    ``text.gram_histogram`` over everything ingested — diff any two
+    snapshots (or a snapshot against a reference corpus) with
+    ``text.distribution_divergence_from_histograms`` for a streaming
+    drift alarm that never rereads landed data."""
+
+    def __init__(
+        self,
+        path: str,
+        text_col: str = "text",
+        num_buckets: int = 4096,
+    ):
+        super().__init__(path)
+        self.text_col = text_col
+        self.num_buckets = num_buckets
+
+    def _sketch(self, batch_df: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.curation import (
+            _hashed_gram_stream,
+        )
+
+        return (
+            _hashed_gram_stream(batch_df, self.num_buckets, self.text_col)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.unionByName(b).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+    def histogram(self, spark: SparkSession) -> DataFrame:
+        """The landed (bucket, cnt) table (latest committed snapshot)."""
+        return self._latest(spark)
+
+    def divergence_from(
+        self, spark: SparkSession, reference: DataFrame, top_k: int = 20
+    ) -> DataFrame:
+        """Drift of the landed distribution vs a reference (bucket, cnt)
+        histogram — ``distribution_divergence_from_histograms`` with the
+        landed side as corpus A."""
+        from kafkastreamsinteractivequeries_spark.operators.text import (
+            distribution_divergence_from_histograms,
+        )
+
+        return distribution_divergence_from_histograms(
+            self.histogram(spark), reference, self.num_buckets, top_k
+        )
+
+
 class StreamingCmsSink(_VersionedSketchSink):
     """Landed count-min counter store: continuous frequency telemetry
     with total state ≤ depth × width rows.  Counters merge by ADDITION

@@ -1093,3 +1093,63 @@ def test_quality_classifier_scores_streams(spark, tmp_path):
     }
     assert got == want
     assert got[1] > got[2] and got[3] > got[2]  # good docs outscore spam
+
+
+def test_streaming_gram_histogram_drift_matches_batch(spark, tmp_path):
+    """The landed gram histogram equals the batch histogram over
+    everything ingested, and diffing the landed snapshot against a
+    reference corpus yields EXACTLY the batch distribution_divergence —
+    the streaming drift alarm needs only the bounded landed artifact,
+    never a reread of landed text."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        distribution_divergence,
+        gram_histogram,
+    )
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingGramHistogramSink,
+    )
+
+    mk = lambda lo, n, words: spark.range(lo, lo + n).selectExpr(
+        "id as doc_id", f"'{words}' as text"
+    )
+    a = mk(0, 80, "alpha beta gamma delta")
+    b = mk(80, 80, "alpha beta epsilon zeta")
+    src = str(tmp_path / "docs")
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    sink = StreamingGramHistogramSink(str(tmp_path / "gram_store"), num_buckets=256)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    ingested = a.unionByName(b)
+    landed = {(r.bucket, r.cnt) for r in sink.histogram(spark).collect()}
+    batch = {
+        (r.bucket, r.cnt) for r in gram_histogram(ingested, 256).collect()
+    }
+    assert landed == batch
+
+    ref = mk(1000, 100, "omega sigma tau upsilon")
+    want = sorted(
+        (r.metric, r.bucket, r.value, r.count_a, r.count_b)
+        for r in distribution_divergence(ingested, ref, num_buckets=256).collect()
+    )
+    got = sorted(
+        (r.metric, r.bucket, r.value, r.count_a, r.count_b)
+        for r in sink.divergence_from(
+            spark, gram_histogram(ref, 256)
+        ).collect()
+    )
+    assert got == want
+    js = [v for (m, _b, v, _a, _c) in got if m == "js"][0]
+    assert js > 0.001  # disjoint-ish vocab: real drift registered
