@@ -318,7 +318,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("revenue").alias("value"),
             F.col("n_lines").cast("double").alias("aux"),
         )
-        return promo.unionByName(disj)
+        # 'q21': the TPC-H Q21 correlation shape, DE-CORRELATED (each
+        # order's supplier fanout computed once, EXISTS/NOT-EXISTS as
+        # row-local count predicates) — the oracle runs the textbook
+        # CORRELATED form, proving the rewrite semantics-preserving.
+        ords = load_table(s, d, "orders")
+        q21 = A.waiting_suppliers(li, ords).select(
+            F.lit("q21").alias("variant"),
+            F.col("s_suppkey").cast("double").alias("value"),
+            F.col("numwait").cast("double").alias("aux"),
+        )
+        # 'q22cnt'/'q22bal': the Q22 shape — global scalar subquery
+        # (broadcast single row) + anti-join on the order keyset.
+        cust = load_table(s, d, "customer")
+        q22 = A.idle_customers(cust, ords, min_order_total=400000.0).localCheckpoint(
+            eager=False
+        )
+        q22cnt = q22.select(
+            F.lit("q22cnt").alias("variant"),
+            F.col("c_nationkey").cast("double").alias("value"),
+            F.col("numcust").cast("double").alias("aux"),
+        )
+        q22bal = q22.select(
+            F.lit("q22bal").alias("variant"),
+            F.col("c_nationkey").cast("double").alias("value"),
+            F.col("totacctbal").alias("aux"),
+        )
+        return (
+            promo.unionByName(disj)
+            .unionByName(q21)
+            .unionByName(q22cnt)
+            .unionByName(q22bal)
+        )
 
     q["a11_revenue_kpis"] = _a11
 
@@ -1687,6 +1718,38 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
          AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
          AND l_quantity BETWEEN 20 AND 36)
+UNION ALL
+-- Q21 shape, the TEXTBOOK CORRELATED form (the engine runs the
+-- de-correlated fanout rewrite; equal output proves the rewrite)
+SELECT 'q21', CAST(l1.l_suppkey AS DOUBLE),
+       CAST(COUNT(DISTINCT l1.l_orderkey) AS DOUBLE)
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY l1.l_suppkey
+UNION ALL
+-- Q22 shape: scalar subquery + NOT IN anti-join
+SELECT 'q22cnt', CAST(c_nationkey AS DOUBLE), CAST(COUNT(*) AS DOUBLE)
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)
+GROUP BY c_nationkey
+UNION ALL
+SELECT 'q22bal', CAST(c_nationkey AS DOUBLE), ROUND(SUM(c_acctbal), 2)
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)
+GROUP BY c_nationkey
 """
     o["a4_order_priority_exists"] = """
 SELECT o_orderpriority, COUNT(*) AS order_count

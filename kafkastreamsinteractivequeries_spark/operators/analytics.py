@@ -625,3 +625,92 @@ def salted_join(
     )
     o = other.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return s.join(o, [*on, "_salt"], how).drop("_salt")
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_days: int = 60,
+) -> DataFrame:
+    """(s_suppkey, numwait): suppliers who were the SOLE late supplier
+    on multi-supplier completed orders — the TPC-H Q21 plan shape
+    (EXISTS another supplier's line ∧ NOT EXISTS another supplier's
+    late line), adapted to this schema's columns (late = shipped more
+    than ``late_days`` after the order date; order status 'F').
+
+    De-correlated by construction: the textbook correlated form rescans
+    the fact once per subquery with per-row correlation — three fact
+    scans at 100 TB.  Here each order's supplier fanout is computed
+    ONCE (distinct suppliers ∧ distinct LATE suppliers in one
+    aggregate) and every line carries its order's two counts through a
+    single co-partitioned join back; the filter
+    ``late ∧ n_supp > 1 ∧ n_late_supp = 1`` is then row-local.  Two
+    shuffles total (order join, per-order aggregate) regardless of
+    correlation depth.  The driver oracle runs the CORRELATED
+    EXISTS/NOT-EXISTS SQL, so the de-correlation is verified
+    semantics-preserving."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {int(late_days)} DAYS"
+    )
+    lines = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", late.alias("_late"))
+        .localCheckpoint(eager=False)  # feeds the fanout agg AND the join back
+    )
+    fanout = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    return (
+        lines.join(fanout.hint("shuffle_hash"), "l_orderkey")
+        .filter(
+            F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+def idle_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    min_order_total: float | None = None,
+) -> DataFrame:
+    """(c_nationkey, numcust, totacctbal): customers with an
+    above-average positive account balance who have NO qualifying
+    orders, grouped by nation — the TPC-H Q22 plan shape (global
+    scalar subquery + anti-join + aggregate) on this schema's columns.
+    ``min_order_total`` restricts the anti-join keyset to orders at or
+    above that total (the synthetic data gives every customer at least
+    one order, so the unfiltered form is vacuous — the threshold keeps
+    the anti-join exercised while preserving the plan shape).
+
+    Scale: the scalar average is one partial-aggregate pass collapsing
+    to a single broadcast row (never a correlated per-row subquery);
+    the no-orders test is one left-anti join on the order keyset
+    (o_custkey, filter pushed to the scan, pre-projected to the key
+    column only); the final aggregate is partial map-side.  The oracle
+    runs the textbook scalar-subquery + NOT-IN SQL."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    keyset = orders
+    if min_order_total is not None:
+        keyset = keyset.filter(F.col("o_totalprice") >= min_order_total)
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(keyset.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -56,6 +56,7 @@ UNION_KEYS = {
     "p3_sampling_split": "variant",
     "x9_term_relevance": "variant",
     "m7_decoded_pixel_stats": "variant",
+    "a11_revenue_kpis": "variant",
 }
 
 

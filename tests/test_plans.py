@@ -441,3 +441,58 @@ def test_semdedup_assignment_broadcasts_only_the_quantizer(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     # pair verification ships embeddings via shuffle-hash, not broadcast
     assert "ShuffledHashJoin" in plan
+
+
+def test_q21_decorrelation_never_rescans_per_row(spark, sf_dir):
+    """waiting_suppliers de-correlates TPC-H Q21's EXISTS/NOT-EXISTS:
+    the fanout is one per-order aggregate joined back once, so the plan
+    must contain NO nested-loop/cartesian (the textbook correlated form
+    would re-scan lineitem per row) and exactly the budgeted joins —
+    orders equi-join + fanout join-back."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        waiting_suppliers,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders")
+    plan = (
+        waiting_suppliers(li, ords)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the checkpoint barrier materializes ONLY the 3-column line stream
+    # (key, supplier, late flag) — everything wider was pruned upstream
+    assert re.search(r"Scan ExistingRDD\[l_orderkey#\d+L,l_suppkey#\d+L,_late#\d+\]", plan)
+    # fanout joins back by equi-join (shuffle-hash by hint), never loop
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q22_scalar_subquery_broadcasts_and_anti_joins(spark, sf_dir):
+    """idle_customers: the global average is a 1-row broadcast (never a
+    correlated per-row subquery), the no-orders test a single left-anti
+    join with the o_totalprice filter pushed to the orders scan."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        idle_customers,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    ords = load_table(spark, sf_dir, "orders")
+    plan = (
+        idle_customers(cust, ords, min_order_total=400000.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the 1-row average is the only nested-loop-shaped node
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_totalprice,400000.0)" in plan
+    # anti-join keyset pruned to the key column
+    o_schema = [s for s in read_schemas(plan) if "o_custkey" in s][0]
+    assert "o_orderdate" not in o_schema
