@@ -344,11 +344,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("c_nationkey").cast("double").alias("value"),
             F.col("totacctbal").alias("aux"),
         )
+        # 'q17': per-part correlated scalar subquery (avg quantity cap),
+        # de-correlated into one brand-slice aggregate joined back by
+        # broadcast; oracle runs the textbook correlated form.
+        q17 = A.small_quantity_revenue(li, pt).select(
+            F.lit("q17").alias("variant"),
+            F.col("avg_yearly").alias("value"),
+            F.col("n_lines").alias("aux"),
+        )
+        # 'q15': global-max scalar over an aggregate view (HAVING rev =
+        # (SELECT MAX ...)) — the aggregate computed once, its max a
+        # 1-row broadcast, equality row-local.
+        sup = load_table(s, d, "supplier")
+        q15 = A.top_revenue_supplier(li, sup).select(
+            F.lit("q15").alias("variant"),
+            F.col("s_suppkey").cast("double").alias("value"),
+            F.col("total_revenue").alias("aux"),
+        )
         return (
             promo.unionByName(disj)
             .unionByName(q21)
             .unionByName(q22cnt)
             .unionByName(q22bal)
+            .unionByName(q17)
+            .unionByName(q15)
         )
 
     q["a11_revenue_kpis"] = _a11
@@ -414,9 +433,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["d5_minhash_near_duplicates"] = lambda s, d: D.minhash_near_duplicates(
         _docs(s, d), shingle_n=1, threshold=0.6
     )
-    q["d6_ngram_jaccard_pairs"] = lambda s, d: D.ngram_jaccard_pairs(
-        _docs(s, d), shingle_n=3, threshold=0.01
-    )
+    # d6: the exact-audit pair suite as a tagged union — 'jaccard' is
+    # the inverted-index 3-gram Jaccard join (the non-approximate
+    # calibration baseline for d5), 'edit' the order-SENSITIVE
+    # character-level Levenshtein cross-check over the near-dup slice
+    # (jaccard ≥ 0.2) of those pairs.  Token-set metrics can't tell a
+    # paraphrase from a reordering; the edit layer can, and both
+    # engines ship the identical Wagner-Fischer builtin.
+    def _d6(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        jac = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.01).localCheckpoint(
+            eager=False
+        )
+        jrows = jac.select(
+            F.lit("jaccard").alias("variant"),
+            "id_a",
+            "id_b",
+            F.col("jaccard").alias("score"),
+        )
+        erows = D.edit_distance_pairs(
+            jac.filter(F.col("jaccard") >= 0.2), docs
+        ).select(
+            F.lit("edit").alias("variant"),
+            "id_a",
+            "id_b",
+            F.col("edit_sim").alias("score"),
+        )
+        return jrows.unionByName(erows)
+
+    q["d6_ngram_jaccard_pairs"] = _d6
     # d7 ⊕ d8 in ONE tagged union: the 64-bit signature table ('sig',
     # one row per doc, signature rides detail) and the pigeonhole-
     # bucketed near-dup pairs ('pairs', hamming ≤ 6).
@@ -1750,6 +1795,35 @@ FROM customer
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)
 GROUP BY c_nationkey
+UNION ALL
+-- Q17 shape, the TEXTBOOK CORRELATED scalar subquery (the engine runs
+-- the de-correlated brand-slice aggregate joined back by broadcast)
+SELECT 'q17', ROUND(SUM(l_extendedprice) / 7.0, 2), CAST(COUNT(*) AS DOUBLE)
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+UNION ALL
+-- Q15 shape: the TEXTBOOK form re-derives the revenue view inside the
+-- global-max scalar subquery (the engine computes it once + broadcasts)
+SELECT 'q15', CAST(s_suppkey AS DOUBLE), total_revenue
+FROM (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+  GROUP BY l_suppkey
+) r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (
+  SELECT MAX(total_revenue) FROM (
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+    GROUP BY l_suppkey
+  )
+)
 """
     o["a4_order_priority_exists"] = """
 SELECT o_orderpriority, COUNT(*) AS order_count
@@ -3963,13 +4037,23 @@ WITH raw AS (
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM posting a JOIN posting b USING (shingle) WHERE a.doc_id < b.doc_id
+), jac AS (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(x.s, y.s))::DOUBLE
+                 / len(list_distinct(x.s || y.s)), 6) AS jaccard
+    FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+  ) WHERE jaccard >= 0.01
 )
-SELECT id_a, id_b, jaccard FROM (
-  SELECT id_a, id_b,
-         ROUND(len(list_intersect(x.s, y.s))::DOUBLE
-               / len(list_distinct(x.s || y.s)), 6) AS jaccard
-  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-) WHERE jaccard >= 0.01
+SELECT 'jaccard' AS variant, id_a, id_b, jaccard AS score FROM jac
+UNION ALL
+-- order-sensitive Levenshtein audit over the near-dup slice
+SELECT 'edit', id_a, id_b,
+       ROUND(1.0 - levenshtein(x.text, y.text)::DOUBLE
+             / GREATEST(length(x.text), length(y.text)), 6)
+FROM jac JOIN documents x ON x.doc_id = id_a
+         JOIN documents y ON y.doc_id = id_b
+WHERE jaccard >= 0.2
 """
     sim_cte = (
         norm_cte

@@ -714,3 +714,82 @@ def idle_customers(
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#4",
+    fraction: float = 0.2,
+) -> DataFrame:
+    """(avg_yearly, n_lines): revenue from orders of LESS than
+    ``fraction`` of a part's average order quantity, for one brand —
+    the TPC-H Q17 plan shape (per-part correlated scalar subquery),
+    adapted to this schema (no p_container; brand alone selects the
+    part slice).
+
+    De-correlated by construction: the textbook form re-computes
+    ``AVG(l_quantity) WHERE l_partkey = p_partkey`` once per outer row
+    — a per-row fact rescan at 100 TB.  Here the brand's part keys
+    broadcast into ONE fact scan; per-part averages are aggregated
+    once over that slice and joined back by broadcast (bounded by the
+    brand's part count, orders of magnitude under the fact).  One fact
+    scan, one small shuffle on the filtered slice, zero correlation.
+    The driver oracle runs the CORRELATED scalar-subquery SQL, proving
+    the rewrite semantics-preserving."""
+    pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    lines = lineitem.join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avgq = lines.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * fraction).alias("_qty_cap")
+    )
+    return (
+        lines.join(F.broadcast(avgq), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").cast("double").alias("n_lines"),
+        )
+    )
+
+
+def top_revenue_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-03-31",
+) -> DataFrame:
+    """(s_suppkey, s_name, total_revenue): the supplier(s) achieving
+    the MAXIMUM revenue in a date window — the TPC-H Q15 plan shape
+    (aggregate view + global-max scalar subquery equality filter).
+
+    De-correlated: the per-supplier revenue aggregate is computed ONCE
+    (partial map-side, shipdate filter pushed to the scan); its global
+    max collapses to a single broadcast row; the equality filter is
+    then row-local over the aggregate — the textbook form re-derives
+    the whole revenue view inside the subquery.  Revenue is rounded to
+    2 decimals BEFORE the max comparison so the equality is on
+    engine-stable values.  Supplier names attach by broadcast after
+    the filter (at most the tied-max rows remain)."""
+    rev = (
+        lineitem.filter(
+            F.col("l_shipdate").between(
+                F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp")
+            )
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

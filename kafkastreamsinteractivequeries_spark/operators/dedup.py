@@ -1135,3 +1135,41 @@ def remove_duplicate_spans(
         F.array_join(kept, " ").alias("trimmed_text"),
         (F.size("toks") - F.size(kept)).alias("removed_tokens"),
     )
+
+
+def edit_distance_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, edit_dist, edit_sim): exact character-level
+    Levenshtein distance over an already-bounded candidate pair list,
+    with ``edit_sim = 1 - dist / max(len_a, len_b)``.
+
+    The precision audit layer for the token-level detectors: Jaccard
+    and MinHash are order-insensitive, so reordered paraphrases score
+    high; edit distance is the order-sensitive cross-check.  O(len²)
+    per pair (JVM built-in, whole-stage codegen) — NEVER pointed at a
+    raw corpus; the input must be a candidate list an upstream LSH or
+    posting join already bounded.  Texts are joined to pairs via
+    shuffle-hash on the id (the doc table grows with the corpus —
+    broadcast would OOM; the pair list must not be driver-collected),
+    the same staging contract as ``jaccard_verify``.
+    """
+    txt = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(txt.withColumnsRenamed({id_col: "id_a", "_t": "_ta"}).hint("shuffle_hash"), "id_a")
+        .join(txt.withColumnsRenamed({id_col: "id_b", "_t": "_tb"}).hint("shuffle_hash"), "id_b")
+        .select("id_a", "id_b", F.levenshtein("_ta", "_tb").alias("edit_dist"),
+                F.greatest(F.length("_ta"), F.length("_tb")).alias("_maxlen"))
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "edit_dist",
+        F.round(
+            F.lit(1.0) - F.col("edit_dist") / F.col("_maxlen"), 6
+        ).alias("edit_sim"),
+    )

@@ -1,7 +1,9 @@
 """Mimic the driver: vanilla SparkSession, run entry() + every queries()
 entry at sf0.01 and compare against oracle_sql() in DuckDB.
 
-Usage: python scripts/verify_driver.py [sf_dir]
+Usage: python scripts/verify_driver.py [sf_dir] [key ...]
+
+Any extra args are query-key names; when present only those keys run.
 """
 import sys
 import time
@@ -16,6 +18,7 @@ from tests.oracle import compare
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -25,11 +28,17 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("FATAL")
 
-    n = E.entry(spark).count()
-    print(f"entry: {n} rows")
-    assert n >= 0
+    if not only:
+        n = E.entry(spark).count()
+        print(f"entry: {n} rows")
+        assert n >= 0
 
     queries = E.queries()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown keys: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in only}
     oracles = E.oracle_sql()
     failures = []
     for key, fn in queries.items():

@@ -490,3 +490,57 @@ def test_duplicate_span_hot_gram_stays_linear(spark):
     rows = stats.collect()
     assert len(rows) == 2000
     assert all(r.n_spans == 1 for r in rows)
+
+
+def test_edit_distance_pairs_closed_form(spark):
+    """Hand-computed Levenshtein fixtures, including the case that
+    motivates the operator: a word-order paraphrase whose token-set
+    Jaccard is 1.0 but whose edit similarity is far lower."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fax"),   # 1 substitution
+            (3, "brown fox the quick"),   # same token SET, reordered
+            (4, "entirely different words"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    rows = {
+        (r.id_a, r.id_b): (r.edit_dist, r.edit_sim)
+        for r in edit_distance_pairs(pairs, docs).collect()
+    }
+    assert rows[(1, 2)][0] == 1
+    assert abs(rows[(1, 2)][1] - (1 - 1 / 19)) < 1e-6
+    # reordering costs many edits despite identical token sets
+    assert rows[(1, 3)][0] >= 8
+    assert rows[(1, 4)][0] >= 15
+
+
+def test_edit_distance_pairs_joins_shuffle_hash_not_broadcast(spark):
+    """The doc-text side grows with the corpus: both text joins must be
+    ShuffledHashJoin (the staging contract shared with jaccard_verify)."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "id_a long, id_b long"
+    )
+    plan = (
+        edit_distance_pairs(pairs, docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ShuffledHashJoin") == 2
+    assert "BroadcastHashJoin" not in plan

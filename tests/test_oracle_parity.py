@@ -57,6 +57,7 @@ UNION_KEYS = {
     "x9_term_relevance": "variant",
     "m7_decoded_pixel_stats": "variant",
     "a11_revenue_kpis": "variant",
+    "d6_ngram_jaccard_pairs": "variant",
 }
 
 

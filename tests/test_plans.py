@@ -496,3 +496,54 @@ def test_q22_scalar_subquery_broadcasts_and_anti_joins(spark, sf_dir):
     # anti-join keyset pruned to the key column
     o_schema = [s for s in read_schemas(plan) if "o_custkey" in s][0]
     assert "o_orderdate" not in o_schema
+
+
+def test_q17_decorrelated_avg_joins_back_by_broadcast(spark, sf_dir):
+    """small_quantity_revenue: the per-part quantity cap must come from
+    ONE aggregate over the brand slice joined back by broadcast — never
+    a per-row re-scan of lineitem (the textbook correlated form) — and
+    the fact scan reads only the three needed columns."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        small_quantity_revenue,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    plan = (
+        small_quantity_revenue(li, pt)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part keys + avg join-back
+    # brand filter pushed to the part scan
+    assert "EqualTo(p_brand,Brand#4)" in plan
+    li_schema = [s for s in read_schemas(plan) if "l_quantity" in s][0]
+    assert "l_shipdate" not in li_schema and "l_discount" not in li_schema
+
+
+def test_q15_global_max_broadcasts_one_row(spark, sf_dir):
+    """top_revenue_supplier: the revenue view's global max must reach
+    the filter as a 1-row broadcast (the only nested-loop-shaped node);
+    supplier names attach by broadcast hash join; shipdate pushed to
+    the fact scan."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        top_revenue_supplier,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    plan = (
+        top_revenue_supplier(li, sup)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row max only
+    assert "BroadcastHashJoin" in plan  # supplier dim
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
