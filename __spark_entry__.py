@@ -307,14 +307,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # both plans still execute in full (and test_plans pins each one's
     # pushdown on this union), but they spend one 50-cap report slot.
     def _a11(s: SparkSession, d: str) -> DataFrame:
+        # The TPC-H shape-catalog key: one branch per query SHAPE the
+        # remaining TPC-H queries exercise (the other shapes are their
+        # own keys: Q1=a1, Q5=a2, Q3=a3, Q4=a4, Q10=a9, Q12=a10).
+        # Schema (variant, dim, value, aux): dim carries the group
+        # identity for grouped shapes, NULL for scalar ones.
+        NODIM = F.lit(None).cast("string").alias("dim")
+        NOAUX = F.lit(None).cast("double").alias("aux")
         li, pt = load_table(s, d, "lineitem"), load_table(s, d, "part")
         promo = A.promo_revenue_ratio(li, pt, "1995-01-01", "1996-12-31").select(
             F.lit("promo_ratio").alias("variant"),
+            NODIM,
             F.col("promo_revenue_pct").alias("value"),
             F.col("total_revenue").alias("aux"),
         )
         disj = A.disjunctive_part_revenue(li, pt).select(
             F.lit("disjunctive").alias("variant"),
+            NODIM,
             F.col("revenue").alias("value"),
             F.col("n_lines").cast("double").alias("aux"),
         )
@@ -325,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ords = load_table(s, d, "orders")
         q21 = A.waiting_suppliers(li, ords).select(
             F.lit("q21").alias("variant"),
+            NODIM,
             F.col("s_suppkey").cast("double").alias("value"),
             F.col("numwait").cast("double").alias("aux"),
         )
@@ -336,11 +346,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         q22cnt = q22.select(
             F.lit("q22cnt").alias("variant"),
+            NODIM,
             F.col("c_nationkey").cast("double").alias("value"),
             F.col("numcust").cast("double").alias("aux"),
         )
         q22bal = q22.select(
             F.lit("q22bal").alias("variant"),
+            NODIM,
             F.col("c_nationkey").cast("double").alias("value"),
             F.col("totacctbal").alias("aux"),
         )
@@ -349,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast; oracle runs the textbook correlated form.
         q17 = A.small_quantity_revenue(li, pt).select(
             F.lit("q17").alias("variant"),
+            NODIM,
             F.col("avg_yearly").alias("value"),
             F.col("n_lines").alias("aux"),
         )
@@ -358,17 +371,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sup = load_table(s, d, "supplier")
         q15 = A.top_revenue_supplier(li, sup).select(
             F.lit("q15").alias("variant"),
+            NODIM,
             F.col("s_suppkey").cast("double").alias("value"),
             F.col("total_revenue").alias("aux"),
         )
-        return (
-            promo.unionByName(disj)
-            .unionByName(q21)
-            .unionByName(q22cnt)
-            .unionByName(q22bal)
-            .unionByName(q17)
-            .unionByName(q15)
+        # ---- shape-catalog completion: the 10 remaining TPC-H shapes
+        # (Q2/Q6/Q7/Q8/Q9/Q11/Q13/Q16/Q18/Q20), each the de-correlated
+        # Spark plan with the textbook nested/correlated oracle. ----
+        nat = load_table(s, d, "nation")
+        reg = load_table(s, d, "region")
+        q6 = A.forecast_revenue(li).select(
+            F.lit("q6").alias("variant"),
+            NODIM,
+            F.col("revenue").alias("value"),
+            F.col("n_lines").alias("aux"),
         )
+        q7 = A.nation_pair_volume(li, ords, cust, sup, nat).select(
+            F.lit("q7").alias("variant"),
+            F.concat_ws("|", "supp_nation", "cust_nation", "l_year").alias("dim"),
+            F.col("revenue").alias("value"),
+            F.col("n_lines").alias("aux"),
+        )
+        q8 = A.market_share(li, ords, cust, sup, nat, reg, pt).select(
+            F.lit("q8").alias("variant"),
+            F.col("o_year").cast("string").alias("dim"),
+            F.col("mkt_share").alias("value"),
+            F.col("total_volume").alias("aux"),
+        )
+        q9 = A.product_profit(li, pt, sup, nat).select(
+            F.lit("q9").alias("variant"),
+            F.concat_ws("|", "nation", "o_year").alias("dim"),
+            F.col("profit").alias("value"),
+            NOAUX,
+        )
+        q13 = A.customer_order_distribution(cust, ords).select(
+            F.lit("q13").alias("variant"),
+            NODIM,
+            F.col("c_count").alias("value"),
+            F.col("custdist").alias("aux"),
+        )
+        q18 = A.large_quantity_orders(li, ords).select(
+            F.lit("q18").alias("variant"),
+            F.col("o_custkey").cast("string").alias("dim"),
+            F.col("o_orderkey").cast("double").alias("value"),
+            F.col("total_qty").alias("aux"),
+        )
+        q2 = A.min_cost_supplier(li, pt, sup).select(
+            F.lit("q2").alias("variant"),
+            F.col("s_name").alias("dim"),
+            F.col("p_partkey").cast("double").alias("value"),
+            F.col("unit_cost").alias("aux"),
+        )
+        q11 = A.important_parts(li).select(
+            F.lit("q11").alias("variant"),
+            NODIM,
+            F.col("l_partkey").alias("value"),
+            F.col("part_value").alias("aux"),
+        )
+        q16 = A.supplier_part_counts(li, pt, sup).select(
+            F.lit("q16").alias("variant"),
+            F.col("brand_type").alias("dim"),
+            F.col("p_size").alias("value"),
+            F.col("supplier_cnt").alias("aux"),
+        )
+        q20 = A.dominant_suppliers(li, pt, sup).select(
+            F.lit("q20").alias("variant"),
+            F.col("s_name").alias("dim"),
+            F.col("s_suppkey").alias("value"),
+            NOAUX,
+        )
+        out = promo
+        for br in (q21, q22cnt, q22bal, q17, q15, q6, q7, q8, q9,
+                   q13, q18, q2, q11, q16, q20, disj):
+            out = out.unionByName(br)
+        return out
 
     q["a11_revenue_kpis"] = _a11
 
@@ -1742,7 +1818,13 @@ GROUP BY l_returnflag
     # q["a11_revenue_kpis"]) — Q14 promo ratio and Q19 disjunctive
     # revenue, aux = total_revenue / n_lines respectively.
     o["a11_revenue_kpis"] = """
+WITH ps AS MATERIALIZED (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         ROUND(MIN(l_extendedprice / l_quantity), 6) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+)
 SELECT 'promo_ratio' AS variant,
+       CAST(NULL AS VARCHAR) AS dim,
        ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0.0 END)
@@ -1752,7 +1834,7 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
 UNION ALL
-SELECT 'disjunctive',
+SELECT 'disjunctive', NULL,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2),
        CAST(COUNT(*) AS DOUBLE)
 FROM lineitem
@@ -1766,7 +1848,7 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 UNION ALL
 -- Q21 shape, the TEXTBOOK CORRELATED form (the engine runs the
 -- de-correlated fanout rewrite; equal output proves the rewrite)
-SELECT 'q21', CAST(l1.l_suppkey AS DOUBLE),
+SELECT 'q21', NULL, CAST(l1.l_suppkey AS DOUBLE),
        CAST(COUNT(DISTINCT l1.l_orderkey) AS DOUBLE)
 FROM lineitem l1
 JOIN orders o ON o.o_orderkey = l1.l_orderkey
@@ -1784,13 +1866,13 @@ WHERE o.o_orderstatus = 'F'
 GROUP BY l1.l_suppkey
 UNION ALL
 -- Q22 shape: scalar subquery + NOT IN anti-join
-SELECT 'q22cnt', CAST(c_nationkey AS DOUBLE), CAST(COUNT(*) AS DOUBLE)
+SELECT 'q22cnt', NULL, CAST(c_nationkey AS DOUBLE), CAST(COUNT(*) AS DOUBLE)
 FROM customer
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)
 GROUP BY c_nationkey
 UNION ALL
-SELECT 'q22bal', CAST(c_nationkey AS DOUBLE), ROUND(SUM(c_acctbal), 2)
+SELECT 'q22bal', NULL, CAST(c_nationkey AS DOUBLE), ROUND(SUM(c_acctbal), 2)
 FROM customer
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)
@@ -1798,7 +1880,7 @@ GROUP BY c_nationkey
 UNION ALL
 -- Q17 shape, the TEXTBOOK CORRELATED scalar subquery (the engine runs
 -- the de-correlated brand-slice aggregate joined back by broadcast)
-SELECT 'q17', ROUND(SUM(l_extendedprice) / 7.0, 2), CAST(COUNT(*) AS DOUBLE)
+SELECT 'q17', NULL, ROUND(SUM(l_extendedprice) / 7.0, 2), CAST(COUNT(*) AS DOUBLE)
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#4'
@@ -1809,7 +1891,7 @@ WHERE p_brand = 'Brand#4'
 UNION ALL
 -- Q15 shape: the TEXTBOOK form re-derives the revenue view inside the
 -- global-max scalar subquery (the engine computes it once + broadcasts)
-SELECT 'q15', CAST(s_suppkey AS DOUBLE), total_revenue
+SELECT 'q15', NULL, CAST(s_suppkey AS DOUBLE), total_revenue
 FROM (
   SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
   FROM lineitem
@@ -1823,6 +1905,122 @@ WHERE total_revenue = (
     WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
     GROUP BY l_suppkey
   )
+)
+UNION ALL
+-- Q6 shape: pure filter + global aggregate
+SELECT 'q6', NULL, ROUND(SUM(l_extendedprice * l_discount), 2),
+       CAST(COUNT(*) AS DOUBLE)
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24
+UNION ALL
+-- Q7 shape: bidirectional nation-pair trade volume by ship year
+SELECT 'q7', n1.n_name || '|' || n2.n_name || '|' || CAST(YEAR(l_shipdate) AS INT),
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2), CAST(COUNT(*) AS DOUBLE)
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 2
+UNION ALL
+-- Q8 shape: one nation's market share inside a region/part-type slice
+SELECT 'q8', CAST(YEAR(o_orderdate) AS VARCHAR),
+       ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6),
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n2.n_regionkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 2
+UNION ALL
+-- Q9 shape: per-nation/year profit with supply-relation cost
+-- (partsupp adaptation: ps derived from lineitem, see WITH header)
+SELECT 'q9', n_name || '|' || CAST(YEAR(l_shipdate) AS INT),
+       ROUND(SUM(l_extendedprice * (1 - l_discount) - unit_cost * l_quantity), 2),
+       CAST(NULL AS DOUBLE)
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN ps ON pk = l_partkey AND sk = l_suppkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 2
+UNION ALL
+-- Q13 shape: left outer join + two-level aggregation
+SELECT 'q13', NULL, CAST(c_count AS DOUBLE), CAST(COUNT(*) AS DOUBLE)
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+UNION ALL
+-- Q18 shape: the TEXTBOOK IN-over-HAVING form (the engine aggregates
+-- once and equi-joins the surviving key set back)
+SELECT 'q18', CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS DOUBLE),
+       CAST((SELECT SUM(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS DOUBLE)
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+UNION ALL
+-- Q2 shape: the TEXTBOOK CORRELATED-MIN scalar subquery over the
+-- supply relation (the engine runs a window-min over one aggregate)
+SELECT 'q2', s_name, CAST(pk AS DOUBLE), unit_cost
+FROM ps
+JOIN part ON p_partkey = pk
+JOIN supplier ON s_suppkey = sk
+WHERE p_type = 'SMALL' AND p_size < 10
+  AND unit_cost = (SELECT MIN(ps2.unit_cost) FROM ps ps2 WHERE ps2.pk = ps.pk)
+UNION ALL
+-- Q11 shape: the TEXTBOOK global-scalar-in-HAVING form (the engine
+-- re-aggregates its own per-part aggregate and broadcasts one row)
+SELECT 'q11', NULL, CAST(l_partkey AS DOUBLE),
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(l_extendedprice * (1 - l_discount)) >
+       0.0007 * (SELECT SUM(l_extendedprice * (1 - l_discount)) FROM lineitem)
+UNION ALL
+-- Q16 shape: NOT IN blocklist + count-distinct per part attribute
+SELECT 'q16', p_brand || '|' || p_type, CAST(p_size AS DOUBLE),
+       CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE)
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sup
+JOIN part ON p_partkey = l_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 11, 17, 23, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 2, 3
+UNION ALL
+-- Q20 shape: the TEXTBOOK nested-IN + correlated scalar form (the
+-- engine runs one aggregate + a window sum, zero extra scans)
+SELECT 'q20', s_name, CAST(s_suppkey AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT sk FROM (
+    SELECT l_partkey AS pk, l_suppkey AS sk, SUM(l_quantity) AS sq
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+  ) ps20
+  WHERE pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND sq > 0.5 * (SELECT SUM(l_quantity) FROM lineitem
+                    WHERE l_partkey = ps20.pk
+                      AND l_shipdate >= TIMESTAMP '1996-01-01'
+                      AND l_shipdate < TIMESTAMP '1997-01-01')
 )
 """
     o["a4_order_priority_exists"] = """

@@ -793,3 +793,425 @@ def top_revenue_supplier(
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape-catalog completion (Q2/Q6/Q7/Q8/Q9/Q11/Q13/Q16/Q18/Q20).
+#
+# The testdata has no partsupp table; where a shape needs the supply
+# relation it is derived from lineitem as the distinct (l_partkey,
+# l_suppkey) pairs with unit_cost = MIN(l_extendedprice / l_quantity) —
+# the adaptation is noted per operator.  Every operator is the
+# DE-CORRELATED Spark plan; the driver oracle runs the textbook
+# correlated/nested form, proving each rewrite semantics-preserving.
+# ---------------------------------------------------------------------------
+
+
+def _supply_pairs(lineitem: DataFrame) -> DataFrame:
+    """(pk, sk, unit_cost): the partsupp-proxy supply relation — one
+    row per observed (part, supplier) pair, unit cost the minimum
+    observed price-per-unit.  One shuffle on the composite key; only
+    the four needed columns leave the scan."""
+    return (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("unit_cost"))
+    )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    min_discount: float = 0.04,
+    max_discount: float = 0.08,
+    max_quantity: float = 24.0,
+) -> DataFrame:
+    """(revenue, n_lines): TPC-H Q6 shape — pure filter + global agg.
+
+    Zero shuffle beyond the final 1-row exchange: all three predicates
+    push to the parquet scan (min/max stats prune whole row groups at
+    100 TB) and the sum is map-side partial."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+            & F.col("l_discount").between(min_discount, max_discount)
+            & (F.col("l_quantity") < max_quantity)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").cast("double").alias("n_lines"),
+        )
+    )
+
+
+def nation_pair_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    start: str = "1996-01-01",
+    end: str = "1997-12-31",
+) -> DataFrame:
+    """(supp_nation, cust_nation, l_year, revenue, n_lines): TPC-H Q7
+    shape — bidirectional nation-pair trade volume by ship year.
+
+    Plan: supplier⋈nation is a broadcast dim chain folded into the
+    lineitem scan, and the supplier-nation ∈ {a,b} filter lands BEFORE
+    the fact-fact shuffle — only the two nations' line slice (≈2/|N| of
+    the fact) shuffles against orders, then customer; the asymmetric
+    pair predicate applies once both endpoints are known."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(nation_a, nation_b))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(nation_a, nation_b))
+    sup = supplier.join(F.broadcast(n1), F.col("s_nationkey") == F.col("_snk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = customer.join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cnk")).select(
+        "c_custkey", "cust_nation"
+    )
+    lines = (
+        lineitem.filter(
+            F.col("l_shipdate").between(
+                F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp")
+            )
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "supp_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_vol"),
+        )
+    )
+    return (
+        lines.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(F.sum("_vol"), 2).alias("revenue"),
+            F.count("*").cast("double").alias("n_lines"),
+        )
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    part_type: str = "PROMO",
+    start: str = "1996-01-01",
+    end: str = "1997-12-31",
+) -> DataFrame:
+    """(o_year, mkt_share, total_volume): TPC-H Q8 shape — one
+    supplier nation's share of a region's market for one part type,
+    by order year (conditional-sum ratio inside a single aggregate).
+
+    Plan: the part-type slice broadcasts into the lineitem scan (the
+    most selective filter first), supplier→nation is a broadcast dim
+    chain adding only the supplier-nation label, then ONE shuffle
+    against orders and one against the region-filtered customer set —
+    the share is a CASE-WHEN ratio inside the same aggregate, never a
+    self-join of two filtered passes."""
+    pk = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    sup = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("_sn"))),
+        F.col("s_nationkey") == F.col("_snk"),
+    ).select("s_suppkey", "_sn")
+    cust_region = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select(F.col("n_nationkey").alias("_cnk"))
+            ),
+            F.col("c_nationkey") == F.col("_cnk"),
+        )
+        .select("c_custkey")
+    )
+    lines = (
+        lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "_sn", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_vol"))
+    )
+    return (
+        lines.join(
+            orders.filter(
+                F.col("o_orderdate").between(
+                    F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp")
+                )
+            ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("_sn") == target_nation, F.col("_vol")).otherwise(0.0))
+                / F.sum("_vol"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum("_vol"), 2).alias("total_volume"),
+        )
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_like: str = "%red%",
+) -> DataFrame:
+    """(nation, o_year, profit): TPC-H Q9 shape — per-nation/year
+    profit over a part-name slice, cost via the supply relation.
+
+    partsupp adaptation: unit cost comes from ``_supply_pairs``.  The
+    name-LIKE part keys broadcast into BOTH the supply aggregation and
+    the fact slice, so the (pk, sk) shuffle and the cost join-back
+    both run on the ~slice, never the full fact."""
+    pk = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
+    sliced = lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount",
+        F.year("l_shipdate").alias("o_year"),
+    )
+    ps = _supply_pairs(sliced)
+    return (
+        sliced.join(ps, (F.col("l_partkey") == F.col("pk")) & (F.col("l_suppkey") == F.col("sk")))
+        .join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation.select(F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation"))),
+                    F.col("s_nationkey") == F.col("_nk"),
+                ).select("s_suppkey", "nation")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("unit_cost") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority_like: str = "%URGENT%",
+) -> DataFrame:
+    """(c_count, custdist): TPC-H Q13 shape — left outer join +
+    two-level aggregation (orders-per-customer, then the histogram of
+    those counts; customers with zero qualifying orders appear in the
+    c_count = 0 bucket).
+
+    Plan: the priority filter lands on orders BEFORE the join (the
+    outer join's ON-clause filter is equivalent to pre-filtering the
+    preserved-null side), one shuffle for the join, one for the
+    per-customer count; the final histogram groups on ≤|distinct
+    counts| keys — a few dozen rows."""
+    filtered = orders.filter(~F.col("o_orderpriority").like(exclude_priority_like)).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(filtered, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("double").alias("custdist"))
+        .select(F.col("c_count").cast("double").alias("c_count"), "custdist")
+    )
+
+
+def large_quantity_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    min_total_qty: float = 300.0,
+) -> DataFrame:
+    """(o_custkey, o_orderkey, total_qty): TPC-H Q18 shape — orders
+    whose total line quantity exceeds a threshold (IN-over-HAVING in
+    the textbook form).
+
+    Plan: ONE shuffle aggregates lineitem by orderkey with the HAVING
+    filter applied in the same stage (map-side partial sums make the
+    pre-filter volume per key tiny); the surviving key set is the
+    extreme tail by construction, so the join back to orders is an
+    equi-join AQE converts to broadcast when small — never a second
+    fact scan."""
+    big = (
+        lineitem.select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_total_qty)
+    )
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "o_orderkey", F.col("total_qty").cast("double").alias("total_qty"))
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    part_type: str = "SMALL",
+    max_size: int = 10,
+) -> DataFrame:
+    """(s_name, p_partkey, unit_cost): TPC-H Q2 shape — for each part
+    in a slice, the supplier(s) offering the minimum unit cost
+    (correlated-MIN scalar subquery in the textbook form).
+
+    partsupp adaptation: supply pairs from ``_supply_pairs``.
+    De-correlated: the per-part minimum is a WINDOW MIN over the
+    (pk, sk) aggregate — one extra shuffle on pk over the already
+    part-sliced supply rows, then a row-local equality; the textbook
+    form re-aggregates the supply relation once per outer row.  The
+    part slice broadcasts into the supply aggregation so both shuffles
+    run on the slice only."""
+    pk = part.filter(
+        (F.col("p_type") == part_type) & (F.col("p_size") < max_size)
+    ).select("p_partkey")
+    ps = _supply_pairs(
+        lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("pk")
+    best = (
+        ps.withColumn("_min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .drop("_min_cost")
+    )
+    return best.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("sk") == F.col("s_suppkey")
+    ).select("s_name", F.col("pk").alias("p_partkey"), "unit_cost")
+
+
+def important_parts(lineitem: DataFrame, fraction: float = 0.0007) -> DataFrame:
+    """(l_partkey, part_value): TPC-H Q11 shape — parts whose revenue
+    exceeds a fraction of GLOBAL revenue (scalar subquery in HAVING).
+
+    De-correlated: one shuffle builds the per-part aggregate; the
+    global total re-aggregates THOSE |parts| rows (never a second fact
+    scan) and joins back as a broadcast single row; the HAVING is then
+    row-local.  The per-part aggregate is localCheckpointed so the
+    fact scan runs once for both consumers."""
+    per_part = (
+        lineitem.select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_val"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("_val").alias("_part_val"))
+        .localCheckpoint(eager=False)
+    )
+    total = per_part.agg(F.sum("_part_val").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_part_val") > fraction * F.col("_total"))
+        .select(
+            F.col("l_partkey").cast("double").alias("l_partkey"),
+            F.round("_part_val", 2).alias("part_value"),
+        )
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    exclude_type: str = "PROMO",
+    sizes: tuple = (1, 5, 11, 17, 23, 29),
+) -> DataFrame:
+    """(brand_type, p_size, supplier_cnt): TPC-H Q16 shape — distinct
+    supplier counts per part attribute, excluding a supplier blocklist
+    (NOT IN in the textbook form).
+
+    partsupp adaptation: supply = DISTINCT (l_partkey, l_suppkey);
+    blocklist = suppliers with negative balance (the comment-LIKE
+    filter has no analog column).  Plan: part slice broadcasts into
+    the fact scan, the pair-distinct is one shuffle on the slice, the
+    blocklist is a broadcast LEFT-ANTI (never a shuffled NOT IN), and
+    the count-distinct agg runs on attribute keys."""
+    pslice = part.filter(
+        (F.col("p_type") != exclude_type) & F.col("p_size").isin(list(sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("_bad_sk"))
+    pairs = (
+        lineitem.join(F.broadcast(pslice.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("_bad_sk"), "left_anti")
+    )
+    return (
+        pairs.join(F.broadcast(pslice), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.concat_ws("|", "p_brand", "p_type").alias("brand_type"), F.col("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("double").alias("supplier_cnt"))
+        .select("brand_type", F.col("p_size").cast("double").alias("p_size"), "supplier_cnt")
+    )
+
+
+def dominant_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    name_prefix: str = "small%",
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    share: float = 0.5,
+) -> DataFrame:
+    """(s_name, s_suppkey): TPC-H Q20 shape — suppliers providing more
+    than ``share`` of some sliced part's volume in a window (nested IN
+    with a correlated scalar subquery in the textbook form).
+
+    De-correlated: the per-(part, supplier) quantity is ONE shuffle
+    over the part+date-sliced fact; the correlated per-part total is a
+    WINDOW SUM over those same rows (zero extra scans, zero joins);
+    the share test is then row-local, and the surviving supplier key
+    set semi-joins the supplier dim."""
+    pk = part.filter(F.col("p_name").like(name_prefix)).select("p_partkey")
+    sliced = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_pair = sliced.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("_sq"))
+    w = Window.partitionBy("l_partkey")
+    qualifying = (
+        per_pair.withColumn("_part_total", F.sum("_sq").over(w))
+        .filter(F.col("_sq") > share * F.col("_part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_suppkey").cast("double").alias("s_suppkey"))
+    )

@@ -547,3 +547,195 @@ def test_q15_global_max_broadcasts_one_row(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row max only
     assert "BroadcastHashJoin" in plan  # supplier dim
     assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q2_min_cost_is_window_over_one_aggregate(spark, sf_dir):
+    """min_cost_supplier de-correlates TPC-H Q2's correlated-MIN: the
+    per-part minimum is a window over the (pk, sk) aggregate — never a
+    per-row re-aggregation — and the part slice broadcasts into the
+    supply aggregation (type/size filters pushed to the part scan)."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        min_cost_supplier,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    plan = _executed(
+        min_cost_supplier(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "part"),
+            load_table(spark, sf_dir, "supplier"),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan and "min(unit_cost" in plan
+    assert "EqualTo(p_type,SMALL)" in plan and "LessThan(p_size,10)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part keys in, supplier names out
+
+
+def test_q20_dominant_suppliers_zero_extra_scans(spark, sf_dir):
+    """dominant_suppliers de-correlates TPC-H Q20's nested-IN +
+    correlated scalar: ONE aggregate over the sliced fact, the per-part
+    total a window sum over those same rows (no join, no second fact
+    scan), the supplier attach a semi-join."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        dominant_suppliers,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    plan = _executed(
+        dominant_suppliers(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "part"),
+            load_table(spark, sf_dir, "supplier"),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "LeftSemi" in plan
+    # exactly one lineitem scan: slice once, aggregate once, window it
+    assert plan.count("lineitem") == 1
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def test_q18_having_filter_in_aggregate_stage(spark, sf_dir):
+    """large_quantity_orders: one shuffle aggregates lineitem by order
+    key with the threshold filter in the same stage; the join back to
+    orders is an equi-join (never a loop) and the fact scan reads only
+    the two needed columns."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        large_quantity_orders,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    plan = _executed(
+        large_quantity_orders(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    li_schema = [s for s in read_schemas(plan) if "l_quantity" in s][0]
+    assert "l_partkey" not in li_schema and "l_extendedprice" not in li_schema
+
+
+def test_q9_supply_cost_shuffles_only_the_part_slice(spark, sf_dir):
+    """product_profit: the name-LIKE part keys broadcast into BOTH the
+    supply aggregation and the fact slice, so every shuffle runs on the
+    slice; the LIKE filter pushes to the part scan."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        product_profit,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    plan = _executed(
+        product_profit(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "part"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "StringContains(p_name,red)" in plan
+    # part-key broadcast gates each lineitem branch before any exchange
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q7_q8_fact_joins_are_equi_after_broadcast_dims(spark, sf_dir):
+    """nation_pair_volume / market_share: supplier→nation (and the
+    part/region slices) fold in as broadcasts; the only shuffles are
+    the fact-fact equi-joins on the FILTERED line slice."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        market_share,
+        nation_pair_volume,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    for df in (
+        nation_pair_volume(li, ords, cust, sup, nat),
+        market_share(li, ords, cust, sup, nat, reg, load_table(spark, sf_dir, "part")),
+    ):
+        plan = _executed(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan) or re.search(
+            r"PushedFilters: \[[^\]]*o_orderdate", plan
+        )
+
+
+def test_q11_reaggregates_own_output_not_the_fact(spark, sf_dir):
+    """important_parts: the global total re-aggregates the checkpointed
+    per-part rows — the plan downstream of the barrier contains NO
+    parquet scan, and the 1-row total is the only loop-shaped node."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        important_parts,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    plan = _executed(important_parts(load_table(spark, sf_dir, "lineitem")))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # both consumers read the materialized barrier, not lineitem
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "lineitem" not in plan
+
+
+def test_q16_blocklist_is_broadcast_anti_join(spark, sf_dir):
+    """supplier_part_counts: the NOT-IN blocklist must execute as a
+    broadcast LEFT-ANTI (never a shuffled NOT-IN with null semantics),
+    with the size/type filters pushed to the part scan."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        supplier_part_counts,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    plan = _executed(
+        supplier_part_counts(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "part"),
+            load_table(spark, sf_dir, "supplier"),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "LessThan(s_acctbal,0.0)" in plan
+    assert re.search(r"In\(p_size, \[1,11,17,23,29,5\]\)", plan)
+
+
+def test_q13_priority_filter_lands_before_outer_join(spark, sf_dir):
+    """customer_order_distribution: the ON-clause priority filter is
+    applied to orders BEFORE the left join (preserved-side semantics
+    make that equivalent), so the join input is already filtered."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        customer_order_distribution,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    plan = _executed(
+        customer_order_distribution(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftOuter" in plan
+    # only the two needed order columns leave the scan
+    o_schema = [s for s in read_schemas(plan) if "o_custkey" in s][0]
+    assert "o_totalprice" not in o_schema
