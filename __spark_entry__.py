@@ -1988,13 +1988,15 @@ WHERE p_type = 'SMALL' AND p_size < 10
   AND unit_cost = (SELECT MIN(ps2.unit_cost) FROM ps ps2 WHERE ps2.pk = ps.pk)
 UNION ALL
 -- Q11 shape: the TEXTBOOK global-scalar-in-HAVING form (the engine
--- re-aggregates its own per-part aggregate and broadcasts one row)
+-- re-aggregates its own per-part aggregate and broadcasts one row);
+-- the threshold is mean-relative so selectivity is scale-free
 SELECT 'q11', NULL, CAST(l_partkey AS DOUBLE),
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
 FROM lineitem
 GROUP BY l_partkey
 HAVING SUM(l_extendedprice * (1 - l_discount)) >
-       0.0007 * (SELECT SUM(l_extendedprice * (1 - l_discount)) FROM lineitem)
+       1.5 * (SELECT SUM(l_extendedprice * (1 - l_discount))
+                    / COUNT(DISTINCT l_partkey) FROM lineitem)
 UNION ALL
 -- Q16 shape: NOT IN blocklist + count-distinct per part attribute
 SELECT 'q16', p_brand || '|' || p_type, CAST(p_size AS DOUBLE),

@@ -1112,12 +1112,16 @@ def min_cost_supplier(
     ).select("s_name", F.col("pk").alias("p_partkey"), "unit_cost")
 
 
-def important_parts(lineitem: DataFrame, fraction: float = 0.0007) -> DataFrame:
+def important_parts(lineitem: DataFrame, mean_multiple: float = 1.5) -> DataFrame:
     """(l_partkey, part_value): TPC-H Q11 shape — parts whose revenue
-    exceeds a fraction of GLOBAL revenue (scalar subquery in HAVING).
+    exceeds ``mean_multiple`` × the MEAN per-part revenue (scalar
+    subquery in HAVING).  The mean-relative threshold (vs Q11's fixed
+    global fraction) keeps selectivity scale-free: |parts| grows with
+    the corpus, so any fixed fraction of the global total eventually
+    excludes everything.
 
     De-correlated: one shuffle builds the per-part aggregate; the
-    global total re-aggregates THOSE |parts| rows (never a second fact
+    global mean re-aggregates THOSE |parts| rows (never a second fact
     scan) and joins back as a broadcast single row; the HAVING is then
     row-local.  The per-part aggregate is localCheckpointed so the
     fact scan runs once for both consumers."""
@@ -1130,10 +1134,12 @@ def important_parts(lineitem: DataFrame, fraction: float = 0.0007) -> DataFrame:
         .agg(F.sum("_val").alias("_part_val"))
         .localCheckpoint(eager=False)
     )
-    total = per_part.agg(F.sum("_part_val").alias("_total"))
+    mean = per_part.agg(
+        (F.sum("_part_val") / F.count("*")).alias("_mean")
+    )
     return (
-        per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("_part_val") > fraction * F.col("_total"))
+        per_part.crossJoin(F.broadcast(mean))
+        .filter(F.col("_part_val") > mean_multiple * F.col("_mean"))
         .select(
             F.col("l_partkey").cast("double").alias("l_partkey"),
             F.round("_part_val", 2).alias("part_value"),

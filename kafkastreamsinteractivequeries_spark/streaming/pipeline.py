@@ -451,6 +451,45 @@ def streaming_exact_dedup(
     return fp.dropDuplicatesWithinWatermark(["fingerprint"])
 
 
+def session_streaming_aggregation(
+    event_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-merged session windows under Structured Streaming — the
+    streaming twin of the batch ``windows.event_sessions`` (driver key
+    ``q7_user_sessions``), reusing the SAME ``session_window``
+    expression so batch and streaming results are definitionally
+    aligned (Kappa-style parity).
+
+    State semantics: Spark keeps one open session per (key, window)
+    and MERGES sessions when a new event lands within ``gap`` of an
+    open one — including events that bridge TWO previously-separate
+    sessions — so cross-micro-batch session growth is handled by the
+    engine, not by caller logic.  The watermark bounds state: a
+    session closes (and, in append mode, emits) once the watermark
+    passes its end, after which state is GC'd — at 100 TB/day the
+    state size is the number of sessions OPEN within the watermark
+    horizon, not the event count.
+
+    Output mode contract: 'append' emits each session exactly once on
+    close (the changelog-to-store path); 'update' re-emits a session
+    every time it grows (the live-dashboard path).
+    """
+    from kafkastreamsinteractivequeries_spark.operators.windows import event_sessions
+
+    return event_sessions(
+        event_stream.withWatermark(time_col, watermark),
+        gap=gap,
+        key_col=key_col,
+        time_col=time_col,
+        value_col=value_col,
+    )
+
+
 def windowed_streaming_aggregation(
     txn_stream: DataFrame, duration: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1153,3 +1153,87 @@ def test_streaming_gram_histogram_drift_matches_batch(spark, tmp_path):
     assert got == want
     js = [v for (m, _b, v, _a, _c) in got if m == "js"][0]
     assert js > 0.001  # disjoint-ish vocab: real drift registered
+
+
+def test_session_streaming_merges_across_micro_batches(spark, tmp_path):
+    """Streaming session windows must (1) EXTEND an open session when a
+    later micro-batch lands within the gap, (2) emit closed sessions
+    exactly once in append mode after the watermark passes, and (3)
+    equal the batch `event_sessions` on the same rows — the Kappa
+    parity contract for the q7_user_sessions surface."""
+    import datetime as dt
+
+    from kafkastreamsinteractivequeries_spark.operators.windows import event_sessions
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        session_streaming_aggregation,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "sess_events")
+
+    # batch 1: user 1 has two events 10 min apart (one session so far);
+    # user 2 has one event
+    batch1 = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(minutes=10), 5.0),
+        (2, t0 + dt.timedelta(minutes=5), 1.0),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        session_streaming_aggregation(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_agg")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing closed yet: watermark hasn't passed any session end
+        assert spark.sql("SELECT * FROM sess_agg").count() == 0
+
+        # batch 2: an event 25 min after user 1's last one — inside the
+        # 30-min gap, so it must MERGE into the open session, not open
+        # a new one; plus a far-future sentinel that pushes the
+        # watermark past every session end
+        batch2 = [
+            (1, t0 + dt.timedelta(minutes=35), 2.0),
+            (99, t0 + dt.timedelta(hours=12), 0.0),
+        ]
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        # one more empty batch so the new watermark closes + emits
+        spark.createDataFrame(
+            [(99, t0 + dt.timedelta(hours=13), 0.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+            for r in spark.sql(
+                "SELECT * FROM sess_agg WHERE user_id IN (1, 2)"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    # user 1: ONE merged session covering all three events
+    # (0:00 → 0:35 + 30 min gap); user 2: one single-event session
+    assert got == {
+        (1, t0, t0 + dt.timedelta(minutes=65), 3, 17.0),
+        (2, t0 + dt.timedelta(minutes=5), t0 + dt.timedelta(minutes=35), 1, 1.0),
+    }
+
+    # Kappa parity: batch sessionization over the same rows (minus the
+    # sentinel user) produces the identical session table
+    batch_rows = spark.createDataFrame(batch1 + [(1, t0 + dt.timedelta(minutes=35), 2.0)], schema)
+    batch_got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in event_sessions(batch_rows, gap="30 minutes").collect()
+    }
+    assert batch_got == got
