@@ -1217,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         resolve_duplicate_groups,
         sample_mixture,
         stratified_sample,
+        weighted_sample,
     )
 
     # p3: the sampling/assignment suite in ONE tagged union —
@@ -1275,7 +1276,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_chars").cast("long").alias("n_chars"),
             *doc_sent,
         )
-        return strat.unionByName(mix).unionByName(spl).unionByName(best)
+        # Efraimidis-Spirakis weighted sample (priority ln(u)/w, u from
+        # md5 hex — engine-replayable, top-k never a full sort).
+        ws = weighted_sample(docs, n=50, weight_col="n_chars").select(
+            F.lit("wsample").alias("variant"),
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            *doc_sent,
+        )
+        return (
+            strat.unionByName(mix)
+            .unionByName(spl)
+            .unionByName(best)
+            .unionByName(ws)
+        )
 
     q["p3_sampling_split"] = _p3
 
@@ -2459,6 +2476,20 @@ SELECT 'keepbest', d.doc_id, d.text, d.lang, d.source,
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM ndgroups)
    OR d.doc_id IN (SELECT doc_id FROM winners)
+UNION ALL
+-- Efraimidis-Spirakis weighted sample: priority ln(u)/w with u from
+-- the first 12 md5 hex digits (exact in a double), top-50 by priority
+SELECT 'wsample', doc_id, text, lang, source, CAST(n_chars AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS INTEGER), ''
+FROM (
+  SELECT * FROM (
+    SELECT *, ln((CAST(list_sum(list_transform(generate_series(1, 12), i ->
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        * (16 ** (12 - i)))) AS DOUBLE) + 0.5) / 281474976710656.0)
+        / CAST(n_chars AS DOUBLE) AS _pri
+    FROM documents WHERE n_chars > 0
+  ) ORDER BY _pri DESC, doc_id LIMIT 50
+)
 """
     return {
         "p1_curation_pipeline": sql,

@@ -721,3 +721,38 @@ def quality_classifier_score(
             ).alias("prob"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir" — public): each row gets priority ``ln(u) / w`` with
+    ``u`` a per-row uniform and ``w`` its positive weight; the ``n``
+    LARGEST priorities are an exact weight-proportional sample.
+
+    ``u`` derives from the first 12 hex digits of ``md5(id)`` (exact
+    in a double: 16^12 < 2^53), NOT from ``rand()`` — the sample is
+    reproducible across runs, engines, and partitionings, and an
+    engine-independent oracle can replay it verbatim.
+
+    Scale: priority is a map-only expression; selection is a global
+    top-k (``TakeOrderedAndProject``: per-partition heaps of ``n``
+    rows, then one ``n``-row merge on the driver side of the exchange)
+    — never a full sort, never a shuffle of the corpus.  Zero-weight /
+    null-weight rows are excluded (their priority would be -inf).
+    """
+    hex12 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+    u = (hex12.cast("double") + F.lit(0.5)) / F.lit(float(16**12))
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").desc(), F.col(id_col))
+        .limit(n)
+        .drop("_pri")
+    )

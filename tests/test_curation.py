@@ -414,3 +414,46 @@ def test_quality_classifier_model_is_bounded_and_broadcast(spark):
     smj_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
     assert not smj_lines
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_proportional_deterministic_and_distributed(spark):
+    """Efraimidis-Spirakis sampling: (1) heavier rows are selected at a
+    rate ≈ their weight share (statistical check on a 2-weight
+    population), (2) the sample is identical across runs AND
+    partitionings (hash-derived priorities, no rand()), (3) zero/null
+    weights are excluded, (4) selection is a top-k
+    (TakeOrderedAndProject), never a global sort of the corpus."""
+    from kafkastreamsinteractivequeries_spark.operators.curation import weighted_sample
+    from pyspark.sql import functions as F
+
+    # 1000 docs: ids 0-499 weight 1, ids 500-999 weight 9 → the heavy
+    # half holds 90% of total weight; in a 200-sample (without
+    # replacement) expect ≈ 171 heavy rows (hypergeometric-ish), allow
+    # a generous band
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 500, 9.0).otherwise(1.0).alias("w"),
+    )
+    got = weighted_sample(docs, n=200, weight_col="w")
+    rows = got.collect()
+    assert len(rows) == 200
+    heavy = sum(1 for r in rows if r.doc_id >= 500)
+    assert 140 <= heavy <= 195, f"heavy-share off: {heavy}/200"
+
+    # determinism across partitionings
+    again = weighted_sample(docs.repartition(17), n=200, weight_col="w")
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in rows}
+
+    # zero / null weights never sampled
+    docs2 = docs.withColumn(
+        "w", F.when(F.col("doc_id") < 990, F.col("w")).otherwise(F.lit(None))
+    ).withColumn(
+        "w", F.when(F.col("doc_id").between(980, 989), 0.0).otherwise(F.col("w"))
+    )
+    sampled2 = {r.doc_id for r in weighted_sample(docs2, n=980, weight_col="w").collect()}
+    assert sampled2 == set(range(980))
+
+    # plan: top-k, not a global sort
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
