@@ -506,9 +506,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         carry=("minhash_sig",),
     )
-    q["d5_minhash_near_duplicates"] = lambda s, d: D.minhash_near_duplicates(
-        _docs(s, d), shingle_n=1, threshold=0.6
-    )
+    # d5 as a tagged union: 'lsh' = the MinHash-LSH near-dup detector;
+    # 'hybrid' = the LEXICAL ∧ SEMANTIC high-precision tier (the same
+    # pairs cross-checked against embedding cosine ≥ 0.3 — two
+    # detectors with disjoint failure modes, conjunction = auto-drop
+    # tier of a tiered dedup policy).
+    def _d5(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        lsh = D.minhash_near_duplicates(docs, shingle_n=1, threshold=0.6).select(
+            F.lit("lsh").alias("variant"),
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.lit(None).cast("double").alias("cosine"),
+        )
+        hyb = D.hybrid_near_duplicates(
+            docs,
+            load_table(s, d, "embeddings"),
+            shingle_n=1,
+            lexical_threshold=0.6,
+            cosine_threshold=0.3,
+        ).select(
+            F.lit("hybrid").alias("variant"), "id_a", "id_b", "jaccard", "cosine"
+        )
+        return lsh.unionByName(hyb)
+
+    q["d5_minhash_near_duplicates"] = _d5
     # d6: the exact-audit pair suite as a tagged union — 'jaccard' is
     # the inverted-index 3-gram Jaccard join (the non-approximate
     # calibration baseline for d5), 'edit' the order-SENSITIVE
@@ -4238,14 +4261,31 @@ FROM (
         + f", sigbands AS (\n{sig_band_selects}\n)\n"
         + "SELECT doc_id, minhash_sig, band_id, band_hash FROM sigbands"
     )
+    cos64 = (
+        "ROUND(list_sum([ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE"
+        " for i in generate_series(1, 64)])"
+        " / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in ea.embedding]))"
+        " * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in eb.embedding]))), 6)"
+    )
     o["d5_minhash_near_duplicates"] = (
         cand_cte
-        + """SELECT id_a, id_b, jaccard FROM (
-  SELECT id_a, id_b,
-         ROUND(len(list_intersect(x.toks, y.toks))::DOUBLE
-               / len(list_distinct(x.toks || y.toks)), 6) AS jaccard
-  FROM cand JOIN norm x ON x.doc_id = id_a JOIN norm y ON y.doc_id = id_b
-) WHERE jaccard >= 0.6
+        + f""", jac AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(x.toks, y.toks))::DOUBLE
+                 / len(list_distinct(x.toks || y.toks)), 6) AS jaccard
+    FROM cand JOIN norm x ON x.doc_id = id_a JOIN norm y ON y.doc_id = id_b
+  ) WHERE jaccard >= 0.6
+)
+SELECT 'lsh' AS variant, id_a, id_b, jaccard, CAST(NULL AS DOUBLE) AS cosine
+FROM jac
+UNION ALL
+-- lexical ∧ semantic: the same pairs cross-checked by embedding cosine
+SELECT 'hybrid', id_a, id_b, jaccard, {cos64}
+FROM jac
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE {cos64} >= 0.3
 """
     )
     # 3-gram shingles over raw (non-distinct) token sequence

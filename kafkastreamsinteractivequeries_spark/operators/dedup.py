@@ -1173,3 +1173,68 @@ def edit_distance_pairs(
             F.lit(1.0) - F.col("edit_dist") / F.col("_maxlen"), 6
         ).alias("edit_sim"),
     )
+
+
+def hybrid_near_duplicates(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    shingle_n: int = 1,
+    lexical_threshold: float = 0.6,
+    cosine_threshold: float = 0.3,
+) -> DataFrame:
+    """(id_a, id_b, jaccard, cosine): LEXICAL ∧ SEMANTIC near-dup
+    pairs — MinHash-LSH candidates that pass exact-Jaccard verify AND
+    whose document embeddings are within ``cosine_threshold``.
+
+    The two detectors fail differently: token-set Jaccard fires on
+    reorderings/boilerplate shells and misses paraphrases; embedding
+    cosine fires on paraphrases and can conflate topically-similar but
+    distinct docs.  The conjunction is the HIGH-PRECISION tier of a
+    tiered dedup policy (auto-drop the intersection, human-review or
+    threshold-tighten the single-detector pairs).
+
+    Scale: the pair list is already LSH-bounded, so the embedding
+    attach is two shuffle-hash joins on the id (embeddings grow with
+    the corpus — never broadcast, same staging contract as
+    ``edit_distance_pairs``) and the cosine is row-local; no new
+    quadratic corner is introduced.
+    """
+    # similarity imports dedup (for components) — import locally to
+    # keep the module graph acyclic
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        cosine_from_parts,
+        norm_expr,
+    )
+
+    pairs = minhash_near_duplicates(
+        docs, text_col, id_col, shingle_n=shingle_n, threshold=lexical_threshold
+    )
+    ea = embeddings.select(
+        F.col(vec_id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm_expr(F.col(vec_col)).alias("_na"),
+    )
+    eb = embeddings.select(
+        F.col(vec_id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm_expr(F.col(vec_col)).alias("_nb"),
+    )
+    return (
+        pairs.join(ea.hint("shuffle_hash"), "id_a")
+        .join(eb.hint("shuffle_hash"), "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_from_parts(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= cosine_threshold))
+        .select("id_a", "id_b", "jaccard", "cosine")
+    )

@@ -544,3 +544,35 @@ def test_edit_distance_pairs_joins_shuffle_hash_not_broadcast(spark):
     )
     assert plan.count("ShuffledHashJoin") == 2
     assert "BroadcastHashJoin" not in plan
+
+
+def test_hybrid_near_duplicates_is_conjunction_of_detectors(spark, sf_dir):
+    """hybrid = lexical ∧ semantic: every hybrid pair must be an LSH
+    near-dup pair with cosine ≥ the semantic threshold; the embedding
+    attach must be shuffle-hash (the embedding side grows with the
+    corpus — never broadcast)."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        hybrid_near_duplicates,
+        minhash_near_duplicates,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    hyb = hybrid_near_duplicates(
+        docs, emb, shingle_n=1, lexical_threshold=0.6, cosine_threshold=0.3
+    )
+    rows = hyb.collect()
+    assert rows, "no hybrid pairs at this sf — thresholds too tight"
+    lex = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(docs, shingle_n=1, threshold=0.6).collect()
+    }
+    assert {(r.id_a, r.id_b) for r in rows} <= lex
+    assert all(r.cosine >= 0.3 and r.jaccard >= 0.6 for r in rows)
+
+    plan = hyb._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both embedding attaches are shuffled hash joins, not broadcasts
+    assert plan.count("ShuffledHashJoin") >= 2

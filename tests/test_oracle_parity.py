@@ -58,6 +58,7 @@ UNION_KEYS = {
     "m7_decoded_pixel_stats": "variant",
     "a11_revenue_kpis": "variant",
     "d6_ngram_jaccard_pairs": "variant",
+    "d5_minhash_near_duplicates": "variant",
 }
 
 
