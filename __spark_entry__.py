@@ -279,9 +279,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inner-asof variant (purchases with no prior click dropped): the
     # driver's row-sort comparator cannot order NULLs, so the declared
     # query keeps a NULL-free shape; the operator itself is left-asof.
-    q["a6_asof_purchase_click"] = lambda s, d: A.purchases_with_last_click(
-        load_table(s, d, "events")
-    ).filter(F.col("click_event_id").isNotNull())
+    # a6 as a tagged union of the as-of DIRECTION/TOLERANCE family:
+    #   'bwd'    — most recent click at-or-before (last-touch model)
+    #   'fwd'    — first click at-or-after (post-purchase engagement)
+    #   'bwdtol' — backward bounded to a 1-hour attribution window
+    # (the tolerance nulls matches beyond the window; the NULL-free
+    # projection then drops them, so the branch row count is the
+    # within-window attribution rate).
+    def _a6(s: SparkSession, d: str) -> DataFrame:
+        ev = load_table(s, d, "events")
+
+        def tagged(tag: str, **kw) -> DataFrame:
+            return (
+                A.purchase_click_attribution(ev, **kw)
+                .filter(F.col("click_event_id").isNotNull())
+                .select(F.lit(tag).alias("variant"), "*")
+            )
+
+        return (
+            tagged("bwd", direction="backward")
+            .unionByName(tagged("fwd", direction="forward"))
+            .unionByName(
+                tagged("bwdtol", direction="backward", tolerance_seconds=3600.0)
+            )
+        )
+
+    q["a6_asof_purchase_click"] = _a6
     q["a7_revenue_rollup"] = lambda s, d: A.revenue_rollup(
         load_table(s, d, "lineitem"),
         load_table(s, d, "orders"),
@@ -2084,16 +2107,40 @@ WITH l AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
 ), r AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
-), j AS (
+), bwd AS (
   SELECT l.event_id, l.user_id, l.ts, ROUND(l.value, 2) AS value,
          r.ts AS click_ts, ROUND(r.value, 2) AS click_value,
          r.event_id AS click_event_id,
          ROW_NUMBER() OVER (PARTITION BY l.event_id
              ORDER BY r.ts DESC, r.event_id DESC) AS rn
   FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+), fwd AS (
+  SELECT l.event_id, l.user_id, l.ts, ROUND(l.value, 2) AS value,
+         r.ts AS click_ts, ROUND(r.value, 2) AS click_value,
+         r.event_id AS click_event_id,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+             ORDER BY r.ts ASC, r.event_id ASC) AS rn
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts >= l.ts
+), bwdtol AS (
+  SELECT l.event_id, l.user_id, l.ts, ROUND(l.value, 2) AS value,
+         r.ts AS click_ts, ROUND(r.value, 2) AS click_value,
+         r.event_id AS click_event_id,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+             ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+                     AND r.ts >= l.ts - INTERVAL 1 HOUR
 )
-SELECT event_id, user_id, ts, value, click_ts, click_value, click_event_id
-FROM j WHERE rn = 1 AND click_event_id IS NOT NULL
+SELECT 'bwd' AS variant, event_id, user_id, ts, value,
+       click_ts, click_value, click_event_id
+FROM bwd WHERE rn = 1 AND click_event_id IS NOT NULL
+UNION ALL
+SELECT 'fwd', event_id, user_id, ts, value,
+       click_ts, click_value, click_event_id
+FROM fwd WHERE rn = 1 AND click_event_id IS NOT NULL
+UNION ALL
+SELECT 'bwdtol', event_id, user_id, ts, value,
+       click_ts, click_value, click_event_id
+FROM bwdtol WHERE rn = 1 AND click_event_id IS NOT NULL
 """
     o["a7_revenue_rollup"] = """
 SELECT r_name, n_name,

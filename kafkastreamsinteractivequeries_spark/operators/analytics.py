@@ -135,19 +135,34 @@ def asof_join(
     right_payload: list[str],
     right_order: str,
     prefix: str = "r_",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, attach the payload of the latest
-    right row with ``right_time <= left_time`` per ``on`` key
-    (ties on right_time broken by the highest ``right_order``).
+    """As-of join: for each left row, attach the payload of the
+    LATEST right row with ``right_time <= left_time`` (backward, ties
+    on right_time broken by the highest ``right_order``) or the
+    EARLIEST right row with ``right_time >= left_time`` (forward, ties
+    by the lowest ``right_order``), per ``on`` key.
+    ``tolerance_seconds`` nulls the attachment when the matched row is
+    further than that from the left time (pandas ``merge_asof``
+    semantics — the row is kept, its payload is null).
 
-    Implementation is the union + last-ignore-nulls window, NOT a range
-    join: both sides shuffle ONCE on the key, a single ordered pass per
-    key carries the most recent right payload forward, and left rows
-    are filtered back out.  A naive ``l ⋈ r ON key AND r.t <= l.t``
-    explodes quadratically per key; this shape is linear in rows and is
-    the plan that survives 100 TB of events.
+    Implementation is the union + last-ignore-nulls window, NOT a
+    range join: both sides shuffle ONCE on the key, a single ordered
+    pass per key carries the nearest right payload across (forward =
+    the same pass over the reversed ordering), and left rows are
+    filtered back out.  A naive ``l ⋈ r ON key AND r.t <= l.t``
+    explodes quadratically per key; this shape is linear in rows and
+    is the plan that survives 100 TB of events.  The tolerance is a
+    row-local post-check on the carried match time — never a second
+    pass or join.
     """
-    payload = F.struct(*[F.col(c) for c in right_payload])
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload = F.struct(
+        F.col(right_time).cast("timestamp").alias("_mt"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("_p"),
+    )
     r = right.select(
         F.col(on),
         F.col(right_time).alias("_t"),
@@ -164,21 +179,41 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
     )
     unioned = r.select("*", F.lit(None).cast(l.schema["_left"].dataType).alias("_left")).unionByName(l)
+    if direction == "backward":
+        order = [F.col("_t"), F.col("_side"), F.col("_ord")]
+    else:
+        # reversed time; right ties sorted _ord DESC so the LOWEST _ord
+        # is seen last and wins the last-ignore-nulls carry
+        order = [F.col("_t").desc(), F.col("_side"), F.col("_ord").desc()]
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_t"), F.col("_side"), F.col("_ord"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        gap = F.unix_timestamp(F.col("_t")) - F.unix_timestamp(F.col("_asof")["_mt"])
+        if direction == "forward":
+            gap = -gap
+        carried = carried.withColumn(
+            "_asof", F.when(gap <= tolerance_seconds, F.col("_asof"))
+        )
     out = carried.filter(F.col("_side") == 1).select("_left.*", "_asof")
     for c in right_payload:
-        out = out.withColumn(prefix + c, F.col("_asof")[c])
+        out = out.withColumn(prefix + c, F.col("_asof")["_p"][c])
     return out.drop("_asof")
 
 
-def purchases_with_last_click(events: DataFrame) -> DataFrame:
-    """a6: each purchase event enriched with the user's most recent
-    click at-or-before the purchase (classic event-attribution as-of)."""
+def purchase_click_attribution(
+    events: DataFrame,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Event attribution as-of: each purchase enriched with the
+    user's nearest click — most recent at-or-before (backward, the
+    classic last-touch model), first at-or-after (forward, the
+    post-purchase-engagement model), optionally bounded by an
+    attribution window (``tolerance_seconds``)."""
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -194,6 +229,8 @@ def purchases_with_last_click(events: DataFrame) -> DataFrame:
         right_payload=["ts", "value", "event_id"],
         right_order="event_id",
         prefix="click_",
+        direction=direction,
+        tolerance_seconds=tolerance_seconds,
     )
     return out.select(
         "event_id",
@@ -204,6 +241,12 @@ def purchases_with_last_click(events: DataFrame) -> DataFrame:
         F.round("click_value", 2).alias("click_value"),
         F.col("click_event_id"),
     )
+
+
+def purchases_with_last_click(events: DataFrame) -> DataFrame:
+    """a6: each purchase event enriched with the user's most recent
+    click at-or-before the purchase (classic event-attribution as-of)."""
+    return purchase_click_attribution(events, direction="backward")
 
 
 def revenue_rollup(

@@ -281,3 +281,68 @@ def test_funnel_handles_ntz_timestamps(spark):
     assert dict(df.dtypes)["ts"] == "timestamp_ntz"
     out = funnel_analysis(df, ["a", "b"], horizon_days=1.0).collect()
     assert out[0].steps_completed == 2
+
+
+def test_asof_forward_and_tolerance_semantics(spark):
+    """Forward as-of: EARLIEST right at-or-after, ties to the lowest
+    order key.  Tolerance: the nearest match is nulled (not replaced)
+    when it lies beyond the window — pandas merge_asof semantics."""
+    import datetime as dt
+
+    from kafkastreamsinteractivequeries_spark.operators.analytics import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(100)), (2, ts(50))], "k long, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(10), 7, "at"),       # exactly at left#1 (inclusive)
+            (1, ts(10), 3, "at_low"),   # same ts, LOWER order key
+            (1, ts(30), 9, "later"),
+            (2, ts(80), 1, "far"),      # 30 min after left, beyond 20-min tol
+        ],
+        "k long, rt timestamp, o long, tag string",
+    )
+
+    fwd = {
+        (r.k, r.lt): r.m_tag
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            right_payload=["tag"], right_order="o", prefix="m_",
+            direction="forward",
+        ).collect()
+    }
+    # inclusive at-or-after; equal-ts tie goes to the LOWEST order key
+    assert fwd[(1, ts(10))] == "at_low"
+    assert fwd[(1, ts(100))] is None  # nothing after
+    assert fwd[(2, ts(50))] == "far"
+
+    tol = {
+        (r.k, r.lt): r.m_tag
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            right_payload=["tag"], right_order="o", prefix="m_",
+            direction="forward", tolerance_seconds=20 * 60,
+        ).collect()
+    }
+    # the row survives, its match is nulled (beyond the window)
+    assert tol[(2, ts(50))] is None
+    assert tol[(1, ts(10))] == "at_low"
+
+    bwd_tol = {
+        (r.k, r.lt): r.m_tag
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            right_payload=["tag"], right_order="o", prefix="m_",
+            direction="backward", tolerance_seconds=20 * 60,
+        ).collect()
+    }
+    # backward from ts(100): nearest is ts(30), 70 min back -> nulled
+    assert bwd_tol[(1, ts(100))] is None
+    # backward from ts(10): equal-ts tie goes to the HIGHEST order key
+    assert bwd_tol[(1, ts(10))] == "at"

@@ -59,6 +59,7 @@ UNION_KEYS = {
     "a11_revenue_kpis": "variant",
     "d6_ngram_jaccard_pairs": "variant",
     "d5_minhash_near_duplicates": "variant",
+    "a6_asof_purchase_click": "variant",
 }
 
 
