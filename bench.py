@@ -74,11 +74,12 @@ HEADLINE = [
 # branch here).
 BRANCHES: dict[str, list[str]] = {
     "q5_filtered_window_range": ["filtered_range", "window_all", "hopping"],
-    "d1_exact_dedup": ["dedup", "groups"],
     "s1_knn": ["brute", "srp16", "ivf16", "pq8x16", "pq_rerank"],
-    "s4_embedding_near_duplicates": ["self", "decon"],
+    "s4_embedding_near_duplicates": ["self", "decon", "semgroup"],
     "x13_decontamination": ["exact", "bloom", "fuzzy"],
     "p2_packing_chunking": ["pack", "chunk"],
+    "a6_asof_purchase_click": ["bwd", "fwd", "bwdtol"],
+    "d1_exact_dedup": ["dedup", "groups", "incremental"],
 }
 
 
