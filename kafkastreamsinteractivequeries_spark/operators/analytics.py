@@ -774,21 +774,23 @@ def small_quantity_revenue(
     De-correlated by construction: the textbook form re-computes
     ``AVG(l_quantity) WHERE l_partkey = p_partkey`` once per outer row
     — a per-row fact rescan at 100 TB.  Here the brand's part keys
-    broadcast into ONE fact scan; per-part averages are aggregated
-    once over that slice and joined back by broadcast (bounded by the
-    brand's part count, orders of magnitude under the fact).  One fact
-    scan, one small shuffle on the filtered slice, zero correlation.
-    The driver oracle runs the CORRELATED scalar-subquery SQL, proving
-    the rewrite semantics-preserving."""
+    gate ONE fact scan; per-part averages are aggregated once over
+    that slice and joined back.  Both slice joins are UNHINTED: the
+    brand slice and its per-part aggregate scale with |parts|, so AQE
+    broadcasts them while they fit and shuffle-joins beyond — always
+    orders of magnitude under the fact either way.  One fact scan, one
+    small shuffle on the filtered slice, zero correlation.  The driver
+    oracle runs the CORRELATED scalar-subquery SQL, proving the
+    rewrite semantics-preserving."""
     pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
     lines = lineitem.join(
-        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")
+        pk, F.col("l_partkey") == F.col("p_partkey")
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     avgq = lines.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (F.avg("l_quantity") * fraction).alias("_qty_cap")
     )
     return (
-        lines.join(F.broadcast(avgq), F.col("l_partkey") == F.col("_pk"))
+        lines.join(avgq, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_qty_cap"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -832,7 +834,10 @@ def top_revenue_supplier(
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+        # supplier scales with the corpus — unhinted so AQE picks
+        # broadcast only while it fits (the filtered left side is the
+        # tied-max rows, so either join shape is trivial)
+        .join(supplier.select("s_suppkey", "s_name"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -926,7 +931,10 @@ def nation_pair_volume(
                 F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp")
             )
         )
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        # sup/cust are nation-FILTERED supplier/customer slices — they
+        # scale with the corpus, so the joins are unhinted (AQE
+        # broadcasts while they fit, shuffle-joins at 100 TB)
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "l_orderkey",
             "supp_nation",
@@ -991,8 +999,10 @@ def market_share(
         .select("c_custkey")
     )
     lines = (
-        lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        # the part-type slice and the nation-labeled supplier table both
+        # scale with the corpus — unhinted (AQE-broadcast while small)
+        lineitem.join(pk, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "_sn", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_vol"))
     )
     return (
@@ -1028,11 +1038,14 @@ def product_profit(
     profit over a part-name slice, cost via the supply relation.
 
     partsupp adaptation: unit cost comes from ``_supply_pairs``.  The
-    name-LIKE part keys broadcast into BOTH the supply aggregation and
-    the fact slice, so the (pk, sk) shuffle and the cost join-back
-    both run on the ~slice, never the full fact."""
+    name-LIKE part keys gate BOTH the supply aggregation and the fact
+    slice, so the (pk, sk) shuffle and the cost join-back both run on
+    the ~slice, never the full fact.  The part-key and supplier joins
+    are UNHINTED (both sides scale with the corpus: AQE broadcasts
+    them while they fit, shuffle-joins at 100 TB); only the 25-row
+    nation label is a forced broadcast."""
     pk = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
-    sliced = lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")).select(
+    sliced = lineitem.join(pk, F.col("l_partkey") == F.col("p_partkey")).select(
         "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount",
         F.year("l_shipdate").alias("o_year"),
     )
@@ -1040,12 +1053,10 @@ def product_profit(
     return (
         sliced.join(ps, (F.col("l_partkey") == F.col("pk")) & (F.col("l_suppkey") == F.col("sk")))
         .join(
-            F.broadcast(
-                supplier.join(
-                    F.broadcast(nation.select(F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation"))),
-                    F.col("s_nationkey") == F.col("_nk"),
-                ).select("s_suppkey", "nation")
-            ),
+            supplier.join(
+                F.broadcast(nation.select(F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation"))),
+                F.col("s_nationkey") == F.col("_nk"),
+            ).select("s_suppkey", "nation"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("nation", "o_year")
@@ -1136,13 +1147,14 @@ def min_cost_supplier(
     (pk, sk) aggregate — one extra shuffle on pk over the already
     part-sliced supply rows, then a row-local equality; the textbook
     form re-aggregates the supply relation once per outer row.  The
-    part slice broadcasts into the supply aggregation so both shuffles
-    run on the slice only."""
+    part slice gates the supply aggregation so both shuffles run on
+    the slice only; the slice and supplier joins are UNHINTED (both
+    scale with the corpus — AQE broadcasts while they fit)."""
     pk = part.filter(
         (F.col("p_type") == part_type) & (F.col("p_size") < max_size)
     ).select("p_partkey")
     ps = _supply_pairs(
-        lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(pk, F.col("l_partkey") == F.col("p_partkey"))
     )
     w = Window.partitionBy("pk")
     best = (
@@ -1151,7 +1163,7 @@ def min_cost_supplier(
         .drop("_min_cost")
     )
     return best.join(
-        F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("sk") == F.col("s_suppkey")
+        supplier.select("s_suppkey", "s_name"), F.col("sk") == F.col("s_suppkey")
     ).select("s_name", F.col("pk").alias("p_partkey"), "unit_cost")
 
 
@@ -1203,22 +1215,25 @@ def supplier_part_counts(
 
     partsupp adaptation: supply = DISTINCT (l_partkey, l_suppkey);
     blocklist = suppliers with negative balance (the comment-LIKE
-    filter has no analog column).  Plan: part slice broadcasts into
-    the fact scan, the pair-distinct is one shuffle on the slice, the
-    blocklist is a broadcast LEFT-ANTI (never a shuffled NOT IN), and
-    the count-distinct agg runs on attribute keys."""
+    filter has no analog column).  Plan: the part slice gates the fact
+    scan, the pair-distinct is one shuffle on the slice, the blocklist
+    is a LEFT-ANTI join (never a shuffled NOT IN with its null
+    semantics), and the count-distinct agg runs on attribute keys.
+    The slice and blocklist joins are UNHINTED — both scale with the
+    corpus, so AQE broadcasts them while they fit and shuffle-joins at
+    100 TB."""
     pslice = part.filter(
         (F.col("p_type") != exclude_type) & F.col("p_size").isin(list(sizes))
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     bad = supplier.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("_bad_sk"))
     pairs = (
-        lineitem.join(F.broadcast(pslice.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(pslice.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("_bad_sk"), "left_anti")
+        .join(bad, F.col("l_suppkey") == F.col("_bad_sk"), "left_anti")
     )
     return (
-        pairs.join(F.broadcast(pslice), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(pslice, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.concat_ws("|", "p_brand", "p_type").alias("brand_type"), F.col("p_size"))
         .agg(F.countDistinct("l_suppkey").cast("double").alias("supplier_cnt"))
         .select("brand_type", F.col("p_size").cast("double").alias("p_size"), "supplier_cnt")
@@ -1249,7 +1264,7 @@ def dominant_suppliers(
             (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
         )
-        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pk, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey", "l_quantity")
     )
     per_pair = sliced.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("_sq"))
