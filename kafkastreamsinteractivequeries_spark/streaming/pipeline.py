@@ -451,6 +451,30 @@ def streaming_exact_dedup(
     return fp.dropDuplicatesWithinWatermark(["fingerprint"])
 
 
+def enrich_stream_with_dimension(
+    fact_stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_ts_col: str = "ts",
+) -> DataFrame:
+    """Enrich a streaming fact with the SCD2 dimension version valid
+    AT each event's timestamp — the Kappa serving twin of the batch
+    ``dimensions.asof_lookup`` (driver key ``e2_scd2_asof``), reusing
+    the IDENTICAL join expression as a stream-STATIC join.
+
+    Stream-static joins are stateless in Structured Streaming (the
+    static side is re-planned per micro-batch, so a dimension table
+    refreshed in place — e.g. the ``scd2_merge`` output re-landed by a
+    dimension pipeline — is picked up on the next batch).  The equi-key
+    with the validity range as join residual keeps the probe per-row;
+    at 100 TB the dimension is the small side and AQE broadcasts it
+    per batch, falling back to a shuffled join when it outgrows the
+    threshold."""
+    from kafkastreamsinteractivequeries_spark.operators.dimensions import asof_lookup
+
+    return asof_lookup(fact_stream, dim, key_col, fact_ts_col)
+
+
 def session_streaming_aggregation(
     event_stream: DataFrame,
     gap: str = "30 minutes",

@@ -1237,3 +1237,81 @@ def test_session_streaming_merges_across_micro_batches(spark, tmp_path):
         for r in event_sessions(batch_rows, gap="30 minutes").collect()
     }
     assert batch_got == got
+
+
+def test_stream_static_scd2_enrichment_picks_valid_version(spark, tmp_path):
+    """A streaming fact joined against the SCD2 dimension must attach
+    the version valid AT each event's timestamp (stream-STATIC join,
+    stateless), and must equal the batch asof_lookup on the same rows
+    — the Kappa serving twin of the e2_scd2_asof surface."""
+    import datetime as dt
+
+    from kafkastreamsinteractivequeries_spark.operators.dimensions import (
+        asof_lookup,
+        scd2_init,
+        scd2_merge,
+    )
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        enrich_stream_with_dimension,
+    )
+
+    def day(n):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=n)
+
+    dim = scd2_merge(
+        scd2_init(
+            spark.createDataFrame([(1, "gold")], "cust long, segment string"),
+            day(0),
+            key_col="cust",
+        ),
+        spark.createDataFrame(
+            [(1, "platinum", day(5))],
+            "cust long, segment string, effective_ts timestamp",
+        ),
+        "cust",
+        ["segment"],
+    ).localCheckpoint()  # static side
+
+    src = str(tmp_path / "facts")
+    facts = [
+        (100, 1, day(2)),   # inside the gold version [d0, d5)
+        (101, 1, day(5)),   # exactly at the cut → platinum (inclusive from)
+        (102, 1, day(9)),   # open platinum version
+        (103, 7, day(3)),   # unknown key → left join keeps it, null attrs
+    ]
+    spark.createDataFrame(facts, "fact_id long, cust long, ts timestamp").coalesce(
+        1
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("fact_id long, cust long, ts timestamp").parquet(src)
+    q = (
+        enrich_stream_with_dimension(stream, dim, key_col="cust", fact_ts_col="ts")
+        .select("fact_id", "segment")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scd2_enriched")
+        .option("checkpointLocation", str(tmp_path / "enrich_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.fact_id: r.segment
+            for r in spark.sql("SELECT * FROM scd2_enriched").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == {100: "gold", 101: "platinum", 102: "platinum", 103: None}
+
+    # batch parity: the identical join expression over the same rows
+    batch = {
+        r.fact_id: r.segment
+        for r in asof_lookup(
+            spark.createDataFrame(facts, "fact_id long, cust long, ts timestamp"),
+            dim,
+            "cust",
+            "ts",
+        ).collect()
+    }
+    assert batch == got
