@@ -739,3 +739,24 @@ def test_q13_priority_filter_lands_before_outer_join(spark, sf_dir):
     # only the two needed order columns leave the scan
     o_schema = [s for s in read_schemas(plan) if "o_custkey" in s][0]
     assert "o_totalprice" not in o_schema
+
+
+def test_q6_all_predicates_reach_the_scan(spark, sf_dir):
+    """forecast_revenue: all three predicates (shipdate range, discount
+    band, quantity cap) must appear in the parquet PushedFilters —
+    row-group pruning is the whole point of the Q6 shape — and the scan
+    reads only the four needed columns."""
+    from kafkastreamsinteractivequeries_spark.operators.analytics import (
+        forecast_revenue,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    plan = _executed(forecast_revenue(load_table(spark, sf_dir, "lineitem")))
+    # the PushedFilters list elides past ~100 chars — assert presence
+    # on the (full) Filter node and pushdown on the scan's prefix
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+    flt = re.search(r"\+- Filter ([^\n]*)", plan).group(1)
+    for pred in ("l_discount#\\d+ >= 0.04", "l_discount#\\d+ <= 0.08", "l_quantity#\\d+ < 24.0"):
+        assert re.search(pred, flt), f"missing {pred}"
+    schema = [s for s in read_schemas(plan) if "l_extendedprice" in s][0]
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema
