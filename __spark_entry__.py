@@ -845,6 +845,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("prob") >= 0.5).cast("long").alias("total"),
             )
         )
+        # 'gopher' — the Gopher rule-based quality bundle (Rae et al.
+        # 2112.11446 §A1.1): per-doc failure BITMASK over 6 adapted
+        # rules (word count / mean word length / punct ratio / alpha
+        # fraction / en-stopword presence / repetition top-share), all
+        # zero-shuffle Column expressions; the repetition rule is the
+        # LINEAR sorted-run fold, not count-per-distinct.
+        gop = T.gopher_quality_rules(docs).select(
+            F.lit("gopher").alias("variant"),
+            F.col("doc_id").cast("string").alias("name"),
+            F.col("failure_mask").cast("double").alias("value"),
+            F.col("word_count").alias("n"),
+            F.col("passed").cast("long").alias("total"),
+        )
         return (
             length_rows.unionByName(cons)
             .unionByName(skew)
@@ -852,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(dsir)
             .unionByName(qlrw)
             .unionByName(qlr)
+            .unionByName(gop)
         )
 
     q["x6_quality_gates"] = _x6
@@ -3103,6 +3117,32 @@ SELECT 'qlr', CAST(qsf.doc_id AS VARCHAR),
        CAST(CASE WHEN ROUND(ROUND(1.0 / (1.0 + exp(-s)), 12), 6) >= 0.5
                  THEN 1 ELSE 0 END AS BIGINT)
 FROM qsf JOIN qlab ON qsf.doc_id = qlab.doc_id
+UNION ALL
+-- Gopher rule bundle (Rae et al. 2112.11446): per-doc failure bitmask
+SELECT 'gopher', CAST(doc_id AS VARCHAR), CAST(mask AS DOUBLE),
+       CAST(wc AS BIGINT), CAST(CASE WHEN mask = 0 THEN 1 ELSE 0 END AS BIGINT)
+FROM (
+  SELECT doc_id, wc,
+     (CASE WHEN wc < 20 OR wc > 100000 THEN 1 ELSE 0 END
+    + CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 2 ELSE 0 END
+    + CASE WHEN pr > 0.1 THEN 4 ELSE 0 END
+    + CASE WHEN af < 0.8 THEN 8 ELSE 0 END
+    + CASE WHEN stops = 0 THEN 16 ELSE 0 END
+    + CASE WHEN ts > 0.2 THEN 32 ELSE 0 END) AS mask
+  FROM (
+    SELECT doc_id, len(toks) AS wc,
+      list_sum(list_transform(toks, tk -> length(tk)))::DOUBLE / len(toks) AS mwl,
+      (length(norm) - length(regexp_replace(norm, '[.,;:!?]', '', 'g')))::DOUBLE
+        / len(toks) AS pr,
+      len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))::DOUBLE
+        / len(toks) AS af,
+      len(list_intersect(list_distinct(toks),
+          ['the','a','of','to','and','in','is','it','that','for'])) AS stops,
+      ROUND((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM unnest(toks) AS u(w)
+                                 GROUP BY w))::DOUBLE / len(toks), 6) AS ts
+    FROM t
+  )
+)
 """
     )
     o["x7_bigram_logprob"] = (

@@ -1222,3 +1222,84 @@ def distribution_divergence(
         num_buckets,
         top_k,
     )
+
+
+def gopher_quality_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al.,
+    arXiv:2112.11446 §A1.1 — public), adapted to this corpus's signals.
+    Per doc: ``(doc_id, word_count, mean_word_len, top_share,
+    failure_mask, passed)`` where ``failure_mask`` is a bitmask of the
+    rules the doc FAILS:
+
+      1  word count outside [20, 100000]
+      2  mean word length outside [3, 10]
+      4  punctuation-to-word ratio > 0.1
+      8  fraction of words containing a letter < 0.8
+      16 zero distinct English stopwords present (fluency proxy)
+      32 most-frequent word share > 0.2 (repetition rule)
+
+    Scale: every rule is a zero-shuffle Column expression.  The
+    repetition rule is LINEAR in document length — top frequency =
+    the longest equal-run of the SORTED token array, computed by one
+    ``aggregate`` fold (never the O(n·distinct) count-per-distinct
+    shape, which dies on 100k-token documents)."""
+    toks = tokens_col(F.col(text_col))
+    norm = normalized_text(F.col(text_col))
+    wc = F.size(toks)
+    mwl = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / wc
+    )
+    punct_ratio = (
+        (F.length(norm) - F.length(F.regexp_replace(norm, PUNCT_CLASS, ""))).cast(
+            "double"
+        )
+        / wc
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / wc
+    )
+    en_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        )
+    )
+    # longest equal-run of the sorted tokens == max unigram frequency
+    srt = F.array_sort(toks)
+    eq = F.transform(
+        F.sequence(F.lit(2), wc),
+        lambda i: (F.element_at(srt, i) == F.element_at(srt, i - 1)).cast("int"),
+    )
+    maxrun = F.when(wc <= 1, F.lit(1)).otherwise(
+        F.aggregate(
+            eq,
+            F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+            lambda acc, e: F.struct(
+                (F.when(e == 1, acc["cur"] + 1).otherwise(F.lit(1))).alias("cur"),
+                F.greatest(
+                    acc["best"],
+                    F.when(e == 1, acc["cur"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+    )
+    top_share = F.round(maxrun.cast("double") / wc, 6)
+    mask = (
+        F.when((wc < 20) | (wc > 100000), 1).otherwise(0)
+        + F.when((mwl < 3.0) | (mwl > 10.0), 2).otherwise(0)
+        + F.when(punct_ratio > 0.1, 4).otherwise(0)
+        + F.when(alpha_frac < 0.8, 8).otherwise(0)
+        + F.when(en_stops == 0, 16).otherwise(0)
+        + F.when(top_share > 0.2, 32).otherwise(0)
+    )
+    return spread(docs).select(
+        F.col(id_col),
+        wc.cast("long").alias("word_count"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        top_share.alias("top_share"),
+        mask.cast("long").alias("failure_mask"),
+        (mask == 0).cast("int").alias("passed"),
+    )

@@ -664,3 +664,43 @@ def test_distribution_divergence_plan_is_bounded(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan  # the totals ride a broadcast
+
+
+def test_gopher_rules_bitmask_closed_form(spark):
+    """Each rule bit fires on a constructed document; the repetition
+    rule's sorted-run fold must equal the true top-unigram share."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        gopher_quality_rules,
+    )
+
+    base = "the quick brown fox jumps over a lazy dog and runs far away " * 3
+    docs = spark.createDataFrame(
+        [
+            # 0: healthy doc — 36 words, stopwords, varied vocab... but
+            # 'the'/'a'/'and' repeat 3x each over 36 words = 0.083 share
+            (0, base.strip()),
+            # 1: too short (bit 1) and repetitive (bit 32: 5/10 = 0.5)
+            (1, "spam spam spam spam spam one two three four five"),
+            # 2: no English stopwords (bit 16) + word count < 20 (bit 1)
+            (2, "der hund läuft schnell durch den großen wald heute"),
+            # 3: huge mean word length (bit 2) + short (bit 1) + no
+            #    stopwords (bit 16)
+            (3, "pneumonoultramicroscopicsilicovolcanoconiosis " * 25),
+            # 4: numerals only → alpha fraction 0 (bit 8) + no stops
+            #    (bit 16) + short (bit 1) + mean len 1 (bit 2)
+            (4, "1 2 3 4 5 6 7 8 9"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
+    assert got[0].failure_mask == 0 and got[0].passed == 1
+    # 'spam one two...' has no en stopwords either → bits 1+16+32
+    assert got[1].failure_mask == 1 + 16 + 32
+    assert got[1].top_share == 0.5
+    assert got[2].failure_mask == 1 + 16
+    # 25 words ≥ 20, so only mean-length + stopwords + repetition fire
+    assert got[3].failure_mask == 2 + 16 + 32
+    assert got[3].top_share == 1.0
+    # 9 distinct numerals: top share 1/9 < 0.2 → no repetition bit
+    assert got[4].failure_mask == 1 + 2 + 8 + 16
+    assert all(r.passed == (1 if r.failure_mask == 0 else 0) for r in got.values())
