@@ -126,3 +126,62 @@ def test_json_round_trip(spark, rows):
     for g, w in zip(got, want):
         assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3]
         assert math.isclose(g[2], w[2], rel_tol=1e-12, abs_tol=1e-12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data())
+def test_asof_join_matches_brute_force_reference(spark, data):
+    """Property: for random keyed event sets, asof_join (both
+    directions, with and without tolerance) equals the brute-force
+    per-row reference — nearest right row by time with the documented
+    tie-breaks (backward: highest order key; forward: lowest), match
+    nulled beyond the tolerance window."""
+    import datetime as dt
+
+    from kafkastreamsinteractivequeries_spark.operators.analytics import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    n_left = data.draw(st.integers(1, 8))
+    n_right = data.draw(st.integers(0, 10))
+    lefts = [
+        (i, data.draw(st.integers(0, 2)), t0 + dt.timedelta(minutes=data.draw(st.integers(0, 50))))
+        for i in range(n_left)
+    ]
+    rights = [
+        (100 + j, data.draw(st.integers(0, 2)),
+         t0 + dt.timedelta(minutes=data.draw(st.integers(0, 50))))
+        for j in range(n_right)
+    ]
+    direction = data.draw(st.sampled_from(["backward", "forward"]))
+    tol = data.draw(st.sampled_from([None, 0.0, 600.0, 1200.0]))
+
+    def reference(lid, k, lt):
+        if direction == "backward":
+            cand = [(rt, ro) for ro, rk, rt in rights if rk == k and rt <= lt]
+            # nearest time, then HIGHEST order key
+            best = max(cand, key=lambda c: (c[0], c[1])) if cand else None
+            gap = (lt - best[0]).total_seconds() if best else None
+        else:
+            cand = [(rt, ro) for ro, rk, rt in rights if rk == k and rt >= lt]
+            # nearest time, then LOWEST order key
+            best = min(cand, key=lambda c: (c[0], c[1])) if cand else None
+            gap = (best[0] - lt).total_seconds() if best else None
+        if best is None or (tol is not None and gap > tol):
+            return None
+        return best[1]
+
+    expect = {lid: reference(lid, k, lt) for lid, k, lt in lefts}
+
+    ldf = spark.createDataFrame(lefts, "lid long, k long, lt timestamp")
+    rdf = spark.createDataFrame(
+        rights or [(None, None, None)], "ro long, k long, rt timestamp"
+    ).filter("ro IS NOT NULL")
+    got = {
+        r.lid: r.m_ro
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="lt", right_time="rt",
+            right_payload=["ro"], right_order="ro", prefix="m_",
+            direction=direction, tolerance_seconds=tol,
+        ).collect()
+    }
+    assert got == expect, (direction, tol, lefts, rights)
