@@ -451,6 +451,59 @@ def streaming_exact_dedup(
     return fp.dropDuplicatesWithinWatermark(["fingerprint"])
 
 
+def stream_stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key_col: str = "user_id",
+    click_ts_col: str = "ts",
+    purchase_ts_col: str = "ts",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join: every (click, purchase) pair for the
+    same key where the purchase lands within ``horizon`` AFTER the
+    click — the fully-streaming attribution join (both sides live
+    streams; compare `enrich_stream_with_dimension` where one side is
+    a static table and `purchase_click_attribution` for batch as-of).
+
+    State contract: Structured Streaming buffers each side only until
+    the OTHER side's watermark passes the time-range bound, so state
+    is (events within watermark+horizon) per side, not the full
+    streams — the shape that survives 100 TB/day.  The equi-key keeps
+    the join hash-partitioned; the time-range is a residual evaluated
+    during the probe.
+
+    Emits one row per qualifying pair (a click with 3 purchases in the
+    horizon emits 3 rows) — downstream policies (first-touch,
+    last-touch) are a groupBy away."""
+    c = clicks.withWatermark(click_ts_col, watermark).select(
+        F.col(key_col).alias("_ck"),
+        F.col(click_ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    p = purchases.withWatermark(purchase_ts_col, watermark).select(
+        F.col(key_col).alias("_pk"),
+        F.col(purchase_ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("_ck") == F.col("_pk"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("_ck").alias(key_col),
+        "click_event_id",
+        "click_ts",
+        "click_value",
+        "purchase_event_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def enrich_stream_with_dimension(
     fact_stream: DataFrame,
     dim: DataFrame,

@@ -1315,3 +1315,64 @@ def test_stream_static_scd2_enrichment_picks_valid_version(spark, tmp_path):
         ).collect()
     }
     assert batch == got
+
+
+def test_stream_stream_attribution_join_pairs_within_horizon(spark, tmp_path):
+    """Both sides live streams: every (click, purchase) pair for the
+    same user with the purchase inside the 1-hour post-click horizon —
+    including pairs that arrive in DIFFERENT micro-batches (the
+    stateful buffering case) — and nothing outside it."""
+    import datetime as dt
+
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        stream_stream_attribution_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+
+    # batch 1: clicks only (the join must BUFFER them as state)
+    spark.createDataFrame(
+        [
+            (1, 7, t0, 1.0),
+            (2, 7, t0 + dt.timedelta(minutes=90), 2.0),
+            (3, 8, t0, 3.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(cdir)
+    spark.createDataFrame(
+        [(100, 99, t0, 0.0)], schema  # unrelated user, seeds the stream
+    ).coalesce(1).write.parquet(pdir)
+
+    clicks = spark.readStream.schema(schema).parquet(cdir)
+    purchases = spark.readStream.schema(schema).parquet(pdir)
+    q = (
+        stream_stream_attribution_join(clicks, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "attr_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: purchases arrive LATER than the buffered clicks
+        spark.createDataFrame(
+            [
+                (200, 7, t0 + dt.timedelta(minutes=30), 10.0),   # pairs with click 1
+                (201, 7, t0 + dt.timedelta(minutes=100), 20.0),  # pairs with 1? 100min>60 no; with click 2 (10 min after) yes
+                (202, 7, t0 + dt.timedelta(minutes=300), 30.0),  # beyond every horizon
+                (203, 8, t0 - dt.timedelta(minutes=5), 40.0),    # BEFORE the click -> excluded
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(pdir)
+        q.processAllAvailable()
+        got = {
+            (r.click_event_id, r.purchase_event_id)
+            for r in spark.sql("SELECT * FROM attrib").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == {(1, 200), (2, 201)}
