@@ -3123,12 +3123,13 @@ SELECT 'gopher', CAST(doc_id AS VARCHAR), CAST(mask AS DOUBLE),
        CAST(wc AS BIGINT), CAST(CASE WHEN mask = 0 THEN 1 ELSE 0 END AS BIGINT)
 FROM (
   SELECT doc_id, wc,
+     CASE WHEN wc IS NULL THEN 63 ELSE
      (CASE WHEN wc < 20 OR wc > 100000 THEN 1 ELSE 0 END
     + CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 2 ELSE 0 END
     + CASE WHEN pr > 0.1 THEN 4 ELSE 0 END
     + CASE WHEN af < 0.8 THEN 8 ELSE 0 END
     + CASE WHEN stops = 0 THEN 16 ELSE 0 END
-    + CASE WHEN ts > 0.2 THEN 32 ELSE 0 END) AS mask
+    + CASE WHEN ts > 0.2 THEN 32 ELSE 0 END) END AS mask
   FROM (
     SELECT doc_id, len(toks) AS wc,
       list_sum(list_transform(toks, tk -> length(tk)))::DOUBLE / len(toks) AS mwl,

@@ -1295,6 +1295,9 @@ def gopher_quality_rules(
         + F.when(en_stops == 0, 16).otherwise(0)
         + F.when(top_share > 0.2, 32).otherwise(0)
     )
+    # a NULL text nulls every metric, which would fold the mask to 0
+    # and PASS the gate — a null document fails everything instead
+    mask = F.when(F.col(text_col).isNull(), F.lit(63)).otherwise(mask)
     return spread(docs).select(
         F.col(id_col),
         wc.cast("long").alias("word_count"),

@@ -704,3 +704,20 @@ def test_gopher_rules_bitmask_closed_form(spark):
     # 9 distinct numerals: top share 1/9 < 0.2 → no repetition bit
     assert got[4].failure_mask == 1 + 2 + 8 + 16
     assert all(r.passed == (1 if r.failure_mask == 0 else 0) for r in got.values())
+
+
+def test_gopher_rules_degenerate_inputs_never_pass(spark):
+    """Empty, whitespace-only, and NULL documents must FAIL the gate —
+    a null text nulls every metric, which would otherwise fold the
+    bitmask to 0 and pass."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        gopher_quality_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   \t\n"), (2, None), (3, "🎉 🎉 🎉")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
+    assert all(r.passed == 0 for r in got.values())
+    assert got[2].failure_mask == 63  # null fails every rule
