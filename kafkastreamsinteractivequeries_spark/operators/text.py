@@ -62,6 +62,10 @@ def _stats_cols(text_col: str) -> list[F.Column]:
         + 0.2 * stop_component,
         6,
     )
+    # least() SKIPS nulls (both engines), so a NULL text would take
+    # full credit on the null components and score 0.6 — enough to
+    # survive a curation gate.  Null documents score 0.
+    score = F.when(F.col(text_col).isNull(), F.lit(0.0)).otherwise(score)
     return [
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_norm"),

@@ -721,3 +721,18 @@ def test_gopher_rules_degenerate_inputs_never_pass(spark):
     got = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
     assert all(r.passed == 0 for r in got.values())
     assert got[2].failure_mask == 63  # null fails every rule
+
+
+def test_text_stats_null_document_scores_zero(spark):
+    """least() skips nulls in both engines, so a NULL text would take
+    full credit on the length and stopword components and score 0.6 —
+    enough to survive a curation quality gate.  Null docs score 0."""
+    from kafkastreamsinteractivequeries_spark.operators.text import text_stats
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, "the quick brown fox and the lazy dog in the yard")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.quality_score for r in text_stats(docs).collect()}
+    assert got[0] == 0.0
+    assert got[1] > 0.3
