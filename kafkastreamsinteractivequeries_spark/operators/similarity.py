@@ -103,13 +103,23 @@ def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
     """
     # try_divide: a zero-norm vector yields NULL cosine instead of an
     # ANSI DIVIDE_BY_ZERO error; callers drop NULLs from rankings.
-    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
+    return _nan_to_null(F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b)))
+
+
+def _nan_to_null(c: F.Column) -> F.Column:
+    """NaN → NULL.  Spark ORDERS NaN greater than every value, so a
+    NaN cosine (from a NaN embedding component) would pass every
+    ``>= threshold`` verify filter AND rank FIRST in every kNN top-k —
+    one corrupt vector becomes a false near-duplicate of its whole
+    bucket.  As NULL it falls out of the existing isNotNull guards and
+    null-last orderings instead."""
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
 
 
 def cosine_from_parts(a: F.Column, b: F.Column, norm_a: F.Column, norm_b: F.Column) -> F.Column:
     """dot(a,b)/(‖a‖·‖b‖) with precomputed norms — bit-identical to
     ``cosine_expr`` (same op sequence, norms merely hoisted)."""
-    return F.try_divide(dot_expr(a, b), norm_a * norm_b)
+    return _nan_to_null(F.try_divide(dot_expr(a, b), norm_a * norm_b))
 
 
 def srp_codes(

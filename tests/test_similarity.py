@@ -713,3 +713,33 @@ def test_int8_quantization_bounds_and_recall(spark, sf_dir):
     )
     zq = quantize_embeddings(zrow).collect()[0]
     assert zq.scale == 1.0 and all(v == 0 for v in zq.qvec)
+
+
+def test_nan_embeddings_never_match_or_rank(spark):
+    """Spark ORDERS NaN greater than every value, so a NaN cosine
+    would pass every >= threshold verify AND rank first in every
+    top-k.  NaN cosines must become NULL and fall out of both paths;
+    zero vectors (NULL via try_divide) likewise."""
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        embedding_near_duplicates,
+        knn_bruteforce,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),            # zero vector
+            (3, [0.9, 0.1, 0.0, 0.0]),
+            (4, [float("nan"), 1.0, 0.0, 0.0]),   # corrupt vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    knn = knn_bruteforce(emb, q, k=4).collect()
+    assert [r.vec_id for r in knn] == [0, 3]  # 1 and 4 excluded entirely
+    assert all(not (r.cosine != r.cosine) for r in knn)  # no NaN survives
+
+    pairs = embedding_near_duplicates(emb, threshold=0.5, num_planes=8).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 3)}
