@@ -87,8 +87,12 @@ def kmv_distinct(
     bounds every sort, so one group with billions of distinct keys
     cannot pin a single task (the plain window-rank skew cliff).
     """
+    # NULL keys are excluded, matching COUNT(DISTINCT) semantics — a
+    # null hash would otherwise sort FIRST (asc puts nulls first) and
+    # pollute the k-minima statistic
     hashes = (
-        df.select(*[F.col(c) for c in group_cols], kmv_hash(F.col(key_col)).alias("h"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(*[F.col(c) for c in group_cols], kmv_hash(F.col(key_col)).alias("h"))
         .distinct()
         .withColumn("neg_h", -F.col("h"))
     )
@@ -262,8 +266,11 @@ def hll_registers(
     rank = F.when(w > 0, F.lit(hi_bits) - F.length(F.bin(w)) + 1).otherwise(
         F.lit(hi_bits + 1)
     )
+    # NULL keys are excluded (COUNT(DISTINCT) semantics): a null hash
+    # would register a spurious null bucket
     return (
-        df.select(*[F.col(c) for c in group_cols], bucket.alias("bucket"), rank.alias("rank"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(*[F.col(c) for c in group_cols], bucket.alias("bucket"), rank.alias("rank"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("reg"))
     )

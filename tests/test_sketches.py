@@ -215,3 +215,25 @@ def test_kmv_overlap_disjoint_and_identical_segments(spark):
     # identical segments: every k-set hash is in both → jaccard exactly 1
     assert out[("A", "D")].jaccard_estimate == 1.0
     assert len(out) == 3  # all unordered pairs
+
+
+def test_sketches_exclude_null_keys_like_count_distinct(spark):
+    """NULL keys must not count: SQL COUNT(DISTINCT) excludes them, and
+    a null hash would otherwise sort first into KMV's k-minima and
+    register a spurious HLL bucket."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.sketches import (
+        hll_distinct,
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "g"), (5, "g"), (7, "g"), (5, "g")], "v long, g string"
+    )
+    kmv = kmv_distinct(df, "v", ["g"], k=4).collect()[0]
+    assert kmv.n_kept == 2 and kmv.distinct_estimate == 2.0
+    hll = hll_distinct(df, "v", ["g"]).collect()[0]
+    exact = df.agg(F.countDistinct("v")).collect()[0][0]
+    assert exact == 2
+    assert abs(hll.distinct_estimate - exact) < 1.0
