@@ -87,15 +87,26 @@ def asset_manifest(assets: DataFrame) -> DataFrame:
     the 'parse headers of 100 TB of blobs without leaving codegen'
     operator. Checksum is md5 over the hex encoding (portable)."""
     byte_len = F.length("payload")
-    f1 = F.conv(F.hex(F.substring("payload", 5, 4)), 16, 10).cast("bigint")
-    f2 = F.conv(F.hex(F.substring("payload", 9, 4)), 16, 10).cast("bigint")
+    # header fields null out on truncated payloads (no partial u32
+    # reads, no negative body sizes) — corrupt blobs degrade, never lie
+    whole = byte_len >= HEADER_BYTES
+    f1 = F.when(whole, F.conv(F.hex(F.substring("payload", 5, 4)), 16, 10).cast("bigint"))
+    f2 = F.when(whole, F.conv(F.hex(F.substring("payload", 9, 4)), 16, 10).cast("bigint"))
     is_audio = F.col("media_type") == "audio"
+    # magic decodes only when the 4 bytes are printable ASCII — a
+    # non-UTF8 magic (real PNG starts \x89) or a short payload must
+    # yield NULL, not a MALFORMED_CHARACTER_CODING job failure
+    magic4 = F.substring("payload", 1, 4)
+    safe_magic = F.when(
+        F.hex(magic4).rlike("^(2[0-9A-F]|[3-6][0-9A-F]|7[0-9A-E]){4}$"),
+        F.decode(magic4, "utf-8"),
+    )
     return assets.select(
         "asset_id",
         "media_type",
-        F.decode(F.substring("payload", 1, 4), "utf-8").alias("magic"),
+        safe_magic.alias("magic"),
         byte_len.alias("byte_len"),
-        (byte_len - HEADER_BYTES).alias("body_bytes"),
+        F.when(whole, byte_len - HEADER_BYTES).alias("body_bytes"),
         F.when(~is_audio, f1).alias("width"),
         F.when(~is_audio, f2).alias("height"),
         F.when(is_audio, f1).alias("sample_rate"),
@@ -123,6 +134,20 @@ def image_features(assets: DataFrame) -> DataFrame:
                 continue
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                # a corrupt blob must degrade to null features, never
+                # kill the job: at 100 TB some blobs WILL be truncated
+                if payload is None or len(payload) < HEADER_BYTES:
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "width": None,
+                            "height": None,
+                            "aspect_ratio": None,
+                            "body_bytes": None,
+                            "checksum": None,
+                        }
+                    )
+                    continue
                 buf = bytes(payload)
                 w = int.from_bytes(buf[4:8], "big")
                 h = int.from_bytes(buf[8:12], "big")
@@ -134,7 +159,7 @@ def image_features(assets: DataFrame) -> DataFrame:
                         # floor-based 6-decimal ratio: bit-identical in
                         # Python, Spark SQL, and the DuckDB oracle
                         # (banker's-rounding `round` is not portable)
-                        "aspect_ratio": (w * 1_000_000 // h) / 1e6,
+                        "aspect_ratio": (w * 1_000_000 // h) / 1e6 if h else None,
                         "body_bytes": len(buf) - HEADER_BYTES,
                         "checksum": hashlib.md5(buf.hex().upper().encode()).hexdigest(),
                     }

@@ -131,3 +131,38 @@ def test_video_frame_features(assets):
         ).hexdigest()
         assert r.frame_sig == want
         assert r.luma == int(want[:2], 16) and 0 <= r.luma <= 255
+
+
+def test_corrupt_blobs_degrade_to_nulls_never_crash(spark):
+    """At 100 TB some blobs WILL be truncated, null, or non-ASCII:
+    header parsing (JVM) and feature extraction (Python worker) must
+    yield null fields for those rows, never throw — a real PNG magic
+    (\\x89PNG) previously killed the job with
+    MALFORMED_CHARACTER_CODING and a short payload crashed the
+    mapInPandas worker."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        asset_manifest,
+        image_features,
+    )
+
+    rows = [
+        (0, "image", bytearray(b"\x89PNG\r\n\x1a\n"), None),  # real PNG magic, truncated
+        (1, "image", bytearray(b"xx"), None),
+        (2, "image", None, None),
+        (3, "audio", bytearray(b""), 5),
+        (4, "image", bytearray(b"IMG0" + (64).to_bytes(4, "big") + (32).to_bytes(4, "big") + b"body"), None),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, duration_ms long"
+    )
+    man = {r.asset_id: r for r in asset_manifest(assets).collect()}
+    assert man[0].magic is None and man[0].width is None and man[0].body_bytes is None
+    assert man[1].width is None and man[2].checksum is None
+    assert man[3].sample_rate is None and man[3].body_bytes is None
+    assert man[4].magic == "IMG0" and man[4].width == 64 and man[4].height == 32
+
+    feats = {r.asset_id: r for r in image_features(assets).collect()}
+    assert feats[0].width is None and feats[1].checksum is None
+    assert feats[4].width == 64 and feats[4].aspect_ratio == 2.0
