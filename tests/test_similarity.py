@@ -666,6 +666,67 @@ def test_semdedup_cluster_cap_bounds_the_quadratic_corner(spark):
     assert len(out) == 30 and sum(1 for r in out if r.keep) == 3
 
 
+def test_semdedup_local_components_equal_star(spark, sf_dir):
+    """components='local' (per-cluster union-find, one shuffle) must be
+    row-identical to the global star iteration — the contract that lets
+    semdedup skip every driver-coordinated round.  Run on the real
+    embeddings table so multi-member transitive chains exist, plus a
+    chain-within-cluster shape (a-b, b-c share a cluster: transitivity
+    must survive the group-local algorithm)."""
+    from kafkastreamsinteractivequeries_spark.operators.similarity import semdedup
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = semdedup(emb, n_lists=8, threshold=0.3, components="star").orderBy(
+        "vec_id"
+    ).collect()
+    b = semdedup(emb, n_lists=8, threshold=0.3, components="local").orderBy(
+        "vec_id"
+    ).collect()
+    assert a == b and len(a) > 0
+    # chain transitivity inside one cluster: 0≈1 (1 deg), 1≈2 (1 deg),
+    # 0..2 spread 2 deg — all one group under threshold cos(1.5deg)
+    import math
+
+    t = math.cos(math.radians(1.5))
+    rows = [(i, _angle_vec(float(i)), 0) for i in range(3)]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    out = semdedup(df, n_lists=1, threshold=t, components="local").collect()
+    assert {r.group_id for r in out} == {0} and len(out) == 3
+    # uncapped clusters auto-fall back to the star path (bounded
+    # executor memory has priority over round elimination)
+    unc = semdedup(df, n_lists=1, threshold=t, max_cluster_size=None).collect()
+    assert sorted((r.vec_id, r.group_id) for r in unc) == sorted(
+        (r.vec_id, r.group_id) for r in out
+    )
+
+
+def test_connected_components_local_union_find(spark):
+    """Direct contract: per-partition union-find returns component-min
+    group ids; chains, singleton-free nodes, and multiple partitions."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        connected_components_local,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # partition 0: chain 1-2-3 plus isolated pair 10-11
+            (0, 1, 2), (0, 2, 3), (0, 10, 11),
+            # partition 1: star around 20
+            (1, 20, 21), (1, 20, 22), (1, 22, 23),
+        ],
+        "list_id int, id_a bigint, id_b bigint",
+    )
+    got = {
+        (r.doc_id, r.group_id)
+        for r in connected_components_local(pairs, "list_id").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+
+
 # ---------------------------------------------------------------------------
 # int8 symmetric quantization — the 4x-smaller serving corpus
 # ---------------------------------------------------------------------------
