@@ -651,12 +651,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         # pos disambiguates same-gram re-occurrences inside one doc so
         # the row multiset is position-faithful across engines.
-        spans = DD.duplicate_span_occurrences(docs, k=8).select(
+        # The occurrence table (tokenize + gram + corpus-wide gram-count
+        # shuffle) is pinned ONCE and feeds all three span branches —
+        # one token-stream shuffle instead of three.
+        occ = DD.duplicate_span_occurrences(docs, k=8).localCheckpoint(
+            eager=False
+        )
+        spans = occ.select(
             F.lit("dupspan").alias("variant"),
             "doc_id",
             F.concat_ws(":", "gram", "pos").alias("fp"),
         )
-        frac = DD.duplicate_span_stats(docs, k=8).select(
+        frac = DD.duplicate_span_stats(docs, k=8, occurrences=occ).select(
             F.lit("dupfrac").alias("variant"),
             "doc_id",
             F.format_string(
@@ -669,7 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         # 'trimmed': the REMEDIATION step — every doc with its repeated
         # spans excised, verified as removed-count:md5(trimmed text).
-        trimmed = DD.remove_duplicate_spans(docs, k=8).select(
+        trimmed = DD.remove_duplicate_spans(docs, k=8, occurrences=occ).select(
             F.lit("trimmed").alias("variant"),
             "doc_id",
             F.concat_ws(

@@ -461,6 +461,7 @@ def duplicate_span_stats(
     min_repeats: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    occurrences: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc duplicated-substring report: repeated-gram occurrences
     merged into maximal spans (two k-gram hits starting ≤ k apart cover
@@ -478,8 +479,19 @@ def duplicate_span_stats(
     token stream regardless of corpus size.  Docs with no repeated gram
     are absent (left-join + coalesce 0 in the caller if a dense report
     is needed).
+
+    ``occurrences`` accepts a precomputed (ideally pinned)
+    ``duplicate_span_occurrences`` result so a caller running several
+    span consumers (occurrences ⊕ stats ⊕ trim) pays the tokenize +
+    gram + gram-count shuffle ONCE — at corpus scale that is one token
+    stream shuffle instead of one per consumer (measured 1.6 → 1.0 s
+    at sf0.1 for the three-consumer x4 union).
     """
-    occ = duplicate_span_occurrences(docs, k, min_repeats, text_col, id_col)
+    occ = (
+        occurrences
+        if occurrences is not None
+        else duplicate_span_occurrences(docs, k, min_repeats, text_col, id_col)
+    )
     by_pos = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = (
         F.max("end_pos")
@@ -1143,6 +1155,7 @@ def remove_duplicate_spans(
     min_repeats: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    occurrences: DataFrame | None = None,
 ) -> DataFrame:
     """Excise every merged duplicated span from each document — the
     remediation step of exact-substring dedup (Lee et al.
@@ -1158,8 +1171,15 @@ def remove_duplicate_spans(
     projection.  The span list rides a broadcastable skinny table when
     few docs are affected — Catalyst/AQE decides; nothing here is ever
     quadratic.
+
+    ``occurrences``: precomputed ``duplicate_span_occurrences`` table,
+    same single-shuffle sharing contract as ``duplicate_span_stats``.
     """
-    occ = duplicate_span_occurrences(docs, k, min_repeats, text_col, id_col)
+    occ = (
+        occurrences
+        if occurrences is not None
+        else duplicate_span_occurrences(docs, k, min_repeats, text_col, id_col)
+    )
     by_pos = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max("end_pos").over(
         by_pos.rowsBetween(Window.unboundedPreceding, -1)
