@@ -875,7 +875,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["x6_quality_gates"] = _x6
-    q["x7_bigram_logprob"] = lambda s, d: T.bigram_logprob_scores(_docs(s, d))
+
+    # x7 union: the raw corpus-bigram-LM doc scores ('score') ⊕ the
+    # CCNet head/middle/tail perplexity terciles ('ccnet', Wenzek et
+    # al. arXiv:1911.00359 — the standard LM-fluency curation split).
+    # The LM scoring passes are pinned once and feed both branches.
+    def _x7(s: SparkSession, d: str) -> DataFrame:
+        sc = T.bigram_logprob_scores(_docs(s, d)).localCheckpoint(eager=False)
+        score = sc.select(
+            F.lit("score").alias("variant"),
+            "doc_id",
+            "n_bigrams",
+            F.col("avg_logprob").alias("score"),
+            F.lit("").alias("bucket"),
+        )
+        cc = T.perplexity_buckets(_docs(s, d), scores=sc).select(
+            F.lit("ccnet").alias("variant"),
+            "doc_id",
+            "n_bigrams",
+            F.col("ppl").alias("score"),
+            "bucket",
+        )
+        return score.unionByName(cc)
+
+    q["x7_bigram_logprob"] = _x7
     q["x8_repetition_stats"] = lambda s, d: T.repetition_stats(_docs(s, d))
     # x9 — term-relevance union: per-doc TF-IDF keyword extraction
     # ('tfidf') ⊕ query-side Okapi BM25 retrieval ('bm25', fixed
@@ -3152,6 +3175,11 @@ FROM (
 )
 """
     )
+    # Tagged union mirroring _x7: raw LM scores ('score') ⊕ the CCNet
+    # perplexity terciles ('ccnet').  lmsc is MATERIALIZED — both
+    # branches and the threshold aggregate read it; thresholds are the
+    # exact terciles of the rounded-6 scores (identical inputs on both
+    # engines), ppl is exp(-score) rounded to 2 (coarse on purpose).
     o["x7_bigram_logprob"] = (
         t_cte
         + """, base AS (
@@ -3167,11 +3195,25 @@ FROM (
   SELECT COUNT(DISTINCT tok) AS v FROM (
     SELECT w1 AS tok FROM pairs UNION ALL SELECT w2 FROM pairs
   )
+), lmsc AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         ROUND(AVG(ln((cb + 1.0) / (cu + 1.0 * v))), 6) AS avg_logprob
+  FROM pairs JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+), th AS (
+  SELECT ROUND(quantile_cont(avg_logprob, 1.0/3), 6) AS t1,
+         ROUND(quantile_cont(avg_logprob, 2.0/3), 6) AS t2
+  FROM lmsc
 )
-SELECT doc_id, COUNT(*) AS n_bigrams,
-       ROUND(AVG(ln((cb + 1.0) / (cu + 1.0 * v))), 6) AS avg_logprob
-FROM pairs JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
-GROUP BY doc_id
+SELECT 'score' AS variant, doc_id, n_bigrams, avg_logprob AS score,
+       '' AS bucket
+FROM lmsc
+UNION ALL
+SELECT 'ccnet', doc_id, n_bigrams, ROUND(exp(-avg_logprob), 2),
+       CASE WHEN avg_logprob >= t2 THEN 'head'
+            WHEN avg_logprob >= t1 THEN 'middle'
+            ELSE 'tail' END
+FROM lmsc CROSS JOIN th
 """
     )
     # x4 union: the doc-min fingerprint ('docmin', one row per doc,

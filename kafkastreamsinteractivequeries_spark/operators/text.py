@@ -376,6 +376,59 @@ def bigram_logprob_scores(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et
+    al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", arXiv:1911.00359 — public): score each document with
+    the corpus bigram LM, convert to perplexity, and split the corpus
+    into equal-mass terciles — 'head' = most fluent (lowest
+    perplexity), 'tail' = least.  CCNet trains on and keeps the head/
+    middle; the bucket label is the standard curation signal.
+
+    Output: (id, n_bigrams, ppl, bucket).  ``ppl`` = exp(-avg_logprob)
+    rounded to 2 decimals (coarse on purpose — engine-portable);
+    bucket thresholds are the exact corpus terciles of the rounded
+    avg_logprob, themselves rounded to 6.
+
+    Scale shape: scoring is ``bigram_logprob_scores`` (two corpus
+    aggregations + one scoring join); the tercile thresholds are ONE
+    1-row aggregate broadcast back via crossJoin — no global sort, no
+    single-partition window (the NTILE formulation would need one).
+    At 100 TB swap the exact ``percentile`` for ``percentile_approx``
+    on a calibration sample, exactly as CCNet fixes its cutoffs from a
+    held-out Wikipedia sample rather than the full crawl.
+
+    ``scores`` accepts a precomputed (ideally pinned)
+    ``bigram_logprob_scores`` result so callers emitting both raw
+    scores and buckets pay the LM passes once.
+    """
+    sc = scores if scores is not None else bigram_logprob_scores(
+        docs, text_col, id_col, alpha
+    )
+    th = sc.agg(
+        F.round(F.expr("percentile(avg_logprob, 1.0/3)"), 6).alias("_t1"),
+        F.round(F.expr("percentile(avg_logprob, 2.0/3)"), 6).alias("_t2"),
+    )
+    # head = HIGHEST avg_logprob tercile = lowest perplexity (most
+    # fluent); >= on rounded-6 values keeps boundary docs deterministic
+    # in any engine.
+    return sc.crossJoin(F.broadcast(th)).select(
+        F.col(id_col),
+        "n_bigrams",
+        F.round(F.exp(-F.col("avg_logprob")), 2).alias("ppl"),
+        F.when(F.col("avg_logprob") >= F.col("_t2"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("_t1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc token-repetition signals (Gopher-style repetition gate):
     duplicate-token ratio and most-frequent-token share.

@@ -59,6 +59,19 @@ def main():
         "semdedup 16x SCALED n_lists=256 (t=0.99)",
         lambda: semdedup(emb16, n_lists=256, threshold=0.99).count(),
     )
+    # components policy head-to-head at 16x: the per-cluster union-find
+    # (default) vs the global star iteration on the same scaled config
+    t16_star = timed(
+        "semdedup 16x SCALED components=star (t=0.99)",
+        lambda: semdedup(
+            emb16, n_lists=256, threshold=0.99, components="star"
+        ).count(),
+    )
+    print(
+        f"components local vs star at 16x: {t16_scaled:.1f}s vs "
+        f"{t16_star:.1f}s ({t16_star / t16_scaled:.1f}x)",
+        flush=True,
+    )
     # sanity: with scaled lists the replica groups are still found
     out = semdedup(emb16, n_lists=256, threshold=0.99)
     stats = out.agg(

@@ -143,6 +143,37 @@ def test_bigram_logprob_discriminates_fluency(spark):
     assert out[0].avg_logprob == out[5].avg_logprob
 
 
+def test_perplexity_buckets_ccnet_terciles(spark, sf_dir):
+    """CCNet head/middle/tail: buckets split the corpus into roughly
+    equal masses, head holds the LOWEST perplexities, tail the highest,
+    and bucket boundaries never interleave (max(head.ppl) <=
+    min(middle.ppl) etc. on the underlying score ordering)."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        bigram_logprob_scores,
+        perplexity_buckets,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = perplexity_buckets(docs).collect()
+    n = len(out)
+    sizes = {b: sum(1 for r in out if r.bucket == b) for b in ("head", "middle", "tail")}
+    assert sum(sizes.values()) == n
+    # equal-mass terciles up to threshold ties
+    for b, c in sizes.items():
+        assert abs(c - n / 3) < 0.12 * n, (b, c, n)
+    # head is the most fluent (lowest perplexity) band
+    hi_head = max(r.ppl for r in out if r.bucket == "head")
+    lo_mid = min(r.ppl for r in out if r.bucket == "middle")
+    hi_mid = max(r.ppl for r in out if r.bucket == "middle")
+    lo_tail = min(r.ppl for r in out if r.bucket == "tail")
+    assert hi_head <= lo_mid + 0.01 and hi_mid <= lo_tail + 0.01
+    # precomputed-scores path is row-identical to the self-computed one
+    sc = bigram_logprob_scores(docs)
+    again = perplexity_buckets(docs, scores=sc).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
 def test_repetition_stats(spark):
     from kafkastreamsinteractivequeries_spark.operators.text import repetition_stats
 
