@@ -1024,6 +1024,10 @@ def connected_components_star(
     nodes = (
         pairs.select(F.col(id_a).alias("doc_id"))
         .union(pairs.select(F.col(id_b).alias("doc_id")))
+        # a null endpoint is not a node: without this a corrupt edge
+        # emits a phantom (NULL, NULL) component row (its edges are
+        # already dropped by the u != v null semantics above)
+        .filter(F.col("doc_id").isNotNull())
         .distinct()
     )
     return (
@@ -1088,7 +1092,11 @@ def connected_components_local(
         )
 
     return (
+        # null-endpoint edges are DROPPED, matching the star variant
+        # (there `u != v` evaluates to null and filters them); a null
+        # would otherwise crash the union-find's ordering comparison
         pairs.select(part_col, id_a, id_b)
+        .filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
         .groupBy(part_col)
         .applyInPandas(_union_find, f"doc_id {id_type}, group_id {id_type}")
     )

@@ -727,6 +727,34 @@ def test_connected_components_local_union_find(spark):
     }
 
 
+def test_connected_components_null_edges_degrade(spark):
+    """Corrupt edges with a null endpoint are dropped, never crash, and
+    never emit phantom null component rows — in BOTH variants (the
+    adversarial-input contract; a null id would crash the union-find's
+    ordering and previously leaked a (NULL, NULL) row from the star
+    variant's node union)."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        connected_components_local,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, None, 2), (0, 2, 3)], "list_id int, id_a bigint, id_b bigint"
+    )
+    loc = sorted(
+        (r.doc_id, r.group_id)
+        for r in connected_components_local(pairs, "list_id").collect()
+    )
+    st = sorted(
+        (r.doc_id, r.group_id)
+        for r in connected_components_star(pairs).collect()
+    )
+    assert loc == st == [(2, 2), (3, 2)]
+    # empty edge set: empty result, no error
+    empty = spark.createDataFrame([], "list_id int, id_a bigint, id_b bigint")
+    assert connected_components_local(empty, "list_id").collect() == []
+
+
 # ---------------------------------------------------------------------------
 # int8 symmetric quantization — the 4x-smaller serving corpus
 # ---------------------------------------------------------------------------
