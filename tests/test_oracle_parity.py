@@ -60,6 +60,7 @@ UNION_KEYS = {
     "d6_ngram_jaccard_pairs": "variant",
     "d5_minhash_near_duplicates": "variant",
     "a6_asof_purchase_click": "variant",
+    "x7_bigram_logprob": "variant",
 }
 
 
