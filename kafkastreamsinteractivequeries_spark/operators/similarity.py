@@ -72,6 +72,20 @@ def srp_planes_for(
     return bits * chunks
 
 
+_PLANES_CACHE: dict[tuple[int, int], F.Column] = {}
+
+
+def _planes_literal(num_planes: int, dim: int) -> F.Column:
+    """The SRP plane matrix as ONE array<array<double>> literal Column,
+    memoized per shape — ``F.lit`` on the nested list is a single
+    Python→JVM call vs 2048 per-element ``F.lit``/``F.array`` calls."""
+    key = (num_planes, dim)
+    if key not in _PLANES_CACHE:
+        signs = srp_sign_matrix(num_planes, dim)
+        _PLANES_CACHE[key] = F.lit([[float(s) for s in row] for row in signs])
+    return _PLANES_CACHE[key]
+
+
 def dot_expr(a: F.Column, b: F.Column) -> F.Column:
     """<a, b> — double-cast sequential fold."""
     return F.aggregate(
@@ -137,10 +151,17 @@ def srp_codes(
     ``num_planes`` separate fold expressions; at 32 planes that cost
     ~1.9s of per-evaluation planning/codegen vs 0.19s for this form —
     identical output bits.)
+
+    The literal Column itself is MEMOIZED per (num_planes, dim):
+    constructing it element-by-element is 2048 Python→JVM round-trips
+    (~1.5 s per call — s4 was paying it three times per run: self-join
+    codes, decon corpus codes, decon eval codes), while ``F.lit`` on
+    the nested list is one call and Columns are immutable expression
+    wrappers, safe to reuse across queries.  Measured 1.74 → 0.29 s
+    per srp_codes evaluation at sf0.1.
     """
     embeddings = spread(embeddings)  # parallelize the plane dot-products
-    signs = srp_sign_matrix(num_planes, dim)
-    planes = F.array(*[F.array(*[F.lit(float(s)) for s in row]) for row in signs])
+    planes = _planes_literal(num_planes, dim)
     code = F.array_join(
         F.transform(
             planes,
@@ -1270,8 +1291,7 @@ def encode_all(
     the outputs are row-for-row identical.
     """
     v = F.col(vec_col)
-    signs = srp_sign_matrix(num_planes, dim)
-    planes = F.array(*[F.array(*[F.lit(float(s)) for s in row]) for row in signs])
+    planes = _planes_literal(num_planes, dim)
     srp = F.array_join(
         F.transform(
             planes,
@@ -1299,13 +1319,14 @@ def encode_all(
             centroids.select("centroid_id", "centroid_vec").collect(),
             key=lambda r: r["centroid_id"],
         )
-        cents_lit = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in r["centroid_vec"]])
-                for r in cent_rows
-            ]
+        # single-call nested F.lit, not per-element F.lit/F.array: the
+        # element-by-element build is one Python->JVM round-trip per
+        # scalar (~1000+ calls here, seconds of pure driver latency —
+        # same lesson as srp_codes' memoized plane literal)
+        cents_lit = F.lit(
+            [[float(x) for x in r["centroid_vec"]] for r in cent_rows]
         )
-        ids_lit = F.array(*[F.lit(int(r["centroid_id"])) for r in cent_rows])
+        ids_lit = F.lit([int(r["centroid_id"]) for r in cent_rows])
         na = norm_expr(v)
         structs = F.transform(
             F.sequence(F.lit(1), F.lit(len(cent_rows))),
@@ -1331,17 +1352,10 @@ def encode_all(
         for r in codebook.select("sub_id", "code", "cvec").collect():
             book.setdefault(int(r["sub_id"]), []).append((int(r["code"]), r["cvec"]))
         ordered = [sorted(book.get(j, [])) for j in range(m)]
-        book_lit = F.array(
-            *[
-                F.array(
-                    *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in row]
-                )
-                for row in ordered
-            ]
+        book_lit = F.lit(
+            [[[float(x) for x in cvec] for _, cvec in row] for row in ordered]
         )
-        codes_lit = F.array(
-            *[F.array(*[F.lit(int(code)) for code, _ in row]) for row in ordered]
-        )
+        codes_lit = F.lit([[int(code) for code, _ in row] for row in ordered])
         k_per_sub = [len(row) for row in ordered]
         assert len(set(k_per_sub)) == 1, "ragged codebook"
         codes = F.transform(
