@@ -125,8 +125,114 @@ def knn_union(s: SparkSession, d: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    # T5 — the materialized continuous aggregate itself.
-    q["t5_stock_aggregation"] = _serving
+    # T5 — the materialized continuous aggregate itself, widened into
+    # the rollup-merge union (agg ⊕ daily ⊕ rolled ⊕ hllmerge): the
+    # 100 TB maintenance half of the continuous-aggregate story.
+    # 'agg' is the reference-shaped all-time state; 'daily' aggregates
+    # raw directly at day grain; 'rolled' reaches the SAME rows by
+    # merging hour-grain partials (operators/rollup.py) without
+    # touching raw — daily and rolled share one oracle SELECT, so the
+    # hash verifies merge == direct; 'hllmerge' folds hour-grain HLL
+    # register tables to per-symbol estimates, hash-equal to the
+    # direct-replay HLL oracle because max-merged registers ARE the
+    # direct registers.
+    def _t5(s: SparkSession, d: str) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators import (
+            rollup as R,
+            sketches as SK,
+        )
+
+        ev = load_table(s, d, "events")
+        # Sums run in DECIMAL so hour-merged and direct-daily totals are
+        # bit-identical (double summation is order-dependent and a
+        # round-4 knife edge showed up at sf0.01); the final projection
+        # casts back to double so both engines round the same bits.
+        # decimal(18,6) holds sf-scale sums; widen precision at 100 TB.
+        amt = F.col("amount").cast("decimal(18,6)")
+        zero = F.lit(0).cast("decimal(18,6)")
+        txns = transactions_from_events(ev).select(
+            "symbol",
+            "event_time",
+            amt.alias("amount"),
+            "number_shares",
+            F.when(F.col("buy"), amt).otherwise(zero).alias("buy_amt"),
+            F.when(~F.col("buy"), amt).otherwise(zero).alias("sell_amt"),
+        )
+        measures = {
+            "buy_amt": ["sum"],
+            "sell_amt": ["sum"],
+            "amount": ["sum"],
+            "number_shares": ["sum"],
+        }
+
+        def day_rows(tag: str, partials: DataFrame) -> DataFrame:
+            return partials.select(
+                F.lit(tag).alias("variant"),
+                "symbol",
+                F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+                F.round(F.col("buy_amt_sum").cast("double"), 2).alias("buys"),
+                F.round(F.col("sell_amt_sum").cast("double"), 2).alias("sells"),
+                F.col("number_shares_sum").cast("long").alias("number_shares"),
+                # average in FLOORED MICRO-UNITS: the decimal sum scaled
+                # to an exact integer, integer-divided by the count —
+                # a double-division round-4 avg hit round-half edges
+                # that Spark (BigDecimal HALF_UP) and DuckDB (scaled
+                # double round) resolve differently.  amount ≥ 0 so
+                # truncating and floor division agree.
+                (F.col("amount_sum").cast("decimal(24,6)") * 1000000)
+                .cast("long")
+                .alias("_micros"),
+                F.col("_n"),
+            ).select(
+                "variant",
+                "symbol",
+                "bucket",
+                "buys",
+                "sells",
+                "number_shares",
+                F.expr("CAST(_micros DIV _n AS DOUBLE)").alias("metric"),
+            )
+
+        agg = _serving(s, d).select(
+            F.lit("agg").alias("variant"),
+            "symbol",
+            F.lit("all").alias("bucket"),
+            "buys",
+            "sells",
+            "number_shares",
+            F.lit(-1.0).alias("metric"),
+        )
+        daily = day_rows(
+            "daily", R.partial_aggregate(txns, ["symbol"], "event_time", "day", measures)
+        )
+        rolled = day_rows(
+            "rolled",
+            R.merge_partials(
+                R.partial_aggregate(txns, ["symbol"], "event_time", "hour", measures),
+                ["symbol"],
+                grain="day",
+            ),
+        )
+        regs_hour = SK.hll_registers(
+            ev.withColumn("hour", F.date_trunc("hour", "ts")),
+            "user_id",
+            ["event_type", "hour"],
+            p=6,
+        )
+        hll = SK.hll_estimate(
+            R.merge_hll_registers(regs_hour, ["event_type"]), ["event_type"], p=6
+        ).select(
+            F.lit("hllmerge").alias("variant"),
+            F.col("event_type").alias("symbol"),
+            F.lit("all").alias("bucket"),
+            F.lit(-1.0).alias("buys"),
+            F.lit(-1.0).alias("sells"),
+            F.col("nonzero_buckets").cast("long").alias("number_shares"),
+            F.col("distinct_estimate").alias("metric"),
+        )
+        return agg.unionByName(daily).unionByName(rolled).unionByName(hll)
+
+    q["t5_stock_aggregation"] = _t5
 
     # Q1 — key query (point lookup), StockController.java:186-206.
     q["q1_key_query"] = lambda s, d: _service(s, d).execute(KeyQuery.with_key("purchase"))
@@ -1762,7 +1868,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
-    o["t5_stock_aggregation"] = _ORACLE_AGG_CTE + "SELECT * FROM agg"
+    # t5 union: 'daily' and 'rolled' intentionally share ONE daily CTE —
+    # the Spark side reaches 'rolled' via hour-partials merged with
+    # operators/rollup.py, so the shared oracle hash proves the merge
+    # equals direct aggregation.  'hllmerge' replays the full HLL chain
+    # (mix_hash32 → low-bits bucket → rank max → fold) directly over raw;
+    # the Spark side folds hour-grain register tables first.
+    _t5_alpha_m2 = repr(0.709 * 64 * 64)
+    o["t5_stock_aggregation"] = (
+        _ORACLE_AGG_CTE
+        + f""", daily AS (
+  SELECT symbol,
+         strftime(date_trunc('day', event_time), '%Y-%m-%d') AS bucket,
+         ROUND(CAST(SUM(CASE WHEN buy THEN CAST(amount AS DECIMAL(18,6))
+                            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 2) AS buys,
+         ROUND(CAST(SUM(CASE WHEN NOT buy THEN CAST(amount AS DECIMAL(18,6))
+                            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 2) AS sells,
+         CAST(SUM(number_shares) AS BIGINT) AS number_shares,
+         CAST(CAST(SUM(CAST(amount AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+              // COUNT(*) AS DOUBLE) AS metric
+  FROM txns GROUP BY 1, 2
+), tmh1 AS (
+  SELECT event_type, ((user_id % 4294967296) * 48271) % 4294967296 AS h FROM events
+), tmh2 AS (
+  SELECT event_type, xor(h, h // 65536) AS h FROM tmh1
+), tmh3 AS (
+  SELECT event_type, (h * 16807) % 4294967296 AS h FROM tmh2
+), tmh4 AS (
+  SELECT event_type, xor(h, h // 8192) AS h FROM tmh3
+), tmh5 AS (
+  SELECT event_type, (h * 69621) % 4294967296 AS h FROM tmh4
+), thall AS (
+  SELECT event_type, xor(h, h // 131072) AS h FROM tmh5
+), threg AS (
+  SELECT event_type, h % 64 AS bucket,
+         MAX(CASE WHEN h // 64 > 0 THEN 26 - length(bin(h // 64)) + 1
+                  ELSE 27 END) AS reg
+  FROM thall
+  GROUP BY event_type, h % 64
+), thfold AS (
+  SELECT event_type,
+         SUM(POW(2.0, -reg)) + (64 - COUNT(*)) AS z,
+         COUNT(*) AS nonzero,
+         64 - COUNT(*) AS empty
+  FROM threg
+  GROUP BY event_type
+), thll AS (
+  SELECT event_type,
+         CAST(nonzero AS BIGINT) AS nonzero,
+         ROUND(CASE WHEN CAST({_t5_alpha_m2} AS DOUBLE) / z <= 160.0 AND empty > 0
+                    THEN 64.0 * LN(64.0 / empty)
+                    ELSE CAST({_t5_alpha_m2} AS DOUBLE) / z END, 4) AS estimate
+  FROM thfold
+)
+SELECT 'agg' AS variant, symbol, 'all' AS bucket, buys, sells, number_shares,
+       -1.0 AS metric
+FROM agg
+UNION ALL
+SELECT 'daily', symbol, bucket, buys, sells, number_shares, metric FROM daily
+UNION ALL
+SELECT 'rolled', symbol, bucket, buys, sells, number_shares, metric FROM daily
+UNION ALL
+SELECT 'hllmerge', event_type, 'all', -1.0, -1.0, nonzero, estimate FROM thll"""
+    )
     o["q1_key_query"] = _ORACLE_AGG_CTE + "SELECT * FROM agg WHERE symbol = 'purchase'"
     o["q2_multikey_query"] = (
         _ORACLE_AGG_CTE

@@ -80,6 +80,7 @@ BRANCHES: dict[str, list[str]] = {
     "p2_packing_chunking": ["pack", "chunk"],
     "a6_asof_purchase_click": ["bwd", "fwd", "bwdtol"],
     "d1_exact_dedup": ["dedup", "groups", "incremental"],
+    "t5_stock_aggregation": ["agg", "daily", "rolled", "hllmerge"],
 }
 
 

@@ -61,6 +61,7 @@ UNION_KEYS = {
     "d5_minhash_near_duplicates": "variant",
     "a6_asof_purchase_click": "variant",
     "x7_bigram_logprob": "variant",
+    "t5_stock_aggregation": "variant",
 }
 
 

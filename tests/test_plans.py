@@ -50,15 +50,37 @@ def test_key_query_predicate_pushed(spark, sf_dir):
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type,purchase\)", plan)
 
 
+def _t5_branch_plan(spark, sf_dir, tag):
+    # `variant = tag` folds to false in every other union child, so
+    # PropagateEmptyRelation prunes them and the plan shows one branch.
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    df = entry_mod.queries()["t5_stock_aggregation"](spark, sf_dir)
+    return df.filter(F.col("variant") == tag)._jdf.queryExecution().executedPlan().toString()
+
+
 def test_aggregates_are_partial(spark, sf_dir):
     # partial (map-side) aggregation before the shuffle — one HashAggregate
-    # pair around a single Exchange keyed on the group key
-    plan = plan_of(spark, sf_dir, "t5_stock_aggregation")
+    # pair around a single Exchange keyed on the group key ('agg' branch,
+    # the reference-shaped continuous aggregate)
+    plan = _t5_branch_plan(spark, sf_dir, "agg")
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan  # map-side combine before the Exchange
     assert plan.count("Exchange") == 1  # exactly one shuffle, on the group key
     # no Python evaluation in the hot path (JsonPath decode is JVM-side)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rollup_merge_never_rereads_raw(spark, sf_dir):
+    # 'rolled' = hour partials then day merge: exactly two aggregation
+    # levels (two Exchanges), raw scanned once — the landed-partials
+    # maintenance contract.  'daily' (direct) stays a single shuffle.
+    rolled = _t5_branch_plan(spark, sf_dir, "rolled")
+    assert rolled.count("Exchange") == 2
+    assert rolled.count("Scan parquet") == 1 or rolled.count("FileScan") == 1
+    daily = _t5_branch_plan(spark, sf_dir, "daily")
+    assert daily.count("Exchange") == 1
 
 
 def test_manifest_is_single_scan_no_shuffle(spark, sf_dir):
