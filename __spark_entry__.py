@@ -1859,7 +1859,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             normalize_to_bits(F.col("p_retailprice"), 900, 2000, bits=16).alias("qy"),
         )
         h = with_hilbert_key(h0, "qx", "qy", bits=16, key_col="key")
-        return z.unionByName(h.select("variant", "id", "qx", "qy", "key"))
+        # 'compact': the sorted-cumulative compaction planner over the
+        # documents manifest (size := n_chars, partitioned by lang,
+        # 50 kB target) — id carries the file, qx its size, qy its
+        # position inside the bin, key the bin id.  The oracle replays
+        # the identical exclusive-prefix-sum window.
+        from kafkastreamsinteractivequeries_spark.operators.layout import (
+            plan_compaction,
+        )
+
+        manifest = load_table(s, d, "documents").select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("size")
+        )
+        compact = plan_compaction(
+            manifest, "size", 50_000, partition_by=["lang"]
+        ).select(
+            F.lit("compact").alias("variant"),
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("size").alias("qx"),
+            F.col("bin_seq").cast("long").alias("qy"),
+            F.col("bin_id").alias("key"),
+        )
+        return (
+            z.unionByName(h.select("variant", "id", "qx", "qy", "key"))
+            .unionByName(compact)
+        )
 
     q["e3_layout_keys"] = _e3
 
@@ -2551,6 +2575,19 @@ FROM (SELECT id, zqx, zqy, zqx AS qx, zqy AS qy FROM quant) z
 UNION ALL
 SELECT 'hilbert', q.id, q.hx, q.hy, h.d
 FROM quant q JOIN hil h ON h.id = q.id AND h.lvl = -1
+UNION ALL
+SELECT 'compact', doc_id, size,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang, bin
+                               ORDER BY size DESC, doc_id) AS BIGINT),
+       bin
+FROM (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS size,
+         CAST(COALESCE(SUM(CAST(n_chars AS BIGINT))
+                  OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) // 50000 AS BIGINT) AS bin
+  FROM documents
+)
 """
     return o
 

@@ -176,6 +176,57 @@ def cluster_by_zorder(
     return out.repartitionByRange(n, key_col).sortWithinPartitions(key_col)
 
 
+def plan_compaction(
+    manifest: DataFrame,
+    size_col: str,
+    target_bytes: int,
+    partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Assign every file in a manifest to a compaction bin of roughly
+    ``target_bytes`` — the planning half of an OPTIMIZE/compaction job
+    (the execution half is a read of each bin's files and one coalesced
+    write, engine-specific and out of scope here).
+
+    Algorithm: within each table partition (``partition_by``), order
+    files deterministically (``order_by``, default descending size with
+    the remaining manifest columns as tie-break) and assign
+    ``bin = floor(exclusive-prefix-sum(size) / target)``.  This is the
+    sorted-cumulative approximation of first-fit-decreasing: exact FFD
+    is inherently sequential (each placement depends on every earlier
+    bin's residual capacity), while the prefix-sum form is ONE window
+    shuffle and provably never builds a bin smaller than ``target`` −
+    max_file_size except the last per partition — the guarantee
+    OPTIMIZE-style jobs actually need.  Oversized files (≥ target) land
+    alone in their own bin because the prefix sum jumps past a whole
+    bin width.
+
+    Scale shape: manifests are millions of rows at 100 TB (one per
+    file), so a per-partition window sort is tiny next to the data it
+    reorganizes; output adds ``bin_col`` plus ``bin_seq`` (position
+    within the bin) and keeps every manifest column.
+    """
+    from pyspark.sql import Window
+
+    parts = partition_by or []
+    if order_by:
+        ordering = [F.col(c) for c in order_by]
+    else:
+        tiebreak = [c for c in manifest.columns if c != size_col and c not in parts]
+        ordering = [F.col(size_col).desc(), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(*parts).orderBy(*ordering)
+    excl = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    binned = manifest.withColumn(
+        bin_col, F.floor(excl / F.lit(target_bytes)).cast("long")
+    )
+    seq = Window.partitionBy(*parts, bin_col).orderBy(*ordering)
+    return binned.withColumn("bin_seq", F.row_number().over(seq))
+
+
 def file_stat_tightness(
     spark_df_path: str,
     columns: list[str],

@@ -268,3 +268,84 @@ def test_zorder_key_rejects_bit_overflow(spark):
         zorder_key(cols, bits=16)
     # 4 dims x 15 bits = 60 is fine
     zorder_key(cols, bits=15)
+
+
+# ---------------------------------------------------------------------------
+# plan_compaction — sorted-cumulative bin packing over a file manifest
+# ---------------------------------------------------------------------------
+
+
+def _manifest(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("size")
+    )
+
+
+def test_compaction_covers_every_file_once(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.layout import plan_compaction
+
+    m = _manifest(spark, sf_dir)
+    planned = plan_compaction(m, "size", 50_000, partition_by=["lang"])
+    assert planned.count() == m.count()
+    assert planned.select("doc_id").distinct().count() == m.count()
+    # bin_seq is 1..n within each (lang, bin)
+    bad = (
+        planned.groupBy("lang", "bin_id")
+        .agg(F.count("*").alias("n"), F.max("bin_seq").alias("mx"), F.min("bin_seq").alias("mn"))
+        .filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_compaction_bins_reach_target_minus_max_file(spark, sf_dir):
+    """Every non-last bin per partition totals > target − max_file_size —
+    the packing guarantee an OPTIMIZE job needs (no proliferation of
+    under-filled outputs)."""
+    from kafkastreamsinteractivequeries_spark.operators.layout import plan_compaction
+
+    target = 50_000
+    m = _manifest(spark, sf_dir)
+    planned = plan_compaction(m, "size", target, partition_by=["lang"])
+    totals = planned.groupBy("lang", "bin_id").agg(F.sum("size").alias("tot"))
+    last = planned.groupBy("lang").agg(F.max("bin_id").alias("last_bin"))
+    maxf = planned.groupBy("lang").agg(F.max("size").alias("max_size"))
+    bad = (
+        totals.join(last, "lang")
+        .join(maxf, "lang")
+        .filter(F.col("bin_id") != F.col("last_bin"))
+        .filter(F.col("tot") <= F.lit(target) - F.col("max_size"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_compaction_oversized_files_bin_alone(spark):
+    from kafkastreamsinteractivequeries_spark.operators.layout import plan_compaction
+
+    rows = [(i, int(s)) for i, s in enumerate([150, 120, 40, 30, 20, 10, 5])]
+    m = spark.createDataFrame(rows, "fid long, size long")
+    planned = plan_compaction(m, "size", 100).collect()
+    by_bin = {}
+    for r in planned:
+        by_bin.setdefault(r["bin_id"], []).append(r["size"])
+    for sizes in by_bin.values():
+        if any(s >= 100 for s in sizes):
+            assert len(sizes) == 1, f"oversized file shares bin: {sizes}"
+
+
+def test_compaction_is_one_window_shuffle(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.layout import plan_compaction
+
+    m = _manifest(spark, sf_dir)
+    plan = (
+        plan_compaction(m, "size", 50_000, partition_by=["lang"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both windows hash-partition on lang → one exchange reused
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

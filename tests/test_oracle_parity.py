@@ -62,6 +62,7 @@ UNION_KEYS = {
     "a6_asof_purchase_click": "variant",
     "x7_bigram_logprob": "variant",
     "t5_stock_aggregation": "variant",
+    "e3_layout_keys": "variant",
 }
 
 
