@@ -962,6 +962,75 @@ class StreamingCmsSink(_VersionedSketchSink):
         )
 
 
+class StreamingRollupSink(_VersionedSketchSink):
+    """Landed mergeable-partial-aggregate store — the streaming half of
+    ``operators/rollup.py`` and the 100 TB form of the reference's T6
+    materialization: each micro-batch's ``partial_aggregate`` state
+    folds into the landed store by monoid merge (``merge_partials`` at
+    the same grain), so after N batches the store is IDENTICAL to
+    partials computed over everything ever ingested (asserted by test,
+    exact for counts/min/max, decimal-exact for decimal sums).  Total
+    state is groups × fine-grain buckets, independent of ingest volume;
+    any coarser-grain report (day/month/all-time, mean/variance via
+    ``finalize``) reads only the latest snapshot."""
+
+    def __init__(
+        self,
+        path: str,
+        keys: list[str],
+        time_col: str,
+        grain: str,
+        measures: dict[str, list[str]],
+    ):
+        super().__init__(path)
+        self.keys = keys
+        self.time_col = time_col
+        self.grain = grain
+        self.measures = measures
+
+    def _sketch(self, batch_df: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.rollup import (
+            partial_aggregate,
+        )
+
+        return partial_aggregate(
+            batch_df, self.keys, self.time_col, self.grain, self.measures
+        )
+
+    def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.rollup import (
+            merge_partials,
+        )
+
+        # same-grain merge: date_trunc(grain) over grain-aligned buckets
+        # is the identity, so this is the pure monoid fold
+        return merge_partials(a.unionByName(b), self.keys, grain=self.grain)
+
+    def partials(self, spark: SparkSession) -> DataFrame:
+        """The landed fine-grain partials (latest committed snapshot)."""
+        return self._latest(spark)
+
+    def report(
+        self,
+        spark: SparkSession,
+        grain: str | None = None,
+        mean_of: list[str] | None = None,
+        var_of: list[str] | None = None,
+    ) -> DataFrame:
+        """Coarser-grain readout over the landed store only: merge to
+        ``grain`` (None = all-time) and derive mean/variance."""
+        from kafkastreamsinteractivequeries_spark.operators.rollup import (
+            finalize,
+            merge_partials,
+        )
+
+        return finalize(
+            merge_partials(self.partials(spark), self.keys, grain=grain),
+            mean_of=mean_of,
+            var_of=var_of,
+        )
+
+
 class StreamingNearDupFilter(_VersionedSketchSink):
     """Cross-batch streaming NEAR-dup gate (the fuzzy sibling of
     ``streaming_exact_dedup`` / the streaming form of batch

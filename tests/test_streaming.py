@@ -1376,3 +1376,88 @@ def test_stream_stream_attribution_join_pairs_within_horizon(spark, tmp_path):
         q.stop()
 
     assert got == {(1, 200), (2, 201)}
+
+
+def test_streaming_rollup_store_matches_batch_partials(spark, tmp_path):
+    """After N micro-batches the landed partial-aggregate store equals
+    batch ``partial_aggregate`` over everything ingested (monoid merge,
+    exact for counts/min/max, decimal sums exact), and a coarser-grain
+    ``report`` over the store alone equals the direct aggregate."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.rollup import (
+        merge_partials,
+        partial_aggregate,
+    )
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingRollupSink,
+    )
+
+    def slice_df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("sym"), (F.col("id") % 4).cast("string")).alias("symbol"),
+            (
+                F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+                + F.make_interval(mins=(F.col("id") % 5000).cast("int"))
+            ).alias("event_time"),
+            (F.col("id") % 997).cast("decimal(18,6)").alias("amount"),
+        )
+
+    src = str(tmp_path / "rows")
+    a, b, c = slice_df(0, 2000), slice_df(2000, 7000), slice_df(7000, 9000)
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    c.coalesce(1).write.mode("append").parquet(src)
+
+    measures = {"amount": ["sum", "min", "max", "sumsq"]}
+    sink = StreamingRollupSink(
+        str(tmp_path / "store"), ["symbol"], "event_time", "hour", measures
+    )
+    stream = (
+        spark.readStream.schema("symbol string, event_time timestamp, amount decimal(18,6)")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    full = a.unionByName(b).unionByName(c)
+    want = {
+        (r["symbol"], r["bucket"]): (r["_n"], r["amount_sum"], r["amount_min"], r["amount_max"])
+        for r in partial_aggregate(full, ["symbol"], "event_time", "hour", measures).collect()
+    }
+    got = {
+        (r["symbol"], r["bucket"]): (r["_n"], r["amount_sum"], r["amount_min"], r["amount_max"])
+        for r in sink.partials(spark).collect()
+    }
+    assert got == want
+
+    # day-grain report over the store only == direct daily aggregate
+    direct = {
+        (r["symbol"], r["d"]): (r["n"], r["avg"])
+        for r in full.withColumn("d", F.date_trunc("day", "event_time"))
+        .groupBy("symbol", "d")
+        .agg(F.count("*").alias("n"), F.avg("amount").alias("avg"))
+        .collect()
+    }
+    rep = {
+        (r["symbol"], r["bucket"]): (r["_n"], r["amount_avg"])
+        for r in sink.report(spark, grain="day", mean_of=["amount"]).collect()
+    }
+    assert set(rep) == set(direct)
+    for k, (n, avg) in direct.items():
+        assert rep[k][0] == n
+        # decimal-sum / long division rounds at the result scale (6):
+        # compare at that precision, not float precision
+        assert float(rep[k][1]) == pytest.approx(float(avg), abs=1e-6)
+
+    # replaying the same store path from a fresh checkpoint fails loudly
+    # (inherited guard) rather than silently dropping history — covered
+    # by the shared base-class test; here just confirm the store is
+    # bounded: groups x touched-hour buckets
+    assert sink.partials(spark).count() <= 4 * (5000 // 60 + 1)
