@@ -185,3 +185,72 @@ def test_asof_join_matches_brute_force_reference(spark, data):
         ).collect()
     }
     assert got == expect, (direction, tol, lefts, rights)
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_rollup_merge_is_a_monoid_fold(spark, data):
+    """Property: for ANY multiset of rows and ANY split into batches,
+    merging per-batch partials equals partials over the whole, at every
+    grain — the contract that makes landed partials trustworthy.
+    Integer measures so equality is exact."""
+    from kafkastreamsinteractivequeries_spark.operators.rollup import (
+        merge_partials,
+        partial_aggregate,
+    )
+
+    n = data.draw(st.integers(min_value=1, max_value=60))
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=0, max_value=72 * 3600 - 1),  # 3 days of seconds
+                st.integers(min_value=-1000, max_value=1000),
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    k = data.draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(data.draw(
+        st.lists(st.integers(min_value=0, max_value=n), min_size=k - 1, max_size=k - 1)
+    ))
+    bounds = [0, *cuts, n]
+
+    from pyspark.sql import functions as F
+
+    def df_of(chunk):
+        if not chunk:
+            return None
+        return spark.createDataFrame(chunk, "sym string, off long, v long").select(
+            "sym",
+            (F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+             + F.make_interval(secs=F.col("off").cast("double"))).alias("ts"),
+            "v",
+        )
+
+    measures = {"v": ["sum", "min", "max", "sumsq"]}
+    whole = partial_aggregate(df_of(rows), ["sym"], "ts", "hour", measures)
+    parts = [
+        partial_aggregate(d, ["sym"], "ts", "hour", measures)
+        for d in (df_of(rows[bounds[i]:bounds[i + 1]]) for i in range(k))
+        if d is not None
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+
+    for grain in ("hour", "day", None):
+        a = merge_partials(whole, ["sym"], grain=grain)
+        b = merge_partials(unioned, ["sym"], grain=grain)
+        key = ["sym"] if grain is None else ["sym", "bucket"]
+
+        def as_map(df):
+            return {
+                tuple(str(r[c]) for c in key): (
+                    r["_n"], r["v_sum"], r["v_min"], r["v_max"], r["v_sumsq"]
+                )
+                for r in df.collect()
+            }
+
+        assert as_map(a) == as_map(b), f"grain={grain}"
