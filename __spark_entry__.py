@@ -1482,11 +1482,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_chars").cast("long").alias("n_chars"),
             *doc_sent,
         )
+        # α=0.5 temperature mixture (mT5/Pile source re-weighting) over a
+        # synthetically skewed stratum (70/20/10 by doc_id residue — the
+        # real `source` column is uniform, which would make temperature
+        # degenerate): integer isqrt weights, pure-integer quotas, so the
+        # oracle replays quota arithmetic with zero float edges.
+        from kafkastreamsinteractivequeries_spark.operators.curation import (
+            temperature_mixture,
+        )
+
+        res = F.col("doc_id") % 10
+        skewed = docs.withColumn(
+            "strat",
+            F.when(res < 7, F.lit("web")).when(res < 9, F.lit("code")).otherwise(
+                F.lit("ref")
+            ),
+        )
+        temp = temperature_mixture(
+            skewed, total=60, alpha=0.5, stratum_col="strat"
+        ).select(
+            F.lit("temperature").alias("variant"),
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            *doc_sent,
+        )
         return (
             strat.unionByName(mix)
             .unionByName(spl)
             .unionByName(best)
             .unionByName(ws)
+            .unionByName(temp)
         )
 
     q["p3_sampling_split"] = _p3
@@ -2808,6 +2836,30 @@ FROM (
     FROM documents WHERE n_chars > 0
   ) ORDER BY _pri DESC, doc_id LIMIT 50
 )
+UNION ALL
+-- alpha=0.5 temperature mixture: isqrt (= FLOOR(POW(count, 0.5)), exact
+-- for perfect squares, 1-ulp-safe otherwise) weights, integer quotas
+SELECT 'temperature', doc_id, text, lang, source, CAST(n_chars AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS INTEGER), ''
+FROM (
+  SELECT d.*, q.quota,
+         ROW_NUMBER() OVER (PARTITION BY d.strat
+             ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+  FROM (
+    SELECT *, CASE WHEN doc_id % 10 < 7 THEN 'web'
+                   WHEN doc_id % 10 < 9 THEN 'code' ELSE 'ref' END AS strat
+    FROM documents
+  ) d
+  JOIN (
+    SELECT strat, CAST((60 * w) // SUM(w) OVER () AS BIGINT) AS quota
+    FROM (
+      SELECT CASE WHEN doc_id % 10 < 7 THEN 'web'
+                  WHEN doc_id % 10 < 9 THEN 'code' ELSE 'ref' END AS strat,
+             CAST(FLOOR(POW(COUNT(*), 0.5)) AS BIGINT) AS w
+      FROM documents GROUP BY 1
+    )
+  ) q USING (strat)
+) WHERE rn <= quota
 """
     return {
         "p1_curation_pipeline": sql,

@@ -309,6 +309,19 @@ def sample_mixture(
     """
     wsum = float(sum(weights.values()))
     quotas = {s: int(total * w / wsum) for s, w in weights.items()}
+    return mixture_by_quota(docs, quotas, stratum_col, id_col)
+
+
+def mixture_by_quota(
+    docs: DataFrame,
+    quotas: dict[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Draw exactly ``quotas[s]`` documents from each stratum ``s`` in
+    md5(id) order — the shared selection core of ``sample_mixture`` and
+    ``temperature_mixture``.  One shuffle on the stratum; strata absent
+    from ``quotas`` contribute nothing."""
     quota_df = docs.sparkSession.createDataFrame(
         list(quotas.items()), f"{stratum_col} string, _quota long"
     )
@@ -321,6 +334,41 @@ def sample_mixture(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    total: int,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """α-temperature mixture sampling (mT5 §3.1, arXiv:2010.11934; the
+    Pile's source weighting): stratum weights ∝ count^α, so α = 1 is
+    proportional, α = 0 uniform, and α ≈ 0.3–0.7 upsamples rare strata
+    relative to their natural share — the standard correction for
+    head-heavy pre-training corpora.
+
+    Determinism contract: weights are ``floor(count^α)`` (an exact
+    integer both engines compute identically — ``pow`` is within
+    1 ulp and only perfect powers land on integers, where it is exact)
+    and quotas are pure integer arithmetic ``total·w_s // Σw``, so
+    quota boundaries can never flip on floating-point summation order.
+    Selection inherits ``mixture_by_quota``'s md5(id) order.
+
+    Scale shape: one tiny groupBy (rows = #strata) collected to the
+    driver — bounded by contract like centroid tables — then the single
+    stratum-window shuffle of the quota core.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(stratum_col).count().collect()
+        if r[0] is not None
+    }
+    weights = {s: int(c**alpha) for s, c in sorted(counts.items())}
+    wsum = sum(weights.values())
+    quotas = {s: total * w // wsum for s, w in weights.items()}
+    return mixture_by_quota(docs, quotas, stratum_col, id_col)
 
 
 def leakage_safe_split(

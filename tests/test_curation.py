@@ -457,3 +457,34 @@ def test_weighted_sample_proportional_deterministic_and_distributed(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+def test_temperature_mixture_upsamples_rare_strata(spark):
+    """alpha=0.5 gives rare strata a larger share than proportional
+    sampling, with quotas from exact integer arithmetic."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        temperature_mixture,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 7, "web")
+        .when(F.col("id") % 10 < 9, "code")
+        .otherwise("ref")
+        .alias("source"),
+    )
+    out = temperature_mixture(docs, total=60, alpha=0.5)
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # counts: web 700, code 200, ref 100 -> isqrt weights 26, 14, 10 (sum 50)
+    # quotas: 60*26//50=31, 60*14//50=16, 60*10//50=12
+    assert got == {"web": 31, "code": 16, "ref": 12}
+    # proportional (alpha=1) for contrast: 42/12/6 — ref got doubled
+    prop = temperature_mixture(docs, total=60, alpha=1.0)
+    gp = {r["source"]: r["n"] for r in prop.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert gp == {"web": 42, "code": 12, "ref": 6}
+    # deterministic: same ids both runs
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in temperature_mixture(docs, total=60, alpha=0.5).collect())
+    assert ids1 == ids2
