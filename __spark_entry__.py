@@ -788,11 +788,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ":", "removed_tokens", F.md5("trimmed_text")
             ).alias("fp"),
         )
+        # 'linededup': C4-style line-level corpus dedup — the synthetic
+        # text is a flat token stream, so 6-token "lines" are
+        # synthesized identically on both sides, then only the first
+        # corpus-wide occurrence of each line survives and docs are
+        # rebuilt in order; fp hash-verifies totals AND the rebuilt
+        # text byte-for-byte.
+        toks = F.split("text", " ")
+        lined = docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.floor((F.size(toks) - 1) / 6).cast("int")
+                    ),
+                    lambda i: F.array_join(F.slice(toks, i * 6 + 1, 6), " "),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        ld = DD.line_dedup(lined).select(
+            F.lit("linededup").alias("variant"),
+            "doc_id",
+            F.format_string(
+                "%d:%d:%d:%s",
+                "n_lines",
+                "kept_lines",
+                "removed_lines",
+                F.md5("text"),
+            ).alias("fp"),
+        )
         return (
             docmin.unionByName(full)
             .unionByName(spans)
             .unionByName(frac)
             .unionByName(trimmed)
+            .unionByName(ld)
         )
 
     q["x4_winnowing_fingerprint"] = _x4
@@ -3522,6 +3553,29 @@ FROM lmsc CROSS JOIN th
           if len(list_filter(COALESCE(spans, []),
                              sp -> i >= sp.s AND i < sp.e)) = 0] AS kept
   FROM t LEFT JOIN dsl ON t.doc_id = dsl.doc_id
+), ltok AS (
+  -- linededup works on RAW text (the Spark branch splits un-normalized)
+  SELECT doc_id, string_split(text, ' ') AS rtoks FROM documents
+), lined AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             generate_series(0, CAST((len(rtoks) - 1) // 6 AS INT)),
+             i -> array_to_string(rtoks[i*6+1 : i*6+6], ' ')), chr(10)) AS ltext
+  FROM ltok
+), lx AS (
+  SELECT doc_id, g.i AS pos, string_split(ltext, chr(10))[g.i + 1] AS line
+  FROM lined,
+       unnest(generate_series(0, len(string_split(ltext, chr(10))) - 1)) AS g(i)
+), lrk AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rk
+  FROM lx
+), lkept AS (
+  SELECT doc_id, COUNT(*) AS kept,
+         string_agg(line, chr(10) ORDER BY pos) AS rebuilt
+  FROM lrk WHERE rk = 1 GROUP BY doc_id
+), ltot AS (
+  SELECT doc_id, len(string_split(ltext, chr(10))) AS nl FROM lined
 )
 """
     o["x4_winnowing_fingerprint"] = (
@@ -3563,6 +3617,11 @@ SELECT 'trimmed', doc_id,
        CAST(n_toks - len(kept) AS VARCHAR) || ':'
          || md5(COALESCE(array_to_string(kept, ' '), '')) AS fp
 FROM dtrim
+UNION ALL
+SELECT 'linededup', t.doc_id,
+       printf('%d:%d:%d:%s', t.nl, COALESCE(k.kept, 0),
+              t.nl - COALESCE(k.kept, 0), md5(COALESCE(k.rebuilt, ''))) AS fp
+FROM ltot t LEFT JOIN lkept k USING (doc_id)
 """
     )
     o["x8_repetition_stats"] = (

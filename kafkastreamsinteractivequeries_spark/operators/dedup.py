@@ -1328,3 +1328,68 @@ def hybrid_near_duplicates(
         .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= cosine_threshold))
         .select("id_a", "id_b", "jaccard", "cosine")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """C4-style line-level corpus deduplication (Raffel et al.
+    1910.10683 §2.2 deduplicates repeated three-sentence spans; Dolma
+    and RefinedWeb apply the same rule at line granularity): across the
+    WHOLE corpus, keep only the FIRST occurrence of every exact line —
+    first = lowest (document id, line position) — and drop the rest,
+    then reassemble each document's surviving lines in original order.
+    This is the boilerplate killer (nav bars, cookie banners, license
+    headers repeated across millions of pages) that document-level
+    near-dup cannot touch.
+
+    Output: ``(id, n_lines, kept_lines, removed_lines, text)`` with
+    ``text`` rebuilt (empty string when nothing survives — the row is
+    kept so downstream gates can drop it explicitly).
+
+    Scale shape: lines explode to skinny ``(md5(line), id, pos)`` rows;
+    ONE window shuffle on the line hash ranks occurrences (ties are
+    impossible — (id, pos) is unique); reassembly is one groupBy on the
+    id with a position-sorted fold, so document payloads cross the
+    network once and the global ranking moves only hashes.  Identical
+    empty lines dedup like any other line (documented C4 behavior).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line_h").orderBy(id_col, "pos")
+    kept = (
+        lines.withColumn("line_h", F.md5("line"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("text"),
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), delim)).alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
+            (F.col("n_lines") - F.coalesce("kept_lines", F.lit(0))).alias(
+                "removed_lines"
+            ),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )

@@ -576,3 +576,59 @@ def test_hybrid_near_duplicates_is_conjunction_of_detectors(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # both embedding attaches are shuffled hash joins, not broadcasts
     assert plan.count("ShuffledHashJoin") >= 2
+
+
+def test_line_dedup_keeps_first_corpus_occurrence(spark):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\ngamma"),
+            (2, "boiler\ndelta"),
+            (3, "boiler\nalpha\nepsilon"),
+            (4, "boiler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["text"] == "alpha\nboiler\ngamma"  # doc 1 owns both firsts
+    assert out[2]["text"] == "delta"
+    assert out[3]["text"] == "epsilon"
+    assert out[4]["text"] == "" and out[4]["removed_lines"] == 1
+    assert out[3]["n_lines"] == 3 and out[3]["kept_lines"] == 1
+    # conservation: every line kept exactly once corpus-wide
+    total_kept = sum(r["kept_lines"] for r in out.values())
+    distinct_lines = {"alpha", "boiler", "gamma", "delta", "epsilon"}
+    assert total_kept == len(distinct_lines)
+
+
+def test_line_dedup_order_preserved_and_single_line_shuffle(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import line_dedup
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    # synthesize 6-token lines from the flat synthetic text
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(F.split("text", " ")) - 1) / 6).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.split("text", " "), i * 6 + 1, 6), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = line_dedup(docs)
+    rows = out.collect()
+    assert all(r["kept_lines"] + r["removed_lines"] == r["n_lines"] for r in rows)
+    # kept lines appear in original relative order: rebuild doc 0's kept
+    # lines independently and compare
+    d0 = docs.filter(F.col("doc_id") == 0).collect()[0]["text"].split("\n")
+    got0 = [r for r in rows if r["doc_id"] == 0][0]["text"].split("\n")
+    it = iter(d0)
+    assert all(any(line == cand for cand in it) for line in got0 if line != "")
