@@ -1350,22 +1350,27 @@ def line_dedup(
     ``text`` rebuilt (empty string when nothing survives — the row is
     kept so downstream gates can drop it explicitly).
 
-    Scale shape: lines explode to skinny ``(md5(line), id, pos)`` rows;
-    ONE window shuffle on the line hash ranks occurrences (ties are
-    impossible — (id, pos) is unique); reassembly is one groupBy on the
-    id with a position-sorted fold, so document payloads cross the
-    network once and the global ranking moves only hashes.  Identical
-    empty lines dedup like any other line (documented C4 behavior).
+    Scale shape: lines explode to ``(md5(line), id, pos, line)`` rows
+    and the first occurrence per line is a ``min(struct(id, pos,
+    line))`` AGGREGATION — deliberately not a ``row_number`` window:
+    a hot boilerplate line (a nav bar repeated millions of times) would
+    funnel every occurrence into one window task, while the min-struct
+    aggregate combines map-side so hot lines cost one partial row per
+    map task (the same argmin trick as the kNN min-of-struct).
+    Reassembly is one groupBy on the id with a position-sorted fold.
+    Identical empty lines dedup like any other line (documented C4
+    behavior).
     """
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
     )
-    w = Window.partitionBy("line_h").orderBy(id_col, "pos")
+    # (id, pos) is unique, so `line` never participates in the ordering;
+    # it rides along so no join back to the exploded rows is needed
     kept = (
-        lines.withColumn("line_h", F.md5("line"))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
+        lines.groupBy(F.md5("line").alias("line_h"))
+        .agg(F.min(F.struct(id_col, "pos", "line")).alias("_w"))
+        .select(F.col(f"_w.{id_col}").alias(id_col), "_w.pos", "_w.line")
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").alias("kept_lines"),

@@ -782,3 +782,21 @@ def test_q6_all_predicates_reach_the_scan(spark, sf_dir):
         assert re.search(pred, flt), f"missing {pred}"
     schema = [s for s in read_schemas(plan) if "l_extendedprice" in s][0]
     assert "l_orderkey" not in schema and "l_returnflag" not in schema
+
+
+def test_line_dedup_is_aggregation_not_window(spark, sf_dir):
+    # first-occurrence selection must be the map-side-combinable
+    # min-struct aggregate — a row_number window would funnel every
+    # occurrence of a hot boilerplate line into one task
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    df = entry_mod.queries()["x4_winnowing_fingerprint"](spark, sf_dir)
+    plan = (
+        df.filter(F.col("variant") == "linededup")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan
