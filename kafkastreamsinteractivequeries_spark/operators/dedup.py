@@ -1382,9 +1382,13 @@ def line_dedup(
             delim,
         ).alias("text"),
     )
+    # NULL text contributes zero lines (adversarial-input convention:
+    # corrupt rows degrade, they don't poison counts with NULL arithmetic)
     totals = docs.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), delim)).alias("n_lines"),
+        F.coalesce(
+            F.size(F.split(F.col(text_col), delim)), F.lit(0)
+        ).alias("n_lines"),
     )
     return (
         totals.join(rebuilt, id_col, "left")

@@ -632,3 +632,16 @@ def test_line_dedup_order_preserved_and_single_line_shuffle(spark, sf_dir):
     got0 = [r for r in rows if r["doc_id"] == 0][0]["text"].split("\n")
     it = iter(d0)
     assert all(any(line == cand for cand in it) for line in got0 if line != "")
+
+
+def test_line_dedup_null_text_degrades_to_zero_lines(spark):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[2]["n_lines"] == 0 and out[2]["removed_lines"] == 0
+    assert out[2]["text"] == ""
+    # the empty-string doc still counts its one (empty) line
+    assert out[3]["n_lines"] == 1 and out[3]["kept_lines"] == 1
