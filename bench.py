@@ -81,6 +81,9 @@ BRANCHES: dict[str, list[str]] = {
     "a6_asof_purchase_click": ["bwd", "fwd", "bwdtol"],
     "d1_exact_dedup": ["dedup", "groups", "incremental"],
     "t5_stock_aggregation": ["agg", "daily", "rolled", "hllmerge"],
+    "x4_winnowing_fingerprint": [
+        "docmin", "full", "dupspan", "dupfrac", "trimmed", "linededup",
+    ],
 }
 
 
