@@ -325,14 +325,32 @@ def test_bipartite_decontamination_broadcasts_eval_sides(spark, sf_dir):
 
 
 def test_layout_keys_are_map_only(spark, sf_dir):
-    # e3: quantize + interleave + the 16 Hilbert levels are pure Column
-    # arithmetic over the part scan — chained projections Catalyst
-    # collapses into one codegen stage.  Any Exchange/join here would
-    # mean the layout KEY computation itself shuffles, which at write
-    # time would double the one layout shuffle the operator budgets.
-    plan = plan_of(spark, sf_dir, "e3_layout_keys")
-    assert "Exchange" not in plan
-    assert "Join" not in plan
+    # e3 zorder/hilbert: quantize + interleave + the 16 Hilbert levels
+    # are pure Column arithmetic over the part scan — chained
+    # projections Catalyst collapses into one codegen stage.  Any
+    # Exchange/join here would mean the layout KEY computation itself
+    # shuffles, which at write time would double the one layout shuffle
+    # the operator budgets.  (Audited per branch: the 'compact' sibling
+    # legitimately owns one manifest window shuffle, pinned below.)
+    from pyspark.sql import functions as F
+
+    df = QUERIES["e3_layout_keys"](spark, sf_dir)
+    for tag in ("zorder", "hilbert"):
+        plan = (
+            df.filter(F.col("variant") == tag)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, tag
+        assert "Join" not in plan, tag
+    compact = (
+        df.filter(F.col("variant") == "compact")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert compact.count("Exchange") == 1
 
 
 def test_event_analytics_never_nested_loops(spark, sf_dir):
