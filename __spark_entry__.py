@@ -983,9 +983,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(
                 F.lit("qlr").alias("variant"),
                 F.col("doc_id").cast("string").alias("name"),
-                F.col("prob").alias("value"),
+                # hash-verify the LOGIT, not the sigmoid: score is pure
+                # +/*/round IEEE arithmetic so both engines agree to the
+                # bit, while exp() is libm-dependent and a round-6
+                # sigmoid knife edge showed up at sf0.1.  prediction
+                # (score >= 0) is exactly (prob >= 0.5).
+                F.col("score").alias("value"),
                 F.col("_y").cast("long").alias("n"),
-                (F.col("prob") >= 0.5).cast("long").alias("total"),
+                (F.col("score") >= 0).cast("long").alias("total"),
             )
         )
         # 'gopher' — the Gopher rule-based quality bundle (Rae et al.
@@ -1001,6 +1006,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("word_count").alias("n"),
             F.col("passed").cast("long").alias("total"),
         )
+        # 'blocklist' — the C4 bad-words gate (exact-token matching on
+        # the shared normalized tokenizer; 'dup' is a rare corpus token,
+        # 'legacy' is absent, so both hit-and-miss paths verify): name
+        # carries the doc, value the blocked fraction, n the blocked
+        # count, total the pass flag.
+        bl = T.blocklist_gate(docs, ["dup", "legacy"]).select(
+            F.lit("blocklist").alias("variant"),
+            F.col("doc_id").cast("string").alias("name"),
+            F.col("blocked_frac").alias("value"),
+            F.col("n_blocked").alias("n"),
+            F.col("passed").cast("long").alias("total"),
+        )
         return (
             length_rows.unionByName(cons)
             .unionByName(skew)
@@ -1009,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(qlrw)
             .unionByName(qlr)
             .unionByName(gop)
+            .unionByName(bl)
         )
 
     q["x6_quality_gates"] = _x6
@@ -3250,13 +3268,17 @@ qg{t} AS (
 ),
 qw{t} AS MATERIALIZED (
   SELECT COALESCE(g.bucket, w.bucket) AS bucket,
-         ROUND(ROUND(COALESCE(w.w, 0) - 1.0 * COALESCE(g.g, 0), 14), 8) AS w
+         ROUND(ROUND(COALESCE(w.w, 0) - 1.0 * COALESCE(g.g, 0), 15), 9) AS w
   FROM qg{t} g FULL OUTER JOIN qw{t - 1} w ON g.bucket = w.bucket
 )"""
         for t in range(1, 4)
     ) + """,
 qsf AS MATERIALIZED (
-  SELECT f.doc_id, ROUND(ROUND(SUM(f.x * COALESCE(w.w, 0)), 12), 6) AS s
+  -- fixed-point dot product (pico-unit longs): summation-order-proof,
+  -- mirrors quality_classifier_score
+  SELECT f.doc_id,
+         SUM(CAST(ROUND(f.x * COALESCE(w.w, 0) * 1e12) AS BIGINT))
+           / 1e12 AS s
   FROM qfe f LEFT JOIN qw3 w USING (bucket) GROUP BY f.doc_id
 )"""
     _x6_metrics = [
@@ -3428,11 +3450,12 @@ SELECT 'qlrw', CAST(bucket AS VARCHAR), w,
        CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
 FROM qw3
 UNION ALL
+-- logit, not sigmoid: exp() is libm-dependent (sf0.1 knife edge);
+-- score >= 0 is exactly prob >= 0.5
 SELECT 'qlr', CAST(qsf.doc_id AS VARCHAR),
-       ROUND(ROUND(1.0 / (1.0 + exp(-s)), 12), 6),
+       s,
        CAST(y AS BIGINT),
-       CAST(CASE WHEN ROUND(ROUND(1.0 / (1.0 + exp(-s)), 12), 6) >= 0.5
-                 THEN 1 ELSE 0 END AS BIGINT)
+       CAST(CASE WHEN s >= 0 THEN 1 ELSE 0 END AS BIGINT)
 FROM qsf JOIN qlab ON qsf.doc_id = qlab.doc_id
 UNION ALL
 -- Gopher rule bundle (Rae et al. 2112.11446): per-doc failure bitmask
@@ -3461,6 +3484,18 @@ FROM (
     FROM t
   )
 )
+UNION ALL
+-- C4 bad-words gate: exact-token blocklist over the normalized tokens
+SELECT 'blocklist', CAST(doc_id AS VARCHAR),
+       CASE WHEN text IS NULL OR len(toks) = 0 THEN 0.0
+            ELSE ROUND(len(list_filter(toks, tk -> tk IN ('dup', 'legacy')))
+                       / CAST(len(toks) AS DOUBLE), 6) END,
+       CAST(CASE WHEN text IS NULL THEN 0
+            ELSE len(list_filter(toks, tk -> tk IN ('dup', 'legacy'))) END AS BIGINT),
+       CAST(CASE WHEN text IS NOT NULL
+                  AND len(list_filter(toks, tk -> tk IN ('dup', 'legacy'))) = 0
+                 THEN 1 ELSE 0 END AS BIGINT)
+FROM t
 """
     )
     # Tagged union mirroring _x7: raw LM scores ('score') ⊕ the CCNet

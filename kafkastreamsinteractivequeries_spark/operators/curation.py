@@ -671,9 +671,10 @@ def quality_classifier_train(
     stream) with ``quality_classifier_score``.
 
     Portability: per iteration the per-doc score is rounded to 6, the
-    sigmoid to 6, the per-bucket gradient to 9, and the weights to 8
-    decimals — distributed double-sum ordering and engine libm ulps
-    cannot drift the replayed trajectory.
+    sigmoid to 6, and the per-bucket gradient AND weights to 9 decimals
+    (the same grid, so the weight update never sits on a rounding
+    half-boundary) — distributed double-sum ordering and engine libm
+    ulps cannot drift the replayed trajectory.
 
     Scale (the DSIR deployment split): train on a labeled SAMPLE —
     model quality needs thousands of docs, not the corpus — then score
@@ -725,10 +726,19 @@ def quality_classifier_train(
             grad.join(w, "bucket", "full")
             .select(
                 "bucket",
+                # w lives on the SAME 1e-9 grid as the gradient: rounding
+                # to 8 put w_old - grad exactly on 1e-8 half-boundaries
+                # (grad's 9th decimal = 5), where Spark's exact-decimal
+                # HALF_UP and DuckDB's scaled-double round diverge —
+                # 24/859 weights flipped by 1e-8 at sf0.1.  On-grid
+                # rounding is knife-edge-free (the nearest half is 5e-10
+                # away, far beyond double ulp).  With lr = 1 the update
+                # stays on-grid; other lr values should keep lr·grad on
+                # a decimal grid coarser than 1e-9 for the same reason.
                 _pround(
                     F.coalesce(F.col("w"), F.lit(0.0))
                     - F.lit(lr) * F.coalesce(F.col("_g"), F.lit(0.0)),
-                    8,
+                    9,
                 ).alias("w"),
             )
             .localCheckpoint(eager=False)
@@ -754,9 +764,21 @@ def quality_classifier_score(
     ``num_buckets`` and ``feature_scale`` must match the training
     call."""
     feats = _classifier_features(docs, num_buckets, text_col, id_col, feature_scale)
-    s = _pround(
-        F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))), 6
-    )
+    # fixed-point dot product: each term snapped to pico-units and
+    # summed as LONGS, so the score is independent of summation order —
+    # _pround's 12-decimal snap was not enough when the true sum sits
+    # exactly on a 7-decimal half-boundary (observed at sf0.1:
+    # -0.248201 vs -0.2482 between engines).  Terms are O(1), docs have
+    # O(100) grams, so the long sum stays far below 2^53 and the /1e12
+    # readout is exact.
+    # no final ROUND: the pico sum is already on a 1e-12 grid and one
+    # IEEE division is bit-identical across engines, while ROUND(x, 6)
+    # mechanics differ exactly at half-boundaries (Spark exact-decimal
+    # HALF_UP vs DuckDB scaled-double truncation)
+    term = F.round(
+        F.col("x") * F.coalesce(F.col("w"), F.lit(0.0)) * F.lit(1e12)
+    ).cast("long")
+    s = F.sum(term) / F.lit(1e12)
     return (
         feats.join(F.broadcast(model), "bucket", "left")
         .groupBy(id_col)

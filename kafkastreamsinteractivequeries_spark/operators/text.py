@@ -1363,3 +1363,40 @@ def gopher_quality_rules(
         mask.cast("long").alias("failure_mask"),
         (mask == 0).cast("int").alias("passed"),
     )
+
+
+def blocklist_gate(
+    docs: DataFrame,
+    blocked: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style bad-words gate (Raffel et al. 1910.10683 §2.2 drops any
+    page containing a word from a fixed blocklist): per-doc blocked-token
+    count/fraction and the pass flag (pass = zero blocked tokens over a
+    non-null document; NULL text FAILS explicitly per the
+    adversarial-input convention — a gate must never vacuously pass a
+    corrupt row).
+
+    Scale shape: the blocklist is bounded by contract (a curated list,
+    KBs at most) and ships as ONE literal array Column — one py4j call
+    regardless of list size (the big-literal lesson) — matched with
+    ``array_contains`` inside a single map stage: no shuffle, no UDF,
+    no join.  Exact-token matching on the shared normalized tokenizer;
+    substring/obfuscation matching is a different operator by design
+    (this replicates C4's word-boundary semantics).
+    """
+    barr = F.lit(list(blocked))
+    toks = tokens_col(F.col(text_col))
+    nb = F.size(F.filter(toks, lambda t: F.array_contains(barr, t)))
+    n = F.size(toks)
+    null_text = F.col(text_col).isNull()
+    return docs.select(
+        F.col(id_col),
+        F.when(null_text, F.lit(0)).otherwise(n).cast("long").alias("n_tokens"),
+        F.when(null_text, F.lit(0)).otherwise(nb).cast("long").alias("n_blocked"),
+        F.when(null_text | (n == 0), F.lit(0.0))
+        .otherwise(F.round(nb / n, 6))
+        .alias("blocked_frac"),
+        (~null_text & (nb == 0)).cast("int").alias("passed"),
+    )

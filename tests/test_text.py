@@ -767,3 +767,31 @@ def test_text_stats_null_document_scores_zero(spark):
     got = {r.doc_id: r.quality_score for r in text_stats(docs).collect()}
     assert got[0] == 0.0
     assert got[1] > 0.3
+
+
+def test_blocklist_gate_word_boundary_and_null_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.text import blocklist_gate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only"),
+            (2, "contains dup here"),
+            (3, "dupdup is not the word dup"),  # substring must NOT match
+            (4, None),
+            (5, "dup dup dup"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_gate(docs, ["dup", "legacy"]).collect()}
+    assert out[1]["passed"] == 1 and out[1]["n_blocked"] == 0
+    assert out[2]["passed"] == 0 and out[2]["n_blocked"] == 1
+    assert out[3]["n_blocked"] == 1  # only the exact token, not 'dupdup'
+    assert out[4]["passed"] == 0 and out[4]["n_tokens"] == 0  # null fails
+    assert out[5]["n_blocked"] == 3 and out[5]["blocked_frac"] == 1.0
+    # map-only plan
+    plan = (
+        blocklist_gate(docs, ["dup"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
