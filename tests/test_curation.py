@@ -488,3 +488,24 @@ def test_temperature_mixture_upsamples_rare_strata(spark):
     ids1 = sorted(r["doc_id"] for r in out.collect())
     ids2 = sorted(r["doc_id"] for r in temperature_mixture(docs, total=60, alpha=0.5).collect())
     assert ids1 == ids2
+
+
+def test_classifier_weights_stay_on_gradient_grid(spark, sf_dir):
+    """Weights must live on the 1e-9 gradient grid: rounding onto a
+    COARSER grid put updates exactly on half-boundaries, where Spark and
+    DuckDB round differently (the sf0.1 qlr regression)."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        quality_classifier_train,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    model = quality_classifier_train(docs, "_y", num_buckets=512, iterations=2)
+    off_grid = model.filter(
+        F.abs(F.col("w") * 1e9 - F.round(F.col("w") * 1e9)) > 1e-3
+    ).count()
+    assert off_grid == 0
