@@ -1695,7 +1695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ",",
                 F.transform(
                     "embedding",
-                    lambda x: F.format_string("%.6f", x.cast("double")),
+                    # + 0.0 normalizes IEEE -0.0 ('-0.000000' vs
+                    # '0.000000' flipped one component at sf0.1)
+                    lambda x: F.format_string(
+                        "%.6f", x.cast("double") + F.lit(0.0)
+                    ),
                 ),
             ).alias("code"),
         )
@@ -4367,7 +4371,10 @@ FROM (
 )
 UNION ALL
 SELECT did AS vec_id, 'pooled' AS index_kind,
-       string_agg(printf('%.6f', CAST(CAST(m AS FLOAT) AS DOUBLE)),
+       -- + 0.0 normalizes IEEE negative zero: ROUND can yield -0.0,
+       -- which printf renders '-0.000000' while Spark's float cast
+       -- path lands on +0.0 (one component flipped at sf0.1)
+       string_agg(printf('%.6f', CAST(CAST(m AS FLOAT) AS DOUBLE) + 0.0),
                   ',' ORDER BY p) AS code
 FROM (
   SELECT vec_id % 500 AS did, g.p AS p,
