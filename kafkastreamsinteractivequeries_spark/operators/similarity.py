@@ -969,13 +969,25 @@ def semdedup(
 # --------------------------------------------------------------------------
 
 
-def _subvectors(df: DataFrame, m: int, dim: int, vec_col: str, id_col: str) -> DataFrame:
-    """(id, sub_id, subvec): each vector split into ``m`` contiguous
-    ``dim/m``-dim subvectors (one posexplode; no per-subspace scans)."""
+def _subvectors(
+    df: DataFrame,
+    m: int,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id[, carry…], sub_id, subvec): each vector split into ``m``
+    contiguous ``dim/m``-dim subvectors (one posexplode; no
+    per-subspace scans).  ``carry`` columns ride along unchanged —
+    consumers that need a per-vector attribute downstream (knn_ivfpq's
+    list_id) avoid a corpus-sized join back."""
     sub = dim // m
     slices = F.array(*[F.slice(F.col(vec_col), j * sub + 1, sub) for j in range(m)])
     return df.select(
-        F.col(id_col), F.posexplode(slices).alias("sub_id", "subvec")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.posexplode(slices).alias("sub_id", "subvec"),
     )
 
 
@@ -989,7 +1001,11 @@ def _l2sq(a: F.Column, b: F.Column) -> F.Column:
 
 
 def _nearest_sub_centroid(
-    subs: DataFrame, cent: DataFrame, id_col: str, carry_subvec: bool = False
+    subs: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    carry_subvec: bool = False,
+    carry_group: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, sub_id, code, _dist[, subvec]): nearest centroid per
     (vector, subspace) by squared L2 (centroid-id tie-break).  ``cent``
@@ -1006,12 +1022,16 @@ def _nearest_sub_centroid(
     a consumer needing the winner's subvector (pq_train's means step)
     avoids a second (id, sub_id)-keyed shuffle join back to ``subs`` —
     one wider shuffle instead of two shuffles plus a join.
+    ``carry_group`` columns are extra grouping passengers functionally
+    dependent on the id (knn_ivfpq's list_id) — grouped, not
+    aggregated, so they survive without a join-back either.
     """
     fields = [F.col("_dist"), F.col("code")] + (
         [F.col("subvec")] if carry_subvec else []
     )
     out = [
         id_col,
+        *carry_group,
         "sub_id",
         F.col("_best.code").alias("code"),
         F.col("_best._dist").alias("_dist"),
@@ -1019,7 +1039,7 @@ def _nearest_sub_centroid(
     return (
         subs.join(F.broadcast(cent), "sub_id")
         .withColumn("_dist", F.round(_l2sq(F.col("subvec"), F.col("cvec")), 9))
-        .groupBy(id_col, "sub_id")
+        .groupBy(id_col, *carry_group, "sub_id")
         .agg(F.min(F.struct(*fields)).alias("_best"))
         .select(*out)
     )
@@ -1531,3 +1551,204 @@ def pool_embeddings(
             )
         )
     return pooled
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: the composed production index (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 §IV) — coarse
+# quantizer prunes the corpus to nprobe lists, PQ codes trained on the
+# RESIDUAL (vec − centroid) compress what remains.  Residual encoding
+# matters: residuals concentrate near zero, so the same m×k codebook
+# spends its codewords on a far smaller volume than raw-vector PQ.
+# --------------------------------------------------------------------------
+
+
+def ivfpq_train(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, residual_codebook): train the coarse quantizer with
+    ``ivf_train``, assign every vector, subtract its centroid, and train
+    the PQ codebook on the residuals.
+
+    Scale shape: residual computation is the ``_ivf_argmax`` corpus scan
+    (broadcast centroids, min-of-struct argmin) plus one broadcast join
+    and a ``zip_with`` subtraction — map-side throughout; ``pq_train``
+    then sees a corpus-sized but skinny residual stream.  Both returned
+    tables are broadcast-sized (n_lists and m×k rows) and persist via
+    ``save_index``.
+    """
+    cent = ivf_train(embeddings, n_lists, iterations, vec_col, id_col)
+    res = _residuals(embeddings, cent, vec_col, id_col)
+    book = pq_train(
+        res.select(id_col, F.col("residual").alias(vec_col)),
+        m, k, iterations, dim, vec_col, id_col,
+    )
+    return cent, book
+
+
+def _residuals(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, list_id, residual float[]): each vector minus its nearest
+    centroid.  float32 subtraction is correctly-rounded and both
+    operands are bit-identical across engines, so residuals are
+    engine-portable without extra rounding (note: (a−b)+b ≠ a in
+    float32 — the index never needs reconstruction, only agreement)."""
+    corpus = spread(embeddings).select(
+        id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
+    )
+    assigned = _ivf_argmax(corpus, centroids, id_col, vec_col, carry_vec=True)
+    return (
+        assigned.join(
+            F.broadcast(centroids.select(
+                F.col("centroid_id").alias("list_id"), "centroid_vec"
+            )),
+            "list_id",
+        )
+        .select(
+            id_col,
+            "list_id",
+            F.zip_with(
+                vec_col, "centroid_vec", lambda a, b: (a - b).cast("float")
+            ).alias("residual"),
+        )
+    )
+
+
+def knn_ivfpq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Approximate top-k over the IVF-PQ index: per query, probe the
+    ``nprobe`` nearest lists; within each probed list, ADC against the
+    residual codebook using the QUERY's residual for that list
+    (q − centroid) — the asymmetric trick that keeps corpus vectors as
+    m codes while queries stay exact.
+
+    Scale shape: the corpus contributes its (id, list_id, sub_id, code)
+    exploded code table — n × m skinny rows, computed in one scan and
+    in a real deployment LANDED once by ``encode_all``-style jobs; the
+    query side builds q × nprobe × m × k distance-table rows (tiny,
+    broadcast).  The join key (list_id, sub_id, code) prunes unprobed
+    lists inside the hash join itself: (1 − nprobe/n_lists) of the
+    corpus stream matches nothing and never reaches the aggregate.
+    ``rerank=R`` re-scores each query's top-R survivors with exact
+    cosine like ``knn_pq_adc`` — the production config.
+    """
+    res = _residuals(embeddings, centroids, vec_col, id_col)
+    # inline encode with list_id as a grouping passenger: no
+    # corpus-corpus join back, no codes-array assemble/re-explode
+    subs = _subvectors(res, m, dim, "residual", id_col, carry=("list_id",))
+    code_rows = _nearest_sub_centroid(
+        subs, codebook, id_col, carry_group=("list_id",)
+    ).select(id_col, "list_id", "sub_id", "code")
+
+    # per (query, probed list): rank lists by query↔centroid cosine
+    qn = queries.select(
+        query_id_col, query_vec_col, norm_expr(F.col(query_vec_col)).alias("_nq")
+    )
+    lw = Window.partitionBy(query_id_col).orderBy(
+        F.col("_lcos").desc(), F.col("centroid_id")
+    )
+    probed = (
+        qn.join(F.broadcast(centroids))
+        .withColumn(
+            "_lcos",
+            F.round(
+                cosine_from_parts(
+                    F.col(query_vec_col), F.col("centroid_vec"),
+                    F.col("_nq"), F.col("_nc"),
+                ),
+                6,
+            ),
+        )
+        .withColumn("_lrank", F.row_number().over(lw))
+        .filter(F.col("_lrank") <= nprobe)
+        .select(
+            query_id_col,
+            F.col("centroid_id").alias("list_id"),
+            F.zip_with(
+                query_vec_col, "centroid_vec", lambda a, b: (a - b).cast("float")
+            ).alias("qres"),
+        )
+    )
+    # distance tables: (query, list, sub, code) → l2² of query-residual
+    # subvector vs codeword
+    sub_w = dim // m
+    tables = (
+        probed.select(
+            query_id_col, "list_id",
+            F.posexplode(
+                F.array(*[
+                    F.slice(F.col("qres"), j * sub_w + 1, sub_w) for j in range(m)
+                ])
+            ).alias("sub_id", "qsub"),
+        )
+        .join(F.broadcast(codebook), "sub_id")
+        .select(
+            query_id_col, "list_id", "sub_id", "code",
+            F.round(_l2sq(F.col("qsub"), F.col("cvec")), 9).alias("_d"),
+        )
+    )
+    scored = (
+        code_rows.join(F.broadcast(tables), ["list_id", "sub_id", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_d"), 6).alias("adc_dist"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
+    adc_top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (rerank if rerank is not None else k))
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+    if rerank is None:
+        return adc_top
+    qn2 = queries.select(
+        query_id_col, query_vec_col, norm_expr(F.col(query_vec_col)).alias("_nb")
+    )
+    corpus = embeddings.select(
+        id_col, vec_col, norm_expr(F.col(vec_col)).alias("_na")
+    )
+    cos = F.round(
+        cosine_from_parts(
+            F.col(vec_col), F.col(query_vec_col), F.col("_na"), F.col("_nb")
+        ),
+        6,
+    )
+    rw = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        adc_top.select(query_id_col, id_col)
+        .join(corpus.hint("shuffle_hash"), id_col)
+        .join(F.broadcast(qn2), query_id_col)
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -832,3 +832,101 @@ def test_nan_embeddings_never_match_or_rank(spark):
 
     pairs = embedding_near_duplicates(emb, threshold=0.5, num_planes=8).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 3)}
+
+
+def test_ivfpq_rerank_recall_floor(spark, sf_dir):
+    """The composed IVF-PQ index (residual codes, nprobe probing, exact
+    rerank) must hit >= 0.9 recall@10 vs brute force — the production
+    serving config."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        ivfpq_train,
+        knn_bruteforce,
+        knn_ivfpq,
+        recall_at_k,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cent, book = ivfpq_train(emb, n_lists=16, m=8, k=16, iterations=2)
+    # the sf0.001 corpus is 500 vectors, so the rerank budget (100 =
+    # 20% of corpus) dominates recall here; at production scale the same
+    # config touches a vanishing corpus fraction
+    approx = knn_ivfpq(emb, qdf, cent, book, k=10, nprobe=8, rerank=100)
+    exact = knn_bruteforce(emb, qdf, k=10)
+    r = recall_at_k(approx, exact, k=10)
+    assert r >= 0.9, f"ivfpq recall@10 = {r}"
+
+
+def test_ivfpq_plan_broadcasts_index_and_prunes_lists(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        ivfpq_train,
+        knn_ivfpq,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cent, book = ivfpq_train(emb, n_lists=8, m=8, k=16, iterations=1)
+    plan = (
+        knn_ivfpq(emb, qdf, cent, book, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus side must never shuffle-join against itself or the
+    # index; tables/codebook/centroids ride broadcasts
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_residuals_reconstruct_vectors(spark, sf_dir):
+    """residual + centroid recovers the original vector to float32
+    precision."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        _residuals,
+        ivf_centroids,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    cent = ivf_centroids(emb, 8)
+    res = _residuals(emb, cent, "embedding", "vec_id")
+    # float32 (a-b)+b is not exactly a; assert reconstruction within
+    # one float32 ulp of the data's magnitude instead
+    back = (
+        res.join(
+            cent.select(F.col("centroid_id").alias("list_id"), "centroid_vec"),
+            "list_id",
+        )
+        .select(
+            "vec_id",
+            F.zip_with(
+                "residual", "centroid_vec", lambda a, b: (a + b).cast("float")
+            ).alias("rebuilt"),
+        )
+        .join(emb, "vec_id")
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    "rebuilt", "embedding",
+                    lambda a, b: F.abs(a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, v),
+            ).alias("maxerr")
+        )
+        .agg(F.max("maxerr"))
+        .collect()[0][0]
+    )
+    assert back < 1e-5, back
