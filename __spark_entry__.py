@@ -80,8 +80,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def knn_union(s: SparkSession, d: str) -> DataFrame:
-    """The five-branch kNN union (brute ⊕ srp16 ⊕ ivf16 ⊕ pq8x16 ⊕
-    pq_rerank) BEFORE the localCheckpoint pin `_s1` adds for the recall
+    """The six-branch kNN union (brute ⊕ srp16 ⊕ ivf16 ⊕ pq8x16 ⊕
+    pq_rerank ⊕ ivfpq) BEFORE the localCheckpoint pin `_s1` adds for the recall
     branches.  Module-level so the plan-contract tests
     (`test_knn_union_no_corpus_shuffle`,
     `test_pq_adc_stays_columnar_with_broadcast_codebook`) can audit the
@@ -119,7 +119,22 @@ def knn_union(s: SparkSession, d: str) -> DataFrame:
     pqr = tag(
         S.knn_pq_adc(emb, qdf, book, k=10, m=8, rerank=40), "pq_rerank", "cosine"
     )
-    return brute.unionByName(srp).unionByName(ivf).unionByName(pq).unionByName(pqr)
+    # the COMPOSED production index (Jégou IVF-PQ): trained coarse
+    # quantizer + PQ codebook on residuals, nprobe=8/16 list pruning
+    # inside the (list, sub, code) hash join, exact rerank of 100.
+    cent_t, book_r = S.ivfpq_train(emb, n_lists=16, m=8, k=16, iterations=2)
+    ivfpq = tag(
+        S.knn_ivfpq(emb, qdf, cent_t, book_r, k=10, nprobe=8, m=8, rerank=100),
+        "ivfpq",
+        "cosine",
+    )
+    return (
+        brute.unionByName(srp)
+        .unionByName(ivf)
+        .unionByName(pq)
+        .unionByName(pqr)
+        .unionByName(ivfpq)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1594,24 +1609,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lists (library defaults are the recall-tuned ones, regression-
     # tested separately — SCALING.md).
     def _s1(s: SparkSession, d: str) -> DataFrame:
-        # One spread+pin of the corpus shared by all five kNN branches
+        # One spread+pin of the corpus shared by all six kNN branches
         # (inside knn_union): each branch otherwise re-scans and
         # re-repartitions the embeddings table independently and
         # carries the full scan lineage through its plan.  Values are
-        # identical; measured 7.35 → 6.45 s at sf0.1
+        # identical; measured 7.35 → 6.45 s at sf0.1 (pre-ivfpq)
         # (scripts/ab_s1_pinned.py).  knn_union is module-level so the
         # plan-contract tests audit the pre-checkpoint lineage.
         res = knn_union(s, d)
         # 'recall_*' branches: per-query recall@10 of every approximate
         # path against the brute branch — the ANN quality claim itself
         # (SCALING.md's recall-led defaults) hash-verified by the
-        # driver, not just pytest floors.  The 5-branch union is pinned
+        # driver, not just pytest floors.  The 6-branch union is pinned
         # once (localCheckpoint) so the recall joins read the ~50-row
         # materialized result instead of re-executing each kNN plan.
         pinned = res.localCheckpoint(eager=False)
         bru = pinned.filter(F.col("variant") == "brute")
         recalls = []
-        for t in ("srp16", "ivf16", "pq8x16", "pq_rerank"):
+        for t in ("srp16", "ivf16", "pq8x16", "pq_rerank", "ivfpq"):
             recalls.append(
                 S.recall_at_k_per_query(
                     bru, pinned.filter(F.col("variant") == t), k=10
@@ -4628,9 +4643,133 @@ SELECT query_id, vec_id, cosine, rank FROM (
 ) WHERE rank <= 10
 """
     )
-    # One tagged union mirroring q["s1_knn"]: all five kNN paths share
+    # s9: the composed IVF-PQ residual index, replayed end-to-end —
+    # ivf_train's 2 Lloyd rounds (tcent CTEs), float residuals
+    # (vec − centroid, native FLOAT subtraction both engines), pq_train's
+    # 2 joint Lloyd rounds ON THE RESIDUALS, nprobe=8 list probing by
+    # rounded query↔centroid cosine, per-(query, list) residual ADC
+    # tables, and the exact-cosine rerank of the top-100 — mirroring
+    # knn_ivfpq(nprobe=8, rerank=100) in similarity.py.
+    def rpq_assign_sql(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id, sub_id ORDER BY _dist, code) AS rn FROM (
+      SELECT s.vec_id, s.sub_id, c.code, {l2sq('s.subvec', 'c.cvec')} AS _dist
+      FROM rsubs s JOIN {cent} c USING (sub_id)
+    )
+  ) WHERE rn = 1
+)"""
+
+    r_parts = [
+        ivf_trained_ctes(2),
+        f"""rres AS MATERIALIZED (
+  SELECT e.vec_id, a.list_id,
+         [CAST(e.embedding[i] - c.cvec[i] AS FLOAT)
+          for i in generate_series(1, {dim})] AS rvec
+  FROM embeddings e
+  JOIN tassign a USING (vec_id)
+  JOIN tcent2 c ON c.centroid_id = a.list_id
+)""",
+        f"""rsubs AS MATERIALIZED (
+  SELECT vec_id, s.j AS sub_id,
+         rvec[s.j * {sub} + 1 : s.j * {sub} + {sub}] AS subvec
+  FROM rres CROSS JOIN generate_series(0, {mq - 1}) AS s(j)
+)""",
+        f"""seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {kq})
+)""",
+        """rpcent0 AS (
+  SELECT s.sub_id, sd.code, s.subvec AS cvec
+  FROM rsubs s JOIN seeds sd USING (vec_id)
+)""",
+    ]
+    for t in range(1, pq_iters + 1):
+        prev = f"rpcent{t - 1}"
+        r_parts.append(rpq_assign_sql(f"rpassign{t}", prev))
+        r_parts.append(f"""rpmeans{t} AS (
+  SELECT sub_id, code, list(CAST(m AS FLOAT) ORDER BY p) AS cvec FROM (
+    SELECT a.sub_id, a.code, g.i AS p,
+           ROUND(AVG(s.subvec[g.i]::DOUBLE), 6) AS m
+    FROM rpassign{t} a JOIN rsubs s USING (vec_id, sub_id)
+    CROSS JOIN generate_series(1, {sub}) AS g(i)
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)""")
+        r_parts.append(f"""rpcent{t} AS (
+  SELECT c.sub_id, c.code, COALESCE(m.cvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN rpmeans{t} m USING (sub_id, code)
+)""")
+    r_parts += [
+        rpq_assign_sql("rcodes0", f"rpcent{pq_iters}"),
+        """rcodes AS (
+  SELECT c.vec_id, r.list_id, c.sub_id, c.code
+  FROM rcodes0 c JOIN rres r USING (vec_id)
+)""",
+        """q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
+)""",
+        f"""qlists AS (
+  SELECT query_id, centroid_id AS list_id, cvec FROM (
+    SELECT qq.query_id, c.centroid_id, c.cvec,
+           ROW_NUMBER() OVER (PARTITION BY qq.query_id
+               ORDER BY {cos('qq.query_vec', 'c.cvec')} DESC, c.centroid_id) AS rn
+    FROM q qq CROSS JOIN tcent2 c
+    WHERE {cos('qq.query_vec', 'c.cvec')} IS NOT NULL
+  ) WHERE rn <= 8
+)""",
+        f"""qres AS (
+  SELECT l.query_id, l.list_id,
+         [CAST(qq.query_vec[i] - l.cvec[i] AS FLOAT)
+          for i in generate_series(1, {dim})] AS qrvec
+  FROM qlists l JOIN q qq USING (query_id)
+)""",
+        f"""rqsubs AS (
+  SELECT query_id, list_id, s.j AS sub_id,
+         qrvec[s.j * {sub} + 1 : s.j * {sub} + {sub}] AS qsub
+  FROM qres CROSS JOIN generate_series(0, {mq - 1}) AS s(j)
+)""",
+        f"""rtables AS (
+  SELECT qs.query_id, qs.list_id, qs.sub_id, c.code,
+         {l2sq('qs.qsub', 'c.cvec')} AS _d
+  FROM rqsubs qs JOIN rpcent{pq_iters} c USING (sub_id)
+)""",
+        """radc AS (
+  SELECT t.query_id, cf.vec_id, ROUND(SUM(t._d), 6) AS adc_dist
+  FROM rcodes cf
+  JOIN rtables t ON cf.list_id = t.list_id
+                AND cf.sub_id = t.sub_id AND cf.code = t.code
+  GROUP BY 1, 2
+)""",
+        """rcand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+    FROM radc WHERE vec_id != query_id
+  ) WHERE rn <= 100
+)""",
+    ]
+    s9_sql = (
+        "WITH "
+        + ",\n".join(r_parts)
+        + f"""
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM (
+    SELECT rcand.query_id, rcand.vec_id,
+           {cos('e.embedding', 'qq.query_vec')} AS cosine
+    FROM rcand
+    JOIN embeddings e ON e.vec_id = rcand.vec_id
+    JOIN q qq ON qq.query_id = rcand.query_id
+  ) WHERE cosine IS NOT NULL
+) WHERE rank <= 10
+"""
+    )
+    # One tagged union mirroring q["s1_knn"]: all six kNN paths share
     # the (query_id, vec_id, score, rank) shape — score is cosine for
-    # brute/srp/ivf/pq_rerank and approximate squared L2 for the
+    # brute/srp/ivf/pq_rerank/ivfpq and approximate squared L2 for the
     # ADC-pure PQ path.
     s1_bodies = [
         ("brute", s1_sql, "cosine"),
@@ -4638,6 +4777,7 @@ SELECT query_id, vec_id, cosine, rank FROM (
         ("ivf16", s6_sql, "cosine"),
         ("pq8x16", s7_sql, "adc_dist"),
         ("pq_rerank", s8_sql, "cosine"),
+        ("ivfpq", s9_sql, "cosine"),
     ]
     # recall_* rows mirror similarity.recall_at_k_per_query: per-query
     # |method top-10 ∩ brute top-10| / |brute top-10|, rounded 6.

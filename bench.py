@@ -74,7 +74,7 @@ HEADLINE = [
 # branch here).
 BRANCHES: dict[str, list[str]] = {
     "q5_filtered_window_range": ["filtered_range", "window_all", "hopping"],
-    "s1_knn": ["brute", "srp16", "ivf16", "pq8x16", "pq_rerank"],
+    "s1_knn": ["brute", "srp16", "ivf16", "pq8x16", "pq_rerank", "ivfpq"],
     "s4_embedding_near_duplicates": ["self", "decon", "semgroup"],
     "x13_decontamination": ["exact", "bloom", "fuzzy"],
     "p2_packing_chunking": ["pack", "chunk"],
