@@ -206,6 +206,17 @@ def plan_compaction(
     file), so a per-partition window sort is tiny next to the data it
     reorganizes; output adds ``bin_col`` plus ``bin_seq`` (position
     within the bin) and keeps every manifest column.
+
+    Determinism contract: bin assignment is only stable across runs and
+    engines if the ordering is a TOTAL order — i.e. it ends in a unique
+    key.  Pass ``order_by`` ending in the manifest's unique file
+    identifier (e.g. the file path).  The default ordering tie-breaks
+    on every remaining orderable manifest column, which is total in
+    practice because real manifests carry a unique path column — but if
+    rows collide under that combination, which files share a bin
+    becomes engine/run-dependent (bin SIZES stay within the guarantee
+    either way).  Unorderable column types (maps) are skipped from the
+    default tie-break rather than failing analysis.
     """
     from pyspark.sql import Window
 
@@ -213,7 +224,10 @@ def plan_compaction(
     if order_by:
         ordering = [F.col(c) for c in order_by]
     else:
-        tiebreak = [c for c in manifest.columns if c != size_col and c not in parts]
+        orderable = {
+            c: t for c, t in manifest.dtypes if not t.startswith("map<")
+        }
+        tiebreak = [c for c in orderable if c != size_col and c not in parts]
         ordering = [F.col(size_col).desc(), *[F.col(c) for c in tiebreak]]
     w = Window.partitionBy(*parts).orderBy(*ordering)
     excl = F.coalesce(

@@ -103,7 +103,6 @@ def merge_partials(
     than silently mis-merging.
     """
     group = [F.col(k) for k in keys]
-    out_cols: list[F.Column] = []
     if grain is not None:
         group.append(F.date_trunc(grain, F.col(bucket_col)).alias(bucket_col))
     aggs = []
@@ -120,7 +119,7 @@ def merge_partials(
                 f"(one of {sorted(_MERGE_BY_SUFFIX)}, or '_n')"
             )
         aggs.append(_MERGE_BY_SUFFIX[suffix](name).alias(name))
-    return partials.groupBy(*group, *out_cols).agg(*aggs)
+    return partials.groupBy(*group).agg(*aggs)
 
 
 def finalize(

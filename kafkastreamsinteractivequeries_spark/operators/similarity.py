@@ -1625,6 +1625,35 @@ def _residuals(
     )
 
 
+def ivfpq_codes(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, list_id, sub_id, code): the IVF-PQ residual code table —
+    each vector's nearest-list assignment plus the PQ code of its
+    residual in every subspace (n × m skinny rows).
+
+    This is the IVF-PQ analogue of ``pq_codes``: the landing job a real
+    deployment runs ONCE at ingest (and incrementally for new rows —
+    each row encodes independently of every other), so query jobs like
+    ``knn_ivfpq`` probe a pre-landed table instead of re-encoding the
+    corpus per query.  Scale shape: one corpus scan for the residual
+    (broadcast centroids, min-of-struct argmin), one more projection
+    for the per-subspace argmin against the broadcast codebook — no
+    corpus shuffle, no join wider than the broadcast index tables.
+    """
+    res = _residuals(embeddings, centroids, vec_col, id_col)
+    subs = _subvectors(res, m, dim, "residual", id_col, carry=("list_id",))
+    return _nearest_sub_centroid(
+        subs, codebook, id_col, carry_group=("list_id",)
+    ).select(id_col, "list_id", "sub_id", "code")
+
+
 def knn_ivfpq(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1640,6 +1669,7 @@ def knn_ivfpq(
     query_vec_col: str = "query_vec",
     exclude_self: bool = True,
     rerank: int | None = None,
+    code_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k over the IVF-PQ index: per query, probe the
     ``nprobe`` nearest lists; within each probed list, ADC against the
@@ -1656,14 +1686,17 @@ def knn_ivfpq(
     corpus stream matches nothing and never reaches the aggregate.
     ``rerank=R`` re-scores each query's top-R survivors with exact
     cosine like ``knn_pq_adc`` — the production config.
+
+    ``code_rows``: a pre-landed ``ivfpq_codes`` table.  When given, the
+    per-query encode scan is skipped entirely — the deployment shape,
+    where codes land once at ingest and every query only pays the
+    probing join + rerank.  When None, codes are derived inline (same
+    values; ``ivfpq_codes`` IS the inline lineage).
     """
-    res = _residuals(embeddings, centroids, vec_col, id_col)
-    # inline encode with list_id as a grouping passenger: no
-    # corpus-corpus join back, no codes-array assemble/re-explode
-    subs = _subvectors(res, m, dim, "residual", id_col, carry=("list_id",))
-    code_rows = _nearest_sub_centroid(
-        subs, codebook, id_col, carry_group=("list_id",)
-    ).select(id_col, "list_id", "sub_id", "code")
+    if code_rows is None:
+        code_rows = ivfpq_codes(
+            embeddings, centroids, codebook, m, dim, vec_col, id_col
+        )
 
     # per (query, probed list): rank lists by query↔centroid cosine
     qn = queries.select(

@@ -1124,6 +1124,97 @@ def bpe_segment(
     )
 
 
+def bpe_segment_arrow(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The PRODUCTION BPE encoder: same output as ``bpe_segment`` —
+    (id, bpe_tokens_learned, n_bpe_tokens) — but the merge list ships
+    once into an Arrow-batched ``mapInPandas`` tokenizer instead of
+    unrolling into an expression chain, so it handles real 30k-merge
+    vocabularies where the expression form hits Catalyst's expression-
+    depth/codegen limits (it grows one fold per merge).
+
+    Semantics are pinned to the expression path
+    (``test_bpe_segment_arrow_matches_expression_path``): merges apply
+    in TRAINING ORDER, each as one greedy left-to-right pass — not the
+    min-rank re-scan loop some encoders use, which can re-fire an
+    earlier merge that a later one makes adjacent.
+
+    Scale shape: map-only (zero shuffle, zero join); the merge list is
+    closure-captured once per executor, not per row.  Per batch, two
+    built-in fast paths keep 30k merges tractable: a per-batch
+    distinct-word cache (natural language re-uses words heavily), and
+    a substring pre-filter — a merge (l, r) can only apply to a word if
+    ``l+r`` occurs contiguously in ``word + '</w>'`` (every symbol is a
+    contiguous slice of that string), so inapplicable merges cost one
+    C-level ``in`` check instead of a symbol pass.
+    """
+    import re
+
+    merge_seq = [(left, right, left + right) for left, right in merges]
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, bpe_tokens_learned array<string>, "
+        "n_bpe_tokens int"
+    )
+    # normalized_text replica: Java regex \s is ASCII-only, unlike
+    # Python's unicode-aware str.split()
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                # Spark's split(w, '') yields [''] for the empty word
+                syms = (list(w) if w else [""]) + ["</w>"]
+                full = w + "</w>"
+                for left, right, lr in merge_seq:
+                    if len(syms) < 2:
+                        break
+                    if lr not in full:
+                        continue
+                    out: list[str] = []
+                    for x in syms:
+                        if out and out[-1] == left and x == right:
+                            out[-1] = lr
+                        else:
+                            out.append(x)
+                    syms = out
+                cache[w] = got = syms
+            return got
+
+        for pdf in batches:
+            ids, toks, ns = [], [], []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                ids.append(rid)
+                if txt is None or (isinstance(txt, float) and txt != txt):
+                    toks.append(None)
+                    ns.append(None)
+                    continue
+                norm = ws.sub(" ", str(txt).lower()).strip(" \t\n\x0b\f\r")
+                segs: list[str] = []
+                for w in norm.split(" "):
+                    segs.extend(encode_word(w))
+                toks.append(segs)
+                ns.append(len(segs))
+            yield pd.DataFrame(
+                {id_col: ids, "bpe_tokens_learned": toks, "n_bpe_tokens": ns}
+            )
+
+    return (
+        spread(docs)
+        .select(id_col, text_col)
+        .mapInPandas(encode_batches, schema)
+    )
+
+
 def gram_histogram(
     corpus: DataFrame,
     num_buckets: int = 4096,
@@ -1386,9 +1477,14 @@ def blocklist_gate(
     substring/obfuscation matching is a different operator by design
     (this replicates C4's word-boundary semantics).
     """
-    barr = F.lit(list(blocked))
     toks = tokens_col(F.col(text_col))
-    nb = F.size(F.filter(toks, lambda t: F.array_contains(barr, t)))
+    if blocked:
+        barr = F.lit([str(b) for b in blocked])
+        nb = F.size(F.filter(toks, lambda t: F.array_contains(barr, t)))
+    else:
+        # F.lit([]) is array<void>, which fails analysis inside
+        # array_contains — an empty blocklist blocks nothing.
+        nb = F.lit(0)
     n = F.size(toks)
     null_text = F.col(text_col).isNull()
     return docs.select(

@@ -349,3 +349,18 @@ def test_compaction_is_one_window_shuffle(spark, sf_dir):
     # both windows hash-partition on lang → one exchange reused
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compaction_default_tiebreak_skips_unorderable_columns(spark):
+    """A map-typed manifest column (e.g. per-file stats) must not enter
+    the default tie-break ordering — maps are unorderable and would
+    fail analysis; the plan falls back to the remaining columns."""
+    from kafkastreamsinteractivequeries_spark.operators.layout import plan_compaction
+
+    rows = [(f"f{i}", int(s), {"rows": i}) for i, s in enumerate([40, 30, 20, 10])]
+    m = spark.createDataFrame(rows, "path string, size long, stats map<string,int>")
+    planned = plan_compaction(m, "size", 60).collect()
+    assert len(planned) == 4
+    # explicit total order via the unique path column is honored too
+    explicit = plan_compaction(m, "size", 60, order_by=["size", "path"]).collect()
+    assert {r["path"] for r in explicit} == {r["path"] for r in planned}

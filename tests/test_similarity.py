@@ -930,3 +930,60 @@ def test_residuals_reconstruct_vectors(spark, sf_dir):
         .collect()[0][0]
     )
     assert back < 1e-5, back
+
+
+def test_ivfpq_prelanded_codes_match_inline_encode(spark, sf_dir):
+    """knn_ivfpq(code_rows=ivfpq_codes(...)) — the deployment shape
+    where the code table lands once at ingest — must return exactly
+    the per-query inline-encode results."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        ivfpq_codes,
+        ivfpq_train,
+        knn_ivfpq,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cent, book = ivfpq_train(emb, n_lists=8, m=8, k=16, iterations=1)
+    codes = ivfpq_codes(emb, cent, book).localCheckpoint(eager=False)
+    inline = knn_ivfpq(emb, qdf, cent, book, k=5, nprobe=2, rerank=20)
+    landed = knn_ivfpq(
+        emb, qdf, cent, book, k=5, nprobe=2, rerank=20, code_rows=codes
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, landed.collect())
+    )
+    # the landed code table is n x m skinny rows, one per (vector, sub)
+    n = emb.count()
+    assert codes.count() == n * 8
+
+
+def test_knn_union_cached_index_matches_fresh_training(spark, sf_dir):
+    """The s1 train-once cache contract: loading quantizers saved by
+    ensure_knn_indexes returns bit-identical kNN results to an in-key
+    retrain (training is deterministic; parquet round-trips floats
+    exactly).  This is what lets the bench time the serving path while
+    the oracle keeps replaying the full training trajectory."""
+    import __spark_entry__ as entry_mod
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        ivfpq_train,
+        pq_train,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table, spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
+    fresh = {"pq_book": pq_train(emb, m=8, k=16, iterations=2)}
+    cent_t, book_r = ivfpq_train(emb, n_lists=16, m=8, k=16, iterations=2)
+    fresh["ivfpq_centroids"], fresh["ivfpq_book"] = cent_t, book_r
+    from_fresh = entry_mod.knn_union(spark, sf_dir, index=fresh)
+    from_cache = entry_mod.knn_union(spark, sf_dir)  # trains-if-absent, loads
+    assert sorted(map(tuple, from_fresh.collect())) == sorted(
+        map(tuple, from_cache.collect())
+    )

@@ -795,3 +795,9 @@ def test_blocklist_gate_word_boundary_and_null_semantics(spark):
         blocklist_gate(docs, ["dup"])._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+    # empty blocklist blocks nothing (F.lit([]) is array<void> and used
+    # to fail analysis inside array_contains) — every non-null doc passes
+    empty = {r["doc_id"]: r for r in blocklist_gate(docs, []).collect()}
+    assert all(empty[i]["passed"] == 1 for i in (1, 2, 3, 5))
+    assert empty[4]["passed"] == 0  # null text still fails explicitly
+    assert all(r["n_blocked"] == 0 for r in empty.values())
