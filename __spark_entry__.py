@@ -1464,7 +1464,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NULL for non-audio rows like the manifest's own typed fields) as
     # the SAME shared Column expressions — one key verifies header
     # parse AND the audio derivation, still a single map-only scan.
-    q["m1_asset_manifest"] = lambda s, d: M.asset_manifest_full(_assets(s, d))
+    # The 'jpeg_*' rows add the REAL-format path real corpora are
+    # dominated by: structurally-real JPEG byte streams (variable-
+    # length COM segment forces an actual marker walk) parsed by the
+    # JVM-side bounded segment fold in jpeg_dimensions — media type
+    # (baseline/progressive), dims, and component count all come from
+    # the PARSE, the oracle replays the generation formulas + md5 of
+    # the replayed bytes, so the hash proves parse(generate(id)) ==
+    # formulas(id) byte-for-byte across engines.
+    def _m1(s: SparkSession, d: str) -> DataFrame:
+        base = M.asset_manifest_full(_assets(s, d))
+        jm = M.jpeg_manifest(M.jpeg_assets_from_documents(_docs(s, d)))
+        nul = F.lit(None)
+        jpeg = jm.select(
+            "asset_id",
+            "media_type",
+            "magic",
+            "byte_len",
+            nul.cast("int").alias("body_bytes"),
+            "width",
+            "height",
+            nul.cast("bigint").alias("sample_rate"),
+            F.col("n_components").alias("n_channels"),
+            nul.cast("bigint").alias("duration_ms"),
+            "checksum",
+            nul.cast("bigint").alias("n_samples"),
+            nul.cast("bigint").alias("pcm_duration_ms"),
+        )
+        return base.unionByName(jpeg)
+
+    q["m1_asset_manifest"] = _m1
     # m2 appends the JVM-side resize plan (m5) to the Python feature
     # extraction output — pure row map on width/height, no extra scan.
     q["m2_image_features"] = lambda s, d: M.with_resize_plan(
@@ -3099,6 +3128,48 @@ WITH f AS (
                        * 1000 / f1) AS BIGINT)
        END AS pcm_duration_ms
 FROM a
+UNION ALL
+-- jpeg rows: replay the deterministic JPEG byte stream (SOI, APP0,
+-- variable-length COM, DQT, SOF0/SOF2, SOS, scan, EOI) and the dim
+-- formulas; the md5-over-hex checksum proves Spark's marker-walk
+-- parsed the SAME bytes this replay constructs
+SELECT asset_id,
+       CASE WHEN prog = 1 THEN 'jpeg_progressive'
+            ELSE 'jpeg_baseline' END AS media_type,
+       'JFIF' AS magic,
+       CAST(octet_length(payload) AS INTEGER) AS byte_len,
+       CAST(NULL AS INTEGER) AS body_bytes,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(NULL AS BIGINT) AS sample_rate,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(NULL AS BIGINT) AS duration_ms,
+       md5(hex(payload)) AS checksum,
+       CAST(NULL AS BIGINT) AS n_samples,
+       CAST(NULL AS BIGINT) AS pcm_duration_ms
+FROM (
+  SELECT *,
+    unhex('FFD8FFE000104A46494600010100000100010000')
+    || unhex('FFFE') || unhex(lpad(to_hex(comlen + 2), 4, '0'))
+    || unhex(repeat('20', comlen))
+    || unhex('FFDB0043' || '00' || repeat('10', 64))
+    || unhex(CASE WHEN prog = 1 THEN 'FFC2' ELSE 'FFC0' END)
+    || unhex('001108')
+    || unhex(lpad(to_hex(h), 4, '0')) || unhex(lpad(to_hex(w), 4, '0'))
+    || unhex('03012200021101031101')
+    || unhex('FFDA000C03010002110311003F00')
+    || unhex(repeat('25', scanlen))
+    || unhex('FFD9') AS payload
+  FROM (
+    SELECT doc_id AS asset_id,
+           16 + (doc_id * 5) % 2000 AS w,
+           16 + (doc_id * 11) % 1500 AS h,
+           doc_id % 9 AS comlen,
+           doc_id % 2 AS prog,
+           1 + doc_id % 7 AS scanlen
+    FROM documents
+  )
+)
 """
     )
     # m2 = Python feature extraction ⊕ the JVM resize plan (m5's

@@ -88,15 +88,17 @@ BRANCHES: dict[str, list[str]] = {
 
 
 def wait_for_quiet_host(max_wait_sec: float) -> dict:
-    """Refuse to measure on a loaded host: a start loadavg above
-    cores/2 inflated BENCH_r05 (x13 committed 6.2 s vs 2.47 s quiet-host
-    min).  Poll until the 1-min loadavg drops below cores/2 or the wait
-    budget runs out; either way record what happened in the artifact so
-    round-over-round deltas are attributable without BENCH_NOTES
-    forensics.
+    """Refuse to measure on a loaded host: a start loadavg above the
+    threshold inflated BENCH_r05 (x13 committed 6.2 s vs 2.47 s quiet-
+    host min), and r6's cores/2 threshold still admitted ~30% inflation
+    (started at loadavg 8.99/32; x13 7.10 s vs 2.47 s quiet min) — now
+    cores/4 per the r6 verdict.  Poll until the 1-min loadavg drops
+    below the threshold or the wait budget runs out; either way record
+    what happened in the artifact so round-over-round deltas are
+    attributable without BENCH_NOTES forensics.
     """
     cpus = os.cpu_count() or 1
-    threshold = cpus / 2
+    threshold = cpus / 4
     initial = os.getloadavg()[0]
     waited = 0.0
     load = initial

@@ -257,6 +257,175 @@ def asset_manifest_full(assets: DataFrame, bytes_per_sample: int = 2) -> DataFra
     )
 
 
+# --------------------------------------------------------------------------
+# JPEG: real-corpus image dims without a decoder.  Real multimodal
+# corpora are dominated by JPEG; its SOF0 (baseline) / SOF2
+# (progressive) frame headers carry height/width a few bytes into the
+# file, reachable by walking marker segments — the same JVM-side
+# substring technique as the synthetic-header manifest, no UDF, no
+# image library.
+# --------------------------------------------------------------------------
+
+# Frame markers that carry dimensions: SOF0-SOF15 minus DHT (C4),
+# JPG (C8), DAC (CC), per ITU T.81 Table B.1.
+_JPEG_SOF_MARKERS = [
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+]
+
+
+def _u16be(col: F.Column) -> F.Column:
+    """uint16 → 2-byte big-endian binary (JVM-side)."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), 4, "0"))
+
+
+def jpeg_assets_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, payload): one structurally-real JPEG byte stream per
+    document, built JVM-side (concat of unhex'd marker segments — no
+    Python).  Deterministic from the id so the oracle can replay the
+    exact bytes: SOI ‖ APP0/JFIF ‖ COM of VARIABLE length (id % 9 body
+    bytes — forces the parser to actually walk segments, not seek a
+    fixed offset) ‖ DQT ‖ SOF0 (even ids) or SOF2 (odd ids) carrying
+    height = 16 + 11·id mod 1500 and width = 16 + 5·id mod 2000,
+    3 components ‖ SOS ‖ 1 + id % 7 scan bytes ‖ EOI."""
+    did = F.col(id_col)
+    w = (F.lit(16) + (did * 5) % 2000).cast("bigint")
+    h = (F.lit(16) + (did * 11) % 1500).cast("bigint")
+    com_body = (did % 9).cast("bigint")
+    scan_len = (F.lit(1) + did % 7).cast("int")
+    sof_marker = F.when(did % 2 == 0, F.lit("FFC0")).otherwise(F.lit("FFC2"))
+    payload = F.concat(
+        F.unhex(F.lit("FFD8")),  # SOI
+        F.unhex(F.lit("FFE000104A46494600010100000100010000")),  # APP0 JFIF
+        F.unhex(F.lit("FFFE")),  # COM, variable length
+        _u16be(com_body + 2),
+        F.unhex(F.repeat(F.lit("20"), com_body.cast("int"))),
+        F.unhex(F.lit("FFDB0043" + "00" + "10" * 64)),  # DQT (luma table)
+        F.unhex(sof_marker),  # SOF0 / SOF2 frame header
+        F.unhex(F.lit("001108")),  # length 17, precision 8
+        _u16be(h),
+        _u16be(w),
+        F.unhex(F.lit("03012200021101031101")),  # 3 components
+        F.unhex(F.lit("FFDA000C03010002110311003F00")),  # SOS
+        F.unhex(F.repeat(F.lit("25"), scan_len)),  # scan data (no FF)
+        F.unhex(F.lit("FFD9")),  # EOI
+    )
+    return docs.select(did.alias("asset_id"), payload.alias("payload"))
+
+
+def jpeg_dimensions(payload: F.Column, max_segments: int = 12) -> F.Column:
+    """struct(width, height, sof_marker, n_components) parsed from a
+    JPEG payload by walking its marker segments JVM-side — a fold over
+    a bounded segment budget, entirely Column expressions (substring /
+    hex / conv), zero Python.
+
+    The walk starts after SOI, reads each segment's marker + u16
+    length, and stops at the first SOF frame header (any of the 13
+    dimension-carrying SOFn markers), where height/width/components
+    sit at fixed offsets.  Returns all-NULL when the payload is not a
+    JPEG, is truncated mid-segment, hits a standalone/scan marker
+    before any SOF, or needs more than ``max_segments`` — corrupt
+    blobs degrade to nulls, never fail the job (the adversarial-input
+    convention).  Real-world files carry well under 10 segments before
+    SOF; raise ``max_segments`` for exotic writers — cost is linear,
+    map-only, and the fold short-circuits once dims are found.
+    """
+
+    def u16(pos: F.Column) -> F.Column:
+        raw = F.hex(F.substring(payload, pos.cast("int"), 2))
+        return F.when(
+            F.length(raw) == 4, F.conv(raw, 16, 10).cast("bigint")
+        )
+
+    def u8(pos: F.Column) -> F.Column:
+        raw = F.hex(F.substring(payload, pos.cast("int"), 1))
+        return F.when(
+            F.length(raw) == 2, F.conv(raw, 16, 10).cast("bigint")
+        )
+
+    def mkstate(pos, h, w, sof, ncomp):
+        return F.struct(
+            pos.cast("bigint").alias("pos"),
+            h.cast("bigint").alias("h"),
+            w.cast("bigint").alias("w"),
+            sof.cast("string").alias("sof"),
+            ncomp.cast("bigint").alias("ncomp"),
+        )
+
+    nul = F.lit(None)
+
+    def step(acc: F.Column, _elem: F.Column) -> F.Column:
+        pos = acc["pos"]
+        done = acc["h"].isNotNull() | (pos < 0)
+        mhex = F.hex(F.substring(payload, pos.cast("int"), 2))
+        mk = F.conv(F.substring(mhex, 3, 2), 16, 10).cast("bigint")
+        valid = (F.length(mhex) == 4) & (F.substring(mhex, 1, 2) == "FF")
+        seglen = u16(pos + 2)
+        is_sof = valid & mk.isin(*_JPEG_SOF_MARKERS)
+        # standalone markers (SOI/EOI/RSTn/TEM) carry no length; SOS
+        # (DA) starts entropy-coded data — dims must precede it
+        standalone = mk.isin(0xD8, 0xD9, 0x01) | ((mk >= 0xD0) & (mk <= 0xD7))
+        walkable = (
+            valid
+            & ~is_sof
+            & ~standalone
+            & (mk != 0xDA)
+            & seglen.isNotNull()
+            & (seglen >= 2)
+        )
+        return (
+            F.when(done, acc)
+            .when(
+                is_sof,
+                mkstate(pos, u16(pos + 5), u16(pos + 7), mhex, u8(pos + 9)),
+            )
+            .when(
+                walkable,
+                mkstate(pos + 2 + seglen, nul, nul, nul, nul),
+            )
+            .otherwise(mkstate(F.lit(-1), nul, nul, nul, nul))
+        )
+
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_segments)),
+        mkstate(F.lit(3), nul, nul, nul, nul),
+        step,
+    )
+    is_jpeg = F.hex(F.substring(payload, 1, 2)) == "FFD8"
+    return F.struct(
+        F.when(is_jpeg, state["w"]).alias("width"),
+        F.when(is_jpeg, state["h"]).alias("height"),
+        F.when(is_jpeg, state["sof"]).alias("sof_marker"),
+        F.when(is_jpeg, state["ncomp"]).alias("n_components"),
+    )
+
+
+def jpeg_manifest(assets: DataFrame) -> DataFrame:
+    """Manifest rows for JPEG payloads: media type derived from the
+    PARSED frame marker (baseline vs progressive), magic from the APP0
+    identifier bytes, dims/components from the SOF walk — one map-only
+    projection, like ``asset_manifest``."""
+    dims = jpeg_dimensions(F.col("payload"))
+    magic = F.when(
+        F.hex(F.substring("payload", 7, 4)) == "4A464946",
+        F.decode(F.substring("payload", 7, 4), "utf-8"),
+    )
+    media_type = (
+        F.when(dims["sof_marker"] == "FFC0", F.lit("jpeg_baseline"))
+        .when(dims["sof_marker"] == "FFC2", F.lit("jpeg_progressive"))
+        .otherwise(F.lit("jpeg_unknown"))
+    )
+    return assets.select(
+        "asset_id",
+        media_type.alias("media_type"),
+        magic.alias("magic"),
+        F.length("payload").alias("byte_len"),
+        dims["width"].alias("width"),
+        dims["height"].alias("height"),
+        dims["n_components"].alias("n_components"),
+        F.md5(F.hex("payload")).alias("checksum"),
+    )
+
+
 def decode_image(payload: bytes):
     """Real image decode.
 

@@ -6,6 +6,7 @@ sampling, resize planning, and the real-codec stub gate.
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafkastreamsinteractivequeries_spark.operators.multimodal import (
     HEADER_BYTES,
@@ -166,3 +167,82 @@ def test_corrupt_blobs_degrade_to_nulls_never_crash(spark):
     feats = {r.asset_id: r for r in image_features(assets).collect()}
     assert feats[0].width is None and feats[1].checksum is None
     assert feats[4].width == 64 and feats[4].aspect_ratio == 2.0
+
+
+# ---------------------------------------------------------------------------
+# JPEG marker-walk dimension parser
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_dimensions_parse_generated_assets(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        jpeg_assets_from_documents,
+        jpeg_manifest,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    man = jpeg_manifest(jpeg_assets_from_documents(docs))
+    bad = man.filter(
+        (F.col("width") != 16 + (F.col("asset_id") * 5) % 2000)
+        | (F.col("height") != 16 + (F.col("asset_id") * 11) % 1500)
+        | (F.col("n_components") != 3)
+        | (F.col("magic") != "JFIF")
+        | (
+            F.col("media_type")
+            != F.when(F.col("asset_id") % 2 == 0, "jpeg_baseline").otherwise(
+                "jpeg_progressive"
+            )
+        )
+    ).count()
+    assert bad == 0
+    # map-only: the parse is a Column fold inside the scan stage
+    plan = man._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_jpeg_dimensions_degrade_to_null_on_corrupt_payloads(spark):
+    """Corrupt / non-JPEG / truncated / marker-less payloads must yield
+    NULL dims, never a job failure (adversarial-input convention)."""
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        jpeg_dimensions,
+    )
+
+    good = (
+        "FFD8"
+        "FFE000104A46494600010100000100010000"
+        "FFC0001108" + "0040" + "0030" + "03012200021101031101" + "FFD9"
+    )
+    cases = [
+        (1, good),  # control: parses 0x30 x 0x40
+        (2, None),  # null payload
+        (3, ""),  # empty
+        (4, "DEADBEEF"),  # not a JPEG
+        (5, "FFD8"),  # SOI only
+        (6, "FFD8FFE000"),  # truncated inside segment length
+        (7, "FFD8FFE000104A46494600010100000100010000FFD9"),  # no SOF
+        (8, "FFD8FFDA000C03010002110311003F00FFC0001108004000300301"),  # SOS first
+        (9, "FFD8" + "FFFE0004AAAA" * 20 + good[4:]),  # > max_segments
+    ]
+    df = spark.createDataFrame(cases, "id int, hexpayload string").select(
+        "id", F.unhex("hexpayload").alias("payload")
+    )
+    out = {
+        r["id"]: r
+        for r in df.select("id", jpeg_dimensions(F.col("payload")).alias("d"))
+        .select("id", "d.width", "d.height", "d.sof_marker")
+        .collect()
+    }
+    # SOF layout: length, precision, HEIGHT u16, WIDTH u16
+    assert out[1]["width"] == 0x30 and out[1]["height"] == 0x40
+    assert out[1]["sof_marker"] == "FFC0"
+    for i in (2, 3, 4, 5, 6, 7, 8, 9):
+        assert out[i]["width"] is None and out[i]["height"] is None, i
+    # a deeper budget rescues the many-segment file
+    deep = (
+        df.filter(F.col("id") == 9)
+        .select(jpeg_dimensions(F.col("payload"), max_segments=32).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert deep["width"] == 0x30 and deep["height"] == 0x40
