@@ -1246,16 +1246,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             normalized_text,
         )
 
-        seg = T.bpe_segment(
-            docs.filter(normalized_text(F.col("text")) != ""), merges
-        ).select(
+        nonempty = docs.filter(normalized_text(F.col("text")) != "")
+        seg = T.bpe_segment(nonempty, merges).select(
             F.lit("segment").alias("variant"),
             F.concat_ws(" ", "bpe_tokens_learned").alias("term"),
             F.col("n_bpe_tokens").cast("long").alias("n"),
             F.col("doc_id").cast("long").alias("rank"),
             F.lit(-1.0).alias("share"),
         )
-        return vocab.unionByName(bpe).unionByName(seg)
+        # 'segmenta' — the PRODUCTION Arrow encoder (bpe_segment_arrow,
+        # mapInPandas): same learned merges, hash-verified against the
+        # same oracle replay as 'segment', proving the 30k-merge-class
+        # encode path is value-identical to the expression form at the
+        # verified trajectory scale.
+        sega = T.bpe_segment_arrow(nonempty, merges).select(
+            F.lit("segmenta").alias("variant"),
+            F.concat_ws(" ", "bpe_tokens_learned").alias("term"),
+            F.col("n_bpe_tokens").cast("long").alias("n"),
+            F.col("doc_id").cast("long").alias("rank"),
+            F.lit(-1.0).alias("share"),
+        )
+        return vocab.unionByName(bpe).unionByName(seg).unionByName(sega)
 
     q["x11_vocab_bpe"] = _x11
 
@@ -4046,7 +4057,7 @@ UNION ALL
         + bpe_traj_union
         + f"""
 UNION ALL
-SELECT 'segment', array_to_string(bpe, ' '), CAST(len(bpe) AS BIGINT),
+SELECT seg_variant, array_to_string(bpe, ' '), CAST(len(bpe) AS BIGINT),
        CAST(doc_id AS BIGINT), -1.0
 FROM (
   SELECT doc_id, flatten(list(ws ORDER BY pos)) AS bpe
@@ -4056,7 +4067,11 @@ FROM (
     JOIN w{bpe_rounds} wf ON wf.w = toks[g.i]
     WHERE t.norm != ''
   ) GROUP BY doc_id
-)"""
+)
+-- 'segment' = expression path, 'segmenta' = the Arrow mapInPandas
+-- production encoder; identical values by contract, so one replay
+-- serves both variants
+CROSS JOIN (VALUES ('segment'), ('segmenta')) AS sv(seg_variant)"""
     )
     # x10 — mergeable-sketch union (kmv ⊕ hll ⊕ cms): every branch is
     # deterministic integer arithmetic over the same 32-bit ring hash,

@@ -328,16 +328,25 @@ def jpeg_dimensions(payload: F.Column, max_segments: int = 12) -> F.Column:
     convention).  Real-world files carry well under 10 segments before
     SOF; raise ``max_segments`` for exotic writers — cost is linear,
     map-only, and the fold short-circuits once dims are found.
+
+    Implementation note: every read is ``hex(substring(payload, …))``
+    on the BINARY directly — measured 1.8× faster than pre-hexing the
+    payload and substring-ing the hex string (HOF lambdas evaluate
+    interpreted; slicing a few bytes then hexing them beats copying
+    slices out of a 2×-length string; A/B in BENCH_NOTES round 7).
     """
 
+    def hx(pos: F.Column, nbytes: int) -> F.Column:
+        return F.hex(F.substring(payload, pos.cast("int"), nbytes))
+
     def u16(pos: F.Column) -> F.Column:
-        raw = F.hex(F.substring(payload, pos.cast("int"), 2))
+        raw = hx(pos, 2)
         return F.when(
             F.length(raw) == 4, F.conv(raw, 16, 10).cast("bigint")
         )
 
     def u8(pos: F.Column) -> F.Column:
-        raw = F.hex(F.substring(payload, pos.cast("int"), 1))
+        raw = hx(pos, 1)
         return F.when(
             F.length(raw) == 2, F.conv(raw, 16, 10).cast("bigint")
         )
@@ -356,7 +365,7 @@ def jpeg_dimensions(payload: F.Column, max_segments: int = 12) -> F.Column:
     def step(acc: F.Column, _elem: F.Column) -> F.Column:
         pos = acc["pos"]
         done = acc["h"].isNotNull() | (pos < 0)
-        mhex = F.hex(F.substring(payload, pos.cast("int"), 2))
+        mhex = hx(pos, 2)
         mk = F.conv(F.substring(mhex, 3, 2), 16, 10).cast("bigint")
         valid = (F.length(mhex) == 4) & (F.substring(mhex, 1, 2) == "FF")
         seglen = u16(pos + 2)
@@ -390,7 +399,7 @@ def jpeg_dimensions(payload: F.Column, max_segments: int = 12) -> F.Column:
         mkstate(F.lit(3), nul, nul, nul, nul),
         step,
     )
-    is_jpeg = F.hex(F.substring(payload, 1, 2)) == "FFD8"
+    is_jpeg = hx(F.lit(1), 2) == "FFD8"
     return F.struct(
         F.when(is_jpeg, state["w"]).alias("width"),
         F.when(is_jpeg, state["h"]).alias("height"),
@@ -402,11 +411,13 @@ def jpeg_dimensions(payload: F.Column, max_segments: int = 12) -> F.Column:
 def jpeg_manifest(assets: DataFrame) -> DataFrame:
     """Manifest rows for JPEG payloads: media type derived from the
     PARSED frame marker (baseline vs progressive), magic from the APP0
-    identifier bytes, dims/components from the SOF walk — one map-only
-    projection, like ``asset_manifest``."""
+    identifier bytes, dims/components from the SOF walk — two chained
+    map-only projections (the first binds the hex encoding once per
+    row; both pipeline in one stage, like ``asset_manifest``)."""
+    hexed = assets.select("asset_id", "payload", F.hex("payload").alias("_hx"))
     dims = jpeg_dimensions(F.col("payload"))
     magic = F.when(
-        F.hex(F.substring("payload", 7, 4)) == "4A464946",
+        F.substring("_hx", 13, 8) == "4A464946",
         F.decode(F.substring("payload", 7, 4), "utf-8"),
     )
     media_type = (
@@ -414,7 +425,7 @@ def jpeg_manifest(assets: DataFrame) -> DataFrame:
         .when(dims["sof_marker"] == "FFC2", F.lit("jpeg_progressive"))
         .otherwise(F.lit("jpeg_unknown"))
     )
-    return assets.select(
+    return hexed.select(
         "asset_id",
         media_type.alias("media_type"),
         magic.alias("magic"),
@@ -422,7 +433,7 @@ def jpeg_manifest(assets: DataFrame) -> DataFrame:
         dims["width"].alias("width"),
         dims["height"].alias("height"),
         dims["n_components"].alias("n_components"),
-        F.md5(F.hex("payload")).alias("checksum"),
+        F.md5("_hx").alias("checksum"),
     )
 
 

@@ -63,6 +63,10 @@ UNION_KEYS = {
     "x7_bigram_logprob": "variant",
     "t5_stock_aggregation": "variant",
     "e3_layout_keys": "variant",
+    # media_type doubles as the union tag: the synthetic header rows
+    # (image/audio/video) plus the parsed-JPEG rows (jpeg_baseline /
+    # jpeg_progressive)
+    "m1_asset_manifest": "media_type",
 }
 
 
