@@ -81,7 +81,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Bump when the s1 quantizer hyperparameters or the training algorithms
 # change — stale cached indexes would otherwise serve old geometry.
-_KNN_INDEX_CACHE_VERSION = "v1-pq8x16i2-ivfpq16x8x16i2"
+_KNN_INDEX_CACHE_VERSION = "v2-pq8x16i2-ivfpq16x8x16i2-codes"
 
 
 def _knn_index_root(d: str) -> str:
@@ -94,20 +94,26 @@ def _knn_index_root(d: str) -> str:
 
 
 def ensure_knn_indexes(s: SparkSession, d: str) -> dict[str, DataFrame]:
-    """Train-once / serve-many for the s1 quantizers: the raw-vector PQ
-    codebook and the IVF-PQ (coarse centroids, residual codebook).
+    """Train-once / serve-many for the s1 quantizers AND the at-ingest
+    code landings: the raw-vector PQ codebook, the IVF-PQ (coarse
+    centroids, residual codebook), plus the landed ``pq_codes`` /
+    ``ivfpq_codes`` tables the serving joins probe.
 
-    Training is fully deterministic (seed vectors = lowest ids, means
-    rounded to a fixed grid), so a cache hit returns bit-identical
-    tables to an in-key retrain — pinned by
+    Training and encoding are fully deterministic (seed vectors =
+    lowest ids, means rounded to a fixed grid, argmin tie-breaks
+    pinned), so a cache hit returns bit-identical tables to an in-key
+    retrain+re-encode — pinned by
     ``test_knn_union_cached_index_matches_fresh_training``.  On a real
-    cluster this is a separate training job + ``save_index``; here the
-    first invocation per sf_dir pays the 4 Lloyd iterations and every
+    cluster training is a separate job + ``save_index`` and codes land
+    at ingest (``encode_all``-style); here the first invocation per
+    sf_dir pays the 4 Lloyd iterations + two encode scans, and every
     later one (the driver's timed bench reps, each pytest session)
-    broadcast-loads three KB-sized parquet tables — the serving-path
-    cost the bench is meant to measure.  The oracle still replays the
-    full training trajectory in SQL, so the driver hash check verifies
-    cached == retrained every round.
+    loads the quantizers (KBs, broadcast) and the code tables (n×m
+    skinny rows, the store a 100 TB deployment reads instead of raw
+    vectors) — the serving-path cost the bench is meant to measure.
+    The oracle still replays the full training trajectory AND the
+    encode in SQL, so the driver hash check verifies cached ==
+    retrained every round.
     """
     from kafkastreamsinteractivequeries_spark.operators import similarity as S
 
@@ -120,18 +126,34 @@ def ensure_knn_indexes(s: SparkSession, d: str) -> dict[str, DataFrame]:
         S.save_index(book, os.path.join(stage, "pq_book"))
         S.save_index(cent_t, os.path.join(stage, "ivfpq_centroids"))
         S.save_index(book_r, os.path.join(stage, "ivfpq_book"))
+        S.save_index(S.pq_codes(emb, book), os.path.join(stage, "pq_codes"))
+        S.save_index(
+            S.ivfpq_codes(emb, cent_t, book_r), os.path.join(stage, "ivfpq_codes")
+        )
         with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
             fh.write(_KNN_INDEX_CACHE_VERSION + "\n")
         try:
             os.rename(stage, root)  # atomic publish
         except OSError:
             root = stage  # another builder won the race; ours is equal
+
+    def _codes(name: str, cols: tuple[str, ...]) -> DataFrame:
+        df = s.read.parquet(os.path.join(root, name))
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"bad landed code table {name}: missing {missing}")
+        return df
+
     return {
         "pq_book": S.load_pq_codebook(s, os.path.join(root, "pq_book")),
         "ivfpq_centroids": S.load_ivf_centroids(
             s, os.path.join(root, "ivfpq_centroids")
         ),
         "ivfpq_book": S.load_pq_codebook(s, os.path.join(root, "ivfpq_book")),
+        "pq_codes": _codes("pq_codes", ("vec_id", "codes")),
+        "ivfpq_codes": _codes(
+            "ivfpq_codes", ("vec_id", "list_id", "sub_id", "code")
+        ),
     }
 
 
@@ -177,20 +199,33 @@ def knn_union(
     srp = tag(S.knn_srp(emb, qdf, k=10, num_planes=16, chunks=4), "srp16", "cosine")
     ivf = tag(S.knn_ivf(emb, qdf, k=10, n_lists=16, nprobe=4), "ivf16", "cosine")
     book = index["pq_book"]
-    pq = tag(S.knn_pq_adc(emb, qdf, book, k=10, m=8), "pq8x16", "adc_dist")
+    pq_landed = index.get("pq_codes")
+    pq = tag(
+        S.knn_pq_adc(emb, qdf, book, k=10, m=8, code_rows=pq_landed),
+        "pq8x16",
+        "adc_dist",
+    )
     # the PRODUCTION PQ config: ADC candidate generation (top-40)
     # + exact cosine re-scoring of the survivors — the recall-0.97+
     # path recommended for serving, driver-verified alongside the
     # ADC-pure candidate generator.
     pqr = tag(
-        S.knn_pq_adc(emb, qdf, book, k=10, m=8, rerank=40), "pq_rerank", "cosine"
+        S.knn_pq_adc(emb, qdf, book, k=10, m=8, rerank=40, code_rows=pq_landed),
+        "pq_rerank",
+        "cosine",
     )
     # the COMPOSED production index (Jégou IVF-PQ): trained coarse
     # quantizer + PQ codebook on residuals, nprobe=8/16 list pruning
     # inside the (list, sub, code) hash join, exact rerank of 100.
+    # Codes come PRE-LANDED from the cache (the at-ingest landing job a
+    # deployment runs once) — the serving joins probe the skinny code
+    # store; raw vectors are touched only by the bounded rerank slice.
     cent_t, book_r = index["ivfpq_centroids"], index["ivfpq_book"]
     ivfpq = tag(
-        S.knn_ivfpq(emb, qdf, cent_t, book_r, k=10, nprobe=8, m=8, rerank=100),
+        S.knn_ivfpq(
+            emb, qdf, cent_t, book_r, k=10, nprobe=8, m=8, rerank=100,
+            code_rows=index.get("ivfpq_codes"),
+        ),
         "ivfpq",
         "cosine",
     )
@@ -1397,6 +1432,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         (did * 7 % 256).cast("string"),
                     ),
                 ).otherwise(F.lit("")),
+                # card-SHAPED salt whose last-4 digits vary by id: only
+                # the ~10% whose Luhn checksum passes may count as PII
+                # and be redacted — the detector's validity decision is
+                # itself hash-verified (near-misses must survive
+                # untouched)
+                F.when(
+                    did % 7 < 2,
+                    F.concat(
+                        F.lit(" card 4111-1111-1111-"),
+                        F.lpad((did * 31 % 10000).cast("string"), 4, "0"),
+                    ),
+                ).otherwise(F.lit("")),
             ).alias("text"),
         )
         return T.pii_stats(salted).select(
@@ -1404,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_email",
             "n_phone",
             "n_ipv4",
+            "n_card",
             "redacted_len",
             F.md5("redacted_text").alias("redacted_md5"),
             "clean",
@@ -1485,24 +1533,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # formulas(id) byte-for-byte across engines.
     def _m1(s: SparkSession, d: str) -> DataFrame:
         base = M.asset_manifest_full(_assets(s, d))
-        jm = M.jpeg_manifest(M.jpeg_assets_from_documents(_docs(s, d)))
-        nul = F.lit(None)
-        jpeg = jm.select(
-            "asset_id",
-            "media_type",
-            "magic",
-            "byte_len",
-            nul.cast("int").alias("body_bytes"),
-            "width",
-            "height",
-            nul.cast("bigint").alias("sample_rate"),
-            F.col("n_components").alias("n_channels"),
-            nul.cast("bigint").alias("duration_ms"),
-            "checksum",
-            nul.cast("bigint").alias("n_samples"),
-            nul.cast("bigint").alias("pcm_duration_ms"),
+        docs = _docs(s, d)
+        jm = M.jpeg_manifest(M.jpeg_assets_from_documents(docs))
+        # gif87a/gif89a ⊕ bmp/bmp_topdown: the LITTLE-endian formats —
+        # dims parsed with the byte-swap substring technique, top-down
+        # BMPs (negative stored height) normalized to (abs, flag), all
+        # of it visible in media_type so the hash verifies the parse.
+        gb = M.gif_bmp_manifest(
+            M.gif_assets_from_documents(docs), M.bmp_assets_from_documents(docs)
         )
-        return base.unionByName(jpeg)
+        nul = F.lit(None)
+
+        def as_m1(df: DataFrame) -> DataFrame:
+            return df.select(
+                "asset_id",
+                "media_type",
+                "magic",
+                "byte_len",
+                nul.cast("int").alias("body_bytes"),
+                "width",
+                "height",
+                nul.cast("bigint").alias("sample_rate"),
+                F.col("n_components").alias("n_channels"),
+                nul.cast("bigint").alias("duration_ms"),
+                "checksum",
+                nul.cast("bigint").alias("n_samples"),
+                nul.cast("bigint").alias("pcm_duration_ms"),
+            )
+
+        return base.unionByName(as_m1(jm)).unionByName(as_m1(gb))
 
     q["m1_asset_manifest"] = _m1
     # m2 appends the JVM-side resize plan (m5) to the Python feature
@@ -3120,9 +3179,22 @@ WITH f AS (
     # m1 carries m4's audio-derived fields (n_samples /
     # pcm_duration_ms, NULL for non-audio rows) mirroring the Spark
     # manifest ⟕ audio_features join.
+
+    # little-endian byte-swap renderers for the gif/bmp oracle replays
+    def _le16sql(x: str) -> str:
+        h = f"lpad(to_hex({x}), 4, '0')"
+        return f"unhex(substr({h},3,2) || substr({h},1,2))"
+
+    def _le32sql(x: str) -> str:
+        h = f"lpad(to_hex({x}), 8, '0')"
+        return (
+            f"unhex(substr({h},7,2) || substr({h},5,2)"
+            f" || substr({h},3,2) || substr({h},1,2))"
+        )
+
     o["m1_asset_manifest"] = (
         a_cte
-        + """SELECT asset_id, media_type, magic,
+        + f"""SELECT asset_id, media_type, magic,
        CAST(octet_length(payload) AS INTEGER) AS byte_len,
        CAST(octet_length(payload) - 12 AS INTEGER) AS body_bytes,
        CASE WHEN media_type != 'audio' THEN f1 END AS width,
@@ -3179,6 +3251,53 @@ FROM (
            doc_id % 2 AS prog,
            1 + doc_id % 7 AS scanlen
     FROM documents
+  )
+)
+UNION ALL
+-- gif rows (even doc ids): LITTLE-endian u16 dims in the logical
+-- screen descriptor, version split 87a/89a by id
+SELECT asset_id, lower(version), version,
+       CAST(octet_length(payload) AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(w AS BIGINT), CAST(h AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       md5(hex(payload)), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  SELECT *, encode(version)
+    || {_le16sql('w')} || {_le16sql('h')}
+    || unhex('700000') || unhex('3B') AS payload
+  FROM (
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'GIF87a' ELSE 'GIF89a' END AS version,
+           16 + (doc_id * 3) % 60000 AS w,
+           16 + (doc_id * 13) % 50000 AS h
+    FROM documents WHERE doc_id % 2 = 0
+  )
+)
+UNION ALL
+-- bmp rows (odd doc ids): SIGNED little-endian i32 dims; ids = 1 mod 4
+-- store a negative (top-down) height, reported as (abs, bmp_topdown)
+SELECT asset_id,
+       CASE WHEN topdown THEN 'bmp_topdown' ELSE 'bmp' END, 'BM',
+       CAST(octet_length(payload) AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(w AS BIGINT), CAST(habs AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(3 AS BIGINT), CAST(NULL AS BIGINT),
+       md5(hex(payload)), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  SELECT *, encode('BM')
+    || {_le32sql('54 + npx')} || unhex('00000000') || {_le32sql('54')}
+    || {_le32sql('40')} || {_le32sql('w')} || {_le32sql('h2c')}
+    || {_le16sql('1')} || {_le16sql('24')}
+    || unhex(repeat('00', 24)) || unhex(repeat('A5', npx)) AS payload
+  FROM (
+    SELECT doc_id AS asset_id,
+           16 + (doc_id * 3) % 30000 AS w,
+           16 + (doc_id * 7) % 20000 AS habs,
+           doc_id % 4 = 1 AS topdown,
+           CASE WHEN doc_id % 4 = 1
+                THEN 4294967296 - (16 + (doc_id * 7) % 20000)
+                ELSE 16 + (doc_id * 7) % 20000 END AS h2c,
+           1 + doc_id % 5 AS npx
+    FROM documents WHERE doc_id % 2 = 1
   )
 )
 """
@@ -4308,29 +4427,55 @@ WITH salted AS (
               THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
                    || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
                    || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 < 2
+              THEN ' card 4111-1111-1111-'
+                   || lpad(CAST(doc_id * 31 % 10000 AS VARCHAR), 4, '0')
               ELSE '' END AS text
   FROM documents
+), vc AS (
+  -- Luhn-validated card candidates (ISO 7812): double every second
+  -- digit from the right, fold 2-digit products, sum mod 10 = 0
+  SELECT doc_id, list_filter(regexp_extract_all(text, 'CARD_PAT'),
+    c -> list_sum(list_transform(
+           generate_series(1, length(CSTRIP)),
+           i -> CASE WHEN (length(CSTRIP) - i) % 2 = 1
+                     THEN CASE WHEN (ascii(substr(CSTRIP, i, 1)) - 48) * 2 > 9
+                               THEN (ascii(substr(CSTRIP, i, 1)) - 48) * 2 - 9
+                               ELSE (ascii(substr(CSTRIP, i, 1)) - 48) * 2 END
+                     ELSE ascii(substr(CSTRIP, i, 1)) - 48 END)) % 10 = 0
+  ) AS cards
+  FROM salted
 ), red AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, 'EMAIL_PAT')) AS INTEGER) AS n_email,
          CAST(len(regexp_extract_all(text, 'PHONE_PAT')) AS INTEGER) AS n_phone,
          CAST(len(regexp_extract_all(text, 'IP_PAT')) AS INTEGER) AS n_ipv4,
-         regexp_replace(regexp_replace(regexp_replace(text,
-             'EMAIL_PAT', '<EMAIL>', 'g'),
-             'PHONE_PAT', '<PHONE>', 'g'),
-             'IP_PAT', '<IP>', 'g') AS rt
-  FROM salted
+         CAST(len(cards) AS INTEGER) AS n_card,
+         list_reduce(
+           list_prepend(
+             regexp_replace(regexp_replace(regexp_replace(text,
+                 'EMAIL_PAT', '<EMAIL>', 'g'),
+                 'PHONE_PAT', '<PHONE>', 'g'),
+                 'IP_PAT', '<IP>', 'g'),
+             cards),
+           (acc, c) -> replace(acc, c, '<CARD>')) AS rt
+  FROM salted JOIN vc USING (doc_id)
 )
-SELECT doc_id, n_email, n_phone, n_ipv4,
+SELECT doc_id, n_email, n_phone, n_ipv4, n_card,
        CAST(length(rt) AS INTEGER) AS redacted_len,
        md5(rt) AS redacted_md5,
-       (n_email + n_phone + n_ipv4) = 0 AS clean
+       (n_email + n_phone + n_ipv4 + n_card) = 0 AS clean
 FROM red
 """
+    from kafkastreamsinteractivequeries_spark.operators.text import CARD_PATTERN
+
     o["x12_pii_redaction"] = (
-        x12.replace("EMAIL_PAT", pats["email"])
+        x12.replace("CSTRIP", "replace(replace(c, '-', ''), ' ', '')")
+        .replace("EMAIL_PAT", pats["email"])
         .replace("PHONE_PAT", pats["phone"])
         .replace("IP_PAT", pats["ipv4"])
+        .replace("CARD_PAT", CARD_PATTERN)
     )
     # x13 — decontamination union: exact broadcast-gram collisions
     # ('exact') ⊕ the Bloom-bitset replay ('bloom').  Bit positions:

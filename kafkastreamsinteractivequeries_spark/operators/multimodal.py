@@ -408,6 +408,170 @@ def jpeg_dimensions(payload: F.Column, max_segments: int = 12) -> F.Column:
     )
 
 
+# --------------------------------------------------------------------------
+# GIF / BMP: the little-endian corner of the real-format manifest.
+# JPEG/PNG headers are big-endian; GIF's logical screen descriptor and
+# BMP's BITMAPINFOHEADER store dims least-significant-byte FIRST, so
+# the JVM-side parse is the same substring/hex/conv technique plus a
+# byte swap — still zero UDF, zero decode.
+# --------------------------------------------------------------------------
+
+
+def _u16le_bytes(col: F.Column) -> F.Column:
+    """uint16 → 2-byte LITTLE-endian binary (JVM-side byte swap)."""
+    h = F.lpad(F.hex(col.cast("bigint")), 4, "0")
+    return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+
+def _u32le_bytes(col: F.Column) -> F.Column:
+    """uint32 (pass negatives two's-complemented) → 4-byte LE binary."""
+    h = F.lpad(F.hex(col.cast("bigint")), 8, "0")
+    return F.unhex(
+        F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+    )
+
+
+def _le16(payload: F.Column, pos: int) -> F.Column:
+    """uint16 read little-endian at 1-based byte offset ``pos``."""
+    b1 = F.hex(F.substring(payload, pos, 1))
+    b2 = F.hex(F.substring(payload, pos + 1, 1))
+    return F.when(
+        (F.length(b1) == 2) & (F.length(b2) == 2),
+        F.conv(F.concat(b2, b1), 16, 10).cast("bigint"),
+    )
+
+
+def _le32_signed(payload: F.Column, pos: int) -> F.Column:
+    """int32 read little-endian (two's complement) at offset ``pos``."""
+    parts = [F.hex(F.substring(payload, pos + i, 1)) for i in range(4)]
+    ok = parts[3].isNotNull() & (F.length(parts[3]) == 2)
+    raw = F.conv(F.concat(*reversed(parts)), 16, 10).cast("bigint")
+    return F.when(
+        ok, F.when(raw >= 2**31, raw - F.lit(2**32)).otherwise(raw)
+    )
+
+
+def gif_assets_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, payload): a minimal real GIF stream per EVEN-id doc —
+    'GIF87a' (id % 4 == 0) or 'GIF89a' signature, logical screen
+    descriptor with LITTLE-endian u16 dims, no color table, trailer.
+    Deterministic from the id for oracle byte replay."""
+    did = F.col(id_col)
+    w = (F.lit(16) + (did * 3) % 60000).cast("bigint")
+    h = (F.lit(16) + (did * 13) % 50000).cast("bigint")
+    version = F.when(did % 4 == 0, F.lit("GIF87a")).otherwise(F.lit("GIF89a"))
+    payload = F.concat(
+        F.encode(version, "utf-8"),
+        _u16le_bytes(w),
+        _u16le_bytes(h),
+        F.unhex(F.lit("700000")),  # flags (no GCT), bg index, aspect
+        F.unhex(F.lit("3B")),  # trailer
+    )
+    return docs.filter(did % 2 == 0).select(
+        did.alias("asset_id"), payload.alias("payload")
+    )
+
+
+def bmp_assets_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, payload): a minimal real BMP per ODD-id doc — 'BM'
+    file header + 40-byte BITMAPINFOHEADER with SIGNED little-endian
+    dims (ids ≡ 1 mod 4 get a NEGATIVE height: the top-down layout real
+    decoders must handle), 24 bpp, a few pixel bytes."""
+    did = F.col(id_col)
+    w = (F.lit(16) + (did * 3) % 30000).cast("bigint")
+    habs = (F.lit(16) + (did * 7) % 20000).cast("bigint")
+    top_down = did % 4 == 1
+    h2c = F.when(top_down, F.lit(2**32) - habs).otherwise(habs)
+    n_px = (F.lit(1) + did % 5).cast("int")
+    filesize = (F.lit(54) + n_px).cast("bigint")
+    payload = F.concat(
+        F.encode(F.lit("BM"), "utf-8"),
+        _u32le_bytes(filesize),
+        F.unhex(F.lit("00000000")),  # reserved
+        _u32le_bytes(F.lit(54)),  # pixel data offset
+        _u32le_bytes(F.lit(40)),  # BITMAPINFOHEADER size
+        _u32le_bytes(w),
+        _u32le_bytes(h2c),
+        _u16le_bytes(F.lit(1)),  # planes
+        _u16le_bytes(F.lit(24)),  # bits per pixel
+        F.unhex(F.lit("00" * 24)),  # compression..clrImportant
+        F.unhex(F.repeat(F.lit("A5"), n_px)),  # pixel bytes
+    )
+    return docs.filter(did % 2 == 1).select(
+        did.alias("asset_id"), payload.alias("payload")
+    )
+
+
+def gif_dimensions(payload: F.Column) -> F.Column:
+    """struct(width, height, version) from a GIF logical screen
+    descriptor — fixed offsets, little-endian u16s, pure codegen
+    expressions (no fold needed: GIF dims always sit at bytes 7-10).
+    Non-GIF / truncated payloads yield nulls."""
+    sig = F.hex(F.substring(payload, 1, 6))
+    is_gif = sig.isin("474946383761", "474946383961")  # GIF87a / GIF89a
+    return F.struct(
+        F.when(is_gif, _le16(payload, 7)).alias("width"),
+        F.when(is_gif, _le16(payload, 9)).alias("height"),
+        F.when(is_gif, F.decode(F.substring(payload, 1, 6), "utf-8")).alias(
+            "version"
+        ),
+    )
+
+
+def bmp_dimensions(payload: F.Column) -> F.Column:
+    """struct(width, height, top_down, bits_per_pixel) from a BMP
+    BITMAPINFOHEADER — signed little-endian i32 dims at fixed offsets;
+    a negative stored height means top-down row order and is reported
+    as (abs(height), top_down=true), which is what a pixel pipeline
+    needs.  Non-BMP / truncated payloads yield nulls."""
+    is_bmp = (F.hex(F.substring(payload, 1, 2)) == "424D") & (
+        F.length(payload) >= 30
+    )
+    w = _le32_signed(payload, 19)
+    h = _le32_signed(payload, 23)
+    return F.struct(
+        F.when(is_bmp, w).alias("width"),
+        F.when(is_bmp, F.abs(h)).alias("height"),
+        F.when(is_bmp, h < 0).alias("top_down"),
+        F.when(is_bmp, _le16(payload, 29)).alias("bits_per_pixel"),
+    )
+
+
+def gif_bmp_manifest(gif_assets: DataFrame, bmp_assets: DataFrame) -> DataFrame:
+    """Manifest rows for the little-endian formats, shaped like
+    ``jpeg_manifest``: media type / version from the PARSE (gif87a ⊕
+    gif89a ⊕ bmp ⊕ bmp_topdown), channels from bpp, checksum over the
+    bytes — map-only on each side of the union."""
+    gd = gif_dimensions(F.col("payload"))
+    gif = gif_assets.select(
+        "asset_id",
+        F.lower(gd["version"]).alias("media_type"),
+        gd["version"].alias("magic"),
+        F.length("payload").alias("byte_len"),
+        gd["width"].alias("width"),
+        gd["height"].alias("height"),
+        F.lit(None).cast("bigint").alias("n_components"),
+        F.md5(F.hex("payload")).alias("checksum"),
+    )
+    bd = bmp_dimensions(F.col("payload"))
+    bmp = bmp_assets.select(
+        "asset_id",
+        F.when(bd["top_down"], F.lit("bmp_topdown"))
+        .otherwise(F.lit("bmp"))
+        .alias("media_type"),
+        F.decode(F.substring("payload", 1, 2), "utf-8").alias("magic"),
+        F.length("payload").alias("byte_len"),
+        bd["width"].alias("width"),
+        bd["height"].alias("height"),
+        (bd["bits_per_pixel"] / 8).cast("bigint").alias("n_components"),
+        F.md5(F.hex("payload")).alias("checksum"),
+    )
+    return gif.unionByName(bmp)
+
+
 def jpeg_manifest(assets: DataFrame) -> DataFrame:
     """Manifest rows for JPEG payloads: media type derived from the
     PARSED frame marker (baseline vs progressive), magic from the APP0

@@ -267,7 +267,12 @@ def knn_srp(
     (num_planes/chunks) growing with the corpus via ``srp_planes_for``.
 
     ``exclude_self``: as in ``knn_bruteforce`` — disable for
-    out-of-corpus queries whose ids may collide with corpus ids."""
+    out-of-corpus queries whose ids may collide with corpus ids.
+
+    ``code_rows``: a pre-landed ``pq_codes`` table (id, codes) — the
+    deployment shape where codes land once at ingest (``encode_all``);
+    when given, the per-query encode scan is skipped.  When None, codes
+    derive inline (same values)."""
     corpus_codes = srp_codes(embeddings, num_planes, dim, vec_col, id_col)
     corpus_buckets = srp_band_buckets(corpus_codes, chunks, id_col)
     qcodes = srp_codes(
@@ -1152,6 +1157,7 @@ def knn_pq_adc(
     query_vec_col: str = "query_vec",
     exclude_self: bool = True,
     rerank: int | None = None,
+    code_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC):
     per-query lookup tables of subvector→centroid distances, summed over
@@ -1187,7 +1193,9 @@ def knn_pq_adc(
             F.round(_l2sq(F.col("qsub"), F.col("cvec")), 9).alias("_d"),
         )
     )
-    code_rows = pq_codes(embeddings, codebook, m, dim, vec_col, id_col).select(
+    if code_rows is None:
+        code_rows = pq_codes(embeddings, codebook, m, dim, vec_col, id_col)
+    code_rows = code_rows.select(
         id_col, F.posexplode("codes").alias("sub_id", "code")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))

@@ -606,15 +606,69 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+# Candidate card-number shapes: 4 groups of 4 digits with optional
+# space/dash separators (the 16-digit families — Visa/MC/Discover).
+# RE2-compatible like PII_PATTERNS.  A regex ALONE over-matches (any
+# 16-digit number); candidates must pass the Luhn checksum to count as
+# PII — see ``luhn_valid_col``.
+CARD_PATTERN = r"[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}"
+
+
+def luhn_valid_col(digits: F.Column) -> F.Column:
+    """Luhn checksum (ISO/IEC 7812) over a digits-only string, as pure
+    Column arithmetic: from the RIGHT, double every second digit,
+    subtract 9 from two-digit products, valid iff the sum ≡ 0 mod 10.
+    This is what separates a real card-shaped number from 16 random
+    digits — the validator a PII scrubber needs so it neither leaks
+    real numbers nor shreds benign ids.  Zero shuffle, zero Python."""
+    n = F.length(digits)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0).cast("int"),
+        lambda acc, i: acc
+        + F.when(
+            (n - i) % 2 == 1,  # position from right is even → double
+            F.when(
+                (F.ascii(F.substring(digits, i.cast("int"), 1)) - 48) * 2 > 9,
+                (F.ascii(F.substring(digits, i.cast("int"), 1)) - 48) * 2 - 9,
+            ).otherwise(
+                (F.ascii(F.substring(digits, i.cast("int"), 1)) - 48) * 2
+            ),
+        ).otherwise(F.ascii(F.substring(digits, i.cast("int"), 1)) - 48),
+    )
+    return digits.rlike("^[0-9]{13,19}$") & (total % 10 == 0)
+
+
+def valid_cards_col(text_col: str = "text") -> F.Column:
+    """array<string> of Luhn-VALID card candidates in the text, in
+    match order: regexp_extract_all finds the shapes, the Luhn fold
+    keeps only real checksums."""
+    cands = F.regexp_extract_all(F.col(text_col), F.lit(CARD_PATTERN), 0)
+    strip = lambda c: F.replace(F.replace(c, F.lit("-")), F.lit(" "))  # noqa: E731
+    return F.filter(cands, lambda c: luhn_valid_col(strip(c)))
+
+
 def redacted_text_col(text_col: str = "text") -> F.Column:
     """The ``PII_PATTERNS`` replacement chain as one Column — the
     SINGLE definition of redaction order, shared by ``pii_stats`` and
     the batch/streaming curation pipelines (a pattern added here
-    propagates everywhere; the x12 oracle pins the order)."""
+    propagates everywhere; the x12 oracle pins the order).  Card
+    numbers are handled separately (``redact_cards_col``) because a
+    pure regexp replace cannot express the Luhn validity condition."""
     red = F.col(text_col)
     for _, pat, rep in PII_PATTERNS:
         red = F.regexp_replace(red, pat, rep)
     return red
+
+
+def redact_cards_col(red: F.Column, cards: F.Column) -> F.Column:
+    """Replace each Luhn-valid candidate (literal match, all
+    occurrences) with ``<CARD>`` — a fold over the validated list, so
+    only numbers that PASSED the checksum are scrubbed; near-misses
+    (wrong check digit) are left intact by design."""
+    return F.aggregate(
+        cards, red, lambda acc, c: F.replace(acc, c, F.lit("<CARD>"))
+    )
 
 
 def pii_stats(
@@ -625,12 +679,17 @@ def pii_stats(
     tokens (``<EMAIL>``/``<PHONE>``/``<IP>``), the standard scrub
     before large-scale training-data release.
 
-    Output: (id, n_email, n_phone, n_ipv4, redacted_text,
+    Output: (id, n_email, n_phone, n_ipv4, n_card, redacted_text,
     redacted_len, clean).  Counts are measured on the ORIGINAL text;
-    replacements apply sequentially in ``PII_PATTERNS`` order.
+    replacements apply sequentially in ``PII_PATTERNS`` order, then
+    Luhn-VALID card numbers (``CARD_PATTERN`` candidates passing the
+    checksum) are replaced last — a candidate failing the checksum is
+    neither counted nor redacted (shredding benign 16-digit ids is a
+    recall-destroying over-scrub).
 
-    Scale shape: pure Column regexps — single corpus scan, zero
-    shuffle, whole-stage codegen; no Python anywhere.
+    Scale shape: pure Column regexps + two bounded array folds (Luhn,
+    replace-per-valid-card) — single corpus scan, zero shuffle; no
+    Python anywhere.
     """
     t = F.col(text_col)
     raw_counts = [F.regexp_count(t, F.lit(pat)) for _, pat, _ in PII_PATTERNS]
@@ -638,13 +697,17 @@ def pii_stats(
         c.cast("int").alias(f"n_{name}")
         for (name, _, _), c in zip(PII_PATTERNS, raw_counts)
     ]
-    red = redacted_text_col(text_col)
+    cards = valid_cards_col(text_col)
+    n_card = F.size(cards)
+    red = redact_cards_col(redacted_text_col(text_col), cards)
     total = raw_counts[0]
     for c in raw_counts[1:]:
         total = total + c
+    total = total + n_card
     return spread(docs).select(
         F.col(id_col),
         *counts,
+        n_card.cast("int").alias("n_card"),
         red.alias("redacted_text"),
         F.length(red).cast("int").alias("redacted_len"),
         (total == 0).alias("clean"),

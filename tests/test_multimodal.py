@@ -246,3 +246,86 @@ def test_jpeg_dimensions_degrade_to_null_on_corrupt_payloads(spark):
         .collect()[0]["d"]
     )
     assert deep["width"] == 0x30 and deep["height"] == 0x40
+
+
+def test_gif_bmp_little_endian_dimension_parse(spark, sf_dir):
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        bmp_assets_from_documents,
+        gif_assets_from_documents,
+        gif_bmp_manifest,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    man = gif_bmp_manifest(
+        gif_assets_from_documents(docs), bmp_assets_from_documents(docs)
+    )
+    gif_bad = man.filter(
+        F.col("media_type").startswith("gif")
+        & (
+            (F.col("width") != 16 + (F.col("asset_id") * 3) % 60000)
+            | (F.col("height") != 16 + (F.col("asset_id") * 13) % 50000)
+            | (
+                F.col("media_type")
+                != F.when(F.col("asset_id") % 4 == 0, "gif87a").otherwise("gif89a")
+            )
+        )
+    ).count()
+    assert gif_bad == 0
+    bmp_bad = man.filter(
+        F.col("media_type").startswith("bmp")
+        & (
+            (F.col("width") != 16 + (F.col("asset_id") * 3) % 30000)
+            | (F.col("height") != 16 + (F.col("asset_id") * 7) % 20000)
+            | (F.col("n_components") != 3)
+            | (
+                F.col("media_type")
+                != F.when(F.col("asset_id") % 4 == 1, "bmp_topdown").otherwise("bmp")
+            )
+        )
+    ).count()
+    assert bmp_bad == 0
+    # one row per doc, split by parity; map-only plan on both sides
+    assert man.count() == docs.count()
+    plan = man._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_gif_bmp_parsers_null_on_corrupt(spark):
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        bmp_dimensions,
+        gif_dimensions,
+    )
+
+    rows = [
+        (1, "474946383961" + "1000" + "2000" + "7000003B"),  # GIF89a 16x32 LE
+        (2, "474946"),  # truncated signature
+        (3, "FFD8FFE0"),  # a JPEG, not a GIF/BMP
+        (4, None),
+        (5, "424D"),  # BM magic but truncated header
+    ]
+    df = spark.createDataFrame(rows, "id int, hx string").select(
+        "id", F.unhex("hx").alias("payload")
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            gif_dimensions(F.col("payload")).alias("g"),
+            bmp_dimensions(F.col("payload")).alias("b"),
+        )
+        .select("id", "g.width", "g.height", "b.width", "b.height")
+        .withColumnRenamed("width", "gw")
+        .collect()
+    }
+    g1 = df.filter(F.col("id") == 1).select(
+        gif_dimensions(F.col("payload")).alias("g")
+    ).collect()[0]["g"]
+    assert g1["width"] == 16 and g1["height"] == 32  # little-endian: 0x0010/0x0020
+    assert g1["version"] == "GIF89a"
+    for i in (2, 3, 4, 5):
+        row = df.filter(F.col("id") == i).select(
+            gif_dimensions(F.col("payload")).alias("g"),
+            bmp_dimensions(F.col("payload")).alias("b"),
+        ).collect()[0]
+        assert row["g"]["width"] is None and row["b"]["width"] is None, i

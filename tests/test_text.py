@@ -801,3 +801,32 @@ def test_blocklist_gate_word_boundary_and_null_semantics(spark):
     assert all(empty[i]["passed"] == 1 for i in (1, 2, 3, 5))
     assert empty[4]["passed"] == 0  # null text still fails explicitly
     assert all(r["n_blocked"] == 0 for r in empty.values())
+
+
+def test_luhn_card_detection_and_redaction(spark):
+    """Card PII = shape AND checksum: Luhn-valid candidates count and
+    redact; near-misses (wrong check digit) and benign 16-digit ids
+    survive untouched.  Separator variants normalize before the check."""
+    from kafkastreamsinteractivequeries_spark.operators.text import pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4111-1111-1111-1111 ok"),  # valid (Visa test number)
+            (2, "pay 4111-1111-1111-1112 ok"),  # fails Luhn
+            (3, "a 4111 1111 1111 1111 and 5500 0000 0000 0004"),  # two valid
+            (4, "order 1234567812345678"),  # 16 digits, invalid
+            (5, "mixed 4111-1111 1111-1111 sep"),  # mixed separators, valid
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert out[1]["n_card"] == 1 and "<CARD>" in out[1]["redacted_text"]
+    assert out[1]["clean"] is False
+    assert out[2]["n_card"] == 0 and "4111-1111-1111-1112" in out[2]["redacted_text"]
+    assert out[2]["clean"] is True
+    assert out[3]["n_card"] == 2 and out[3]["redacted_text"].count("<CARD>") == 2
+    assert out[4]["n_card"] == 0 and out[4]["clean"] is True
+    assert out[5]["n_card"] == 1 and "<CARD>" in out[5]["redacted_text"]
+    # map-only plan, no Python
+    plan = pii_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
