@@ -1682,7 +1682,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(-1).cast("long").alias("offset_in_bin"),
             F.col("chunk_text").alias("payload"),
         )
-        return pack.unionByName(chunks)
+        # 'nostraddle' — contamination-free packing (each doc WHOLE in
+        # one bin, next-fit per deterministic shard; see
+        # pack_sequences_no_straddle).  start_token carries the shard
+        # id, bin_id is per-shard, payload flags oversize docs; the
+        # oracle replays next-fit as a recursive CTE over the same
+        # (shard, id-order) scan.  Small seq_len (256) so bins actually
+        # close on this corpus.
+        from kafkastreamsinteractivequeries_spark.operators.curation import (
+            pack_sequences_no_straddle,
+        )
+
+        ns = pack_sequences_no_straddle(docs, seq_len=256, shards=8).select(
+            F.lit("nostraddle").alias("variant"),
+            "doc_id",
+            "n_tokens",
+            F.col("shard").cast("long").alias("start_token"),
+            "bin_id",
+            "offset_in_bin",
+            F.col("oversize").cast("string").alias("payload"),
+        )
+        return pack.unionByName(chunks).unionByName(ns)
 
     q["p2_packing_chunking"] = _p2
 
@@ -3027,6 +3047,38 @@ SELECT 'chunk', doc_id,
        array_to_string(toks[g.c * 48 + 1 : g.c * 48 + 64], ' ')
 FROM t, unnest(generate_series(0,
        GREATEST(1, CAST(CEIL((n - 16) / 48.0) AS BIGINT)) - 1)) AS g(c)
+UNION ALL
+-- nostraddle: next-fit replay — every shard's fill state advances one
+-- row per recursion step (all shards in parallel per iteration)
+SELECT 'nostraddle', doc_id,
+       CAST(n_tokens AS INTEGER),
+       CAST(shard AS BIGINT),
+       bin_id, offset_in_bin,
+       CASE WHEN n_tokens > 256 THEN 'true' ELSE 'false' END
+FROM (
+  WITH RECURSIVE sh AS (
+    SELECT doc_id, n AS n_tokens, CAST(doc_id % 8 AS INTEGER) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+    FROM t
+  ), nf AS (
+    SELECT shard, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT) AS bin_id,
+           CAST(0 AS BIGINT) AS offset_in_bin,
+           CAST(n_tokens AS BIGINT) AS used
+    FROM sh WHERE rn = 1
+    UNION ALL
+    SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+           CASE WHEN nf.used + s.n_tokens > 256
+                THEN nf.bin_id + 1 ELSE nf.bin_id END,
+           CASE WHEN nf.used + s.n_tokens > 256
+                THEN 0 ELSE nf.used END,
+           CASE WHEN nf.used + s.n_tokens > 256
+                THEN CAST(s.n_tokens AS BIGINT)
+                ELSE nf.used + s.n_tokens END
+    FROM nf JOIN sh s ON s.shard = nf.shard AND s.rn = nf.rn + 1
+  )
+  SELECT * FROM nf
+)
 """
     # p3 union: stratified ⊕ hardcoded mixture quotas (int(40·w/Σw):
     # src0=20, src1=12, src2=8 — the Spark side computes them driver-

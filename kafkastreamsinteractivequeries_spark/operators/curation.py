@@ -225,6 +225,77 @@ def pack_sequences(
     )
 
 
+def pack_sequences_no_straddle(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NO-STRADDLE sequence packing: each document lands WHOLE in one
+    bin (next-fit in id order), the contamination-free layout for
+    pre-training where attention must not see a neighbor's tokens
+    across a bin boundary (Krell et al. arXiv:2107.02027 — straddling
+    forces either cross-document attention or mid-document truncation).
+
+    Output: (id, n_tokens, shard, bin_id, offset_in_bin, oversize) —
+    ``bin_id`` is per-shard; a doc longer than ``seq_len`` gets a bin
+    alone with ``oversize = true`` (route those to ``chunk_documents``).
+
+    Scale shape: bin boundaries depend on the running remainder, so the
+    fill is inherently sequential — the distributed form shards docs
+    deterministically (``id % shards``) and runs next-fit PER SHARD in
+    one Arrow batch (state = one integer), exactly the partition-local
+    pattern of ``connected_components_local``.  One shuffle on the
+    shard id; task size bounded by corpus/shards; deterministic and
+    engine-replayable (the oracle replays next-fit as a recursive CTE).
+    Raise ``shards`` with corpus size — packing quality is unaffected
+    because bins never span shards by construction.
+    """
+    from kafkastreamsinteractivequeries_spark.operators.text import tokens_col
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    with_n = docs.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).alias("n_tokens"),
+        (F.col(id_col) % shards).cast("int").alias("shard"),
+    )
+    schema = (
+        f"{id_col} long, n_tokens int, shard int, bin_id long, "
+        "offset_in_bin long, oversize boolean"
+    )
+
+    def pack(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, offs, ovs = [], [], []
+        bin_id, used, first = 0, 0, True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and used + n > seq_len:
+                bin_id += 1
+                used = 0
+            first = False
+            bins.append(bin_id)
+            offs.append(used)
+            ovs.append(n > seq_len)
+            used += n
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "n_tokens": pdf["n_tokens"],
+                "shard": pdf["shard"],
+                "bin_id": bins,
+                "offset_in_bin": offs,
+                "oversize": ovs,
+            }
+        )
+
+    return with_n.groupBy("shard").applyInPandas(pack, schema)
+
+
 def stratified_sample(
     docs: DataFrame,
     stratum_col: str = "source",

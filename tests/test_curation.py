@@ -509,3 +509,78 @@ def test_classifier_weights_stay_on_gradient_grid(spark, sf_dir):
         F.abs(F.col("w") * 1e9 - F.round(F.col("w") * 1e9)) > 1e-3
     ).count()
     assert off_grid == 0
+
+
+def test_pack_sequences_no_straddle_invariants(spark, sf_dir):
+    """No-straddle contract: every doc whole in one bin; every bin's
+    total <= seq_len unless it is a single oversize doc; offsets are
+    the exclusive running sum within the bin; output is deterministic
+    across input partitionings."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        pack_sequences_no_straddle,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    seq_len = 128
+    out = pack_sequences_no_straddle(docs, seq_len=seq_len, shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc placed exactly once
+
+    bins = {}
+    for r in rows:
+        bins.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for (shard, b), members in bins.items():
+        members.sort(key=lambda r: r["doc_id"])
+        total = sum(r["n_tokens"] for r in members)
+        if any(r["oversize"] for r in members):
+            assert len(members) == 1  # oversize docs bin alone
+        else:
+            assert total <= seq_len, (shard, b, total)
+        off = 0
+        for r in members:
+            assert r["offset_in_bin"] == off
+            off += r["n_tokens"]
+
+    # determinism across partitionings
+    again = pack_sequences_no_straddle(
+        docs.repartition(13), seq_len=seq_len, shards=8
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # next-fit never wastes a bin: consecutive bins imply the earlier
+    # one could not hold the next doc (fill is maximal in scan order)
+    for (shard, b), members in bins.items():
+        nxt = bins.get((shard, b + 1))
+        if nxt is None:
+            continue
+        first_next = min(nxt, key=lambda r: r["doc_id"])
+        total = sum(r["n_tokens"] for r in members)
+        assert total + first_next["n_tokens"] > seq_len
+
+
+def test_pack_sequences_no_straddle_oversize_flagged(spark):
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        pack_sequences_no_straddle,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (8, " ".join(["w"] * 50)), (16, "d e")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            pack_sequences_no_straddle(docs, seq_len=10, shards=8).collect()}
+    assert rows[8]["oversize"] is True
+    assert rows[0]["oversize"] is False
+    # 0 and 16 share shard 0; the oversize doc 8 is alone in shard 0? no -
+    # shard = id % 8 -> all three land in shard 0; doc 8 must bin ALONE
+    assert rows[8]["bin_id"] not in (
+        rows[0]["bin_id"],
+    ) or rows[0]["shard"] != rows[8]["shard"]
+    same_bin = [
+        r for r in rows.values()
+        if (r["shard"], r["bin_id"]) == (rows[8]["shard"], rows[8]["bin_id"])
+    ]
+    assert len(same_bin) == 1

@@ -101,6 +101,22 @@ def test_rest_concurrent_queries_across_restart(spark, tmp_path):
         )
         q2.processAllAvailable()
         q2.stop()
+        # prove the outage healed THROUGH the serving API before
+        # releasing the clients — a racing client thread isn't
+        # guaranteed another iteration after the final commit, so the
+        # main thread observes the healed snapshot itself
+        import time as _time
+
+        deadline = _time.time() + 60
+        healed = None
+        probe = app.test_client()
+        while _time.time() < deadline:
+            rows = probe.get("/streams-iq/keyquery/CFLT").get_json()["result"]
+            if rows and int(rows[0]["number_shares"]) == 60:
+                healed = 60
+                break
+            _time.sleep(0.2)
+        assert healed == 60, "serving table never exposed the post-restart commit"
     finally:
         stop.set()
         for t in threads:
@@ -116,8 +132,6 @@ def test_rest_concurrent_queries_across_restart(spark, tmp_path):
         assert res["seen"] == sorted(res["seen"]), (
             f"client {res['idx']} observed a version rollback"
         )
-    # the outage healed: at least one client observed the final commit
-    assert any(res["seen"][-1] == 60 for res in results)
     # untouched key survived every upsert + the restart
     client = app.test_client()
     zelk = client.get("/streams-iq/keyquery/ZELK").get_json()["result"]
