@@ -818,3 +818,26 @@ def test_line_dedup_is_aggregation_not_window(spark, sf_dir):
     )
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+def test_no_straddle_packing_is_one_shard_shuffle(spark, sf_dir):
+    # p2's nostraddle branch: the sequential next-fit fill runs INSIDE
+    # an Arrow group batch — exactly one exchange (the shard
+    # partitioning), no join, no window, and the only Python is the
+    # grouped-map fill itself.
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        pack_sequences_no_straddle,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        pack_sequences_no_straddle(docs, seq_len=256, shards=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
