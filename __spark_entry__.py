@@ -1478,7 +1478,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(s, d)
         train = docs.filter(F.col("doc_id") % 20 != 0)
         evald = docs.filter(F.col("doc_id") % 20 == 0)
-        exact = T.ngram_decontaminate(train, evald, n=3).select(
+        # ONE pinned (id, gram) stream feeds both the exact and the
+        # Bloom pass — the tokenize+3-gram+md5 scan over 95% of the
+        # corpus is each pass's dominant cost and is identical between
+        # them (the x4 shared-occurrence-table pattern).
+        grams = T.decontamination_gram_rows(train, n=3).localCheckpoint(
+            eager=False
+        )
+        exact = T.ngram_decontaminate(train, evald, n=3, train_grams=grams).select(
             F.lit("exact").alias("variant"),
             "doc_id",
             F.lit(-1).cast("long").alias("partner"),
@@ -1487,7 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         words = T.bloom_filter_grams(evald, n=3, num_bits=1 << 20, num_hashes=4)
         bloom = T.ngram_decontaminate_bloom(
-            train, words, n=3, num_bits=1 << 20, num_hashes=4
+            train, words, n=3, num_bits=1 << 20, num_hashes=4, train_grams=grams
         ).select(
             F.lit("bloom").alias("variant"),
             "doc_id",

@@ -719,6 +719,20 @@ def pii_stats(
 # --------------------------------------------------------------------------
 
 
+def decontamination_gram_rows(
+    docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Public handle on the (id, gram-md5) stream both decontamination
+    passes consume: compute it ONCE (and pin it) when running exact and
+    Bloom screening over the same corpus — the tokenize + n-gram + md5
+    scan is the dominant cost of each pass and is identical between
+    them (the x4 shared-occurrence-table lesson)."""
+    return _gram_hash_rows(spread(docs), n, text_col, id_col)
+
+
 def ngram_decontaminate(
     train: DataFrame,
     eval_docs: DataFrame,
@@ -726,6 +740,7 @@ def ngram_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_eval: bool = True,
+    train_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Flag training documents sharing any word ``n``-gram with an
     evaluation/benchmark set — the standard train-set decontamination
@@ -744,13 +759,18 @@ def ngram_decontaminate(
     count per doc and a skinny id-only left join to restore clean docs.
     Set ``broadcast_eval=False`` only if the "eval" side is itself
     corpus-scale (then the join shuffles both sides on the hash).
+    ``train_grams``: a pre-computed ``decontamination_gram_rows``
+    stream — pass the SAME pinned table to this and the Bloom pass so
+    the corpus tokenize+gram scan runs once, not per pass.
     """
 
     eval_grams = _gram_hash_rows(eval_docs, n, text_col, None).distinct()
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
+    if train_grams is None:
+        train_grams = decontamination_gram_rows(train, n, text_col, id_col)
     hits = (
-        _gram_hash_rows(spread(train), n, text_col, id_col)
+        train_grams
         .join(eval_grams, "gram")
         .groupBy(id_col)
         # grams are array_distinct per doc already — count(*) IS the
@@ -883,6 +903,7 @@ def ngram_decontaminate_bloom(
     num_hashes: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    train_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Probabilistic variant of ``ngram_decontaminate`` against a
     ``bloom_filter_grams`` bitset: NO false negatives (every truly
@@ -896,8 +917,10 @@ def ngram_decontaminate_bloom(
     megabyte-sized one, at the cost of a k× position explode on the
     train gram stream (pure map-side arithmetic).
     """
+    if train_grams is None:
+        train_grams = decontamination_gram_rows(train, n, text_col, id_col)
     probes = (
-        _gram_hash_rows(spread(train), n, text_col, id_col)
+        train_grams
         .select(
             F.col(id_col),
             F.col("gram"),
