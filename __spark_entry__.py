@@ -946,12 +946,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.md5("text"),
             ).alias("fp"),
         )
+        # 'cdc' — content-defined chunking + chunk dedup: boundaries
+        # from a rolling 4-token window hash (mod 8), so edits re-chunk
+        # only their neighborhood and unchanged regions keep their
+        # chunk hashes (the rsync/LBFS invariance); every chunk row
+        # carries its corpus-wide occurrence count and keeper flag.
+        cdc = DD.cdc_chunk_dedup(docs, window=4, divisor=8).select(
+            F.lit("cdc").alias("variant"),
+            "doc_id",
+            F.format_string(
+                "%d:%d:%d:%s:%d:%d",
+                "chunk_idx",
+                "chunk_start",
+                "chunk_len",
+                "chunk_hash",
+                "n_occurrences",
+                F.col("is_first").cast("int"),
+            ).alias("fp"),
+        )
         return (
             docmin.unionByName(full)
             .unionByName(spans)
             .unionByName(frac)
             .unionByName(trimmed)
             .unionByName(ld)
+            .unionByName(cdc)
         )
 
     q["x4_winnowing_fingerprint"] = _x4
@@ -4076,6 +4095,38 @@ SELECT 'linededup', t.doc_id,
        printf('%d:%d:%d:%s', t.nl, COALESCE(k.kept, 0),
               t.nl - COALESCE(k.kept, 0), md5(COALESCE(k.rebuilt, ''))) AS fp
 FROM ltot t LEFT JOIN lkept k USING (doc_id)
+UNION ALL
+-- cdc: content-defined chunk boundaries (rolling 4-token window hash,
+-- first 8 md5 hex chars as a 32-bit int, boundary iff = 0 mod 8), then
+-- first-occurrence per chunk hash over (doc_id, chunk_idx) order
+SELECT 'cdc', doc_id,
+       printf('%d:%d:%d:%s:%d:%d', chunk_idx, s, l, h, n_occ,
+              CAST(is_first AS INTEGER)) AS fp
+FROM (
+  SELECT doc_id, chunk_idx, s, l, h,
+         COUNT(*) OVER (PARTITION BY h) AS n_occ,
+         (ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) = 1)
+           AS is_first
+  FROM (
+    SELECT doc_id, g.j - 1 AS chunk_idx,
+           starts[g.j] AS s,
+           ends[g.j] - starts[g.j] + 1 AS l,
+           md5(array_to_string(toks[starts[g.j]:ends[g.j]], ' ')) AS h
+    FROM (
+      SELECT doc_id, toks,
+             list_prepend(1, list_transform(bpos, b -> b + 1)) AS starts,
+             list_append(bpos, len(toks)) AS ends
+      FROM (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) - 1 >= 4 THEN
+                 list_filter(generate_series(4, len(toks) - 1),
+                   i -> CAST(list_sum(list_transform(generate_series(1, 8), j2 -> (strpos('0123456789abcdef', substr(md5(array_to_string(toks[i-3:i], ' ')), j2, 1)) - 1) * (16 ** (8 - j2)))) AS BIGINT) % 8 = 0)
+               ELSE CAST([] AS BIGINT[]) END AS bpos
+        FROM t WHERE norm != ''
+      )
+    ), unnest(generate_series(1, len(starts))) AS g(j)
+  )
+)
 """
     )
     o["x8_repetition_stats"] = (

@@ -82,7 +82,7 @@ BRANCHES: dict[str, list[str]] = {
     "d1_exact_dedup": ["dedup", "groups", "incremental", "ids"],
     "t5_stock_aggregation": ["agg", "daily", "rolled", "hllmerge"],
     "x4_winnowing_fingerprint": [
-        "docmin", "full", "dupspan", "dupfrac", "trimmed", "linededup",
+        "docmin", "full", "dupspan", "dupfrac", "trimmed", "linededup", "cdc",
     ],
 }
 

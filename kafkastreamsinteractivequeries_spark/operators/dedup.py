@@ -1402,3 +1402,109 @@ def line_dedup(
             F.coalesce("text", F.lit("")).alias("text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# --------------------------------------------------------------------------
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    window: int = 4,
+    divisor: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup: split each doc at
+    CONTENT-DERIVED boundaries (a rolling window hash hitting 0 mod
+    ``divisor``), then find every chunk's first corpus-wide occurrence.
+
+    Why content-defined (vs ``chunk_documents``' fixed windows): an
+    insertion near the start of a near-duplicate shifts every fixed
+    chunk boundary, so no downstream hash matches; CDC boundaries
+    depend only on the local ``window`` tokens, so edits re-chunk only
+    their neighborhood and the rest of the doc keeps its chunk hashes —
+    the invariance rsync/LBFS-style dedup is built on (Muthitacharoen
+    et al. SOSP'01), here at token granularity so the oracle can replay
+    it exactly.  Expected chunk length ≈ ``divisor`` tokens (boundary
+    probability 1/divisor per position); no min/max guards by design —
+    the boundary predicate stays a pure expression, and pathological
+    chunk-length tails are visible in the output rather than silently
+    clamped.
+
+    Boundary rule (deterministic, engine-replayable): after token
+    position ``i`` (window ≤ i < n) iff the first 8 hex chars of
+    md5(tokens[i-window+1 .. i] joined) — a 32-bit integer, exact in
+    doubles for the DuckDB replay — ≡ 0 mod ``divisor``.
+
+    Output: one row per chunk — (id, chunk_idx, chunk_start, chunk_len,
+    chunk_hash, n_occurrences, is_first).  ``is_first`` marks the
+    corpus-wide keeper (lowest (id, idx), a min-struct AGGREGATE like
+    ``line_dedup`` — map-side combinable, never a window over a hot
+    hash).  Drop ``is_first = false`` rows to dedupe storage; join
+    survivors back by (id, start, len) to rebuild.
+
+    Scale shape: one tokenize scan; per-doc bounded array work
+    (boundaries → starts/ends → chunk hashes); ONE skinny shuffle of
+    (32-hex hash, id, idx) rows for the first-occurrence aggregate +
+    a shuffle-hash join back — document payloads never shuffle.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    whash = lambda i: F.conv(  # noqa: E731 — 32-bit window hash at pos i
+        F.substring(
+            F.md5(F.array_join(F.slice(toks, i - window + 1, window), " ")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # sequence(a, b) RUNS BACKWARDS when b < a — guard short docs
+    bpos = F.when(
+        n - 1 >= window,
+        F.filter(
+            F.sequence(F.lit(window), n - 1),
+            lambda i: whash(i) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(bpos, lambda b: (b + 1).cast("int"))
+    )
+    ends = F.concat(bpos.cast("array<int>"), F.array(n.cast("int")))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda a, b: F.struct(
+            a.alias("s"),
+            (b - a + 1).alias("l"),
+            F.md5(F.array_join(F.slice(toks, a, b - a + 1), " ")).alias("h"),
+        ),
+    )
+    rows = (
+        spread(docs)
+        .filter(F.col(text_col).isNotNull() & (normalized_text(F.col(text_col)) != ""))
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("_c.s").alias("chunk_start"),
+            F.col("_c.l").alias("chunk_len"),
+            F.col("_c.h").alias("chunk_hash"),
+        )
+    )
+    keepers = rows.groupBy("chunk_hash").agg(
+        F.min(F.struct(id_col, "chunk_idx")).alias("_keep"),
+        F.count("*").alias("n_occurrences"),
+    )
+    return rows.join(keepers.hint("shuffle_hash"), "chunk_hash").select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        "chunk_len",
+        "chunk_hash",
+        "n_occurrences",
+        (
+            (F.col("_keep")[id_col] == F.col(id_col))
+            & (F.col("_keep")["chunk_idx"] == F.col("chunk_idx"))
+        ).alias("is_first"),
+    )

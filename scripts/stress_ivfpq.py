@@ -96,3 +96,31 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def hundred_x() -> None:
+    """100x variant: the pre-landed serving join one decade further out
+    (200k vectors, 1.6M code rows).  Run: python -c "import sys;
+    sys.path.insert(0,'/root/repo'); from scripts.stress_ivfpq import
+    hundred_x; hundred_x()"."""
+    from scripts.stress_100x import build_100x
+
+    spark = get_spark("stress-ivfpq-100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb100x, _ = build_100x(spark)
+    emb1 = spread(load_table(spark, SF_DIR, "embeddings")).localCheckpoint()
+    emb100 = spread(spark.read.parquet(emb100x)).localCheckpoint()
+    print(f"corpus 1x={emb1.count()} rows, 100x={emb100.count()} rows")
+    cent, book = S.ivfpq_train(emb1, n_lists=16, m=8, k=16, iterations=2)
+    cent, book = cent.localCheckpoint(), book.localCheckpoint()
+    q1, q100 = queries_of(emb1), queries_of(emb100)
+    codes1 = S.ivfpq_codes(emb1, cent, book).localCheckpoint()
+    codes100 = S.ivfpq_codes(emb100, cent, book).localCheckpoint()
+    print(f"code rows: 1x={codes1.count()}, 100x={codes100.count()}")
+    timed("warmup", S.knn_ivfpq(emb1, q1, cent, book, k=10, nprobe=8,
+                                rerank=100, code_rows=codes1))
+    p1 = timed("pre-landed 1x", S.knn_ivfpq(emb1, q1, cent, book, k=10,
+                                            nprobe=8, rerank=100, code_rows=codes1))
+    p100 = timed("pre-landed 100x", S.knn_ivfpq(emb100, q100, cent, book, k=10,
+                                                nprobe=8, rerank=100, code_rows=codes100))
+    print(f"pre-landed wall growth at 100x corpus: {p100 / p1:.1f}x")

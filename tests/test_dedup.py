@@ -645,3 +645,62 @@ def test_line_dedup_null_text_degrades_to_zero_lines(spark):
     assert out[2]["text"] == ""
     # the empty-string doc still counts its one (empty) line
     assert out[3]["n_lines"] == 1 and out[3]["kept_lines"] == 1
+
+
+def test_cdc_chunking_survives_prefix_insertion(spark):
+    """The CDC contract: an insertion near the start of a near-duplicate
+    re-chunks only its neighborhood — most chunk hashes survive, where
+    fixed-window chunking would shift every boundary and share none."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        cdc_chunk_dedup,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted words here " + base), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunk_dedup(df, window=4, divisor=8).collect()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    assert len(h1) >= 10  # expected chunk ~8 tokens over 200 tokens
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.8, f"only {shared:.0%} of chunk hashes survived"
+    # null / whitespace-only docs contribute no chunks
+    assert not [r for r in rows if r["doc_id"] in (3, 4)]
+
+    # chunk rows tile each doc exactly: starts/lengths reconstruct 1..n
+    for did in (1, 2):
+        doc_rows = sorted(
+            (r for r in rows if r["doc_id"] == did), key=lambda r: r["chunk_idx"]
+        )
+        pos = 1
+        for r in doc_rows:
+            assert r["chunk_start"] == pos
+            pos += r["chunk_len"]
+        n = len(
+            df.filter(F.col("doc_id") == did).collect()[0]["text"].split()
+        ) + (3 if did == 2 else 0) - (3 if did == 2 else 0)
+        # doc 2 has 3 extra tokens prepended
+        want = 200 + (3 if did == 2 else 0)
+        assert pos - 1 == want
+
+    # first-occurrence bookkeeping: every hash has exactly one keeper
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["chunk_hash"], []).append(r)
+    for h, occ in by_hash.items():
+        assert sum(1 for r in occ if r["is_first"]) == 1
+        assert all(r["n_occurrences"] == len(occ) for r in occ)
+        keeper = min(occ, key=lambda r: (r["doc_id"], r["chunk_idx"]))
+        assert keeper["is_first"]
+
+    # plan: one skinny hash shuffle + shuffle-hash join back; no window,
+    # no python, document payloads never shuffle
+    plan = (
+        cdc_chunk_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "Window" not in plan and "EvalPython" not in plan
