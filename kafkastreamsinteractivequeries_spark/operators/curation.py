@@ -256,9 +256,14 @@ def pack_sequences_no_straddle(
 
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    # NULL text counts as a 0-token doc (it consumes no bin capacity
+    # and never opens a bin) — degrade, never crash the Arrow fill
+    # with a NaN (adversarial-input convention)
     with_n = docs.select(
         F.col(id_col),
-        F.size(tokens_col(F.col(text_col))).alias("n_tokens"),
+        F.greatest(
+            F.coalesce(F.size(tokens_col(F.col(text_col))), F.lit(0)), F.lit(0)
+        ).alias("n_tokens"),
         (F.col(id_col) % shards).cast("int").alias("shard"),
     )
     schema = (

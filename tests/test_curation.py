@@ -584,3 +584,20 @@ def test_pack_sequences_no_straddle_oversize_flagged(spark):
         if (r["shard"], r["bin_id"]) == (rows[8]["shard"], rows[8]["bin_id"])
     ]
     assert len(same_bin) == 1
+
+
+def test_pack_sequences_no_straddle_null_text_degrades(spark):
+    """NULL / empty text must not crash the Arrow fill: null docs pack
+    as 0-token rows (no bin capacity consumed), empty docs as their
+    1-token normalized form — the adversarial-input convention."""
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        pack_sequences_no_straddle,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in
+            pack_sequences_no_straddle(df, seq_len=4, shards=2).collect()}
+    assert len(rows) == 3
+    assert rows[1]["n_tokens"] == 0 and rows[1]["oversize"] is False
