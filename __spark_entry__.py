@@ -1202,6 +1202,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gate = s.createDataFrame(
             gate_rows, "name string, value double, n long, total long"
         ).select(F.lit("gate").alias("variant"), "name", "value", "n", "total")
+        # 'html' — web-corpus boilerplate stripping: docs salted with
+        # deterministic HTML wrappers (script block containing a bare
+        # '<', comment, entities — the hostile-ish cases), stripped by
+        # the strip_html_col chain; name carries doc:md5(clean) so the
+        # hash verifies the CLEANED TEXT byte-for-byte, value the
+        # integer-exact markup ratio in micro-units (double round-6
+        # ratios sit on half-boundaries for power-of-two lengths — the
+        # round-6 determinism rule), n the tag-like span count, total
+        # the cleaned length.
+        hdid = F.col("doc_id")
+        wrapped = docs.select(
+            "doc_id",
+            F.when(
+                hdid % 3 == 0,
+                F.concat(
+                    F.lit("<html><body><h1>T</h1><p>"),
+                    F.col("text"),
+                    F.lit(
+                        "</p><script>var x = 1 < 2;</script>"
+                        "<!-- c --></body></html>"
+                    ),
+                ),
+            )
+            .when(
+                hdid % 3 == 1,
+                F.concat(
+                    F.lit('<div class="a">'),
+                    F.col("text"),
+                    F.lit(" &amp; more &lt;tokens&gt;</div>"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        html = T.html_markup_stats(wrapped).select(
+            F.lit("html").alias("variant"),
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.md5(F.coalesce("text_clean", F.lit(""))),
+            ).alias("name"),
+            F.col("markup_ratio_micros").cast("double").alias("value"),
+            F.col("n_tags").alias("n"),
+            F.col("clean_len").alias("total"),
+        )
         return (
             length_rows.unionByName(cons)
             .unionByName(skew)
@@ -1212,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(gop)
             .unionByName(bl)
             .unionByName(gate)
+            .unionByName(html)
         )
 
     q["x6_quality_gates"] = _x6
@@ -3933,6 +3979,43 @@ FROM (
        + (CASE WHEN EXISTS(SELECT 1 FROM orders
                            WHERE NOT (o_orderkey % 7 != 0))
                THEN 1 ELSE 0 END) AS nf
+)
+UNION ALL
+-- html strip replay: salted wrappers -> block/tag/entity/whitespace
+-- chain; md5 of the cleaned text rides the name column
+SELECT 'html', CAST(doc_id AS VARCHAR) || ':' || md5(COALESCE(clean, '')),
+       CAST(CASE WHEN length(raw) > 0
+                 THEN (length(raw) - length(clean)) * 1000000 // length(raw)
+                 ELSE 0 END AS DOUBLE),
+       CAST(len(regexp_extract_all(raw, '<[^>]+>')) AS BIGINT),
+       CAST(COALESCE(length(clean), 0) AS BIGINT)
+FROM (
+  SELECT doc_id, raw,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(raw,
+                '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&amp;', '&'),
+      '[ 	
+]+', ' ', 'g')) AS clean
+  FROM (
+    SELECT doc_id,
+      CASE CAST(doc_id % 3 AS INTEGER)
+        WHEN 0 THEN '<html><body><h1>T</h1><p>' || text
+                    || '</p><script>var x = 1 < 2;</script>'
+                    || '<!-- c --></body></html>'
+        WHEN 1 THEN '<div class="a">' || text
+                    || ' &amp; more &lt;tokens&gt;</div>'
+        ELSE text END AS raw
+    FROM documents
+  )
 )
 """
     )

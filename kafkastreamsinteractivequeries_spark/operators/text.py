@@ -1582,3 +1582,76 @@ def blocklist_gate(
         .alias("blocked_frac"),
         (~null_text & (nb == 0)).cast("int").alias("passed"),
     )
+
+
+# --------------------------------------------------------------------------
+# HTML stripping (boilerplate removal, web-corpus prep)
+# --------------------------------------------------------------------------
+
+# Block elements whose CONTENT must go (scripts/styles/comments), then
+# remaining tags, then entities.  Kept in the RE2-compatible subset
+# (non-greedy + (?s), no lookaround) so Java regex (Spark) and RE2
+# (DuckDB oracle) agree byte-for-byte.
+HTML_BLOCK_PATTERNS: list[str] = [
+    r"(?s)<script[^>]*>.*?</script>",
+    r"(?s)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+]
+HTML_TAG_PATTERN = r"<[^>]+>"
+# decode order matters: '&amp;' LAST, or '&amp;lt;' would double-decode
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_html_col(col: F.Column) -> F.Column:
+    """Markup-stripped text as one Column chain: script/style/comment
+    BLOCKS first (their content is code, not text — a bare tag-strip
+    would leak it into the corpus), then tags, then the common
+    entities, then whitespace collapse.  Pure regexp/replace — zero
+    shuffle, zero Python; a real extraction stack (readability-style
+    DOM scoring) slots in as a mapInPandas stage downstream, but this
+    chain is the deterministic, oracle-replayable 90% case."""
+    out = col
+    for pat in HTML_BLOCK_PATTERNS:
+        out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, HTML_TAG_PATTERN, " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"[ \t\n\x0B\f\r]+", " "))
+
+
+def html_markup_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc markup diagnostics for web corpora: (id, n_tags,
+    clean_len, markup_ratio_micros, text_clean).
+
+    ``markup_ratio_micros`` = floor(1e6 · stripped-away-bytes /
+    raw-bytes) — an INTEGER (micro-units, exact in both engines; a
+    double round-6 ratio sits on half-boundaries for power-of-two
+    lengths, the round-6 determinism lesson).  NULL text degrades to
+    (0 tags, 0 len, 0 ratio, NULL clean)."""
+    raw = F.col(text_col)
+    clean = strip_html_col(raw)
+    raw_len = F.length(raw)
+    clean_len = F.length(clean)
+    micros = F.when(
+        raw_len > 0,
+        ((raw_len - clean_len).cast("bigint") * 1000000)
+        / raw_len.cast("bigint"),
+    ).otherwise(F.lit(0))
+    return spread(docs).select(
+        F.col(id_col),
+        F.coalesce(F.regexp_count(raw, F.lit(HTML_TAG_PATTERN)), F.lit(0))
+        .cast("long")
+        .alias("n_tags"),
+        F.coalesce(clean_len, F.lit(0)).cast("long").alias("clean_len"),
+        F.floor(micros).cast("long").alias("markup_ratio_micros"),
+        clean.alias("text_clean"),
+    )

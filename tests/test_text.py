@@ -830,3 +830,40 @@ def test_luhn_card_detection_and_redaction(spark):
     # map-only plan, no Python
     plan = pii_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_strip_html_blocks_tags_entities(spark):
+    """The strip chain: script/style/comment CONTENT removed (a bare
+    tag-strip would leak code into the corpus), tags to spaces,
+    entities decoded (amp LAST so '&amp;lt;' does not double-decode),
+    whitespace collapsed; bare '<' inside a script survives removal."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        html_markup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "<html><body><h1>Title</h1><p>hello world</p>"
+                "<script>var x = 1 < 2;</script><!-- note --></body></html>",
+            ),
+            (2, '<div class="a">text &amp; more &lt;tokens&gt;</div>'),
+            (3, "double &amp;lt; stays"),
+            (4, "plain text"),
+            (5, None),
+            (6, "<style>p { color: red; }</style>visible"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in html_markup_stats(df).collect()}
+    assert out[1]["text_clean"] == "Title hello world"
+    assert out[2]["text_clean"] == "text & more <tokens>"
+    assert out[3]["text_clean"] == "double &lt; stays"  # amp decoded last
+    assert out[4]["text_clean"] == "plain text" and out[4]["n_tags"] == 0
+    assert out[4]["markup_ratio_micros"] == 0
+    assert out[5]["text_clean"] is None and out[5]["clean_len"] == 0
+    assert out[6]["text_clean"] == "visible"
+    # map-only
+    plan = html_markup_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
