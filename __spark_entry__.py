@@ -11,6 +11,7 @@ value-hash comparison is stable against summation-order differences.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 
@@ -88,8 +89,24 @@ def _knn_index_root(d: str) -> str:
     import tempfile
 
     key = d.rstrip("/").replace("/", "_").strip("_")
+    # Fold a cheap data fingerprint (size+mtime of every embeddings
+    # parquet part) into the key: regenerating testdata at the SAME
+    # path must miss the cache instead of serving stale index geometry
+    # (round-7 ADVICE #4).  os.stat only — no data scan.
+    emb = os.path.join(d, "embeddings.parquet")
+    parts = [emb]
+    if os.path.isdir(emb):
+        parts = sorted(
+            os.path.join(emb, p) for p in os.listdir(emb) if p.endswith(".parquet")
+        )
+    h = hashlib.md5()
+    for p in parts:
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
     return os.path.join(
-        tempfile.gettempdir(), f"ksiq_knn_index_{_KNN_INDEX_CACHE_VERSION}", key
+        tempfile.gettempdir(),
+        f"ksiq_knn_index_{_KNN_INDEX_CACHE_VERSION}",
+        f"{key}-{h.hexdigest()[:12]}",
     )
 
 
@@ -135,7 +152,12 @@ def ensure_knn_indexes(s: SparkSession, d: str) -> dict[str, DataFrame]:
         try:
             os.rename(stage, root)  # atomic publish
         except OSError:
-            root = stage  # another builder won the race; ours is equal
+            # another builder won the race; its output is bit-identical
+            # (training is deterministic) — read theirs, drop ours so
+            # the losing staging copy doesn't leak in /tmp
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
 
     def _codes(name: str, cols: tuple[str, ...]) -> DataFrame:
         df = s.read.parquet(os.path.join(root, name))
@@ -1165,20 +1187,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_blocked").alias("n"),
             F.col("passed").cast("long").alias("total"),
         )
-        # 'gate' (previously pytest-only): assert_constraints — the
-        # land-nothing gate form of the constraint suite.  Two rule
-        # sets exercise both decisions: one that passes on this data
-        # (must NOT raise) and one whose expr rule the data violates
-        # (must raise listing the failures).  value records whether the
-        # gate actually raised, n how many rules its message listed —
-        # both derived from the real exception and hash-verified
+        # 'gate' (previously pytest-only): the land-nothing gate form
+        # of the constraint suite.  Two rule sets exercise both
+        # decisions: one that passes on this data and one whose expr
+        # rule the data violates.  value records whether the gate would
+        # raise, n the failing-rule count — derived LAZILY from
+        # check_constraints' report DataFrame (no action fires at query
+        # construction, unlike every other branch; and no exception-
+        # message parsing — ConstraintViolation carries the structured
+        # list for API users, round-7 ADVICE #5) and hash-verified
         # against the oracle's EXISTS computation, so the driver proves
         # the gate fires exactly when the data violates a rule.
         from kafkastreamsinteractivequeries_spark.operators.quality import (
-            assert_constraints,
+            check_constraints,
         )
 
-        gate_rows = []
+        gate_parts = []
         for tag, gr in (
             (
                 "gate_pass",
@@ -1192,16 +1216,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ],
             ),
         ):
-            try:
-                assert_constraints(orders, gr)
-                raised, n_failed = 0, 0
-            except ValueError as exc:
-                raised = 1
-                n_failed = str(exc).count(";") + 1
-            gate_rows.append((tag, float(raised), n_failed, len(gr)))
-        gate = s.createDataFrame(
-            gate_rows, "name string, value double, n long, total long"
-        ).select(F.lit("gate").alias("variant"), "name", "value", "n", "total")
+            rep = check_constraints(orders, gr)
+            gate_parts.append(
+                rep.agg(
+                    F.coalesce(
+                        F.sum(F.when(~F.col("passed"), 1)), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("n")
+                ).select(
+                    F.lit("gate").alias("variant"),
+                    F.lit(tag).alias("name"),
+                    F.when(F.col("n") > 0, 1.0).otherwise(0.0).alias("value"),
+                    F.col("n"),
+                    F.lit(len(gr)).cast("long").alias("total"),
+                )
+            )
+        gate = gate_parts[0].unionByName(gate_parts[1])
         # 'html' — web-corpus boilerplate stripping: docs salted with
         # deterministic HTML wrappers (script block containing a bare
         # '<', comment, entities — the hostile-ish cases), stripped by
@@ -1540,16 +1571,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #             (partner = eval_id, score = multiset jaccard;
     #             catches reordered/lightly-edited benchmark text)
     def _x13(s: SparkSession, d: str) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.dedup import tokens_col
+
         docs = _docs(s, d)
         train = docs.filter(F.col("doc_id") % 20 != 0)
         evald = docs.filter(F.col("doc_id") % 20 == 0)
-        # ONE pinned (id, gram) stream feeds both the exact and the
-        # Bloom pass — the tokenize+3-gram+md5 scan over 95% of the
-        # corpus is each pass's dominant cost and is identical between
-        # them (the x4 shared-occurrence-table pattern).
-        grams = T.decontamination_gram_rows(train, n=3).localCheckpoint(
-            eager=False
+        # ONE pinned tokenized scan of the 95% train corpus feeds ALL
+        # THREE passes (exact grams, Bloom grams, fuzzy MinHash
+        # signatures + totals + tf-maps) — tokenize is each pass's
+        # common prefix and used to run once per pass (the x4
+        # shared-occurrence-table pattern, extended one level down).
+        train_toks = (
+            spread(train)
+            .select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+            .localCheckpoint(eager=False)
         )
+        # the (id, gram) stream is itself shared by exact ⊕ bloom —
+        # pinned separately so the gram slice+md5 also runs once.
+        grams = T.decontamination_gram_rows(
+            train, n=3, tokens_df=train_toks
+        ).localCheckpoint(eager=False)
         exact = T.ngram_decontaminate(train, evald, n=3, train_grams=grams).select(
             F.lit("exact").alias("variant"),
             "doc_id",
@@ -1571,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             train,
             evald.select(F.col("doc_id").alias("eval_id"), "text"),
             threshold=0.5,
+            train_tokens=train_toks,
         ).select(
             F.lit("fuzzy").alias("variant"),
             "doc_id",
@@ -3098,7 +3140,7 @@ SELECT * FROM cum WHERE cum_tokens <= 20000
     p2 = f"""
 WITH t AS (
   SELECT doc_id, string_split({norm}, ' ') AS toks,
-         len(string_split({norm}, ' ')) AS n
+         COALESCE(len(string_split({norm}, ' ')), 0) AS n
   FROM documents
 ), c AS (
   SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum FROM t
@@ -3987,7 +4029,7 @@ SELECT 'html', CAST(doc_id AS VARCHAR) || ':' || md5(COALESCE(clean, '')),
        CAST(CASE WHEN length(raw) > 0
                  THEN (length(raw) - length(clean)) * 1000000 // length(raw)
                  ELSE 0 END AS DOUBLE),
-       CAST(len(regexp_extract_all(raw, '<[^>]+>')) AS BIGINT),
+       CAST(COALESCE(len(regexp_extract_all(raw, '<[^>]+>')), 0) AS BIGINT),
        CAST(COALESCE(length(clean), 0) AS BIGINT)
 FROM (
   SELECT doc_id, raw,
@@ -4628,7 +4670,10 @@ WITH salted AS (
   FROM documents
 ), vc AS (
   -- Luhn-validated card candidates (ISO 7812): double every second
-  -- digit from the right, fold 2-digit products, sum mod 10 = 0
+  -- digit from the right, fold 2-digit products, sum mod 10 = 0.
+  -- Digit-boundary guard mirrors Spark's valid_cards_col: drop any
+  -- candidate that touches another digit anywhere in the text (the
+  -- literal replace would shred longer numbers otherwise).
   SELECT doc_id, list_filter(regexp_extract_all(text, 'CARD_PAT'),
     c -> list_sum(list_transform(
            generate_series(1, length(CSTRIP)),
@@ -4637,6 +4682,8 @@ WITH salted AS (
                                THEN (ascii(substr(CSTRIP, i, 1)) - 48) * 2 - 9
                                ELSE (ascii(substr(CSTRIP, i, 1)) - 48) * 2 END
                      ELSE ascii(substr(CSTRIP, i, 1)) - 48 END)) % 10 = 0
+         AND NOT regexp_matches(text, '[0-9]' || c)
+         AND NOT regexp_matches(text, c || '[0-9]')
   ) AS cards
   FROM salted
 ), red AS (

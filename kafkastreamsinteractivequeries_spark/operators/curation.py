@@ -208,11 +208,15 @@ def pack_sequences(
 
     Built on ``cumulative_sum``, so the layout is computed with the
     scalable two-phase prefix sum — no single-partition window — and is
-    deterministic for a fixed corpus."""
+    deterministic for a fixed corpus.  NULL text counts as a 0-token
+    doc (same degrade convention as the no-straddle variant)."""
     from kafkastreamsinteractivequeries_spark.operators.text import tokens_col
 
     with_n = docs.select(
-        F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("n_tokens")
+        F.col(id_col),
+        F.greatest(
+            F.coalesce(F.size(tokens_col(F.col(text_col))), F.lit(0)), F.lit(0)
+        ).alias("n_tokens"),
     )
     cum = cumulative_sum(with_n, id_col, "n_tokens", "cum_tokens")
     start = (F.col("cum_tokens") - F.col("n_tokens")).cast("long")

@@ -44,14 +44,12 @@ def tokens_col(col: F.Column) -> F.Column:
     return F.split(normalized_text(col), " ")
 
 
-def shingles_col(col: F.Column, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of the normalized text.
-
-    Pure expression: transform over an index sequence + slice/array_join
-    (codegen'd; no explode).  Documents shorter than ``n`` tokens yield
-    a single whole-document shingle so they still participate.
-    """
-    toks = tokens_col(col)
+def shingles_from_tokens(toks: F.Column, n: int = 3) -> F.Column:
+    """``shingles_col`` over an ALREADY-TOKENIZED array column — the
+    shared-scan form: when several passes consume the same corpus, the
+    caller tokenizes once (``select(id, tokens_col(text) AS tokens)``,
+    pinned) and each pass shingles from that column instead of
+    re-running normalize+split per pass."""
     ngrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
@@ -59,6 +57,16 @@ def shingles_col(col: F.Column, n: int = 3) -> F.Column:
     return F.when(F.size(toks) >= n, F.array_distinct(ngrams)).otherwise(
         F.array(F.array_join(toks, " "))
     )
+
+
+def shingles_col(col: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of the normalized text.
+
+    Pure expression: transform over an index sequence + slice/array_join
+    (codegen'd; no explode).  Documents shorter than ``n`` tokens yield
+    a single whole-document shingle so they still participate.
+    """
+    return shingles_from_tokens(tokens_col(col), n)
 
 
 # --------------------------------------------------------------------------
@@ -133,15 +141,25 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 12,
     shingle_n: int = 3,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingles, minhash: array<string>[num_hashes]).
 
     minhash_i = min over shingles of md5("<i>:" || shingle) — the
     lexicographic min of a uniform hex hash is a valid minhash, and it
     is reproducible in any engine with md5.
+
+    ``tokens_df``: optional pre-tokenized ``(id_col, tokens)`` frame
+    (``select(id, tokens_col(text) AS tokens)``, typically pinned) —
+    shingles come from the shared token arrays and ``docs``/``text_col``
+    are not touched, so N passes over one corpus tokenize once.
     """
-    docs = spread(docs)  # single-split local files: parallelize hashing
-    sh = F.array_distinct(shingles_col(F.col(text_col), shingle_n))
+    if tokens_df is not None:
+        sh = F.array_distinct(shingles_from_tokens(F.col("tokens"), shingle_n))
+        docs = tokens_df
+    else:
+        docs = spread(docs)  # single-split local files: parallelize hashing
+        sh = F.array_distinct(shingles_col(F.col(text_col), shingle_n))
 
     def _minhash(seed: int):
         # NB: the lambda must take exactly one parameter — a two-param
@@ -524,14 +542,25 @@ def duplicate_span_stats(
 # --------------------------------------------------------------------------
 
 
-def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, tok, cnt) term-frequency table of the normalized text."""
-    docs = spread(docs)
-    return (
-        docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").alias("cnt"))
-    )
+def token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id, tok, cnt) term-frequency table of the normalized text.
+    ``tokens_df``: optional pre-tokenized ``(id_col, tokens)`` frame —
+    same shared-scan contract as ``minhash_signatures``."""
+    if tokens_df is not None:
+        exploded = tokens_df.select(
+            F.col(id_col), F.explode(F.col("tokens")).alias("tok")
+        )
+    else:
+        docs = spread(docs)
+        exploded = docs.select(
+            F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+        )
+    return exploded.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
 
 
 def multiset_jaccard_verify(
@@ -612,6 +641,7 @@ def cross_corpus_near_duplicates(
     num_hashes: int = 16,
     bands: int = 2,
     shingle_n: int = 1,
+    train_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, eval_id, mjaccard): training docs that are FUZZY
     near-duplicates of an eval/benchmark doc — the MinHash bridge
@@ -629,8 +659,15 @@ def cross_corpus_near_duplicates(
     no quadratic bucket self-join anywhere.  The verify stays staged:
     the totals-ratio prune (one long per side) runs before any tf-map
     payload is joined (mjaccard ≤ min(total)/max(total), exact bound).
+
+    ``train_tokens``: optional pre-tokenized ``(id_col, tokens)`` frame
+    for the TRAIN side (pin it) — signatures, totals, and the tf-map
+    build all read the shared token arrays, so a decontamination trio
+    sharing one corpus tokenizes it once instead of once per pass.
     """
-    t_sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    t_sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_n, tokens_df=train_tokens
+    )
     e_sigs = minhash_signatures(eval_docs, text_col, eval_id_col, num_hashes, shingle_n)
     rows = num_hashes // bands
     t_buckets = lsh_band_buckets(t_sigs, bands, rows, id_col)
@@ -653,9 +690,14 @@ def cross_corpus_near_duplicates(
     # the ENTIRE corpus before any join could drop rows; it now runs
     # only for candidate-surviving train docs (stage 2) — the same
     # staged-verify contract d9 already keeps.
-    tot_a = docs.select(
-        F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("total_a")
-    )
+    if train_tokens is not None:
+        tot_a = train_tokens.select(
+            F.col(id_col), F.size(F.col("tokens")).alias("total_a")
+        )
+    else:
+        tot_a = docs.select(
+            F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("total_a")
+        )
     e_tf = _tf(eval_docs, eval_id_col)
     pruned = (
         cand.join(tot_a.hint("shuffle_hash"), id_col)
@@ -676,7 +718,21 @@ def cross_corpus_near_duplicates(
     # generation never re-executes.
     pruned = pruned.localCheckpoint(eager=False)
     surv = pruned.select(id_col).distinct()
-    t_tf = _tf(docs.join(F.broadcast(surv), id_col, "left_semi"), id_col)
+    if train_tokens is not None:
+        t_tf = (
+            token_counts(
+                None,
+                id_col=id_col,
+                tokens_df=train_tokens.join(F.broadcast(surv), id_col, "left_semi"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("tok", "cnt"))).alias("tf"),
+                F.sum("cnt").alias("total"),
+            )
+        )
+    else:
+        t_tf = _tf(docs.join(F.broadcast(surv), id_col, "left_semi"), id_col)
     inter = F.aggregate(
         F.map_values(
             F.map_zip_with(

@@ -126,13 +126,32 @@ def check_constraints(df: DataFrame, rules: list[tuple]) -> DataFrame:
     return out.withColumn("passed", F.col("violations") == 0)
 
 
+class ConstraintViolation(ValueError):
+    """Typed gate failure carrying the STRUCTURED failure list —
+    callers branch on ``failures`` (list of row-dicts from
+    ``check_constraints``), never on the rendered message (rule names
+    may contain any character, so message parsing miscounts)."""
+
+    def __init__(self, failures: list[dict]):
+        self.failures = failures
+        super().__init__(
+            "constraint violations: "
+            + "; ".join(
+                f"{f['rule']}({f['column']}): "
+                f"{f['violations']}/{f['total_rows']} rows"
+                for f in failures
+            )
+        )
+
+
 def assert_constraints(df: DataFrame, rules: list[tuple]) -> None:
-    """Raise ``ValueError`` listing every failed rule (gate form for
-    pipelines: land nothing when validation fails)."""
+    """Raise ``ConstraintViolation`` (a ``ValueError``) listing every
+    failed rule (gate form for pipelines: land nothing when validation
+    fails)."""
     failed = [
-        f"{r['rule']}({r['column']}): {r['violations']}/{r['total_rows']} rows"
+        r.asDict()
         for r in check_constraints(df, rules).collect()
         if not r["passed"]
     ]
     if failed:
-        raise ValueError("constraint violations: " + "; ".join(failed))
+        raise ConstraintViolation(failed)

@@ -642,10 +642,27 @@ def luhn_valid_col(digits: F.Column) -> F.Column:
 def valid_cards_col(text_col: str = "text") -> F.Column:
     """array<string> of Luhn-VALID card candidates in the text, in
     match order: regexp_extract_all finds the shapes, the Luhn fold
-    keeps only real checksums."""
-    cands = F.regexp_extract_all(F.col(text_col), F.lit(CARD_PATTERN), 0)
+    keeps only real checksums.
+
+    Digit-boundary guard: RE2 (the oracle engine) forbids lookaround,
+    so instead of anchoring the pattern we post-filter — a candidate is
+    dropped if ANY occurrence of it in the text touches another digit
+    (the first 16 digits of a longer number can pass Luhn ~10% of the
+    time, and the literal global replace in ``redact_cards_col`` would
+    then shred that longer number).  Conservative by design: a string
+    that appears both standalone and digit-embedded is left intact
+    rather than corrupting the embedded occurrence.  Candidate chars
+    are digits/space/dash only, all regex-literal, so the candidate
+    itself is safe to splice into a pattern unescaped."""
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(t, F.lit(CARD_PATTERN), 0)
     strip = lambda c: F.replace(F.replace(c, F.lit("-")), F.lit(" "))  # noqa: E731
-    return F.filter(cands, lambda c: luhn_valid_col(strip(c)))
+    return F.filter(
+        cands,
+        lambda c: luhn_valid_col(strip(c))
+        & ~F.regexp_like(t, F.concat(F.lit("[0-9]"), c))
+        & ~F.regexp_like(t, F.concat(c, F.lit("[0-9]"))),
+    )
 
 
 def redacted_text_col(text_col: str = "text") -> F.Column:
@@ -724,12 +741,24 @@ def decontamination_gram_rows(
     n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Public handle on the (id, gram-md5) stream both decontamination
     passes consume: compute it ONCE (and pin it) when running exact and
     Bloom screening over the same corpus — the tokenize + n-gram + md5
     scan is the dominant cost of each pass and is identical between
-    them (the x4 shared-occurrence-table lesson)."""
+    them (the x4 shared-occurrence-table lesson).
+
+    ``tokens_df``: optional pre-tokenized ``(id_col, tokens)`` frame —
+    grams slice the shared token arrays instead of re-tokenizing, so a
+    trio also running fuzzy MinHash over the same corpus shares ONE
+    tokenize scan across all three passes."""
+    if tokens_df is not None:
+        return _gram_hash_rows_from_tokens(
+            tokens_df.select(F.col(id_col), F.col("tokens").alias("_toks")),
+            n,
+            id_col,
+        )
     return _gram_hash_rows(spread(docs), n, text_col, id_col)
 
 
@@ -808,6 +837,14 @@ def _gram_hash_rows(
         *([F.col(id_col)] if id_col else []),
         tokens_col(F.col(text_col)).alias("_toks"),
     )
+    return _gram_hash_rows_from_tokens(tok_df, n, id_col)
+
+
+def _gram_hash_rows_from_tokens(
+    tok_df: DataFrame, n: int, id_col: str | None
+) -> DataFrame:
+    """The gram-slicing half of ``_gram_hash_rows`` over a frame that
+    already carries the ``_toks`` array column."""
     toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -1047,7 +1084,10 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
+    # NULL text degrades to one (chunk_idx=0, chunk_text=NULL,
+    # n_tokens=0) row — without the coalesce, Spark's NULL-skipping
+    # least() would report n_tokens=chunk_tokens for a NULL doc
+    n = F.greatest(F.coalesce(F.size(toks), F.lit(0)), F.lit(0))
     n_chunks = F.greatest(
         F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
     )

@@ -29,7 +29,21 @@ class InteractiveQueryService:
     def execute(self, query: Query) -> DataFrame:
         return query.apply(self.serving_df, key_col=self.key_col)
 
-    def execute_response(self, query: Query, collect_limit: int | None = None) -> QueryResponse:
+    #: default collect cap for ``execute_response`` — matches the REST
+    #: layer's cap; an unlimited default is a driver-OOM invitation at
+    #: scale (a full-scan envelope would pull every row to the driver).
+    DEFAULT_COLLECT_LIMIT = 10_000
+
+    def execute_response(
+        self,
+        query: Query,
+        collect_limit: int | None = DEFAULT_COLLECT_LIMIT,
+    ) -> QueryResponse:
+        """``collect_limit`` caps the driver-side materialization
+        (default 10k, same as the REST layer).  Pass ``None``
+        EXPLICITLY to collect unbounded — an opt-in, never the default;
+        for large results prefer ``execute_page`` (keyset pagination)
+        or compose on the lazy ``execute`` DataFrame."""
         try:
             # predicate compile + Catalyst analysis can both fail (bad
             # syntax, unknown column) — the envelope captures either,

@@ -120,6 +120,25 @@ def test_query_response_envelope(service):
     assert "stock-aggregation-state-store" in resp.execution_info
 
 
+def test_execute_response_default_collect_limit_is_bounded(service):
+    """The Python API default must cap the driver collect (unbounded is
+    an explicit opt-in): signature default == the REST layer's 10k cap,
+    and a small explicit limit truncates."""
+    import inspect
+
+    from kafkastreamsinteractivequeries_spark.plans.queries import RangeQuery
+    from kafkastreamsinteractivequeries_spark.plans.service import (
+        InteractiveQueryService,
+    )
+
+    sig = inspect.signature(InteractiveQueryService.execute_response)
+    assert sig.parameters["collect_limit"].default == 10_000
+    capped = service.execute_response(RangeQuery(None, None), collect_limit=2)
+    assert len(capped.result) == 2
+    full = service.execute_response(RangeQuery(None, None), collect_limit=None)
+    assert len(full.result) > 2
+
+
 def test_key_query_prunes_partitions(spark, tmp_path):
     # Point lookups must prune: write the serving table partitioned by
     # symbol and check the scan only touches the matching partition —

@@ -832,6 +832,31 @@ def test_luhn_card_detection_and_redaction(spark):
     assert "Exchange" not in plan and "EvalPython" not in plan
 
 
+def test_card_digit_boundary_guard(spark):
+    """A Luhn-valid 16-digit window inside a LONGER digit run is not a
+    card: the boundary guard must neither count it nor let the literal
+    replace corrupt the longer number (round-7 ADVICE #3)."""
+    from kafkastreamsinteractivequeries_spark.operators.text import pii_stats
+
+    # 4111111111111111 is Luhn-valid; embed it in longer digit runs
+    df = spark.createDataFrame(
+        [
+            (1, "ref 41111111111111119 end"),  # valid 16-prefix of 17 digits
+            (2, "ref 94111111111111111 end"),  # digit before the window
+            # the same string appears standalone AND digit-embedded:
+            # conservative skip (redacting would corrupt the long run)
+            (3, "a 4111111111111111 b 41111111111111112 c"),
+            (4, "ok 4111111111111111 alone"),  # control: still redacts
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert out[1]["n_card"] == 0 and out[1]["redacted_text"] == df.collect()[0]["text"]
+    assert out[2]["n_card"] == 0 and "94111111111111111" in out[2]["redacted_text"]
+    assert out[3]["n_card"] == 0 and "41111111111111112" in out[3]["redacted_text"]
+    assert out[4]["n_card"] == 1 and "<CARD>" in out[4]["redacted_text"]
+
+
 def test_strip_html_blocks_tags_entities(spark):
     """The strip chain: script/style/comment CONTENT removed (a bare
     tag-strip would leak code into the corpus), tags to spaces,
