@@ -773,7 +773,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("").alias("info"),
             F.lit(-1).cast("long").alias("n"),
         )
-        return kept.unionByName(groups).unionByName(inc).unionByName(ids)
+        # 'url' — URL-level dedup, the stage C4/RefinedWeb run BEFORE
+        # any text dedup (arXiv:2306.01116 §3.2): deterministic salted
+        # URLs exercise every canonicalization rule (mixed-case scheme/
+        # host, :443 default port, userinfo, utm_* tracking param,
+        # unsorted query, fragment, lowercase %-escape); three of the
+        # four variants collapse onto one RFC-normal form, so the
+        # first-occurrence keeper and n_dups are non-trivial.  The
+        # oracle builds raw AND canonical from the same formulas — the
+        # hash proves canonicalize_url_col's full chain.
+        did = F.col("doc_id")
+        h40 = (did % 40).cast("string")
+        p15 = (did % 15).cast("string")
+        url = (
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit("https://example"), h40, F.lit(".com/p"), p15,
+                    F.lit("?b=2&a=1"),
+                ),
+            )
+            .when(
+                did % 4 == 1,
+                F.concat(
+                    F.lit("HTTPS://EXAMPLE"), h40, F.lit(".COM:443/p"), p15,
+                    F.lit("?a=1&utm_source=x&b=2#frag"),
+                ),
+            )
+            .when(
+                did % 4 == 2,
+                F.concat(
+                    F.lit("https://u:pw@example"), h40, F.lit(".com/p"), p15,
+                    F.lit("?a=1&b=2"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("http://example"), h40, F.lit(".com/q%2f"), p15
+                )
+            )
+        )
+        urls = D.url_dedup(docs.select("doc_id", url.alias("url"))).select(
+            F.lit("url").alias("variant"),
+            "doc_id",
+            F.col("canonical_url").alias("text"),
+            F.col("url").alias("info"),
+            F.col("n_dups").alias("n"),
+        )
+        return (
+            kept.unionByName(groups)
+            .unionByName(inc)
+            .unionByName(ids)
+            .unionByName(urls)
+        )
 
     q["d1_exact_dedup"] = _d1
     # d4 carries the full signature string alongside each band row
@@ -1278,6 +1330,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_tags").alias("n"),
             F.col("clean_len").alias("total"),
         )
+        # 'mojibake' — encoding repair: every 5th doc (cost-bounded
+        # sample; the hash verifies the DECISION logic, not the row
+        # count) gets a deterministically CORRUPTED suffix built by the
+        # same UTF-8→cp1252 mis-decode the operator reverses (residue
+        # 0: accented words, residue 1: punctuation/€/ellipsis,
+        # residue 2: clean ASCII — must pass through byte-identical).
+        # name carries doc:md5(repaired) so the repaired text is
+        # byte-verified cross-engine (the 'html' pattern); value the
+        # byte shrink, n the repaired length, total whether anything
+        # changed.
+        moji_sfx = [
+            T._mojibake_of(" café résumé naïve"),
+            T._mojibake_of(" “quoted” — dash €9 …"),
+            "",
+        ]
+        mdid = F.col("doc_id")
+        mraw = F.concat(
+            F.col("text"),
+            F.when(mdid % 3 == 0, F.lit(moji_sfx[0]))
+            .when(mdid % 3 == 1, F.lit(moji_sfx[1]))
+            .otherwise(F.lit(moji_sfx[2])),
+        )
+        mrep = T.repair_mojibake_col(mraw)
+        moji = docs.filter(mdid % 5 == 0).select(
+            F.lit("mojibake").alias("variant"),
+            F.concat_ws(
+                ":",
+                mdid.cast("string"),
+                F.md5(F.coalesce(mrep, F.lit(""))),
+            ).alias("name"),
+            F.coalesce(F.length(mraw) - F.length(mrep), F.lit(0))
+            .cast("double")
+            .alias("value"),
+            F.coalesce(F.length(mrep), F.lit(0)).cast("long").alias("n"),
+            F.when(
+                F.coalesce(F.length(mraw) - F.length(mrep), F.lit(0)) > 0, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("total"),
+        )
         return (
             length_rows.unionByName(cons)
             .unionByName(skew)
@@ -1289,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(bl)
             .unionByName(gate)
             .unionByName(html)
+            .unionByName(moji)
         )
 
     q["x6_quality_gates"] = _x6
@@ -1331,14 +1425,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rank",
         )
         qterms = ["spark", "vector", "hash"]
-        bm25 = T.bm25_search(docs, qterms, k=10).select(
+        bm = T.bm25_search(docs, qterms, k=10)
+        bm25 = bm.select(
             F.lit("bm25").alias("variant"),
             "doc_id",
             F.lit(" ".join(qterms)).alias("term"),
             F.col("bm25").cast("double").alias("score"),
             "rank",
         )
-        return tfidf.unionByName(bm25)
+        # 'rrf' — hybrid retrieval: the verified BM25 ranking ⊕ the
+        # exact-cosine vector ranking for query vec 0, fused by
+        # reciprocal rank fusion in integer space (score = Σ 1e9 div
+        # (60 + rank), bit-deterministic cross-engine).  The standard
+        # RAG serving combiner, hash-verified end-to-end.
+        from kafkastreamsinteractivequeries_spark.operators.similarity import (
+            knn_bruteforce,
+            reciprocal_rank_fusion,
+        )
+
+        emb = load_table(s, d, "embeddings")
+        qdf = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        vec = knn_bruteforce(emb, qdf, k=10).select(
+            F.col("vec_id").alias("doc_id"), "rank"
+        )
+        fused = reciprocal_rank_fusion(
+            [bm.select("doc_id", "rank"), vec], k=10
+        ).select(
+            F.lit("rrf").alias("variant"),
+            "doc_id",
+            F.lit(" ".join(qterms)).alias("term"),
+            F.col("rrf").cast("double").alias("score"),
+            "rank",
+        )
+        return tfidf.unionByName(bm25).unionByName(fused)
 
     q["x9_term_relevance"] = _x9
     # x11 — the tokenizer-building suite in ONE tagged union: top-k
@@ -1656,6 +1778,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gb = M.gif_bmp_manifest(
             M.gif_assets_from_documents(docs), M.bmp_assets_from_documents(docs)
         )
+        # webp_vp8/vp8l/vp8x ⊕ tiff_le/tiff_be: the RIFF-image chunk
+        # walk (decode_wav generalized) and the endian-tagged IFD walk
+        # — media type, dims, and channel count all from the PARSE;
+        # sampled ids (%5) bound m1's per-format cost (the hash
+        # verifies the parse logic, not the row count).
+        wt = M.webp_tiff_manifest(
+            M.webp_assets_from_documents(docs),
+            M.tiff_assets_from_documents(docs),
+        )
         nul = F.lit(None)
 
         def as_m1(df: DataFrame) -> DataFrame:
@@ -1675,7 +1806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 nul.cast("bigint").alias("pcm_duration_ms"),
             )
 
-        return base.unionByName(as_m1(jm)).unionByName(as_m1(gb))
+        return (
+            base.unionByName(as_m1(jm))
+            .unionByName(as_m1(gb))
+            .unionByName(as_m1(wt))
+        )
 
     q["m1_asset_manifest"] = _m1
     # m2 appends the JVM-side resize plan (m5) to the Python feature
@@ -2082,6 +2217,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             ).alias("code"),
         )
+        # 'append' — incremental ANN ingest: the landed pq_codes store
+        # restricted to HALF the corpus plays the pre-existing store;
+        # the other half arrives as a "new batch" and is encoded
+        # against the FROZEN trained codebook (append_pq_codes: one
+        # map-only scan, store never read).  The oracle replays train +
+        # a ONE-SHOT encode of everything, so the driver hash proves
+        # append(half) ⊕ append(half) == encode(all) bit-for-bit — the
+        # serve-while-ingesting contract.
+        index = ensure_knn_indexes(s, d)
+        landed_half = index["pq_codes"].filter(F.col("vec_id") % 2 == 0)
+        new_batch = emb.filter(F.col("vec_id") % 2 == 1)
+        appended = S.append_pq_codes(
+            landed_half, new_batch, index["pq_book"], m=8
+        ).select(
+            "vec_id",
+            F.lit("append").alias("index_kind"),
+            F.concat_ws(
+                ",", F.transform("codes", lambda c: c.cast("string"))
+            ).alias("code"),
+        )
         return (
             srp.unionByName(ivf)
             .unionByName(ivft)
@@ -2089,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(fused)
             .unionByName(pooled)
             .unionByName(int8)
+            .unionByName(appended)
         )
 
     q["s2_index_assignments"] = _s2
@@ -3358,6 +3514,27 @@ WITH f AS (
             f" || substr({h},3,2) || substr({h},1,2))"
         )
 
+    def _le24sql(x: str) -> str:
+        h = f"lpad(to_hex({x}), 6, '0')"
+        return f"unhex(substr({h},5,2) || substr({h},3,2) || substr({h},1,2))"
+
+    # endian-parametric renderers for the TIFF replay ('II' swaps,
+    # 'MM' writes big-endian as-is; `le` is a SQL boolean expression)
+    def _e16sql(x: str, le: str) -> str:
+        return f"(CASE WHEN {le} THEN {_le16sql(x)} ELSE unhex(lpad(to_hex({x}), 4, '0')) END)"
+
+    def _e32sql(x: str, le: str) -> str:
+        return f"(CASE WHEN {le} THEN {_le32sql(x)} ELSE unhex(lpad(to_hex({x}), 8, '0')) END)"
+
+    def _tiff_entry_sql(tag: int, typ: str, val: str, le: str = "le") -> str:
+        """One 12-byte IFD entry: tag, type, count=1, value field
+        (SHORT: first 2 bytes + 2 zeros; LONG: 4 bytes)."""
+        return (
+            f"{_e16sql(str(tag), le)} || {_e16sql(typ, le)} || {_e32sql('1', le)}"
+            f" || (CASE WHEN {typ} = 3 THEN {_e16sql(val, le)} || unhex('0000')"
+            f" ELSE {_e32sql(val, le)} END)"
+        )
+
     o["m1_asset_manifest"] = (
         a_cte
         + f"""SELECT asset_id, media_type, magic,
@@ -3464,6 +3641,70 @@ FROM (
                 ELSE 16 + (doc_id * 7) % 20000 END AS h2c,
            1 + doc_id % 5 AS npx
     FROM documents WHERE doc_id % 2 = 1
+  )
+)
+UNION ALL
+-- webp rows (doc_id % 5 = 0): RIFF container, one payload chunk kind
+-- per id residue — VP8 (sync code + 14-bit LE dims), VP8L (0x2F +
+-- BIT-PACKED dims-minus-one), VP8X (24-bit LE canvas-minus-one); the
+-- md5-over-hex checksum proves the engine parsed the SAME bytes
+SELECT asset_id, 'webp_' || kind, 'RIFF',
+       CAST(octet_length(payload) AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(w AS BIGINT), CAST(h AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       md5(hex(payload)), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  SELECT *, encode('RIFF') || {_le32sql('octet_length(body) + 4')}
+            || encode('WEBP') || body AS payload
+  FROM (
+    SELECT *,
+      CASE kind
+        WHEN 'vp8' THEN encode('VP8 ') || {_le32sql('10')}
+             || unhex('0000009D012A') || {_le16sql('w')} || {_le16sql('h')}
+        WHEN 'vp8l' THEN encode('VP8L') || {_le32sql('5')} || unhex('2F')
+             || {_le32sql('(w - 1) + (h - 1) * 16384')}
+        ELSE encode('VP8X') || {_le32sql('10')} || unhex('00000000')
+             || {_le24sql('w - 1')} || {_le24sql('h - 1')} END AS body
+    FROM (
+      SELECT doc_id AS asset_id,
+             16 + (doc_id * 5) % 16000 AS w,
+             16 + (doc_id * 9) % 12000 AS h,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x' END AS kind
+      FROM documents WHERE doc_id % 5 = 0
+    )
+  )
+)
+UNION ALL
+-- tiff rows (doc_id % 5 = 1): endian-tagged header ('II' for
+-- id % 10 = 1, else 'MM'), IFD at 8 with FOUR tag-sorted entries so
+-- the engine's walk must FIND tags 256/257/258; dim entries alternate
+-- SHORT/LONG types, LONG ids carrying above-16-bit dims
+SELECT asset_id,
+       CASE WHEN le THEN 'tiff_le' ELSE 'tiff_be' END,
+       CASE WHEN le THEN 'II' ELSE 'MM' END,
+       CAST(octet_length(payload) AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(w AS BIGINT), CAST(h AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+       md5(hex(payload)), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  SELECT *,
+    (CASE WHEN le THEN encode('II') ELSE encode('MM') END)
+    || {_e16sql('42', 'le')} || {_e32sql('8', 'le')} || {_e16sql('4', 'le')}
+    || {_tiff_entry_sql(256, 'dim_typ', 'w')}
+    || {_tiff_entry_sql(257, 'dim_typ', 'h')}
+    || {_tiff_entry_sql(258, '3', '8')}
+    || {_tiff_entry_sql(259, '3', '1')}
+    || {_e32sql('0', 'le')} AS payload
+  FROM (
+    SELECT doc_id AS asset_id,
+           doc_id % 10 = 1 AS le,
+           CASE WHEN doc_id % 4 = 3 THEN 4 ELSE 3 END AS dim_typ,
+           CASE WHEN doc_id % 4 = 3 THEN 70000 + (doc_id * 3) % 100000
+                ELSE 16 + (doc_id * 3) % 40000 END AS w,
+           CASE WHEN doc_id % 4 = 3 THEN 70000 + (doc_id * 11) % 90000
+                ELSE 16 + (doc_id * 11) % 30000 END AS h
+    FROM documents WHERE doc_id % 5 = 1
   )
 )
 """
@@ -3655,6 +3896,23 @@ def _text_oracles() -> dict[str, str]:
     )
 
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+    # mojibake-repair replay: the SAME import-generated pair table as
+    # repair_mojibake_col, rendered as a nested replace() chain (pair
+    # strings are all non-ASCII — no quote escaping needed), plus the
+    # deterministic corrupted salts built by the same mis-decode helper
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        MOJIBAKE_PAIRS,
+        _mojibake_of,
+    )
+
+    def _moji_chain_sql(expr: str) -> str:
+        for moji, fixed in MOJIBAKE_PAIRS:
+            expr = f"replace({expr}, '{moji}', '{fixed}')"
+        return expr
+
+    _moji_sfx0 = _mojibake_of(" café résumé naïve")
+    _moji_sfx1 = _mojibake_of(" “quoted” — dash €9 …")
 
     def stop_hits(lang: str) -> str:
         words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -4059,6 +4317,26 @@ FROM (
     FROM documents
   )
 )
+UNION ALL
+-- mojibake repair replay: the identical replace chain (generated from
+-- the SAME MOJIBAKE_PAIRS table at import) over the same corrupted
+-- salts; md5 of the repaired text rides the name column
+SELECT 'mojibake', CAST(doc_id AS VARCHAR) || ':' || md5(COALESCE(rep, '')),
+       CAST(COALESCE(length(mraw) - length(rep), 0) AS DOUBLE),
+       CAST(COALESCE(length(rep), 0) AS BIGINT),
+       CAST(CASE WHEN COALESCE(length(mraw) - length(rep), 0) > 0
+                 THEN 1 ELSE 0 END AS BIGINT)
+FROM (
+  SELECT doc_id, mraw, {_moji_chain_sql("mraw")} AS rep
+  FROM (
+    SELECT doc_id,
+      text || CASE CAST(doc_id % 3 AS INTEGER)
+        WHEN 0 THEN '{_moji_sfx0}'
+        WHEN 1 THEN '{_moji_sfx1}'
+        ELSE '' END AS mraw
+    FROM documents WHERE doc_id % 5 = 0
+  )
+)
 """
     )
     # Tagged union mirroring _x7: raw LM scores ('score') ⊕ the CCNet
@@ -4328,9 +4606,42 @@ btop AS (
   SELECT 'bm25' AS variant, doc_id, 'spark vector hash' AS term, score,
          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
   FROM bscored QUALIFY rank <= 10
+),
+-- rrf: BM25 top-10 ⊕ exact-cosine top-10 for query vec 0, fused by
+-- integer reciprocal rank (Σ 1e9 // (60 + rank) — exact in both
+-- engines, no float sum ordering)
+vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vtop AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosv DESC, vec_id) AS INTEGER) AS rank
+  FROM (
+    SELECT e.vec_id,
+           ROUND(list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+                           for i in generate_series(1, 64)])
+                 / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding]))
+                    * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in q.qv]))), 6)
+             AS cosv
+    FROM embeddings e CROSS JOIN vq q
+    WHERE e.vec_id != 0
+  ) WHERE cosv IS NOT NULL
+  QUALIFY rank <= 10
+),
+rrfsum AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf FROM (
+    SELECT doc_id, 1000000000 // (60 + rank) AS c FROM btop
+    UNION ALL
+    SELECT doc_id, 1000000000 // (60 + rank) FROM vtop
+  ) GROUP BY doc_id
+),
+rrftop AS (
+  SELECT 'rrf' AS variant, doc_id, 'spark vector hash' AS term,
+         CAST(rrf AS DOUBLE) AS score,
+         CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+  FROM rrfsum QUALIFY rank <= 10
 )
 SELECT * FROM tfidf_top
 UNION ALL SELECT * FROM btop
+UNION ALL SELECT * FROM rrftop
 """
     )
     # x11 — vocab coverage: corpus token counts, top-k by (count desc,
@@ -4960,6 +5271,65 @@ WITH cent AS (
         parts.append(assign_sql("tassign", f"tcent{iterations}"))
         return ",\n".join(parts)
 
+    # Shared PQ train+encode replay (pq_train's 2 joint per-subspace
+    # Lloyd iterations — rank-coded seeds, squared-L2 assignment
+    # rounded to 9, per-dim ROUND(AVG, 6) means — then pq_codes): the
+    # CTE chain up to ``codesf`` (vec_id, sub_id, code), consumed by
+    # the s1 ADC/rerank oracles AND s2's 'append' branch (incremental
+    # ingest must hash-equal this one-shot encode).
+    mq, kq, sub, pq_iters = 8, 16, 8, 2
+
+    def pq_l2sq(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum([({a}[i]::DOUBLE - {b}[i]::DOUBLE) ^ 2 "
+            f"for i in generate_series(1, {sub})]), 9)"
+        )
+
+    def pq_assign_sql(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id, sub_id ORDER BY _dist, code) AS rn FROM (
+      SELECT s.vec_id, s.sub_id, c.code, {pq_l2sq('s.subvec', 'c.cvec')} AS _dist
+      FROM subs s JOIN {cent} c USING (sub_id)
+    )
+  ) WHERE rn = 1
+)"""
+
+    def pq_encode_parts() -> list[str]:
+        parts = [
+            f"""subs AS MATERIALIZED (
+  SELECT vec_id, s.j AS sub_id, embedding[s.j * {sub} + 1 : s.j * {sub} + {sub}] AS subvec
+  FROM embeddings CROSS JOIN generate_series(0, {mq - 1}) AS s(j)
+)""",
+            f"""seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {kq})
+)""",
+            """pcent0 AS (
+  SELECT s.sub_id, sd.code, s.subvec AS cvec
+  FROM subs s JOIN seeds sd USING (vec_id)
+)""",
+        ]
+        for t in range(1, pq_iters + 1):
+            prev = f"pcent{t - 1}"
+            parts.append(pq_assign_sql(f"passign{t}", prev))
+            parts.append(f"""pmeans{t} AS (
+  SELECT sub_id, code, list(CAST(m AS FLOAT) ORDER BY p) AS cvec FROM (
+    SELECT a.sub_id, a.code, g.i AS p,
+           ROUND(AVG(s.subvec[g.i]::DOUBLE), 6) AS m
+    FROM passign{t} a JOIN subs s USING (vec_id, sub_id)
+    CROSS JOIN generate_series(1, {sub}) AS g(i)
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)""")
+            parts.append(f"""pcent{t} AS (
+  SELECT c.sub_id, c.code, COALESCE(m.cvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN pmeans{t} m USING (sub_id, code)
+)""")
+        parts.append(pq_assign_sql("codesf", f"pcent{pq_iters}"))
+        return parts
+
     # s2 = the index-build stages under one tagged key: SRP bit-codes
     # ('srp16'), seed-quantizer IVF assignment ('ivf16'), and trained
     # 2-iteration k-means IVF assignment ('ivf16t').
@@ -4969,8 +5339,18 @@ WITH cent AS (
         + ivf_cte.replace("WITH ", "", 1).rstrip()
         + ",\n"
         + ivf_trained_ctes(2)
+        + ",\n"
+        + ",\n".join(pq_encode_parts())
         + """
 SELECT vec_id, 'srp16' AS index_kind, code FROM codes
+UNION ALL
+-- 'append': incremental ingest — the engine encodes the two corpus
+-- halves SEPARATELY against the frozen trained codebook and unions;
+-- the oracle replays train + ONE-SHOT encode, so the hash proves
+-- append(half) ⊕ append(half) == encode(all) bit-for-bit
+SELECT vec_id, 'append' AS index_kind,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub_id) AS code
+FROM codesf GROUP BY vec_id
 UNION ALL
 SELECT vec_id, 'ivf16' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM assign
 UNION ALL
@@ -5143,60 +5523,13 @@ FROM smem WHERE krn > 1
 """
     )
 
-    # s7: trained product quantization end-to-end — replays pq_train's
-    # 2 joint per-subspace Lloyd iterations (rank-coded seeds, squared-
-    # L2 assignment rounded to 9, per-dim ROUND(AVG, 6) means), then
-    # pq_codes + ADC top-k, mirroring knn_pq_adc exactly.
-    mq, kq, sub, pq_iters = 8, 16, 8, 2
-
+    # s7: trained product quantization end-to-end — the shared
+    # pq_encode_parts() replay (train + encode), then ADC top-k,
+    # mirroring knn_pq_adc exactly.
     def l2sq(a: str, b: str) -> str:
-        return (
-            f"ROUND(list_sum([({a}[i]::DOUBLE - {b}[i]::DOUBLE) ^ 2 "
-            f"for i in generate_series(1, {sub})]), 9)"
-        )
+        return pq_l2sq(a, b)
 
-    def pq_assign_sql(name: str, cent: str) -> str:
-        return f"""{name} AS (
-  SELECT vec_id, sub_id, code FROM (
-    SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY vec_id, sub_id ORDER BY _dist, code) AS rn FROM (
-      SELECT s.vec_id, s.sub_id, c.code, {l2sq('s.subvec', 'c.cvec')} AS _dist
-      FROM subs s JOIN {cent} c USING (sub_id)
-    )
-  ) WHERE rn = 1
-)"""
-
-    pq_parts = [
-        f"""subs AS MATERIALIZED (
-  SELECT vec_id, s.j AS sub_id, embedding[s.j * {sub} + 1 : s.j * {sub} + {sub}] AS subvec
-  FROM embeddings CROSS JOIN generate_series(0, {mq - 1}) AS s(j)
-)""",
-        f"""seeds AS (
-  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {kq})
-)""",
-        """pcent0 AS (
-  SELECT s.sub_id, sd.code, s.subvec AS cvec
-  FROM subs s JOIN seeds sd USING (vec_id)
-)""",
-    ]
-    for t in range(1, pq_iters + 1):
-        prev = f"pcent{t - 1}"
-        pq_parts.append(pq_assign_sql(f"passign{t}", prev))
-        pq_parts.append(f"""pmeans{t} AS (
-  SELECT sub_id, code, list(CAST(m AS FLOAT) ORDER BY p) AS cvec FROM (
-    SELECT a.sub_id, a.code, g.i AS p,
-           ROUND(AVG(s.subvec[g.i]::DOUBLE), 6) AS m
-    FROM passign{t} a JOIN subs s USING (vec_id, sub_id)
-    CROSS JOIN generate_series(1, {sub}) AS g(i)
-    GROUP BY 1, 2, 3
-  ) GROUP BY 1, 2
-)""")
-        pq_parts.append(f"""pcent{t} AS (
-  SELECT c.sub_id, c.code, COALESCE(m.cvec, c.cvec) AS cvec
-  FROM {prev} c LEFT JOIN pmeans{t} m USING (sub_id, code)
-)""")
-    pq_parts.append(pq_assign_sql("codesf", f"pcent{pq_iters}"))
+    pq_parts = pq_encode_parts()
     pq_parts.append("""q AS (
   SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
 )""")
@@ -5493,6 +5826,33 @@ FROM (
 UNION ALL
 SELECT 'ids', MIN(doc_id), '', '', CAST(-1 AS BIGINT)
 FROM documents GROUP BY md5({norm})
+UNION ALL
+-- 'url': URL-level dedup — salted adversarial raw URLs (mixed case,
+-- default port, userinfo, tracking params, unsorted query, fragment,
+-- %-escape case) and the expected RFC-normal canonical form are both
+-- built from doc_id formulas; the engine runs the FULL
+-- canonicalize_url_col chain, so the hash proves the algorithm lands
+-- exactly on the formula form for every salt
+SELECT 'url', MIN(doc_id), canon, arg_min(url, doc_id), COUNT(*)
+FROM (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'https://example' || CAST(doc_id % 40 AS VARCHAR)
+                  || '.com/p' || CAST(doc_id % 15 AS VARCHAR) || '?b=2&a=1'
+      WHEN 1 THEN 'HTTPS://EXAMPLE' || CAST(doc_id % 40 AS VARCHAR)
+                  || '.COM:443/p' || CAST(doc_id % 15 AS VARCHAR)
+                  || '?a=1&utm_source=x&b=2#frag'
+      WHEN 2 THEN 'https://u:pw@example' || CAST(doc_id % 40 AS VARCHAR)
+                  || '.com/p' || CAST(doc_id % 15 AS VARCHAR) || '?a=1&b=2'
+      ELSE 'http://example' || CAST(doc_id % 40 AS VARCHAR)
+           || '.com/q%2f' || CAST(doc_id % 15 AS VARCHAR) END AS url,
+    CASE WHEN doc_id % 4 < 3
+      THEN 'https://example' || CAST(doc_id % 40 AS VARCHAR)
+           || '.com/p' || CAST(doc_id % 15 AS VARCHAR) || '?a=1&b=2'
+      ELSE 'http://example' || CAST(doc_id % 40 AS VARCHAR)
+           || '.com/q%2F' || CAST(doc_id % 15 AS VARCHAR) END AS canon
+  FROM documents
+) GROUP BY canon
 """
     # d4 rows carry the full signature string (the d3 stage) alongside
     # each band row, mirroring the Spark `carry` column.

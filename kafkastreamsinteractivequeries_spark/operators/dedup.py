@@ -1213,6 +1213,116 @@ def exact_dedup_incremental(
     ).drop("fingerprint")
 
 
+# tracking query params dropped by URL canonicalization (C4/RefinedWeb
+# run URL-level dedup BEFORE any text dedup — arXiv:2306.01116 §3.2);
+# matched against the full `name=value` token, so `utm_sourcey=x` (a
+# different param) survives while `utm_source` with or without a value
+# is dropped
+_TRACKING_PARAM_PATTERN = r"^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+
+def canonicalize_url_col(col: F.Column) -> F.Column:
+    """RFC 3986-style URL normalization as ONE Column expression chain
+    (zero shuffle, zero Python; replayable in any engine with regex +
+    list ops): strip the fragment, uppercase percent-escape hex (%2f →
+    %2F — escapes are case-insensitive, paths are not), lowercase the
+    scheme and host, drop userinfo (``user:pw@`` is never part of
+    resource identity), drop the scheme's default port (:80 http /
+    :443 https), normalize the empty path to ``/``, drop tracking
+    params (``utm_*``, fbclid, gclid, msclkid, ref) and sort the
+    surviving query params byte-lexicographically.
+
+    A string with no ``scheme://`` is treated as an opaque key: it gets
+    only the trim + %-case normalization (degrade, never NULL).
+    IDN→punycode is out of scope for the expression form (needs a
+    codec table); hosts are lowercased as-is.
+    """
+    raw = F.trim(col)
+    # fragment off first — everything after '#' is client-side
+    x = F.substring_index(raw, "#", 1)
+    # uppercase %xx: split on '%', re-join with the 2 hex chars upper'd
+    parts = F.split(x, "%")
+    x = F.concat(
+        F.element_at(parts, 1),
+        F.array_join(
+            F.transform(
+                F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+                lambda p: F.concat(
+                    F.lit("%"),
+                    F.upper(F.substring(p, 1, 2)),
+                    F.substring(p, 3, 1 << 24),
+                ),
+            ),
+            "",
+        ),
+    )
+    scheme = F.lower(F.regexp_extract(x, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(x, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    auth = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    tail = F.substring(rest, F.length(auth) + 1, 1 << 24)
+    # userinfo off (up to the FIRST '@' — later '@'s are malformed),
+    # host+port lowercased
+    host = F.lower(F.regexp_replace(auth, r"^[^@/?]*@", ""))
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.when(
+        F.length(tail) > F.length(path),
+        F.substring(tail, F.length(path) + 2, 1 << 24),
+    ).otherwise(F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    kept_params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~F.regexp_like(p, F.lit(_TRACKING_PARAM_PATTERN)),
+        )
+    )
+    qpart = F.when(
+        F.size(kept_params) > 0,
+        F.concat(F.lit("?"), F.array_join(kept_params, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", x).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qpart)
+    )
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level first-occurrence dedup — the stage C4/RefinedWeb run
+    BEFORE any text dedup (two fetches of one canonical URL are the
+    same document regardless of text mutations like rotating ads):
+    keep the lowest-id row per ``canonicalize_url_col`` value.
+
+    Output: (id, url, canonical_url, n_dups) — one row per KEPT doc,
+    ``n_dups`` = how many raw URLs collapsed onto its canonical form.
+
+    Scale shape: canonicalization is a map-only Column chain; the
+    keeper is a min-struct AGGREGATE on the canonical string (map-side
+    partial min — a hot URL costs one partial row per map task, the
+    ``line_dedup`` argmin pattern, never a window funnel)."""
+    canon = docs.select(
+        F.col(id_col),
+        F.col(url_col).alias("url"),
+        canonicalize_url_col(F.col(url_col)).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.min(F.struct(id_col, "url")).alias("_w"),
+            F.count("*").alias("n_dups"),
+        )
+        .select(
+            F.col(f"_w.{id_col}").alias(id_col),
+            F.col("_w.url").alias("url"),
+            "canonical_url",
+            F.col("n_dups").cast("long").alias("n_dups"),
+        )
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     k: int = 8,
@@ -1391,6 +1501,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     delim: str = "\n",
+    join_delim: str | None = None,
 ) -> DataFrame:
     """C4-style line-level corpus deduplication (Raffel et al.
     1910.10683 §2.2 deduplicates repeated three-sentence spans; Dolma
@@ -1416,7 +1527,14 @@ def line_dedup(
     Reassembly is one groupBy on the id with a position-sorted fold.
     Identical empty lines dedup like any other line (documented C4
     behavior).
+
+    ``delim`` is a split REGEX; ``join_delim`` is the literal string
+    reassembly uses (defaults to ``delim`` — override it whenever the
+    regex isn't a literal, e.g. paragraph granularity via
+    ``paragraph_dedup``).
     """
+    if join_delim is None:
+        join_delim = delim
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
@@ -1435,7 +1553,7 @@ def line_dedup(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s["line"],
             ),
-            delim,
+            join_delim,
         ).alias("text"),
     )
     # NULL text contributes zero lines (adversarial-input convention:
@@ -1457,6 +1575,19 @@ def line_dedup(
             ),
             F.coalesce("text", F.lit("")).alias("text"),
         )
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``line_dedup`` at PARAGRAPH granularity — C4 deduplicates at
+    multiple granularities; a paragraph is any run of text between
+    blank lines (split on 2+ consecutive newlines, rejoined with a
+    canonical blank line).  Same min-struct first-occurrence aggregate,
+    same scale shape; only the unit changes."""
+    return line_dedup(
+        docs, text_col, id_col, delim=r"\n{2,}", join_delim="\n\n"
     )
 
 

@@ -572,6 +572,261 @@ def gif_bmp_manifest(gif_assets: DataFrame, bmp_assets: DataFrame) -> DataFrame:
     return gif.unionByName(bmp)
 
 
+# --------------------------------------------------------------------------
+# WebP (RIFF container) + TIFF (endian-tagged IFD walk)
+# WebP generalizes the decode_wav RIFF chunk walk to images: dims sit
+# at fixed offsets inside the VP8/VP8L/VP8X payload chunk (bit-packed
+# for VP8L).  TIFF is the one mainstream format whose BYTE ORDER is
+# data-dependent ('II' little / 'MM' big), so every read is endian-
+# parametric, and dims live in IFD entries that must be WALKED (tags
+# 256/257/258), not read at fixed offsets — a bounded fold, zero UDF.
+# --------------------------------------------------------------------------
+
+
+def _u24le_bytes(col: F.Column) -> F.Column:
+    """uint24 → 3-byte LITTLE-endian binary."""
+    h = F.lpad(F.hex(col.cast("bigint")), 6, "0")
+    return F.unhex(
+        F.concat(F.substring(h, 5, 2), F.substring(h, 3, 2), F.substring(h, 1, 2))
+    )
+
+
+def _uint_at(payload: F.Column, pos: F.Column, nbytes: int, le: F.Column) -> F.Column:
+    """Unsigned integer of ``nbytes`` read at 1-based offset ``pos``
+    (a Column — IFD offsets are data-dependent) with RUNTIME byte order
+    ``le`` (True → little-endian).  NULL when the read runs off the end
+    (truncated payloads degrade, never error)."""
+    parts = [F.hex(F.substring(payload, pos + i, 1)) for i in range(nbytes)]
+    ok = parts[-1].isNotNull() & (F.length(parts[-1]) == 2)
+    le_hex = F.concat(*reversed(parts))
+    be_hex = F.concat(*parts)
+    return F.when(
+        ok, F.conv(F.when(le, le_hex).otherwise(be_hex), 16, 10).cast("bigint")
+    )
+
+
+def webp_assets_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, payload): a minimal real WebP per doc_id % 5 == 0 doc
+    — RIFF header + one of the three payload chunk kinds by id residue
+    (VP8 lossy with the 9D012A sync code and 14-bit LE dims, VP8L
+    lossless with the 0x2F signature and BIT-PACKED 14-bit dims-minus-
+    one, VP8X extended with 24-bit LE canvas dims-minus-one).
+    Deterministic from the id for oracle byte replay."""
+    did = F.col(id_col)
+    w = (F.lit(16) + (did * 5) % 16000).cast("bigint")
+    h = (F.lit(16) + (did * 9) % 12000).cast("bigint")
+    kind = (did % 3).cast("int")
+    vp8 = F.concat(
+        F.encode(F.lit("VP8 "), "utf-8"),
+        _u32le_bytes(F.lit(10)),
+        F.unhex(F.lit("000000")),  # frame tag
+        F.unhex(F.lit("9D012A")),  # sync code
+        _u16le_bytes(w),
+        _u16le_bytes(h),
+    )
+    vp8l = F.concat(
+        F.encode(F.lit("VP8L"), "utf-8"),
+        _u32le_bytes(F.lit(5)),
+        F.unhex(F.lit("2F")),  # signature
+        _u32le_bytes((w - 1) + (h - 1) * F.lit(1 << 14)),
+    )
+    vp8x = F.concat(
+        F.encode(F.lit("VP8X"), "utf-8"),
+        _u32le_bytes(F.lit(10)),
+        F.unhex(F.lit("00000000")),  # flags + reserved
+        _u24le_bytes(w - 1),
+        _u24le_bytes(h - 1),
+    )
+    body = F.when(kind == 0, vp8).when(kind == 1, vp8l).otherwise(vp8x)
+    payload = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"),
+        _u32le_bytes(F.length(body).cast("bigint") + 4),
+        F.encode(F.lit("WEBP"), "utf-8"),
+        body,
+    )
+    return docs.filter(did % 5 == 0).select(
+        did.alias("asset_id"), payload.alias("payload")
+    )
+
+
+def tiff_assets_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, payload): a minimal real TIFF per doc_id % 5 == 1 doc
+    — 'II'*42 (id % 10 == 1) or 'MM'*42 byte order, IFD at offset 8
+    with FOUR tag-sorted entries (256 ImageWidth, 257 ImageLength, 258
+    BitsPerSample, 259 Compression) so the dimension tags must be
+    FOUND by the entry walk, not assumed at a fixed slot.  Dim entries
+    alternate SHORT/LONG value types by id (LONG ids carry dims above
+    the 16-bit range, so a parser that always reads 2 bytes breaks the
+    hash).  Deterministic for oracle byte replay."""
+    did = F.col(id_col)
+    le = did % 10 == 1
+    long_typ = did % 4 == 3  # among %5==1 ids: half SHORT, half LONG
+    w = F.when(
+        long_typ, F.lit(70000) + (did * 3) % 100000
+    ).otherwise(F.lit(16) + (did * 3) % 40000).cast("bigint")
+    h = F.when(
+        long_typ, F.lit(70000) + (did * 11) % 90000
+    ).otherwise(F.lit(16) + (did * 11) % 30000).cast("bigint")
+
+    def u16(v: F.Column) -> F.Column:
+        return F.when(le, _u16le_bytes(v)).otherwise(
+            F.unhex(F.lpad(F.hex(v.cast("bigint")), 4, "0"))
+        )
+
+    def u32(v: F.Column) -> F.Column:
+        return F.when(le, _u32le_bytes(v)).otherwise(
+            F.unhex(F.lpad(F.hex(v.cast("bigint")), 8, "0"))
+        )
+
+    def entry(tag: int, typ: F.Column, val: F.Column) -> F.Column:
+        # SHORT (type 3): value in the FIRST 2 bytes of the value field
+        # (in the file's byte order), 2 trailing zero bytes; LONG
+        # (type 4): all 4 bytes
+        short_val = F.concat(u16(val), F.unhex(F.lit("0000")))
+        return F.concat(
+            u16(F.lit(tag)),
+            u16(typ),
+            u32(F.lit(1)),
+            F.when(typ == 3, short_val).otherwise(u32(val)),
+        )
+
+    dim_typ = F.when(long_typ, F.lit(4)).otherwise(F.lit(3))
+    payload = F.concat(
+        F.when(le, F.encode(F.lit("II"), "utf-8")).otherwise(
+            F.encode(F.lit("MM"), "utf-8")
+        ),
+        u16(F.lit(42)),
+        u32(F.lit(8)),  # IFD offset
+        u16(F.lit(4)),  # entry count
+        entry(256, dim_typ, w),
+        entry(257, dim_typ, h),
+        entry(258, F.lit(3), F.lit(8)),  # BitsPerSample
+        entry(259, F.lit(3), F.lit(1)),  # Compression = none
+        u32(F.lit(0)),  # next-IFD offset
+    )
+    return docs.filter(did % 5 == 1).select(
+        did.alias("asset_id"), payload.alias("payload")
+    )
+
+
+def webp_dimensions(payload: F.Column) -> F.Column:
+    """struct(width, height, kind) from a WebP payload — RIFF + 'WEBP'
+    guard, then per-fourcc: VP8's 14-bit LE dims after the 9D012A sync
+    code, VP8L's bit-packed (w-1, h-1) 14-bit pairs after the 0x2F
+    signature, VP8X's 24-bit LE canvas-minus-one.  Non-WebP / corrupt /
+    truncated payloads yield nulls."""
+    is_riff = (F.hex(F.substring(payload, 1, 4)) == "52494646") & (
+        F.hex(F.substring(payload, 9, 4)) == "57454250"
+    )
+    fourcc = F.decode(F.substring(payload, 13, 4), "utf-8")
+    lit_true = F.lit(True)
+    vp8_ok = is_riff & (fourcc == "VP8 ") & (
+        F.hex(F.substring(payload, 24, 3)) == "9D012A"
+    )
+    vp8_w = _uint_at(payload, F.lit(27), 2, lit_true).bitwiseAND(F.lit(16383))
+    vp8_h = _uint_at(payload, F.lit(29), 2, lit_true).bitwiseAND(F.lit(16383))
+    vp8l_ok = is_riff & (fourcc == "VP8L") & (
+        F.hex(F.substring(payload, 21, 1)) == "2F"
+    )
+    bits = _uint_at(payload, F.lit(22), 4, lit_true)
+    vp8l_w = bits.bitwiseAND(F.lit(16383)) + 1
+    vp8l_h = F.shiftright(bits, 14).bitwiseAND(F.lit(16383)) + 1
+    vp8x_ok = is_riff & (fourcc == "VP8X")
+    vp8x_w = _uint_at(payload, F.lit(25), 3, lit_true) + 1
+    vp8x_h = _uint_at(payload, F.lit(28), 3, lit_true) + 1
+    width = (
+        F.when(vp8_ok, vp8_w).when(vp8l_ok, vp8l_w).when(vp8x_ok, vp8x_w)
+    )
+    height = (
+        F.when(vp8_ok, vp8_h).when(vp8l_ok, vp8l_h).when(vp8x_ok, vp8x_h)
+    )
+    kind = (
+        F.when(vp8_ok, F.lit("vp8"))
+        .when(vp8l_ok, F.lit("vp8l"))
+        .when(vp8x_ok, F.lit("vp8x"))
+    )
+    return F.struct(width.alias("width"), height.alias("height"), kind.alias("kind"))
+
+
+def tiff_dimensions(payload: F.Column, max_entries: int = 16) -> F.Column:
+    """struct(width, height, bits_per_sample, little_endian) via the
+    real endian-tagged IFD walk: byte order from the 'II'/'MM' magic,
+    the 42 check in THAT order, IFD offset from the header, then a
+    bounded fold over ≤ ``max_entries`` 12-byte entries matching tags
+    256/257/258 and reading each value by its declared type (SHORT =
+    first 2 value bytes, LONG = 4).  Offsets are data-dependent
+    Columns throughout; corrupt / truncated payloads yield nulls."""
+    le = F.hex(F.substring(payload, 1, 2)) == "4949"
+    be = F.hex(F.substring(payload, 1, 2)) == "4D4D"
+    magic42 = _uint_at(payload, F.lit(3), 2, le) == 42
+    ok = (le | be) & magic42
+    ifd = _uint_at(payload, F.lit(5), 4, le)
+    n = F.least(_uint_at(payload, ifd + 1, 2, le), F.lit(max_entries))
+    zero = F.lit(None).cast("bigint")
+    init = F.struct(zero.alias("w"), zero.alias("h"), zero.alias("bps"))
+
+    def step(acc: F.Column, i: F.Column) -> F.Column:
+        base = ifd + 3 + i.cast("bigint") * 12
+        tag = _uint_at(payload, base, 2, le)
+        typ = _uint_at(payload, base + 2, 2, le)
+        val = F.when(typ == 3, _uint_at(payload, base + 8, 2, le)).when(
+            typ == 4, _uint_at(payload, base + 8, 4, le)
+        )
+        return F.struct(
+            F.when(tag == 256, val).otherwise(acc["w"]).alias("w"),
+            F.when(tag == 257, val).otherwise(acc["h"]).alias("h"),
+            F.when(tag == 258, val).otherwise(acc["bps"]).alias("bps"),
+        )
+
+    walked = F.aggregate(
+        F.when(ok & n.isNotNull() & (n > 0), F.sequence(F.lit(0), n - 1))
+        .otherwise(F.array().cast("array<int>")),
+        init,
+        step,
+    )
+    return F.struct(
+        walked["w"].alias("width"),
+        walked["h"].alias("height"),
+        walked["bps"].alias("bits_per_sample"),
+        F.when(ok, le).alias("little_endian"),
+    )
+
+
+def webp_tiff_manifest(webp_assets: DataFrame, tiff_assets: DataFrame) -> DataFrame:
+    """Manifest rows for the RIFF-image and endian-tagged formats,
+    shaped like ``gif_bmp_manifest``: media type from the PARSE
+    (webp_vp8 ⊕ webp_vp8l ⊕ webp_vp8x ⊕ tiff_le ⊕ tiff_be), checksum
+    over the bytes — map-only on each side of the union."""
+    wd = webp_dimensions(F.col("payload"))
+    webp = webp_assets.select(
+        "asset_id",
+        F.concat(F.lit("webp_"), wd["kind"]).alias("media_type"),
+        F.decode(F.substring("payload", 1, 4), "utf-8").alias("magic"),
+        F.length("payload").alias("byte_len"),
+        wd["width"].alias("width"),
+        wd["height"].alias("height"),
+        F.lit(None).cast("bigint").alias("n_components"),
+        F.md5(F.hex("payload")).alias("checksum"),
+    )
+    td = tiff_dimensions(F.col("payload"))
+    tiff = tiff_assets.select(
+        "asset_id",
+        # three-valued on purpose: little_endian is NULL for non-TIFF
+        # payloads, so corrupt blobs degrade to a NULL media_type
+        # instead of masquerading as big-endian TIFFs
+        F.when(td["little_endian"] == True, F.lit("tiff_le"))  # noqa: E712
+        .when(td["little_endian"] == False, F.lit("tiff_be"))  # noqa: E712
+        .alias("media_type"),
+        F.decode(F.substring("payload", 1, 2), "utf-8").alias("magic"),
+        F.length("payload").alias("byte_len"),
+        td["width"].alias("width"),
+        td["height"].alias("height"),
+        (td["bits_per_sample"] / 8).cast("bigint").alias("n_components"),
+        F.md5(F.hex("payload")).alias("checksum"),
+    )
+    return webp.unionByName(tiff)
+
+
 def jpeg_manifest(assets: DataFrame) -> DataFrame:
     """Manifest rows for JPEG payloads: media type derived from the
     PARSED frame marker (baseline vs progressive), magic from the APP0

@@ -1662,6 +1662,103 @@ def ivfpq_codes(
     ).select(id_col, "list_id", "sub_id", "code")
 
 
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Hybrid-retrieval fusion by Reciprocal Rank Fusion (Cormack et
+    al., SIGIR 2009): each system's contribution for a doc is
+    1/(k0 + rank); docs re-rank by the summed score.  The standard way
+    to combine BM25 and vector top-k lists for RAG serving — rank
+    arithmetic only, no score calibration between systems needed.
+
+    Output: (id, rrf, rank) — ``rrf`` is the score scaled by 1e9 and
+    kept in INTEGER space (``1000000000 div (k0 + rank)`` summed), so
+    it is bit-deterministic in any engine regardless of how many
+    systems fuse or in what order (float sums are order-sensitive past
+    two addends).
+
+    Scale shape: inputs are top-k lists — bounded by construction
+    (Σ kᵢ rows total), so the global re-rank window is a sort of at
+    most a few dozen rows, never a corpus-sized single-partition
+    funnel; the union + sum is one tiny aggregate."""
+    contrib = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col),
+            F.expr(f"1000000000 div ({k0} + {rank_col})").alias("_c"),
+        )
+        contrib = part if contrib is None else contrib.unionByName(part)
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col))
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.sum("_c").cast("long").alias("rrf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rrf", "rank")
+    )
+
+
+def append_pq_codes(
+    existing: DataFrame,
+    new_embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental ANN ingest for the ``pq_codes`` store: encode ONLY
+    the new batch against the FROZEN codebook and union it with the
+    landed code table — the serve-while-ingesting half of the
+    train-once story.
+
+    Frozen-quantizer semantics: the codebook does NOT move with new
+    data — each new vector's codes are a pure function of (vector,
+    codebook), so append(A) ⊕ append(B) is bit-identical to a one-shot
+    encode of A ∪ B (driver-verified as the s2 'append' branch), and
+    re-training is a POLICY (run the training job again when drift
+    warrants, then re-encode) rather than a per-batch cost.
+
+    Scale shape: the new batch is one map-only scan against the
+    broadcast codebook (``pq_codes``); the existing store is untouched
+    — at 100 TB this appends a partition, never rewrites (or even
+    reads) the corpus-sized store.  Caller contract: ingest ids are
+    unique across batches (the normal case — any dedup would have to
+    scan the store per batch, which this operator refuses to do; a
+    re-ingested id is harmless for SERVING anyway, since the frozen
+    quantizer gives it identical codes, and is reconciled by the
+    store's versioned-snapshot dedup or a compaction pass, not here).
+    """
+    fresh = pq_codes(new_embeddings, codebook, m, dim, vec_col, id_col)
+    return existing.unionByName(fresh)
+
+
+def append_ivfpq_codes(
+    existing: DataFrame,
+    new_embeddings: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``append_pq_codes`` for the IVF-PQ residual code store
+    (``ivfpq_codes``): coarse assignment + residual codes for the new
+    batch only, against the frozen coarse quantizer AND codebook, then
+    union with the landed (id, list_id, sub_id, code) table.  Same
+    frozen-quantizer append == one-shot contract; same
+    never-touch-the-store scale shape."""
+    fresh = ivfpq_codes(
+        new_embeddings, centroids, codebook, m, dim, vec_col, id_col
+    )
+    return existing.unionByName(fresh)
+
+
 def knn_ivfpq(
     embeddings: DataFrame,
     queries: DataFrame,

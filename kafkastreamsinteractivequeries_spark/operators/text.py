@@ -1649,6 +1649,64 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 ]
 
 
+# ---- encoding repair (mojibake) -------------------------------------
+# The two dominant real-corpus text corruptions (ftfy's core cases) are
+# UTF-8 bytes mis-decoded as cp1252/latin-1 and re-saved as UTF-8:
+# 'é' (C3 A9) becomes 'Ã©', '’' (E2 80 99) becomes 'â€™'.  The reverse
+# map is a PURE FUNCTION of the character table below — generated at
+# import (never hand-maintained) by encoding each target char to UTF-8
+# and decoding byte-wise as cp1252 with the WHATWG latin-1 fallback for
+# cp1252's five undefined bytes (0x81 8D 8F 90 9D), exactly the browser
+# behavior that produced the corruption.  Every mojibake sequence is
+# ≥2 chars of non-ASCII, so clean ASCII text can never match and passes
+# through byte-identical.
+_MOJIBAKE_TARGETS = (
+    "éèêëàâáäçîïíìôöóòùûúüñÿœæÃ"  # accented latin + the Ã of double-double
+    "’‘“”–—…€•©®°±«»¿¡"  # punctuation/symbols (3-byte UTF-8 mostly)
+)
+_CP1252_UNDEF = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
+
+
+def _mojibake_of(s: str) -> str:
+    """What ``s`` looks like after the UTF-8→cp1252 mis-decode (the
+    corruption this module repairs) — also used by tests/oracles to
+    MANUFACTURE corrupted fixtures from clean text."""
+    out = []
+    for x in s.encode("utf-8"):
+        if x < 0x80:
+            out.append(chr(x))
+        elif x in _CP1252_UNDEF:
+            out.append(chr(x))  # WHATWG fallback: C1 control as-is
+        else:
+            out.append(bytes([x]).decode("cp1252"))
+    return "".join(out)
+
+
+#: (mojibake_sequence, repaired_char), longest sequence first (3-byte
+#: UTF-8 targets repair before 2-byte ones so 'â€™' wins over 'Ã¢'),
+#: lexicographic within a length for a deterministic chain.  ONE layer
+#: of corruption is reversed per pass (doubly-corrupted text needs two
+#: applications — rare enough that the fixpoint loop is the caller's
+#: policy).
+MOJIBAKE_PAIRS: list[tuple[str, str]] = sorted(
+    {(_mojibake_of(ch), ch) for ch in _MOJIBAKE_TARGETS},
+    key=lambda p: (-len(p[0]), p[0]),
+)
+
+
+def repair_mojibake_col(col: F.Column) -> F.Column:
+    """Reverse one layer of UTF-8-as-cp1252 mojibake as a pure Column
+    replace chain (zero shuffle, zero Python at runtime; the oracle
+    replays the identical chain with nested ``replace()``).  Clean text
+    — including legitimate accented text containing the TARGET chars —
+    passes through byte-identical, because only the multi-char
+    corrupted sequences are touched."""
+    out = col
+    for moji, fixed in MOJIBAKE_PAIRS:
+        out = F.replace(out, F.lit(moji), F.lit(fixed))
+    return out
+
+
 def strip_html_col(col: F.Column) -> F.Column:
     """Markup-stripped text as one Column chain: script/style/comment
     BLOCKS first (their content is code, not text — a bare tag-strip

@@ -747,6 +747,58 @@ class _VersionedSketchSink:
         return len(doomed)
 
 
+class StreamingPqCodeSink(_VersionedSketchSink):
+    """Landed PQ code store fed by a stream — the serve-while-ingesting
+    half of the ANN train-once story: each micro-batch of new vectors
+    is encoded against the FROZEN codebook (``pq_codes``: one map-only
+    scan, broadcast codebook) and appended to the versioned snapshot,
+    so ``knn_pq_adc(code_rows=sink.codes(spark))`` serves every vector
+    ever ingested without re-encoding the corpus.
+
+    Frozen-quantizer semantics as in ``similarity.append_pq_codes``:
+    codes are a pure function of (vector, codebook), so the landed
+    store is bit-identical to a one-shot ``pq_codes`` over everything
+    ingested (asserted by test) regardless of how the stream was
+    batched; re-training cadence is a policy decision made by a
+    separate training job, never a per-batch cost.  Re-ingested ids
+    are reconciled here (first snapshot wins — value-free, the codes
+    are identical) since the snapshot merge already reads the prior
+    landed table."""
+
+    def __init__(
+        self,
+        path: str,
+        codebook: DataFrame,
+        m: int = 8,
+        dim: int = 64,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
+        super().__init__(path)
+        self.codebook = codebook
+        self.m, self.dim = m, dim
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def _sketch(self, batch_df: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.similarity import pq_codes
+
+        return pq_codes(
+            batch_df, self.codebook, self.m, self.dim, self.vec_col, self.id_col
+        )
+
+    def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        # a = the landed snapshot, b = the fresh batch: keep the landed
+        # row on id collision (identical codes under the frozen book)
+        return a.unionByName(
+            b.join(a.select(self.id_col), self.id_col, "left_anti")
+        )
+
+    def codes(self, spark: SparkSession) -> DataFrame:
+        """The landed (id, codes) table (latest committed snapshot) —
+        feed it to ``knn_pq_adc(code_rows=...)``."""
+        return self._latest(spark)
+
+
 class StreamingHllSink(_VersionedSketchSink):
     """Landed HLL register store: continuous distinct-count telemetry
     over the ingest stream with total state ≤ groups × 2^p rows.  The

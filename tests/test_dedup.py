@@ -704,3 +704,71 @@ def test_cdc_chunking_survives_prefix_insertion(spark):
     )
     assert "ShuffledHashJoin" in plan
     assert "Window" not in plan and "EvalPython" not in plan
+
+
+def test_canonicalize_url_adversarial(spark):
+    """RFC-normalization rules, each exercised by a hostile raw form:
+    case, default ports, userinfo, %-escape case, tracking params,
+    param order, fragments, empty path, non-URL degrade."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        canonicalize_url_col,
+        url_dedup,
+    )
+
+    rows = [
+        (1, "HTTPS://User:Pw@Example.COM:443/Path%2fA?b=2&utm_source=x&a=1#frag"),
+        (2, "https://example.com/Path%2FA?a=1&b=2"),
+        (3, "http://example.com:80/"),
+        (4, "http://example.com"),  # empty path -> '/'
+        (5, "not a url %2f"),  # no scheme: opaque-key degrade
+        (6, "https://example.com/p?utm_campaign=z&fbclid=y&gclid=w&ref=v"),
+        (7, "https://example.com/p"),
+        (8, "ftp://Example.com:21/f"),  # :21 is NOT an http default — kept
+        (9, "https://example.com/p?reference=keep"),  # 'ref' prefix != 'ref'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", canonicalize_url_col(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got[1] == got[2] == "https://example.com/Path%2FA?a=1&b=2"
+    assert got[3] == got[4] == "http://example.com/"
+    assert got[5] == "not a url %2F"
+    assert got[6] == got[7] == "https://example.com/p"
+    assert got[8] == "ftp://example.com:21/f"
+    assert got[9] == "https://example.com/p?reference=keep"
+
+    kept = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert set(kept) == {1, 3, 5, 6, 8, 9}
+    assert kept[1]["n_dups"] == 2 and kept[6]["n_dups"] == 2
+
+    # canonicalization itself is a zero-shuffle Column chain; the
+    # keeper is ONE aggregate exchange, never a window funnel
+    plan = (
+        url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # partial agg + final agg exchange
+
+
+def test_paragraph_dedup(spark):
+    """Paragraph granularity: a paragraph repeated across docs survives
+    only at its first (id, position); intra-doc structure and unique
+    paragraphs are preserved; rejoin uses a canonical blank line."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique one\n\n{boiler}\n\nunique two"),
+        (2, f"{boiler}\n\n\nother text"),  # 3 newlines split the same
+        (3, "other text"),  # duplicate of doc 2's second paragraph
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text"] == f"unique one\n\n{boiler}\n\nunique two"
+    assert out[1]["n_lines"] == 3 and out[1]["removed_lines"] == 0
+    assert out[2]["text"] == "other text"  # boilerplate excised
+    assert out[2]["kept_lines"] == 1 and out[2]["removed_lines"] == 1
+    assert out[3]["text"] == "" and out[3]["removed_lines"] == 1

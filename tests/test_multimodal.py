@@ -329,3 +329,74 @@ def test_gif_bmp_parsers_null_on_corrupt(spark):
             bmp_dimensions(F.col("payload")).alias("b"),
         ).collect()[0]
         assert row["g"]["width"] is None and row["b"]["width"] is None, i
+
+
+def test_webp_tiff_manifest_parses_real_bytes(spark):
+    """WebP (VP8/VP8L/VP8X) and TIFF (both byte orders, SHORT and LONG
+    dim types) parse to the generation formulas; corrupt/truncated
+    payloads degrade to NULL dims and NULL media_type, never error."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        tiff_assets_from_documents,
+        webp_assets_from_documents,
+        webp_tiff_manifest,
+    )
+
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    out = {
+        r["asset_id"]: r
+        for r in webp_tiff_manifest(
+            webp_assets_from_documents(docs), tiff_assets_from_documents(docs)
+        ).collect()
+    }
+    kinds = set()
+    for did, r in out.items():
+        if r["media_type"].startswith("webp"):
+            assert r["width"] == 16 + (did * 5) % 16000
+            assert r["height"] == 16 + (did * 9) % 12000
+            assert r["magic"] == "RIFF" and r["n_components"] is None
+        else:
+            long_t = did % 4 == 3
+            assert r["width"] == (
+                70000 + (did * 3) % 100000 if long_t else 16 + (did * 3) % 40000
+            )
+            assert r["height"] == (
+                70000 + (did * 11) % 90000 if long_t else 16 + (did * 11) % 30000
+            )
+            assert r["media_type"] == ("tiff_le" if did % 10 == 1 else "tiff_be")
+            assert r["n_components"] == 1
+        kinds.add(r["media_type"])
+    assert kinds == {"webp_vp8", "webp_vp8l", "webp_vp8x", "tiff_le", "tiff_be"}
+
+    bad = spark.createDataFrame(
+        [
+            (1, bytearray(b"RIFFxxxxWEBPVP8 junk-no-sync")),
+            (2, bytearray(b"RIFFxxxxWAVEVP8 not-webp")),
+            (3, bytearray(b"II*\x00trunc")),
+            (4, bytearray(b"MM")),
+            (5, bytearray(b"garbage")),
+        ],
+        "asset_id long, payload binary",
+    )
+    deg = {
+        r["asset_id"]: r
+        for r in webp_tiff_manifest(
+            bad.filter("asset_id <= 2"), bad.filter("asset_id >= 3")
+        ).collect()
+    }
+    for r in deg.values():
+        assert r["width"] is None and r["height"] is None
+    # 'II*\0' IS a well-formed TIFF header — truncation past it keeps
+    # the type but degrades dims; headerless garbage loses both
+    assert deg[3]["media_type"] == "tiff_le"
+    for aid in (1, 2, 4, 5):
+        assert deg[aid]["media_type"] is None
+
+    # the whole manifest is map-only: no shuffle, no Python
+    plan = (
+        webp_tiff_manifest(
+            webp_assets_from_documents(docs), tiff_assets_from_documents(docs)
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan

@@ -987,3 +987,72 @@ def test_knn_union_cached_index_matches_fresh_training(spark, sf_dir):
     assert sorted(map(tuple, from_fresh.collect())) == sorted(
         map(tuple, from_cache.collect())
     )
+
+
+def test_append_codes_equals_one_shot_encode(spark, sf_dir):
+    """Incremental ANN ingest contract: encoding two corpus halves
+    SEPARATELY against the frozen quantizers and unioning
+    (append_pq_codes / append_ivfpq_codes) is bit-identical to the
+    one-shot landed encode — codes are a pure function of (vector,
+    quantizer), so ingest batching can never change the store."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        append_ivfpq_codes,
+        append_pq_codes,
+        ivfpq_codes,
+        pq_codes,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    index = entry_mod.ensure_knn_indexes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+
+    appended = append_pq_codes(
+        pq_codes(base, index["pq_book"], m=8), batch, index["pq_book"], m=8
+    )
+    got = {r["vec_id"]: list(r["codes"]) for r in appended.collect()}
+    want = {r["vec_id"]: list(r["codes"]) for r in index["pq_codes"].collect()}
+    assert got == want
+
+    appended_r = append_ivfpq_codes(
+        ivfpq_codes(base, index["ivfpq_centroids"], index["ivfpq_book"], m=8),
+        batch,
+        index["ivfpq_centroids"],
+        index["ivfpq_book"],
+        m=8,
+    )
+    got_r = sorted(map(tuple, appended_r.collect()))
+    want_r = sorted(map(tuple, index["ivfpq_codes"].collect()))
+    assert got_r == want_r
+
+
+def test_reciprocal_rank_fusion_semantics(spark):
+    """RRF: a doc ranked by BOTH systems outranks single-system docs
+    with comparable ranks; scores are exact integers (1e9 div (60+r)
+    summed) so fusion is bit-deterministic regardless of system order."""
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        reciprocal_rank_fusion,
+    )
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(12, 1), (13, 2), (14, 3)], "doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in reciprocal_rank_fusion([a, b], k=5).collect()}
+    # doc 12: 1e9//63 + 1e9//61 beats doc 10's 1e9//61 alone
+    assert out[12]["rank"] == 1
+    assert out[12]["rrf"] == 1_000_000_000 // 63 + 1_000_000_000 // 61
+    assert out[10]["rrf"] == 1_000_000_000 // 61  # rank 1 in one system
+    assert out[13]["rrf"] == 1_000_000_000 // 62  # rank 2 in one system
+    # order of systems must not matter (integer sum is associative)
+    swapped = {
+        r["doc_id"]: r["rrf"]
+        for r in reciprocal_rank_fusion([b, a], k=5).collect()
+    }
+    assert swapped == {d: r["rrf"] for d, r in out.items()}

@@ -1461,3 +1461,65 @@ def test_streaming_rollup_store_matches_batch_partials(spark, tmp_path):
     # by the shared base-class test; here just confirm the store is
     # bounded: groups x touched-hour buckets
     assert sink.partials(spark).count() <= 4 * (5000 // 60 + 1)
+
+
+def test_streaming_pq_code_sink_matches_one_shot(spark, tmp_path):
+    """StreamingPqCodeSink: after N micro-batches of new vectors the
+    landed (id, codes) snapshot must be bit-identical to a one-shot
+    pq_codes over everything ingested (frozen codebook ⇒ batching can
+    never change the store), and knn_pq_adc serving off the landed
+    store must equal serving off an inline encode."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        knn_pq_adc,
+        pq_codes,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingPqCodeSink,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    index = entry_mod.ensure_knn_indexes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "vecs")
+    # three files → three micro-batches under maxFilesPerTrigger=1
+    for r in range(3):
+        emb.filter(F.col("vec_id") % 3 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = str(tmp_path / "pq_store")
+    sink = StreamingPqCodeSink(store, index["pq_book"], m=8)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    landed = sink.codes(spark)
+    got = {r["vec_id"]: list(r["codes"]) for r in landed.collect()}
+    want = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_codes(emb, index["pq_book"], m=8).collect()
+    }
+    assert got == want
+
+    # serving off the landed store == serving off an inline encode
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    off_store = knn_pq_adc(emb, qdf, index["pq_book"], k=5, m=8, code_rows=landed)
+    inline = knn_pq_adc(emb, qdf, index["pq_book"], k=5, m=8)
+    assert sorted(map(tuple, off_store.collect())) == sorted(
+        map(tuple, inline.collect())
+    )

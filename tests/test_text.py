@@ -892,3 +892,47 @@ def test_strip_html_blocks_tags_entities(spark):
     # map-only
     plan = html_markup_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_repair_mojibake_col(spark):
+    """UTF-8-as-cp1252 mojibake reverses exactly one layer; clean text
+    (including legitimately accented text) passes through
+    byte-identical; the pair table is import-generated so any char the
+    corruption helper produces, the repair chain reverses."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        MOJIBAKE_PAIRS,
+        _mojibake_of,
+        repair_mojibake_col,
+    )
+
+    clean = [
+        "plain ascii only",
+        "légitime café — already correct “text” €5",
+        "",
+    ]
+    rows = [(i, _mojibake_of(c)) for i, c in enumerate(clean)] + [
+        (10, clean[0]),
+        (11, clean[1]),
+        (12, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", repair_mojibake_col(F.col("text")).alias("rep")
+        ).collect()
+    }
+    for i, c in enumerate(clean):
+        assert got[i] == c, f"repair failed for {c!r}: {got[i]!r}"
+    assert got[10] == clean[0] and got[11] == clean[1]  # pass-through
+    assert got[12] is None  # NULL degrades to NULL
+    # every pair's mojibake form is multi-char non-ASCII (the
+    # no-false-positive-on-ASCII guarantee)
+    assert all(len(m) >= 2 and all(ord(ch) > 127 for ch in m)
+               for m, _ in MOJIBAKE_PAIRS)
+    # zero-shuffle, zero-Python plan
+    plan = (
+        df.select(repair_mojibake_col(F.col("text")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
