@@ -100,6 +100,7 @@ def curate_documents(
     decontaminate_embeddings: tuple[DataFrame, DataFrame] | None = None,
     embedding_threshold: float = 0.9,
     redact: bool = False,
+    url_col: str | None = None,
 ) -> DataFrame:
     """The composed pipeline; returns surviving docs with
     (quality_score, n_tokens, cum_tokens) provenance columns.
@@ -124,6 +125,11 @@ def curate_documents(
       cosine against any eval vector are dropped
       (``similarity.embedding_decontaminate`` — broadcast eval side,
       zero corpus shuffle, catches paraphrases n-grams miss).
+    - ``url_col='url'`` runs URL-level dedup FIRST (the C4/RefinedWeb
+      stage order: two fetches of one canonical URL are the same page
+      regardless of text mutations, so they must collapse before any
+      text-based gate sees them): only ``dedup.url_dedup`` keepers
+      enter the pipeline, via a broadcast-friendly skinny-id semi join.
     """
     # The stats are pure row maps over (id, text) — compute them inline
     # on the corpus scan instead of joining text_stats back on id (a
@@ -133,6 +139,12 @@ def curate_documents(
         contaminated_ids,
         redacted_text_col,
     )
+
+    if url_col is not None:
+        from kafkastreamsinteractivequeries_spark.operators.dedup import url_dedup
+
+        keepers = url_dedup(docs, url_col=url_col, id_col=id_col).select(id_col)
+        docs = docs.join(keepers, id_col, "left_semi")
 
     if redact:
         docs = docs.withColumn(text_col, redacted_text_col(text_col))

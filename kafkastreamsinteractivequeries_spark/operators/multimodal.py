@@ -748,20 +748,44 @@ def webp_dimensions(payload: F.Column) -> F.Column:
     return F.struct(width.alias("width"), height.alias("height"), kind.alias("kind"))
 
 
-def tiff_dimensions(payload: F.Column, max_entries: int = 16) -> F.Column:
-    """struct(width, height, bits_per_sample, little_endian) via the
-    real endian-tagged IFD walk: byte order from the 'II'/'MM' magic,
-    the 42 check in THAT order, IFD offset from the header, then a
-    bounded fold over ≤ ``max_entries`` 12-byte entries matching tags
-    256/257/258 and reading each value by its declared type (SHORT =
-    first 2 value bytes, LONG = 4).  Offsets are data-dependent
-    Columns throughout; corrupt / truncated payloads yield nulls."""
-    le = F.hex(F.substring(payload, 1, 2)) == "4949"
-    be = F.hex(F.substring(payload, 1, 2)) == "4D4D"
-    magic42 = _uint_at(payload, F.lit(3), 2, le) == 42
-    ok = (le | be) & magic42
-    ifd = _uint_at(payload, F.lit(5), 4, le)
-    n = F.least(_uint_at(payload, ifd + 1, 2, le), F.lit(max_entries))
+def with_tiff_dimensions(
+    assets: DataFrame, payload_col: str = "payload", max_entries: int = 16
+) -> DataFrame:
+    """Append a ``tiff: struct(width, height, bits_per_sample,
+    little_endian)`` column via the real endian-tagged IFD walk: byte
+    order from the 'II'/'MM' magic, the 42 check in THAT order, IFD
+    offset from the header, then a bounded fold over ≤ ``max_entries``
+    12-byte entries matching tags 256/257/258 and reading each value by
+    its declared type (SHORT = first 2 value bytes, LONG = 4).  Offsets
+    are data-dependent Columns throughout; corrupt / truncated payloads
+    yield nulls.
+
+    A DataFrame transform rather than a single Column ON PURPOSE: the
+    header reads (byte order, IFD offset, entry count) are staged as
+    intermediate columns so the per-entry fold references three short
+    attributes instead of re-inlining the header-decode subtrees into
+    all ~200 byte reads — as one Column expression the tree was ~230 KB
+    and cost ~10 s of driver-side ANALYSIS per action (measured; data
+    size irrelevant).  CollapseProject leaves the stages intact because
+    the aliased expressions are non-cheap and multiply referenced, so
+    runtime work is identical — only the tree shrinks."""
+    payload = F.col(payload_col)
+    le0 = F.hex(F.substring(payload, 1, 2)) == "4949"
+    be0 = F.hex(F.substring(payload, 1, 2)) == "4D4D"
+    s1 = assets.select(
+        "*",
+        le0.alias("_tle"),
+        ((le0 | be0) & (_uint_at(payload, F.lit(3), 2, le0) == 42)).alias("_tok"),
+        _uint_at(payload, F.lit(5), 4, le0).alias("_tifd"),
+    )
+    le, ok, ifd = F.col("_tle"), F.col("_tok"), F.col("_tifd")
+    s2 = s1.select(
+        "*",
+        F.least(_uint_at(payload, ifd + 1, 2, le), F.lit(max_entries)).alias(
+            "_tn"
+        ),
+    )
+    n = F.col("_tn")
     zero = F.lit(None).cast("bigint")
     init = F.struct(zero.alias("w"), zero.alias("h"), zero.alias("bps"))
 
@@ -784,11 +808,14 @@ def tiff_dimensions(payload: F.Column, max_entries: int = 16) -> F.Column:
         init,
         step,
     )
-    return F.struct(
-        walked["w"].alias("width"),
-        walked["h"].alias("height"),
-        walked["bps"].alias("bits_per_sample"),
-        F.when(ok, le).alias("little_endian"),
+    return s2.select(
+        *assets.columns,
+        F.struct(
+            walked["w"].alias("width"),
+            walked["h"].alias("height"),
+            walked["bps"].alias("bits_per_sample"),
+            F.when(ok, le).alias("little_endian"),
+        ).alias("tiff"),
     )
 
 
@@ -808,8 +835,8 @@ def webp_tiff_manifest(webp_assets: DataFrame, tiff_assets: DataFrame) -> DataFr
         F.lit(None).cast("bigint").alias("n_components"),
         F.md5(F.hex("payload")).alias("checksum"),
     )
-    td = tiff_dimensions(F.col("payload"))
-    tiff = tiff_assets.select(
+    td = F.col("tiff")
+    tiff = with_tiff_dimensions(tiff_assets).select(
         "asset_id",
         # three-valued on purpose: little_endian is NULL for non-TIFF
         # payloads, so corrupt blobs degrade to a NULL media_type

@@ -747,23 +747,31 @@ class _VersionedSketchSink:
         return len(doomed)
 
 
-class StreamingPqCodeSink(_VersionedSketchSink):
+class StreamingPqCodeSink:
     """Landed PQ code store fed by a stream — the serve-while-ingesting
     half of the ANN train-once story: each micro-batch of new vectors
     is encoded against the FROZEN codebook (``pq_codes``: one map-only
-    scan, broadcast codebook) and appended to the versioned snapshot,
-    so ``knn_pq_adc(code_rows=sink.codes(spark))`` serves every vector
-    ever ingested without re-encoding the corpus.
+    scan, broadcast codebook) and written to its OWN ``batch=<id>``
+    subdirectory, so ``knn_pq_adc(code_rows=sink.codes(spark))`` serves
+    every vector ever ingested without re-encoding the corpus.
+
+    NOT a ``_VersionedSketchSink``: that protocol merge-rewrites the
+    full snapshot per batch, which is correct for bounded-size sketches
+    but O(store) per micro-batch for a code table that GROWS with the
+    corpus — at 100 TB the store must only ever be appended.  Here each
+    batch costs O(batch) (encode + one partition write; the store is
+    never read), a replayed batch overwrites its own directory with
+    identical content (codes are a pure function of vector × codebook),
+    and readers resolve only ``_SUCCESS``-committed batch directories —
+    the same commit discipline as the sketch stores, without the
+    rewrite.
 
     Frozen-quantizer semantics as in ``similarity.append_pq_codes``:
-    codes are a pure function of (vector, codebook), so the landed
-    store is bit-identical to a one-shot ``pq_codes`` over everything
-    ingested (asserted by test) regardless of how the stream was
-    batched; re-training cadence is a policy decision made by a
-    separate training job, never a per-batch cost.  Re-ingested ids
-    are reconciled here (first snapshot wins — value-free, the codes
-    are identical) since the snapshot merge already reads the prior
-    landed table."""
+    the landed union is bit-identical to a one-shot ``pq_codes`` over
+    everything ingested (asserted by test) regardless of how the stream
+    was batched; ingest ids are unique across batches by caller
+    contract (re-ingested ids are harmless for serving — identical
+    codes — and are reconciled by compaction, not per batch)."""
 
     def __init__(
         self,
@@ -774,29 +782,45 @@ class StreamingPqCodeSink(_VersionedSketchSink):
         vec_col: str = "embedding",
         id_col: str = "vec_id",
     ):
-        super().__init__(path)
+        self.path = path.rstrip("/")
         self.codebook = codebook
         self.m, self.dim = m, dim
         self.vec_col, self.id_col = vec_col, id_col
 
-    def _sketch(self, batch_df: DataFrame) -> DataFrame:
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from kafkastreamsinteractivequeries_spark.operators.similarity import pq_codes
 
-        return pq_codes(
+        codes = pq_codes(
             batch_df, self.codebook, self.m, self.dim, self.vec_col, self.id_col
         )
+        # overwrite ONLY this batch's directory: replays rewrite their
+        # own partition with identical content, never touch the rest
+        codes.write.mode("overwrite").parquet(f"{self.path}/batch={batch_id}")
 
-    def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
-        # a = the landed snapshot, b = the fresh batch: keep the landed
-        # row on id collision (identical codes under the frozen book)
-        return a.unionByName(
-            b.join(a.select(self.id_col), self.id_col, "left_anti")
-        )
+    def _committed_dirs(self, spark: SparkSession) -> list[str]:
+        fs, jvm = ManifestServingSink._fs(spark, self.path)
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        if not fs.exists(root):
+            return []
+        out = []
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not (status.isDirectory() and name.startswith("batch=")):
+                continue
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{self.path}/{name}/_SUCCESS"
+            )
+            if fs.exists(marker):
+                out.append(f"{self.path}/{name}")
+        return sorted(out)
 
     def codes(self, spark: SparkSession) -> DataFrame:
-        """The landed (id, codes) table (latest committed snapshot) —
-        feed it to ``knn_pq_adc(code_rows=...)``."""
-        return self._latest(spark)
+        """The landed (id, codes) table — the union of every committed
+        batch directory; feed it to ``knn_pq_adc(code_rows=...)``."""
+        dirs = self._committed_dirs(spark)
+        if not dirs:
+            raise FileNotFoundError(f"no committed code batches under {self.path}")
+        return spark.read.parquet(*dirs)
 
 
 class StreamingHllSink(_VersionedSketchSink):

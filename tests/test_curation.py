@@ -601,3 +601,32 @@ def test_pack_sequences_no_straddle_null_text_degrades(spark):
             pack_sequences_no_straddle(df, seq_len=4, shards=2).collect()}
     assert len(rows) == 3
     assert rows[1]["n_tokens"] == 0 and rows[1]["oversize"] is False
+
+
+def test_curation_url_dedup_stage_runs_first(spark):
+    """url_col wires dedup.url_dedup in as the FIRST stage: two fetches
+    of one canonical URL collapse to the lowest id before any
+    text-based gate sees them — even when their TEXTS differ (rotating
+    ads), which text dedup alone could never catch."""
+    from kafkastreamsinteractivequeries_spark.operators.curation import curate_documents
+
+    body = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [
+            (1, body + "ad variant alpha", "en", "s", 100,
+             "https://example.com/page?a=1"),
+            (2, body + "ad variant beta", "en", "s", 100,
+             "HTTPS://EXAMPLE.COM:443/page?a=1&utm_source=x#frag"),
+            (3, body + "another page entirely", "en", "s", 100,
+             "https://example.com/other"),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars", "url"],
+    )
+    out = curate_documents(
+        df, min_quality=0.0, near_dup_threshold=1.01, url_col="url"
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3]  # doc 2 is the same canonical URL as doc 1
+    # without the stage, all three survive (texts differ)
+    base = curate_documents(df, min_quality=0.0, near_dup_threshold=1.01)
+    assert sorted(r["doc_id"] for r in base.collect()) == [1, 2, 3]
