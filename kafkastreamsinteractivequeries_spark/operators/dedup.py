@@ -50,6 +50,16 @@ def shingles_from_tokens(toks: F.Column, n: int = 3) -> F.Column:
     caller tokenizes once (``select(id, tokens_col(text) AS tokens)``,
     pinned) and each pass shingles from that column instead of
     re-running normalize+split per pass."""
+    if n == 1:
+        # identical values, ~2x cheaper scan: a 1-gram of slice+join is
+        # the token itself, so skip the per-token slice/array_join
+        # machinery (unigram shingles are the near-dup default — this
+        # is the hot path of d4/d5/p1 and x13's fuzzy branch).  The
+        # size>=1 guard keeps the empty-doc whole-text fallback
+        # byte-identical: array_join([], ' ') = ''.
+        return F.when(F.size(toks) >= 1, F.array_distinct(toks)).otherwise(
+            F.array(F.array_join(toks, " "))
+        )
     ngrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
