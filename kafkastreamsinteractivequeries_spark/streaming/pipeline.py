@@ -747,13 +747,11 @@ class _VersionedSketchSink:
         return len(doomed)
 
 
-class StreamingPqCodeSink:
-    """Landed PQ code store fed by a stream — the serve-while-ingesting
-    half of the ANN train-once story: each micro-batch of new vectors
-    is encoded against the FROZEN codebook (``pq_codes``: one map-only
-    scan, broadcast codebook) and written to its OWN ``batch=<id>``
-    subdirectory, so ``knn_pq_adc(code_rows=sink.codes(spark))`` serves
-    every vector ever ingested without re-encoding the corpus.
+class _AppendOnlyCodeSink:
+    """Landed ANN code store fed by a stream — the serve-while-ingesting
+    half of the train-once story: each micro-batch of new vectors is
+    encoded against the FROZEN quantizers (one map-only scan, broadcast
+    index tables) and written to its OWN ``batch=<id>`` subdirectory.
 
     NOT a ``_VersionedSketchSink``: that protocol merge-rewrites the
     full snapshot per batch, which is correct for bounded-size sketches
@@ -761,41 +759,31 @@ class StreamingPqCodeSink:
     corpus — at 100 TB the store must only ever be appended.  Here each
     batch costs O(batch) (encode + one partition write; the store is
     never read), a replayed batch overwrites its own directory with
-    identical content (codes are a pure function of vector × codebook),
-    and readers resolve only ``_SUCCESS``-committed batch directories —
-    the same commit discipline as the sketch stores, without the
-    rewrite.
+    identical content (codes are a pure function of vector ×
+    quantizer), and readers resolve only ``_SUCCESS``-committed batch
+    directories — the same commit discipline as the sketch stores,
+    without the rewrite.
 
     Frozen-quantizer semantics as in ``similarity.append_pq_codes``:
-    the landed union is bit-identical to a one-shot ``pq_codes`` over
+    the landed union is bit-identical to a one-shot encode over
     everything ingested (asserted by test) regardless of how the stream
     was batched; ingest ids are unique across batches by caller
     contract (re-ingested ids are harmless for serving — identical
     codes — and are reconciled by compaction, not per batch)."""
 
-    def __init__(
-        self,
-        path: str,
-        codebook: DataFrame,
-        m: int = 8,
-        dim: int = 64,
-        vec_col: str = "embedding",
-        id_col: str = "vec_id",
-    ):
+    def __init__(self, path: str):
         self.path = path.rstrip("/")
-        self.codebook = codebook
-        self.m, self.dim = m, dim
-        self.vec_col, self.id_col = vec_col, id_col
+
+    # subclasses: batch of vectors → code table
+    def _encode(self, batch_df: DataFrame) -> DataFrame:
+        raise NotImplementedError
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from kafkastreamsinteractivequeries_spark.operators.similarity import pq_codes
-
-        codes = pq_codes(
-            batch_df, self.codebook, self.m, self.dim, self.vec_col, self.id_col
-        )
         # overwrite ONLY this batch's directory: replays rewrite their
         # own partition with identical content, never touch the rest
-        codes.write.mode("overwrite").parquet(f"{self.path}/batch={batch_id}")
+        self._encode(batch_df).write.mode("overwrite").parquet(
+            f"{self.path}/batch={batch_id}"
+        )
 
     def _committed_dirs(self, spark: SparkSession) -> list[str]:
         fs, jvm = ManifestServingSink._fs(spark, self.path)
@@ -815,12 +803,77 @@ class StreamingPqCodeSink:
         return sorted(out)
 
     def codes(self, spark: SparkSession) -> DataFrame:
-        """The landed (id, codes) table — the union of every committed
-        batch directory; feed it to ``knn_pq_adc(code_rows=...)``."""
+        """The landed code table — the union of every committed batch
+        directory; feed it to the matching ``knn_*(code_rows=...)``."""
         dirs = self._committed_dirs(spark)
         if not dirs:
             raise FileNotFoundError(f"no committed code batches under {self.path}")
         return spark.read.parquet(*dirs)
+
+
+class StreamingPqCodeSink(_AppendOnlyCodeSink):
+    """``_AppendOnlyCodeSink`` for the raw-vector PQ store:
+    (id, codes) rows via ``pq_codes`` against the frozen codebook;
+    serve with ``knn_pq_adc(code_rows=sink.codes(spark))``."""
+
+    def __init__(
+        self,
+        path: str,
+        codebook: DataFrame,
+        m: int = 8,
+        dim: int = 64,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
+        super().__init__(path)
+        self.codebook = codebook
+        self.m, self.dim = m, dim
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def _encode(self, batch_df: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.similarity import pq_codes
+
+        return pq_codes(
+            batch_df, self.codebook, self.m, self.dim, self.vec_col, self.id_col
+        )
+
+
+class StreamingIvfPqCodeSink(_AppendOnlyCodeSink):
+    """``_AppendOnlyCodeSink`` for the IVF-PQ residual store:
+    (id, list_id, sub_id, code) rows via ``ivfpq_codes`` against the
+    frozen coarse quantizer AND residual codebook; serve with
+    ``knn_ivfpq(code_rows=sink.codes(spark))``."""
+
+    def __init__(
+        self,
+        path: str,
+        centroids: DataFrame,
+        codebook: DataFrame,
+        m: int = 8,
+        dim: int = 64,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
+        super().__init__(path)
+        self.centroids = centroids
+        self.codebook = codebook
+        self.m, self.dim = m, dim
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def _encode(self, batch_df: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.similarity import (
+            ivfpq_codes,
+        )
+
+        return ivfpq_codes(
+            batch_df,
+            self.centroids,
+            self.codebook,
+            self.m,
+            self.dim,
+            self.vec_col,
+            self.id_col,
+        )
 
 
 class StreamingHllSink(_VersionedSketchSink):

@@ -13,6 +13,7 @@ import math
 
 import pytest
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from kafkastreamsinteractivequeries_spark.functions.predicate import compile_predicate
 
@@ -254,3 +255,87 @@ def test_rollup_merge_is_a_monoid_fold(spark, data):
             }
 
         assert as_map(a) == as_map(b), f"grain={grain}"
+
+
+# ---- URL canonicalization vs an independent Python reference ----
+
+def _ref_canonical_url(u: str) -> str:
+    """Straight-line Python reference of canonicalize_url_col's
+    documented spec — written independently of the Column chain so an
+    expression bug can't hide in both."""
+    import re
+
+    x = u.strip(" ")
+    x = x.split("#", 1)[0]
+    parts = x.split("%")
+    x = parts[0] + "".join(
+        "%" + p[:2].upper() + p[2:] for p in parts[1:]
+    )
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", x)
+    if not m:
+        return x
+    scheme = m.group(1).lower()
+    rest = x[m.end():]
+    auth = re.match(r"^([^/?]*)", rest).group(1)
+    tail = rest[len(auth):]
+    host = re.sub(r"^[^@/?]*@", "", auth).lower()
+    if scheme == "http":
+        host = re.sub(r":80$", "", host)
+    elif scheme == "https":
+        host = re.sub(r":443$", "", host)
+    path = re.match(r"^([^?]*)", tail).group(1)
+    query = tail[len(path) + 1:] if len(tail) > len(path) else ""
+    if path == "":
+        path = "/"
+    kept = sorted(
+        p
+        for p in query.split("&")
+        if p and not re.match(r"^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=|$)", p)
+    )
+    return scheme + "://" + host + path + ("?" + "&".join(kept) if kept else "")
+
+
+_url_host_chars = st.text(
+    alphabet="abcdefABCDEF09.-", min_size=1, max_size=12
+)
+_url_path_chars = st.text(
+    alphabet="abcXYZ09/%2fF._~!$&()*+,;=:@", max_size=16
+)
+_url_param = st.sampled_from(
+    ["a=1", "b=2", "utm_source=x", "utm_x", "fbclid=9", "gclid", "ref=z",
+     "reference=keep", "msclkid=1", "z", "a=%2f", "utm_=v"]
+)
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp", "s3"]),
+    userinfo=st.sampled_from(["", "u@", "U:p-W@"]),
+    host=_url_host_chars,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=_url_path_chars,
+    params=st.lists(_url_param, max_size=4),
+    fragment=st.sampled_from(["", "#f", "#a%2fb", "#?x=1"]),
+    bare=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_canonicalize_url_matches_python_reference(
+    spark, scheme, userinfo, host, port, path, params, fragment, bare
+):
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        canonicalize_url_col,
+    )
+
+    if bare:
+        url = host + path + fragment  # no scheme: opaque-key degrade
+    else:
+        url = (
+            scheme + "://" + userinfo + host + port + "/" + path
+            + ("?" + "&".join(params) if params else "")
+            + fragment
+        )
+    got = (
+        spark.createDataFrame([(url,)], "url string")
+        .select(canonicalize_url_col(F.col("url")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == _ref_canonical_url(url), f"url={url!r}"

@@ -1523,3 +1523,61 @@ def test_streaming_pq_code_sink_matches_one_shot(spark, tmp_path):
     assert sorted(map(tuple, off_store.collect())) == sorted(
         map(tuple, inline.collect())
     )
+
+
+def test_streaming_ivfpq_code_sink_matches_one_shot(spark, tmp_path):
+    """StreamingIvfPqCodeSink: the landed (id, list_id, sub_id, code)
+    union over N micro-batches equals a one-shot ivfpq_codes, and
+    knn_ivfpq serving off the landed store equals the inline encode."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        ivfpq_codes,
+        knn_ivfpq,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingIvfPqCodeSink,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    index = entry_mod.ensure_knn_indexes(spark, sf_dir)
+    cent, book = index["ivfpq_centroids"], index["ivfpq_book"]
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "vecs")
+    for r in range(2):
+        emb.filter(F.col("vec_id") % 2 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = str(tmp_path / "ivfpq_store")
+    sink = StreamingIvfPqCodeSink(store, cent, book, m=8)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    landed = sink.codes(spark)
+    got = sorted(map(tuple, landed.collect()))
+    want = sorted(map(tuple, ivfpq_codes(emb, cent, book, m=8).collect()))
+    assert got == want
+
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    off_store = knn_ivfpq(
+        emb, qdf, cent, book, k=5, nprobe=8, m=8, rerank=50, code_rows=landed
+    )
+    inline = knn_ivfpq(emb, qdf, cent, book, k=5, nprobe=8, m=8, rerank=50)
+    assert sorted(map(tuple, off_store.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
