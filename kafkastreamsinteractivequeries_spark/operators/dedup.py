@@ -680,11 +680,38 @@ def cross_corpus_near_duplicates(
     )
     e_sigs = minhash_signatures(eval_docs, text_col, eval_id_col, num_hashes, shingle_n)
     rows = num_hashes // bands
-    t_buckets = lsh_band_buckets(t_sigs, bands, rows, id_col)
-    e_buckets = lsh_band_buckets(e_sigs, bands, rows, eval_id_col)
-    cand = (
+    # Stage 1 (cheap): totals are just the token-array SIZE — a map-only
+    # projection, no token explode/shuffle.  They ride the BUCKET
+    # tables (bands × docs rows — the small side of everything) so the
+    # length-ratio prune applies INSIDE the band join, before the
+    # distinct: the candidate stream never exists unpruned, and the two
+    # per-pair totals joins the old shape paid (candidates × 2) are
+    # gone.  Same surviving pairs, same mjaccard — the bound is exact.
+    if train_tokens is not None:
+        tot_a = train_tokens.select(
+            F.col(id_col), F.size(F.col("tokens")).alias("total_a")
+        )
+    else:
+        tot_a = docs.select(
+            F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("total_a")
+        )
+    e_tot = eval_docs.select(
+        F.col(eval_id_col),
+        F.size(tokens_col(F.col(text_col))).alias("total_b"),
+    )
+    t_buckets = lsh_band_buckets(t_sigs, bands, rows, id_col).join(
+        tot_a.hint("shuffle_hash"), id_col
+    )
+    e_buckets = lsh_band_buckets(e_sigs, bands, rows, eval_id_col).join(
+        e_tot, eval_id_col
+    )
+    pruned = (
         t_buckets.join(F.broadcast(e_buckets), ["band_id", "band_hash"])
-        .select(id_col, eval_id_col)
+        .filter(
+            F.least("total_a", "total_b")
+            >= (threshold - 1e-6) * F.greatest("total_a", "total_b")
+        )
+        .select(id_col, eval_id_col, "total_a", "total_b")
         .distinct()
     )
 
@@ -694,32 +721,10 @@ def cross_corpus_near_duplicates(
             F.sum("cnt").alias("total"),
         )
 
-    # Stage 1 (cheap): totals are just the token-array SIZE — a map-only
-    # projection, no token explode/shuffle.  The tf-MAP build (explode +
-    # collect_list + map_from_entries over every token) used to run for
-    # the ENTIRE corpus before any join could drop rows; it now runs
-    # only for candidate-surviving train docs (stage 2) — the same
-    # staged-verify contract d9 already keeps.
-    if train_tokens is not None:
-        tot_a = train_tokens.select(
-            F.col(id_col), F.size(F.col("tokens")).alias("total_a")
-        )
-    else:
-        tot_a = docs.select(
-            F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("total_a")
-        )
+    # The tf-MAP build (explode + collect_list + map_from_entries over
+    # every token) runs only for candidate-surviving train docs
+    # (stage 2) — the same staged-verify contract d9 already keeps.
     e_tf = _tf(eval_docs, eval_id_col)
-    pruned = (
-        cand.join(tot_a.hint("shuffle_hash"), id_col)
-        .join(
-            F.broadcast(e_tf.select(eval_id_col, F.col("total").alias("total_b"))),
-            eval_id_col,
-        )
-        .filter(
-            F.least("total_a", "total_b")
-            >= (threshold - 1e-6) * F.greatest("total_a", "total_b")
-        )
-    )
     # Stage 2 (heavy, candidates only): eval-side collisions bound the
     # survivor set, so its id list broadcasts; the corpus is filtered by
     # a broadcast semi join — never shuffled — before the map build.
