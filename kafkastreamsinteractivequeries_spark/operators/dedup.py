@@ -574,7 +574,11 @@ def token_counts(
 
 
 def multiset_jaccard_verify(
-    pairs: DataFrame, counts: DataFrame, threshold: float = 0.8, id_col: str = "doc_id"
+    pairs: DataFrame,
+    counts: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    pre_pruned: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, mjaccard): multiset (frequency-weighted) Jaccard —
     sum(min(tf)) / sum(max(tf)) — for candidate pairs.
@@ -614,20 +618,27 @@ def multiset_jaccard_verify(
     # never reach the threshold.  Totals are one long per doc; the map
     # columns (the heavy payload) are only joined to pairs that survive.
     # (1e-6 slack covers the final round().)
-    tots = tf.select(F.col(id_col), "total")
-    # SHUFFLE_HASH on the per-doc sides: they must not be broadcast
-    # (they grow with the corpus — forced broadcast would OOM at scale),
-    # and AQE left alone may instead broadcast the sub-threshold but
-    # multi-million-row pair list, paying a driver collect + hash build
-    # per execution.  Shuffle-hash on id works at any size.
-    pruned = (
-        pairs.join(tots.withColumnsRenamed({id_col: "id_a", "total": "total_a"}).hint("shuffle_hash"), "id_a")
-        .join(tots.withColumnsRenamed({id_col: "id_b", "total": "total_b"}).hint("shuffle_hash"), "id_b")
-        .filter(
-            F.least("total_a", "total_b")
-            >= (threshold - 1e-6) * F.greatest("total_a", "total_b")
+    if pre_pruned:
+        # pairs already carry (total_a, total_b) and passed the ratio
+        # bound upstream (totals rode the bucket tables — see
+        # weighted_near_duplicates): skip the two per-pair totals joins
+        pruned = pairs
+    else:
+        tots = tf.select(F.col(id_col), "total")
+        # SHUFFLE_HASH on the per-doc sides: they must not be broadcast
+        # (they grow with the corpus — forced broadcast would OOM at
+        # scale), and AQE left alone may instead broadcast the
+        # sub-threshold but multi-million-row pair list, paying a
+        # driver collect + hash build per execution.  Shuffle-hash on
+        # id works at any size.
+        pruned = (
+            pairs.join(tots.withColumnsRenamed({id_col: "id_a", "total": "total_a"}).hint("shuffle_hash"), "id_a")
+            .join(tots.withColumnsRenamed({id_col: "id_b", "total": "total_b"}).hint("shuffle_hash"), "id_b")
+            .filter(
+                F.least("total_a", "total_b")
+                >= (threshold - 1e-6) * F.greatest("total_a", "total_b")
+            )
         )
-    )
     # Stage 2 — map intersection on the pruned pair set only.
     maps_a = tf.select(F.col(id_col).alias("id_a"), F.col("tf").alias("tf_a"))
     maps_b = tf.select(F.col(id_col).alias("id_b"), F.col("tf").alias("tf_b"))
@@ -793,6 +804,37 @@ def weighted_near_duplicates(
     ~15-20× while j≈1 true duplicates still collide with certainty."""
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n=1)
     buckets = lsh_band_buckets(sigs, bands, num_hashes // bands, id_col)
+    if max_bucket_size is not None:
+        # totals ride the BUCKET rows (bands × docs — the small side),
+        # so the exact length-ratio bound prunes pairs as the expansion
+        # emits them, before the distinct; the verify then skips its
+        # two per-pair totals joins.  Same surviving pairs and scores
+        # (the bound is exact) — only the join count changes.
+        tot = docs.select(
+            F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("total")
+        )
+        buckets = buckets.join(tot.hint("shuffle_hash"), id_col)
+        pairs = pairs_within_buckets(
+            buckets,
+            ["band_id", "band_hash"],
+            F.struct(F.col(id_col), F.col("total")),
+            max_bucket_size,
+        ).select(
+            F.col("_a")[id_col].alias("id_a"),
+            F.col("_b")[id_col].alias("id_b"),
+            F.col("_a")["total"].alias("total_a"),
+            F.col("_b")["total"].alias("total_b"),
+        ).filter(
+            F.least("total_a", "total_b")
+            >= (threshold - 1e-6) * F.greatest("total_a", "total_b")
+        )
+        return multiset_jaccard_verify(
+            pairs,
+            token_counts(docs, text_col, id_col),
+            threshold,
+            id_col,
+            pre_pruned=True,
+        )
     pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_size)
     return multiset_jaccard_verify(pairs, token_counts(docs, text_col, id_col), threshold, id_col)
 

@@ -131,12 +131,16 @@ def test_near_dup_verify_is_staged(spark, sf_dir):
     # maps are shipped: the exact min/max ratio bound appears as a
     # filter over total_a/total_b upstream of the map_zip_with
     # intersection, so the heavy map columns only join to survivors.
+    # Round 8 moved the totals ONTO the bucket rows (they ride the
+    # collect_list payload structs), so the prune fires as pairs are
+    # emitted and the verify's two per-pair totals joins are GONE:
+    # exactly 3 ShuffledHashJoins remain (bucket⋈totals + 2 map joins).
     plan = plan_of(spark, sf_dir, "d9_weighted_near_duplicates")
-    # the ratio bound evaluates at/under the totals join (as a join
-    # condition or a filter), upstream of the tf-map joins
-    assert re.search(r"least\(total_a#\d+L?, total_b[^)]*\)[^\n]*greatest\(total_a", plan)
-    # four ShuffledHashJoins: 2 skinny totals joins + 2 map joins
-    assert plan.count("ShuffledHashJoin") >= 4
+    # Catalyst pushes the bound through the struct projection into the
+    # pair-expansion explode itself (least/greatest over the .total
+    # struct fields) — even before the distinct
+    assert re.search(r"least\([^\n]*total[^\n]*greatest\([^\n]*total", plan)
+    assert plan.count("ShuffledHashJoin") == 3
 
 
 def test_minhash_pairs_use_group_expansion_not_self_join(spark, sf_dir):
