@@ -1635,6 +1635,28 @@ def line_dedup(
     )
 
 
+def url_dedup_incremental(
+    new_docs: DataFrame,
+    seen_canonical_urls: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-incremental URL dedup — the daily-crawl pattern: survivors
+    of ``url_dedup`` over the NEW batch whose canonical URL is also
+    absent from the landed corpus's side table
+    (``seen_canonical_urls``: a 1-column ``canonical_url`` table, e.g.
+    yesterday's ``url_dedup`` output kept as the seen set).
+
+    Shuffle profile mirrors ``exact_dedup_incremental``: intra-batch
+    dedup touches the batch only; the history check is an anti join on
+    the canonical-url string — broadcast when the seen set is small,
+    shuffle-hash on the skinny key otherwise (never page payloads)."""
+    batch = url_dedup(new_docs, url_col, id_col)
+    return batch.join(
+        seen_canonical_urls.select("canonical_url"), "canonical_url", "left_anti"
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1730,8 +1730,8 @@ def append_pq_codes(
     unique across batches (the normal case — any dedup would have to
     scan the store per batch, which this operator refuses to do; a
     re-ingested id is harmless for SERVING anyway, since the frozen
-    quantizer gives it identical codes, and is reconciled by the
-    store's versioned-snapshot dedup or a compaction pass, not here).
+    quantizer gives it identical codes, and is reconciled by a
+    compaction pass, not here).
     """
     fresh = pq_codes(new_embeddings, codebook, m, dim, vec_col, id_col)
     return existing.unionByName(fresh)

@@ -772,3 +772,35 @@ def test_paragraph_dedup(spark):
     assert out[2]["text"] == "other text"  # boilerplate excised
     assert out[2]["kept_lines"] == 1 and out[2]["removed_lines"] == 1
     assert out[3]["text"] == "" and out[3]["removed_lines"] == 1
+
+
+def test_url_dedup_incremental(spark):
+    """Daily-increment URL dedup: batch survivors dedup within the
+    batch AND anti-join the landed canonical set — a URL already
+    crawled yesterday never re-enters, whatever raw form it arrives in."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        url_dedup,
+        url_dedup_incremental,
+    )
+
+    landed = spark.createDataFrame(
+        [
+            (1, "https://example.com/a"),
+            (2, "https://example.com/b?x=1"),
+        ],
+        "doc_id long, url string",
+    )
+    seen = url_dedup(landed).select("canonical_url")
+    batch = spark.createDataFrame(
+        [
+            (10, "HTTPS://EXAMPLE.COM:443/a#frag"),  # yesterday's /a
+            (11, "https://example.com/b?utm_source=z&x=1"),  # yesterday's /b
+            (12, "https://example.com/new"),
+            (13, "https://example.com/new?utm_x"),  # intra-batch dup of 12
+            (14, "https://example.com/other"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup_incremental(batch, seen).collect()}
+    assert set(out) == {12, 14}
+    assert out[12]["n_dups"] == 2  # 13 collapsed into it inside the batch
