@@ -1371,6 +1371,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long")
             .alias("total"),
         )
+        # 'nfc' — Unicode canonical normalization: every 7th doc gets a
+        # salted suffix exercising composition (e + combining acute →
+        # é), canonical REORDERING of combining marks (dot-below +
+        # dot-above), and a pass-through control; the Arrow unicodedata
+        # pass must agree byte-for-byte with DuckDB's nfc_normalize
+        # (both UAX #15).  name carries doc:md5(nfc text); value the
+        # code-point shrink, n the normalized length, total changed.
+        # salts written as EXPLICIT escapes: they must be the DECOMPOSED
+        # forms (an editor rendering the glyphs would silently save the
+        # composed NFC bytes and the branch would test nothing)
+        nfc_sfx0 = " cafe\u0301 A\u030ab"  # e+acute, A+ring -> composes
+        nfc_sfx1 = " x\u0307\u0323y"  # mark REORDERING: ccc 230 after 220
+        nraw = F.concat(
+            F.col("text"),
+            F.when(mdid % 3 == 0, F.lit(nfc_sfx0))
+            .when(mdid % 3 == 1, F.lit(nfc_sfx1))
+            .otherwise(F.lit("")),
+        )
+        nfc = T.normalize_nfc_arrow(
+            docs.filter(mdid % 7 == 0).select("doc_id", nraw.alias("text"))
+        ).select(
+            F.lit("nfc").alias("variant"),
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.md5(F.coalesce("text_nfc", F.lit(""))),
+            ).alias("name"),
+            (F.col("n_raw") - F.col("n_nfc")).cast("double").alias("value"),
+            F.col("n_nfc").cast("long").alias("n"),
+            F.col("changed").cast("long").alias("total"),
+        )
         return (
             length_rows.unionByName(cons)
             .unionByName(skew)
@@ -1383,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(gate)
             .unionByName(html)
             .unionByName(moji)
+            .unionByName(nfc)
         )
 
     q["x6_quality_gates"] = _x6
@@ -3913,6 +3945,10 @@ def _text_oracles() -> dict[str, str]:
 
     _moji_sfx0 = _mojibake_of(" café résumé naïve")
     _moji_sfx1 = _mojibake_of(" “quoted” — dash €9 …")
+    # NFC salts — explicit escapes, decomposed on purpose (must match
+    # the Spark branch byte-for-byte)
+    _nfc_sfx0 = " café Åb"
+    _nfc_sfx1 = " ẋ̣y"
 
     def stop_hits(lang: str) -> str:
         words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -4304,7 +4340,8 @@ FROM (
         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         '&#39;', ''''), '&amp;', '&'),
       '[ 	
-]+', ' ', 'g')) AS clean
+
+]+', ' ', 'g')) AS clean
   FROM (
     SELECT doc_id,
       CASE CAST(doc_id % 3 AS INTEGER)
@@ -4335,6 +4372,25 @@ FROM (
         WHEN 1 THEN '{_moji_sfx1}'
         ELSE '' END AS mraw
     FROM documents WHERE doc_id % 5 = 0
+  )
+)
+UNION ALL
+-- NFC replay: DuckDB's nfc_normalize against the engine's Arrow
+-- unicodedata pass (both UAX #15); md5 of the canonical text rides
+-- the name, lengths are code points in both engines
+SELECT 'nfc', CAST(doc_id AS VARCHAR) || ':' || md5(COALESCE(nfcv, '')),
+       CAST(COALESCE(length(nraw) - length(nfcv), 0) AS DOUBLE),
+       CAST(COALESCE(length(nfcv), 0) AS BIGINT),
+       CAST(CASE WHEN nraw IS DISTINCT FROM nfcv THEN 1 ELSE 0 END AS BIGINT)
+FROM (
+  SELECT doc_id, nraw, nfc_normalize(nraw) AS nfcv
+  FROM (
+    SELECT doc_id,
+      text || CASE CAST(doc_id % 3 AS INTEGER)
+        WHEN 0 THEN '{_nfc_sfx0}'
+        WHEN 1 THEN '{_nfc_sfx1}'
+        ELSE '' END AS nraw
+    FROM documents WHERE doc_id % 7 = 0
   )
 )
 """

@@ -1694,6 +1694,65 @@ MOJIBAKE_PAIRS: list[tuple[str, str]] = sorted(
 )
 
 
+def normalize_nfc_arrow(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC normalization — the companion hygiene op to mojibake
+    repair: decomposed sequences (e + combining acute), out-of-order
+    combining marks, and legacy composed forms all collapse to one
+    canonical byte form, so dedup/fingerprinting stop treating visually
+    identical text as distinct.
+
+    Output: (id, text_nfc, n_raw, n_nfc, changed).  Lengths are CODE
+    POINTS (Python ``len`` == DuckDB ``length`` semantics, astral-safe
+    — Spark's ``length`` counts UTF-16 units and would diverge on
+    supplementary-plane text, so lengths are computed inside the batch
+    and never re-derived engine-side).  NULL text degrades to
+    (NULL, 0, 0, false).
+
+    Scale shape: Spark has no NFC builtin, so this is one Arrow
+    ``mapInPandas`` pass over (id, text) — the sanctioned Python
+    boundary (same slot as the production BPE encoder); zero shuffle,
+    batch-local, trivially incremental.  Cross-engine verified: the
+    oracle replays with DuckDB's ``nfc_normalize`` (both implement
+    UAX #15 canonical composition, asserted equal by the driver hash).
+    """
+    schema = (
+        f"{id_col} long, text_nfc string, n_raw int, n_nfc int, changed boolean"
+    )
+
+    def norm(batches):
+        import pandas as pd
+        import unicodedata
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            nfc, n_raw, n_nfc, changed = [], [], [], []
+            for x in texts:
+                if isinstance(x, str):
+                    y = unicodedata.normalize("NFC", x)
+                    nfc.append(y)
+                    n_raw.append(len(x))
+                    n_nfc.append(len(y))
+                    changed.append(x != y)
+                else:
+                    nfc.append(None)
+                    n_raw.append(0)
+                    n_nfc.append(0)
+                    changed.append(False)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "text_nfc": nfc,
+                    "n_raw": n_raw,
+                    "n_nfc": n_nfc,
+                    "changed": changed,
+                }
+            )
+
+    return spread(docs).select(id_col, text_col).mapInPandas(norm, schema)
+
+
 def repair_mojibake_col(col: F.Column) -> F.Column:
     """Reverse one layer of UTF-8-as-cp1252 mojibake as a pure Column
     replace chain (zero shuffle, zero Python at runtime; the oracle

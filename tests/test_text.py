@@ -936,3 +936,44 @@ def test_repair_mojibake_col(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_normalize_nfc_arrow(spark):
+    """UAX #15 canonical composition via the Arrow pass: decomposed
+    sequences compose, out-of-order combining marks reorder+compose,
+    composed text passes through, NULL degrades; lengths are CODE
+    POINTS (astral-safe, unlike Spark's UTF-16 length)."""
+    import unicodedata
+
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        normalize_nfc_arrow,
+    )
+
+    rows = [
+        (1, "cafe\u0301"),            # e + combining acute -> caf\u00e9
+        (2, "caf\u00e9"),              # already composed -> unchanged
+        (3, "x\u0307\u0323y"),         # ccc 230 before 220 -> reorder+compose
+        (4, None),
+        (5, "astral \U0001F600 A\u030a"),  # astral + composing pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_nfc_arrow(df).collect()}
+    for i, t in rows:
+        if t is None:
+            continue
+        want = unicodedata.normalize("NFC", t)
+        assert out[i]["text_nfc"] == want
+        assert out[i]["n_raw"] == len(t) and out[i]["n_nfc"] == len(want)
+        assert out[i]["changed"] == (t != want)
+    assert out[1]["text_nfc"] == "caf\u00e9" and out[1]["changed"]
+    assert out[1]["n_raw"] == 5 and out[1]["n_nfc"] == 4
+    assert not out[2]["changed"]
+    # canonical REORDERING (dot-below ccc 220 ahead of dot-above 230)
+    # then NON-ADJACENT composition: no x-with-dot-below codepoint
+    # exists, and the intervening lower-ccc mark does not block, so the
+    # dot-above composes across it -> U+1E8B + U+0323
+    assert out[3]["text_nfc"] == "\u1e8b\u0323y" and out[3]["changed"]
+    assert out[4]["text_nfc"] is None and not out[4]["changed"]
+    assert out[4]["n_raw"] == 0 and out[4]["n_nfc"] == 0
+    # astral char counts as ONE code point; the A+ring pair composes
+    assert out[5]["n_raw"] == 11 and out[5]["n_nfc"] == 10
