@@ -1918,7 +1918,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pixel_min",
             "pixel_max",
         )
-        return png.unionByName(apng).unionByName(rez)
+        # 'dhash' — perceptual image hash from the REAL decoded pixels:
+        # luma → NN 9×8 grid → 64 row-adjacent comparisons.  The m7 row
+        # shape is reused: width/height/target_width/target_height
+        # carry the four big-endian 16-bit hash quarters (each < 2^16,
+        # integer-exact), pixel_min/pixel_max the SOURCE dims, and
+        # pixel_mean a -1 sentinel — the oracle replays pixels → luma →
+        # NN indices → comparisons → quarter packing arithmetically, so
+        # the hash verifies decode AND the perceptual signature.
+        dh = M.image_dhash(png_assets).select(
+            F.lit("dhash").alias("variant"),
+            "asset_id",
+            F.lit(0).alias("frame_idx"),
+            F.lit(1).alias("n_frames"),
+            F.col("q0").alias("width"),
+            F.col("q1").alias("height"),
+            F.col("q2").alias("target_width"),
+            F.col("q3").alias("target_height"),
+            "channels",
+            F.lit(-1.0).alias("pixel_mean"),
+            F.col("width").alias("pixel_min"),
+            F.col("height").alias("pixel_max"),
+        )
+        return png.unionByName(apng).unionByName(rez).unionByName(dh)
 
     q["m7_decoded_pixel_stats"] = _m7
     # m8: the AUDIO codec round-trip — real RIFF/WAVE PCM-16 encode per
@@ -3898,6 +3920,43 @@ FROM vals GROUP BY 1, 2, 3, 4, 5, 6
     # pixel-decode paths with sentinel frame/target columns (frame 0 of
     # 1 for single images; target dims = source dims when not resizing)
     # so the union is NULL-free and hash-stable across engines.
+    # dhash replay: pixel formulas → integer luma → NN 9×8 grid →
+    # row-adjacent comparisons → big-endian 16-bit quarter packing;
+    # pixel value at (y, x, c) is (id*31 + (y*w + x)*ch + c) % 256
+    dhash_sql = """
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         4 + doc_id % 13 AS w,
+         4 + (doc_id * 7) % 11 AS h,
+         1 + doc_id % 3 AS ch
+  FROM documents
+), lum AS (
+  SELECT p.asset_id, p.w, p.h, p.ch, gy.i AS gy, gx.i AS gx,
+         CASE WHEN p.ch = 3 THEN
+           (299 * ((p.asset_id * 31 + (((gy.i * p.h // 8) * p.w + (gx.i * p.w // 9)) * p.ch + 0)) % 256)
+            + 587 * ((p.asset_id * 31 + (((gy.i * p.h // 8) * p.w + (gx.i * p.w // 9)) * p.ch + 1)) % 256)
+            + 114 * ((p.asset_id * 31 + (((gy.i * p.h // 8) * p.w + (gx.i * p.w // 9)) * p.ch + 2)) % 256)) // 1000
+         ELSE (p.asset_id * 31 + (((gy.i * p.h // 8) * p.w + (gx.i * p.w // 9)) * p.ch + 0)) % 256
+         END AS l
+  FROM p, generate_series(0, 7) AS gy(i), generate_series(0, 8) AS gx(i)
+), bits AS (
+  SELECT a.asset_id, a.w, a.h, a.ch, a.gy, a.gx,
+         CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+  FROM lum a JOIN lum b
+    ON a.asset_id = b.asset_id AND a.gy = b.gy AND b.gx = a.gx + 1
+  WHERE a.gx <= 7
+)
+SELECT asset_id, w, h, ch,
+       CAST(SUM(CASE WHEN (gy * 8 + gx) // 16 = 0
+                THEN bit << (15 - (gy * 8 + gx) % 16) ELSE 0 END) AS INTEGER) AS q0,
+       CAST(SUM(CASE WHEN (gy * 8 + gx) // 16 = 1
+                THEN bit << (15 - (gy * 8 + gx) % 16) ELSE 0 END) AS INTEGER) AS q1,
+       CAST(SUM(CASE WHEN (gy * 8 + gx) // 16 = 2
+                THEN bit << (15 - (gy * 8 + gx) % 16) ELSE 0 END) AS INTEGER) AS q2,
+       CAST(SUM(CASE WHEN (gy * 8 + gx) // 16 = 3
+                THEN bit << (15 - (gy * 8 + gx) % 16) ELSE 0 END) AS INTEGER) AS q3
+FROM bits GROUP BY 1, 2, 3, 4
+"""
     o["m7_decoded_pixel_stats"] = f"""
 SELECT 'png' AS variant, asset_id, CAST(0 AS INTEGER) AS frame_idx,
        CAST(1 AS INTEGER) AS n_frames, width, height,
@@ -3913,6 +3972,15 @@ SELECT 'resize', asset_id, CAST(0 AS INTEGER), CAST(1 AS INTEGER),
        width, height, target_width, target_height,
        channels, pixel_mean, pixel_min, pixel_max
 FROM ({rez_sql}) rez_v
+UNION ALL
+-- dhash: hash quarters ride the dim columns (each < 2^16), source
+-- dims ride pixel_min/pixel_max, mean is a -1 sentinel
+SELECT 'dhash', asset_id, CAST(0 AS INTEGER), CAST(1 AS INTEGER),
+       CAST(q0 AS INTEGER), CAST(q1 AS INTEGER),
+       CAST(q2 AS INTEGER), CAST(q3 AS INTEGER),
+       CAST(ch AS INTEGER), -1.0,
+       CAST(w AS INTEGER), CAST(h AS INTEGER)
+FROM ({dhash_sql}) dh_v
 """
     return o
 

@@ -1103,6 +1103,78 @@ def resample_nearest(arr, target_w: int, target_h: int):
     return arr[ys[:, None], xs[None, :], :]
 
 
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """64-bit difference hash (dHash) from REAL decoded pixels — the
+    standard perceptual near-dup signature for images (crop-free edits,
+    re-encodes, and small pixel noise keep most bits; unrelated images
+    differ in ~32): decode → integer luma (299R+587G+114B // 1000;
+    gray/gray+alpha use channel 0) → nearest-neighbor 9×8 grid (the
+    aspect-squashing classic; src = dst·size // target, the same NN
+    convention as ``png_resize_features``) → bit(y,x) = luma[y][x] <
+    luma[y][x+1] over each row's 8 adjacent pairs.
+
+    Output: (asset_id, width, height, channels, q0..q3, dhash) —
+    ``dhash`` is the 64-char '0'/'1' string (engine-portable, the
+    simhash convention; feed it to the same hamming chunk-bucketing),
+    ``q0..q3`` the big-endian 16-bit quarters (integer-exact columns
+    for engines without string bit ops).
+
+    Scale shape: one Arrow ``mapInPandas`` pass over the payloads —
+    partition-local, no shuffle; pair detection downstream reuses the
+    simhash pigeonhole machinery."""
+    from kafkastreamsinteractivequeries_spark.functions.codecs import decode_png
+
+    schema = (
+        "asset_id long, width int, height int, channels int, "
+        "q0 int, q1 int, q2 int, q3 int, dhash string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_png(bytes(payload)).astype(np.int64)
+                h, w, ch = arr.shape
+                if ch == 3:
+                    luma = (
+                        299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+                    ) // 1000
+                else:
+                    luma = arr[:, :, 0]
+                ys = [gy * h // 8 for gy in range(8)]
+                xs = [gx * w // 9 for gx in range(9)]
+                g = luma[np.ix_(ys, xs)]
+                bits = [
+                    1 if g[gy, gx] < g[gy, gx + 1] else 0
+                    for gy in range(8)
+                    for gx in range(8)
+                ]
+                qs = [
+                    sum(b << (15 - j) for j, b in enumerate(bits[k * 16:(k + 1) * 16]))
+                    for k in range(4)
+                ]
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "q0": qs[0],
+                        "q1": qs[1],
+                        "q2": qs[2],
+                        "q3": qs[3],
+                        "dhash": "".join(map(str, bits)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)
+
+
 def png_resize_features(assets: DataFrame, max_side: int = 8) -> DataFrame:
     """REAL image resize: decode each PNG, nearest-neighbor resample so
     the longest side is capped at ``max_side`` (aspect-preserving,

@@ -400,3 +400,38 @@ def test_webp_tiff_manifest_parses_real_bytes(spark):
         )._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_image_dhash_perceptual_property(spark):
+    """dHash from real decoded pixels: re-encoding noise / small pixel
+    edits keep most bits (small hamming), unrelated images differ in
+    many; quarters pack the same bits big-endian."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import encode_png
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    tweaked = base.copy()
+    tweaked[5, 5] = [0, 0, 0]  # one-pixel edit
+    other = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(base))),
+            (2, bytearray(encode_png(tweaked))),
+            (3, bytearray(encode_png(other))),
+        ],
+        "asset_id long, payload binary",
+    )
+    out = {r["asset_id"]: r for r in image_dhash(assets).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert len(out[1]["dhash"]) == 64 and set(out[1]["dhash"]) <= {"0", "1"}
+    assert ham(out[1]["dhash"], out[2]["dhash"]) <= 4  # near-identical
+    assert ham(out[1]["dhash"], out[3]["dhash"]) >= 16  # unrelated
+    # quarters == the bit string, 16 bits big-endian each
+    bits = out[1]["dhash"]
+    for k, q in enumerate(("q0", "q1", "q2", "q3")):
+        assert out[1][q] == int(bits[k * 16:(k + 1) * 16], 2)
