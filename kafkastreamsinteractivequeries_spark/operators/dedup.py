@@ -888,16 +888,20 @@ def simhash_signatures(
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_near_duplicates(
-    docs: DataFrame,
-    text_col: str = "text",
+def hamming_near_duplicates(
+    sigs: DataFrame,
+    sig_col: str = "simhash",
     id_col: str = "doc_id",
     bits: int = 64,
     chunks: int = 8,
     max_hamming: int = 6,
     max_bucket_size: int | None = 1024,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) pairs within ``max_hamming`` bits.
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` bits over ANY
+    '0'/'1' bit-string signature table — the pigeonhole chunk-bucket
+    machinery shared by text simhash (``simhash_near_duplicates``) and
+    image dHash (``multimodal.image_dhash`` →
+    ``image_near_duplicates``).
 
     Candidate generation by the pigeonhole trick: split the signature
     into ``chunks`` equal substrings; when ``max_hamming < chunks`` a
@@ -911,10 +915,10 @@ def simhash_near_duplicates(
     (dominated by near-identical boilerplate — the exact-dedup path's
     job).
     """
-    sigs = simhash_signatures(docs, text_col, id_col, bits)
+    sigs = sigs.select(F.col(id_col), F.col(sig_col).alias("simhash"))
     if max_bucket_size is not None:
-        # (id, simhash) feeds the chunk buckets AND both sides of the
-        # verify join — materialize the expensive vote expression once.
+        # (id, sig) feeds the chunk buckets AND both sides of the
+        # verify join — materialize the signature expression once.
         sigs = sigs.localCheckpoint(eager=False)
     clen = bits // chunks
     chunk_rows = F.explode(
@@ -977,6 +981,29 @@ def simhash_near_duplicates(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    chunks: int = 8,
+    max_hamming: int = 6,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of near-duplicate DOCUMENTS by
+    simhash — ``hamming_near_duplicates`` over
+    ``simhash_signatures``; see there for the pigeonhole/caps story."""
+    return hamming_near_duplicates(
+        simhash_signatures(docs, text_col, id_col, bits),
+        "simhash",
+        id_col,
+        bits,
+        chunks,
+        max_hamming,
+        max_bucket_size,
     )
 
 

@@ -1175,6 +1175,38 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)
 
 
+def image_near_duplicates(
+    assets: DataFrame,
+    chunks: int = 8,
+    max_hamming: int = 6,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate IMAGES by dHash — decode →
+    ``image_dhash`` signatures → the shared pigeonhole chunk-bucket
+    machinery (``dedup.hamming_near_duplicates``), exact recall within
+    ``max_hamming`` when ``max_hamming < chunks``.  The image analog of
+    text simhash dedup: catches re-encodes, metadata changes, and small
+    pixel edits that byte-level checksums miss.
+
+    Scale shape: one Arrow decode pass for signatures, then the same
+    capped chunk-bucket joins text simhash uses — never an all-pairs
+    compare."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        hamming_near_duplicates,
+    )
+
+    sigs = image_dhash(assets).select("asset_id", "dhash")
+    return hamming_near_duplicates(
+        sigs,
+        sig_col="dhash",
+        id_col="asset_id",
+        bits=64,
+        chunks=chunks,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
 def png_resize_features(assets: DataFrame, max_side: int = 8) -> DataFrame:
     """REAL image resize: decode each PNG, nearest-neighbor resample so
     the longest side is capped at ``max_side`` (aspect-preserving,

@@ -435,3 +435,45 @@ def test_image_dhash_perceptual_property(spark):
     bits = out[1]["dhash"]
     for k, q in enumerate(("q0", "q1", "q2", "q3")):
         assert out[1][q] == int(bits[k * 16:(k + 1) * 16], 2)
+
+
+def test_image_near_duplicates(spark):
+    """dHash near-dup detection end-to-end: a one-pixel edit of a real
+    image is found within the hamming bound, unrelated images are not;
+    exact recall vs brute-force hamming (pigeonhole, max_hamming <
+    chunks)."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import encode_png
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        image_dhash,
+        image_near_duplicates,
+    )
+
+    rng = np.random.RandomState(11)
+    imgs = {}
+    base = rng.randint(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    imgs[1] = base
+    tweak = base.copy(); tweak[3, 3] = [255, 255, 255]
+    imgs[2] = tweak
+    for i in range(3, 9):
+        imgs[i] = rng.randint(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    assets = spark.createDataFrame(
+        [(i, bytearray(encode_png(a))) for i, a in imgs.items()],
+        "asset_id long, payload binary",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_duplicates(assets, max_hamming=6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 6
+    # exact recall: brute-force hamming over all signature pairs
+    sigs = {r["asset_id"]: r["dhash"] for r in image_dhash(assets).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= 6
+    }
+    assert set(got) == want
