@@ -810,6 +810,49 @@ class _AppendOnlyCodeSink:
             raise FileNotFoundError(f"no committed code batches under {self.path}")
         return spark.read.parquet(*dirs)
 
+    def compact(self, spark: SparkSession, keep_last: int = 1) -> int:
+        """Fold all committed batch directories EXCEPT the newest
+        ``keep_last`` into one consolidated directory (named for the
+        newest id it absorbs), so reader-side file/dir counts stay
+        bounded under continuous ingest.  Returns the number of
+        directories removed.
+
+        Safe with the replay contract: a streaming replay only ever
+        rewrites the NEWEST batch id (earlier ids re-appearing means a
+        checkpoint/store mismatch — the same loud-failure reasoning as
+        the sketch stores), and the newest ``keep_last`` directories
+        are never touched here.  The swap itself is maintenance-grade,
+        not transactional: the consolidated directory is fully written
+        (with its ``_SUCCESS``) under a ``~compact`` staging name
+        before any source directory is removed, so a crash leaves
+        either the originals or a complete staging copy — but a READER
+        enumerating during the final delete+rename window can see a
+        partial union.  Run it from the maintenance cadence (like
+        ``vacuum``), not concurrently with serving."""
+        import re as _re
+
+        dirs = self._committed_dirs(spark)
+        # numeric order — lexicographic would put batch=10 before batch=2
+        def _bid(d: str) -> int:
+            m = _re.search(r"batch=(\d+)", d.rsplit("/", 1)[-1])
+            return int(m.group(1)) if m else -1
+
+        dirs = sorted(dirs, key=_bid)
+        doomed = dirs[: max(0, len(dirs) - keep_last)]
+        if len(doomed) < 2:
+            return 0  # nothing to fold
+        target = doomed[-1]
+        stage = f"{target}~compact"
+        fs, jvm = ManifestServingSink._fs(spark, self.path)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        spark.read.parquet(*doomed).coalesce(
+            max(1, spark.sparkContext.defaultParallelism // 4)
+        ).write.mode("overwrite").parquet(stage)
+        for d in doomed:
+            fs.delete(hpath(d), True)
+        fs.rename(hpath(stage), hpath(target))
+        return len(doomed) - 1
+
 
 class StreamingPqCodeSink(_AppendOnlyCodeSink):
     """``_AppendOnlyCodeSink`` for the raw-vector PQ store:

@@ -1581,3 +1581,53 @@ def test_streaming_ivfpq_code_sink_matches_one_shot(spark, tmp_path):
     assert sorted(map(tuple, off_store.collect())) == sorted(
         map(tuple, inline.collect())
     )
+
+
+def test_code_sink_compaction_preserves_union(spark, tmp_path):
+    """compact() folds all but the newest batch dirs into one; the
+    landed union is row-identical before and after, serving keeps
+    working, and directory count drops to keep_last + 1."""
+    import os
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingPqCodeSink,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    index = entry_mod.ensure_knn_indexes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "vecs")
+    for r in range(4):
+        emb.filter(F.col("vec_id") % 4 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = str(tmp_path / "store")
+    sink = StreamingPqCodeSink(store, index["pq_book"], m=8)
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    before = sorted(map(tuple, sink.codes(spark).collect()))
+    assert len(sink._committed_dirs(spark)) == 4
+    removed = sink.compact(spark, keep_last=1)
+    assert removed == 2  # 3 old dirs folded into 1
+    dirs = sink._committed_dirs(spark)
+    assert len(dirs) == 2
+    after = sorted(map(tuple, sink.codes(spark).collect()))
+    assert after == before
+    # idempotent when nothing left to fold
+    assert sink.compact(spark, keep_last=1) == 0
+    # no staging leftovers
+    assert not [d for d in os.listdir(store) if "~compact" in d]
