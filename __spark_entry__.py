@@ -820,11 +820,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("url").alias("info"),
             F.col("n_dups").alias("n"),
         )
+        # 'host' — host-level crawl stats + RefinedWeb-style gate over
+        # the same salted URLs: the host must be extracted through the
+        # adversarial raw forms (EXAMPLEn.COM:443, u:pw@ userinfo), and
+        # the keep/block decision (flood cap ∨ duplicate share) is
+        # integer, so the hash verifies extraction, the distinct-URL
+        # aggregation, AND the decision itself.
+        hosts = D.host_gate(
+            docs.select("doc_id", url.alias("url")),
+            max_docs_per_host=12,
+            max_dup_permille=700,
+        ).select(
+            F.lit("host").alias("variant"),
+            F.col("first_id").alias("doc_id"),
+            F.col("host").alias("text"),
+            F.concat(
+                F.when(F.col("blocked") == 1, F.lit("block")).otherwise(
+                    F.lit("keep")
+                ),
+                F.lit("|u="),
+                F.col("n_urls"),
+                F.lit("|d="),
+                F.col("dup_permille"),
+            ).alias("info"),
+            F.col("n_docs").alias("n"),
+        )
         return (
             kept.unionByName(groups)
             .unionByName(inc)
             .unionByName(ids)
             .unionByName(urls)
+            .unionByName(hosts)
         )
 
     q["d1_exact_dedup"] = _d1
@@ -2414,7 +2440,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ep(F.col("start_ts")).alias("v2"),
             ep(F.col("end_ts")).alias("v3"),
         )
-        return fun.unionByName(coh).unionByName(ij)
+        # 'pagerank' — link-graph centrality (operators/graph.py), the
+        # host/page prior web-corpus pipelines compute before text
+        # filtering.  The edge list is derived deterministically from
+        # events (src=user, dst=(event_id*7+3)%41 — hubs the users
+        # never own, so real dangling nodes exist) and the oracle
+        # replays the full 3-iteration fixed-point power iteration with
+        # unrolled CTEs — every rank is integer micro-units, so the
+        # hash proves the trajectory, not just the final ordering.
+        from kafkastreamsinteractivequeries_spark.operators import (
+            graph as GR,
+        )
+
+        pr_edges = GR.normalize_edges(
+            ev.select(
+                F.col("user_id").alias("src"),
+                ((F.col("event_id") * 7 + 3) % 41).alias("dst"),
+            )
+        )
+        pr = GR.pagerank(pr_edges, iterations=3).select(
+            F.lit("pagerank").alias("variant"),
+            F.col("id").alias("k1"),
+            F.col("out_deg").alias("k2"),
+            F.col("rank").alias("v1"),
+            F.col("rank_prev").alias("v2"),
+            F.col("in_deg").alias("v3"),
+        )
+        return fun.unionByName(coh).unionByName(ij).unionByName(pr)
 
     q["e1_event_analytics"] = _e1
 
@@ -3121,6 +3173,62 @@ WITH steps AS (
   SELECT user_id AS iv_user, MIN(ts) AS start_ts,
          MIN(ts) + INTERVAL 6 HOUR AS end_ts
   FROM events WHERE user_id % 10 = 0 GROUP BY 1
+), pr_e AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+         CAST((event_id * 7 + 3) % 41 AS BIGINT) AS dst
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND CAST(user_id AS BIGINT) <> CAST((event_id * 7 + 3) % 41 AS BIGINT)
+), pr_nodes AS (
+  SELECT src AS id FROM pr_e UNION SELECT dst FROM pr_e
+), pr_deg AS (
+  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outd FROM pr_e GROUP BY 1
+), pr_ind AS (
+  SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS ind FROM pr_e GROUP BY 1
+), pr_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(1000000000000 // COUNT(*) AS BIGINT) AS base
+  FROM pr_nodes
+), pr_r0 AS (
+  SELECT nd.id, COALESCE(d.outd, 0) AS outd, n.n, n.base,
+         CAST(n.base AS BIGINT) AS rank
+  FROM pr_nodes nd LEFT JOIN pr_deg d ON nd.id = d.id CROSS JOIN pr_n n
+), pr_i1 AS (
+  SELECT e.dst AS id, CAST(SUM(r.rank // r.outd) AS BIGINT) AS inflow
+  FROM pr_e e JOIN pr_r0 r ON e.src = r.id AND r.outd > 0 GROUP BY 1
+), pr_d1 AS (
+  SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang
+  FROM pr_r0 WHERE outd = 0
+), pr_r1 AS (
+  SELECT r.id, r.outd, r.n, r.base,
+         CAST((15 * r.base) // 100
+              + (85 * (COALESCE(i.inflow, 0) + d.dang // r.n)) // 100
+              AS BIGINT) AS rank
+  FROM pr_r0 r LEFT JOIN pr_i1 i ON r.id = i.id CROSS JOIN pr_d1 d
+), pr_i2 AS (
+  SELECT e.dst AS id, CAST(SUM(r.rank // r.outd) AS BIGINT) AS inflow
+  FROM pr_e e JOIN pr_r1 r ON e.src = r.id AND r.outd > 0 GROUP BY 1
+), pr_d2 AS (
+  SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang
+  FROM pr_r1 WHERE outd = 0
+), pr_r2 AS (
+  SELECT r.id, r.outd, r.n, r.base,
+         CAST((15 * r.base) // 100
+              + (85 * (COALESCE(i.inflow, 0) + d.dang // r.n)) // 100
+              AS BIGINT) AS rank
+  FROM pr_r1 r LEFT JOIN pr_i2 i ON r.id = i.id CROSS JOIN pr_d2 d
+), pr_i3 AS (
+  SELECT e.dst AS id, CAST(SUM(r.rank // r.outd) AS BIGINT) AS inflow
+  FROM pr_e e JOIN pr_r2 r ON e.src = r.id AND r.outd > 0 GROUP BY 1
+), pr_d3 AS (
+  SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang
+  FROM pr_r2 WHERE outd = 0
+), pr_r3 AS (
+  SELECT r.id, r.outd, r.n, r.base,
+         CAST((15 * r.base) // 100
+              + (85 * (COALESCE(i.inflow, 0) + d.dang // r.n)) // 100
+              AS BIGINT) AS rank
+  FROM pr_r2 r LEFT JOIN pr_i3 i ON r.id = i.id CROSS JOIN pr_d3 d
 )
 SELECT 'funnel' AS variant, CAST(user_id AS BIGINT) AS k1,
        CAST(steps_completed AS BIGINT) AS k2,
@@ -3137,6 +3245,12 @@ SELECT 'interval', CAST(e.event_id AS BIGINT), CAST(i.iv_user AS BIGINT),
        {ep('e.ts')}, {ep('i.start_ts')}, {ep('i.end_ts')}
 FROM events e JOIN iv i ON e.ts >= i.start_ts AND e.ts < i.end_ts
 WHERE e.event_type = 'purchase'
+UNION ALL
+SELECT 'pagerank', r3.id, r3.outd, r3.rank, r2.rank,
+       COALESCE(pr_ind.ind, 0)
+FROM pr_r3 r3
+JOIN pr_r2 r2 ON r3.id = r2.id
+LEFT JOIN pr_ind ON r3.id = pr_ind.id
 """
 
     # e2 emits vfrom/vto as epoch-second BIGINTs (pandas datetime64[ns]
@@ -5977,6 +6091,34 @@ FROM (
            || '.com/q%2F' || CAST(doc_id % 15 AS VARCHAR) END AS canon
   FROM documents
 ) GROUP BY canon
+UNION ALL
+-- 'host': host-level stats + gate over the same salted URLs — the
+-- oracle rebuilds host and canonical from the formulas; the engine
+-- extracts them through the adversarial raw forms.  Gate policy:
+-- block when n_docs > 12 or dup share >= 700 permille.
+SELECT 'host', first_id, host,
+       (CASE WHEN n_docs > 12 OR dup_permille >= 700
+             THEN 'block' ELSE 'keep' END)
+         || '|u=' || CAST(n_urls AS VARCHAR)
+         || '|d=' || CAST(dup_permille AS VARCHAR),
+       n_docs
+FROM (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_urls,
+         CAST((1000 * (COUNT(*) - COUNT(DISTINCT canon))) // COUNT(*)
+              AS BIGINT) AS dup_permille,
+         CAST(MIN(doc_id) AS BIGINT) AS first_id
+  FROM (
+    SELECT doc_id,
+      'example' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host,
+      CASE WHEN doc_id % 4 < 3
+        THEN 'https://example' || CAST(doc_id % 40 AS VARCHAR)
+             || '.com/p' || CAST(doc_id % 15 AS VARCHAR) || '?a=1&b=2'
+        ELSE 'http://example' || CAST(doc_id % 40 AS VARCHAR)
+             || '.com/q%2F' || CAST(doc_id % 15 AS VARCHAR) END AS canon
+    FROM documents
+  ) GROUP BY host
+)
 """
     # d4 rows carry the full signature string (the d3 stage) alongside
     # each band row, mirroring the Spark `carry` column.

@@ -1684,6 +1684,95 @@ def url_dedup_incremental(
     )
 
 
+def url_host_col(col: F.Column) -> F.Column:
+    """Canonical host of a URL: the lowercased authority with userinfo
+    and the port stripped (any port — host identity doesn't depend on
+    it).  Schemeless strings degrade to '' (never NULL).  Pure Column
+    chain, replayable in any engine with regexes."""
+    rest = F.regexp_replace(
+        F.trim(col), r"^[A-Za-z][A-Za-z0-9+.-]*://", ""
+    )
+    has_scheme = F.regexp_like(
+        F.trim(col), F.lit(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    )
+    auth = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host = F.lower(F.regexp_replace(auth, r"^[^@/?]*@", ""))
+    host = F.regexp_replace(host, r":[0-9]*$", "")
+    return F.when(has_scheme, host).otherwise(F.lit(""))
+
+
+def host_stats(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-host crawl statistics — the aggregation behind RefinedWeb-
+    style host/domain filtering (arXiv:2306.01116 §3.1 filters by URL
+    before any text is read): for every canonical host, the page
+    count, the distinct-canonical-URL count, and the duplicate share
+    in integer permille (``1000*(n_docs-n_urls) div n_docs`` — fixed
+    point, engine-portable).
+
+    Scale shape: canonicalization is map-only; the distinct count
+    aggregates the skinny (host, canonical_url) pair stream (Spark
+    plans count-distinct as a two-phase expand — partial per map task,
+    so one hot host never funnels raw rows to one reducer), and the
+    first-doc keeper rides the same aggregate as a min-struct.
+    Output: (host, n_docs, n_urls, dup_permille, first_id)."""
+    canon = docs.select(
+        F.col(id_col),
+        url_host_col(F.col(url_col)).alias("host"),
+        canonicalize_url_col(F.col(url_col)).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("canonical_url").cast("long").alias("n_urls"),
+            F.min(id_col).cast("long").alias("first_id"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_urls",
+            F.expr("(1000 * (n_docs - n_urls)) div n_docs")
+            .cast("long")
+            .alias("dup_permille"),
+            "first_id",
+        )
+    )
+
+
+def host_gate(
+    docs: DataFrame,
+    max_docs_per_host: int = 100_000,
+    max_dup_permille: int = 700,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Host-level keep/block decisions — the gate web pipelines apply
+    BEFORE fetch-level text processing: a host is blocked when it
+    floods the crawl (``n_docs > max_docs_per_host``: link farms,
+    calendar traps) or when almost every page is a re-fetch of the
+    same canonical URLs (``dup_permille >= max_dup_permille``: mirror
+    and session-id hosts).  Thresholds are policy; both comparisons
+    are integer, so the decision itself is hash-verifiable.
+
+    Returns ``host_stats`` plus a ``blocked`` int (1 = drop every doc
+    of this host).  Apply with a broadcast semi/anti join of the doc
+    table against the (skinny, one-row-per-host) decision table."""
+    hs = host_stats(docs, url_col, id_col)
+    return hs.select(
+        "*",
+        F.when(
+            (F.col("n_docs") > max_docs_per_host)
+            | (F.col("dup_permille") >= max_dup_permille),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("blocked"),
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

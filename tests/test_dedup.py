@@ -804,3 +804,49 @@ def test_url_dedup_incremental(spark):
     out = {r["doc_id"]: r for r in url_dedup_incremental(batch, seen).collect()}
     assert set(out) == {12, 14}
     assert out[12]["n_dups"] == 2  # 13 collapsed into it inside the batch
+
+
+def test_host_stats_and_gate(spark):
+    """Host aggregation + RefinedWeb-style gate: extraction through
+    adversarial raw forms, exact distinct-canonical counts, integer
+    permille dup share, and both gate decisions exercised."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        host_gate,
+        host_stats,
+    )
+
+    rows = [
+        # mirror.example: 4 fetches of ONE canonical page -> 750 permille
+        (1, "https://MIRROR.example/a"),
+        (2, "https://mirror.example:443/a#x"),
+        (3, "https://u:pw@mirror.example/a?utm_source=t"),
+        (4, "https://mirror.example/a"),
+        # ok.example: 3 distinct pages, no dups
+        (5, "https://ok.example/p1"),
+        (6, "https://ok.example/p2"),
+        (7, "http://ok.example:80/p3"),
+        # flood.example: 5 distinct pages but over the doc cap of 4
+        (8, "https://flood.example/1"),
+        (9, "https://flood.example/2"),
+        (10, "https://flood.example/3"),
+        (11, "https://flood.example/4"),
+        (12, "https://flood.example/5"),
+        # schemeless junk degrades to host ''
+        (13, "not a url"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    hs = {r["host"]: r for r in host_stats(docs).collect()}
+    assert hs["mirror.example"]["n_docs"] == 4
+    assert hs["mirror.example"]["n_urls"] == 1
+    assert hs["mirror.example"]["dup_permille"] == 750
+    assert hs["mirror.example"]["first_id"] == 1
+    assert hs["ok.example"]["n_urls"] == 3 and hs["ok.example"]["dup_permille"] == 0
+    assert "" in hs  # degraded, never NULL
+
+    gate = {
+        r["host"]: r["blocked"]
+        for r in host_gate(docs, max_docs_per_host=4, max_dup_permille=700).collect()
+    }
+    assert gate["mirror.example"] == 1  # dup share
+    assert gate["flood.example"] == 1  # doc cap
+    assert gate["ok.example"] == 0

@@ -1,0 +1,105 @@
+"""PageRank / degree operators (operators/graph.py).
+
+The fixed-point semantics are pinned against an independent pure-Python
+reference that replays the identical integer arithmetic, and the result
+is shown partitioning-invariant (the determinism contract every
+hash-verified operator carries).
+"""
+
+from pyspark.sql import functions as F
+
+from kafkastreamsinteractivequeries_spark.operators import graph as G
+
+
+def _py_pagerank(edge_list, iterations=3, damping_pct=85, scale=10**12):
+    """Independent reference: same integer fixed-point semantics."""
+    edges = sorted({(s, d) for s, d in edge_list if s != d})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outd = {v: 0 for v in nodes}
+    for s, _ in edges:
+        outd[s] += 1
+    n = len(nodes)
+    base = scale // n
+    rank = {v: base for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(rank[v] for v in nodes if outd[v] == 0)
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // outd[s]
+        rank = {
+            v: ((100 - damping_pct) * base) // 100
+            + (damping_pct * (inflow[v] + dangling // n)) // 100
+            for v in nodes
+        }
+    return rank, outd
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (5, 4),
+    (1, 2),          # duplicate: must collapse
+    (2, 2),          # self-loop: must drop
+    (6, 3),          # 6 has out-edges but no in-edges
+    (3, 7),          # 7 is dangling (no out-edges)
+]
+
+
+def _spark_ranks(spark, iterations=3, num_partitions=None):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    edges = G.normalize_edges(df)
+    out = G.pagerank(edges, iterations=iterations)
+    return {r["id"]: r for r in out.collect()}
+
+
+def test_pagerank_matches_python_reference(spark):
+    ref, outd = _py_pagerank(EDGES)
+    got = _spark_ranks(spark)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert got[v]["rank"] == ref[v], f"node {v}"
+        assert got[v]["out_deg"] == outd[v]
+    # rank_prev is the (iterations-1) trajectory point
+    ref_prev, _ = _py_pagerank(EDGES, iterations=2)
+    for v in ref_prev:
+        assert got[v]["rank_prev"] == ref_prev[v]
+
+
+def test_pagerank_partitioning_invariant(spark):
+    a = _spark_ranks(spark, num_partitions=1)
+    b = _spark_ranks(spark, num_partitions=7)
+    assert {v: r["rank"] for v, r in a.items()} == {
+        v: r["rank"] for v, r in b.items()
+    }
+
+
+def test_pagerank_structural_properties(spark):
+    got = _spark_ranks(spark)
+    # node 3 has the most in-links — it must outrank the unlinked node 6
+    assert got[3]["rank"] > got[6]["rank"]
+    # a node nothing links to gets exactly teleport + dangling share
+    ref, _ = _py_pagerank(EDGES)
+    assert got[6]["rank"] == ref[6]
+    assert got[6]["in_deg"] == 0
+    # dangling node exists and carries rank mass forward
+    assert got[7]["out_deg"] == 0 and got[7]["rank"] > 0
+
+
+def test_degrees(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    edges = G.normalize_edges(df)
+    outd = {r["id"]: r["out_deg"] for r in G.out_degrees(edges).collect()}
+    ind = {r["id"]: r["in_deg"] for r in G.in_degrees(edges).collect()}
+    assert outd[1] == 2  # duplicate (1,2) collapsed
+    assert 2 not in {s for s, d in EDGES if s == d} or outd.get(2) == 1
+    assert ind[3] == 4
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    edges = G.normalize_edges(df)
+    try:
+        G.pagerank(edges, iterations=0)
+    except ValueError:
+        return
+    raise AssertionError("expected ValueError")
