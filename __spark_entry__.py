@@ -1845,6 +1845,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.webp_assets_from_documents(docs),
             M.tiff_assets_from_documents(docs),
         )
+        # mp3 ⊕ flac (sampled ids %5 = 2/3): the compressed-audio
+        # header walks — ID3v2 syncsafe skip + ISO 11172-3 table
+        # lookups + the Layer III frame-length derivation for MP3, the
+        # 20/3/5/36-bit STREAMINFO unpack for FLAC; all integer Column
+        # arithmetic, checksums over oracle-replayed bytes.
+        mf = M.mp3_flac_manifest(
+            M.mp3_assets_from_documents(docs),
+            M.flac_assets_from_documents(docs),
+        )
         nul = F.lit(None)
 
         def as_m1(df: DataFrame) -> DataFrame:
@@ -1868,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base.unionByName(as_m1(jm))
             .unionByName(as_m1(gb))
             .unionByName(as_m1(wt))
+            .unionByName(mf)
         )
 
     q["m1_asset_manifest"] = _m1
@@ -3873,6 +3883,72 @@ FROM (
            CASE WHEN doc_id % 4 = 3 THEN 70000 + (doc_id * 11) % 90000
                 ELSE 16 + (doc_id * 11) % 30000 END AS h
     FROM documents WHERE doc_id % 5 = 1
+  )
+)
+UNION ALL
+-- mp3 rows (doc_id % 5 = 2): ID3v2-prefixed (ids ≡ 2 mod 4) MPEG-1
+-- Layer III frame heads — the oracle replays the bytes AND the ISO
+-- table lookups + frame-length formula the engine derives
+SELECT asset_id, 'mp3',
+       CASE WHEN has_id3 THEN 'ID3' ELSE 'MPEG' END,
+       CAST(octet_length(payload) AS INTEGER),
+       CAST((144000 * br) // sr + pad AS INTEGER),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(sr AS BIGINT),
+       CAST(CASE WHEN ch = 3 THEN 1 ELSE 2 END AS BIGINT),
+       CAST(1152000 // sr AS BIGINT),
+       md5(hex(payload)), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  SELECT *,
+    (CASE WHEN has_id3
+          THEN encode('ID3') || unhex('030000000000')
+               || unhex(lpad(to_hex(tagsize), 2, '0'))
+               || unhex(repeat('54', CAST(tagsize AS INTEGER)))
+          ELSE ''::BLOB END)
+    || unhex('FFFB')
+    || unhex(lpad(to_hex(bri * 16 + sri * 4 + pad * 2), 2, '0'))
+    || unhex(lpad(to_hex(ch * 64), 2, '0'))
+    || unhex(repeat('AA', CAST(1 + doc_id % 7 AS INTEGER))) AS payload
+  FROM (
+    SELECT doc_id AS asset_id, doc_id,
+           doc_id % 4 = 2 AS has_id3, doc_id % 17 AS tagsize,
+           1 + doc_id % 14 AS bri, doc_id % 3 AS sri,
+           doc_id % 2 AS pad, doc_id % 4 AS ch,
+           [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+             [CAST(1 + doc_id % 14 AS INTEGER)] AS br,
+           [44100,48000,32000][CAST(doc_id % 3 AS INTEGER) + 1] AS sr
+    FROM documents WHERE doc_id % 5 = 2
+  )
+)
+UNION ALL
+-- flac rows (doc_id % 5 = 3): STREAMINFO with the 20/3/5/36-bit
+-- packed fields rebuilt byte-for-byte; duration is the integer
+-- total·1000 div sample_rate derivation
+SELECT asset_id, 'flac', 'fLaC',
+       CAST(octet_length(payload) AS INTEGER),
+       CAST(NULL AS INTEGER),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(sr AS BIGINT), CAST(ch AS BIGINT),
+       CAST((total * 1000) // sr AS BIGINT),
+       md5(hex(payload)), CAST(total AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  SELECT *,
+    encode('fLaC') || unhex('80000022')
+    || unhex(lpad(to_hex(4096), 4, '0')) || unhex(lpad(to_hex(4096), 4, '0'))
+    || unhex('000000000000')
+    || unhex(lpad(to_hex(sr // 4096), 2, '0'))
+    || unhex(lpad(to_hex((sr // 16) % 256), 2, '0'))
+    || unhex(lpad(to_hex((sr % 16) * 16 + (ch - 1) * 2), 2, '0'))
+    || unhex('F0')
+    || unhex(lpad(to_hex(total), 8, '0'))
+    || unhex(repeat('00', 16)) AS payload
+  FROM (
+    SELECT doc_id AS asset_id,
+           [8000,16000,22050,24000,32000,44100,48000]
+             [CAST(doc_id % 7 AS INTEGER) + 1] AS sr,
+           1 + doc_id % 2 AS ch,
+           1000 + (doc_id * 31) % 100000 AS total
+    FROM documents WHERE doc_id % 5 = 3
   )
 )
 """

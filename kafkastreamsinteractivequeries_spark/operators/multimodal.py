@@ -854,6 +854,239 @@ def webp_tiff_manifest(webp_assets: DataFrame, tiff_assets: DataFrame) -> DataFr
     return webp.unionByName(tiff)
 
 
+def _be_at(payload: F.Column, pos, nbytes: int) -> F.Column:
+    """Unsigned big-endian integer of ``nbytes`` at 1-based offset
+    ``pos`` (int or Column); NULL on a truncated read."""
+    parts = [F.hex(F.substring(payload, pos + i, 1)) for i in range(nbytes)]
+    ok = parts[-1].isNotNull() & (F.length(parts[-1]) == 2)
+    return F.when(ok, F.conv(F.concat(*parts), 16, 10).cast("bigint"))
+
+
+# MPEG-1 Layer III bitrate table (kbps) indexed by the 4-bit
+# bitrate_index 1..14 (0 = free-format, 15 = invalid — both unsupported
+# here); sampling-rate table indexed by the 2-bit field 0..2 (3 =
+# reserved).  Public tables from ISO/IEC 11172-3.
+_MP3_BITRATES = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def mp3_assets_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, payload): a structurally-real MPEG-1 Layer III stream
+    head per doc with id % 5 == 2 — ids ≡ 2 (mod 4) carry an ID3v2.3
+    tag (10-byte header + syncsafe-sized body the parser must SKIP),
+    then one frame header (sync, version/layer bits, bitrate index
+    1..14, sample-rate index 0..2, padding bit, channel mode) and a few
+    filler bytes.  Everything derives from the id so the oracle can
+    replay the exact bytes."""
+    did = F.col(id_col)
+    tagsize = did % 17  # < 128: one syncsafe byte carries it
+    id3 = F.concat(
+        F.encode(F.lit("ID3"), "utf-8"),
+        F.unhex(F.lit("030000000000")),  # v2.3, flags, 3 zero size bytes
+        F.unhex(F.lpad(F.hex(tagsize.cast("bigint")), 2, "0")),
+        F.unhex(F.repeat(F.lit("54"), tagsize.cast("int"))),
+    )
+    br_idx = (F.lit(1) + did % 14).cast("bigint")
+    sr_idx = (did % 3).cast("bigint")
+    padding = (did % 2).cast("bigint")
+    chmode = (did % 4).cast("bigint")
+    b3 = br_idx * 16 + sr_idx * 4 + padding * 2
+    b4 = chmode * 64
+    frame = F.concat(
+        F.unhex(F.lit("FFFB")),  # sync + MPEG1 + Layer III + no CRC
+        F.unhex(F.lpad(F.hex(b3), 2, "0")),
+        F.unhex(F.lpad(F.hex(b4), 2, "0")),
+        F.unhex(F.repeat(F.lit("AA"), (F.lit(1) + did % 7).cast("int"))),
+    )
+    payload = F.when(did % 4 == 2, F.concat(id3, frame)).otherwise(frame)
+    return docs.filter(did % 5 == 2).select(
+        did.alias("asset_id"), payload.alias("payload")
+    )
+
+
+def mp3_frame_info(payload: F.Column) -> F.Column:
+    """struct(sample_rate, n_channels, bitrate_kbps, frame_bytes,
+    duration_ms, has_id3) parsed from an MPEG audio stream head — pure
+    Column arithmetic, no UDF, no decoder:
+
+    - an ID3v2 prefix is skipped via its syncsafe 28-bit size (each
+      size byte contributes 7 bits — ID3v2.3 §3.1);
+    - the frame header is validated (11-bit sync, MPEG-1 version bits,
+      Layer III bits) and its fields decoded through literal-array
+      lookups of the public ISO/IEC 11172-3 tables;
+    - ``frame_bytes = 144000·bitrate/sample_rate + padding`` (the
+      Layer III frame-length formula) and
+      ``duration_ms = 1152·1000 div sample_rate`` (1152 samples per
+      MPEG-1 Layer III frame) are integer, hash-stable derivations.
+
+    Non-MP3 / truncated / reserved-index payloads yield nulls."""
+
+    def u8(pos) -> F.Column:
+        return _be_at(payload, pos, 1)
+
+    # hex compare, never decode: arbitrary binary is not valid UTF-8
+    has_id3 = F.hex(F.substring(payload, 1, 3)) == "494433"
+    syncsafe = (
+        (u8(7) % 128) * (1 << 21)
+        + (u8(8) % 128) * (1 << 14)
+        + (u8(9) % 128) * (1 << 7)
+        + (u8(10) % 128)
+    )
+    pos = F.when(has_id3, F.lit(11) + syncsafe.cast("int")).otherwise(F.lit(1))
+    h1, h2, h3, h4 = u8(pos), u8(pos + 1), u8(pos + 2), u8(pos + 3)
+    ok = (
+        (h1 == 255)
+        & (F.floor(h2 / 32) % 8 == 7)  # sync low bits
+        & (F.floor(h2 / 8) % 4 == 3)  # MPEG-1
+        & (F.floor(h2 / 2) % 4 == 1)  # Layer III
+        & h4.isNotNull()
+    )
+    br_idx = F.floor(h3 / 16)
+    sr_idx = F.floor(h3 / 4) % 4
+    padding = F.floor(h3 / 2) % 2
+    ok = ok & (br_idx >= 1) & (br_idx <= 14) & (sr_idx <= 2)
+    bitrate = F.element_at(
+        F.array(*[F.lit(b) for b in _MP3_BITRATES]), br_idx.cast("int")
+    ).cast("bigint")
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in _MP3_RATES]), (sr_idx + 1).cast("int")
+    ).cast("bigint")
+    chmode = F.floor(h4 / 64)
+    return F.struct(
+        F.when(ok, rate).alias("sample_rate"),
+        F.when(ok, F.when(chmode == 3, F.lit(1)).otherwise(F.lit(2)))
+        .cast("bigint")
+        .alias("n_channels"),
+        F.when(ok, bitrate).alias("bitrate_kbps"),
+        F.when(
+            ok, (F.floor(bitrate * 144000 / rate) + padding).cast("bigint")
+        ).alias("frame_bytes"),
+        F.when(ok, F.floor(F.lit(1152000) / rate).cast("bigint")).alias(
+            "duration_ms"
+        ),
+        has_id3.alias("has_id3"),
+    )
+
+
+def flac_assets_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, payload): a real FLAC stream head per doc with
+    id % 5 == 3 — 'fLaC' magic + a last-flagged STREAMINFO metadata
+    block whose sample rate (20 bits), channels-1 (3 bits),
+    bits-per-sample-1 (5 bits) and total samples (36 bits) are
+    BIT-PACKED across bytes exactly per the FLAC format spec; the
+    16-byte signature field is zeroed.  Deterministic from the id."""
+    did = F.col(id_col)
+    rates = [8000, 16000, 22050, 24000, 32000, 44100, 48000]
+    sr = F.element_at(
+        F.array(*[F.lit(r) for r in rates]), (did % 7 + 1).cast("int")
+    ).cast("bigint")
+    ch = (F.lit(1) + did % 2).cast("bigint")  # stored as ch-1
+    total = (F.lit(1000) + (did * 31) % 100000).cast("bigint")
+    # bps fixed at 16 → stored 15: (bps-1)>>4 = 0 rides byte 20's low
+    # bit, (bps-1)&15 = 15 rides byte 21's high nibble
+    b18 = F.floor(sr / 4096)
+    b19 = F.floor(sr / 16) % 256
+    b20 = (sr % 16) * 16 + (ch - 1) * 2
+    b21 = F.lit(15 * 16) + F.floor(total / F.lit(2**32))
+
+    def byte(v) -> F.Column:
+        return F.unhex(F.lpad(F.hex(v.cast("bigint")), 2, "0"))
+
+    payload = F.concat(
+        F.encode(F.lit("fLaC"), "utf-8"),
+        F.unhex(F.lit("80000022")),  # last-block flag + type 0, len 34
+        _u16be(F.lit(4096)),
+        _u16be(F.lit(4096)),
+        F.unhex(F.lit("000000")),  # min frame size (unknown)
+        F.unhex(F.lit("000000")),  # max frame size (unknown)
+        byte(b18),
+        byte(b19),
+        byte(b20),
+        byte(b21),
+        _u32be(total % F.lit(2**32)),
+        F.unhex(F.lit("00" * 16)),  # unset MD5 signature
+    )
+    return docs.filter(did % 5 == 3).select(
+        did.alias("asset_id"), payload.alias("payload")
+    )
+
+
+def flac_stream_info(payload: F.Column) -> F.Column:
+    """struct(sample_rate, n_channels, bits_per_sample, total_samples,
+    duration_ms) parsed from a FLAC STREAMINFO block — the 20/3/5/36-bit
+    packed fields unpacked with pure integer Column arithmetic.
+    Non-FLAC / truncated payloads (or a first block that isn't
+    STREAMINFO) yield nulls."""
+
+    def u8(pos: int) -> F.Column:
+        return _be_at(payload, pos, 1)
+
+    ok = (
+        (F.hex(F.substring(payload, 1, 4)) == "664C6143")
+        & (u8(5) % 128 == 0)  # block type 0 = STREAMINFO
+        & (_be_at(payload, 6, 3) >= 34)
+        & u8(26).isNotNull()
+    )
+    sr = u8(19) * 4096 + u8(20) * 16 + F.floor(u8(21) / 16)
+    ch = F.floor(u8(21) / 2) % 8 + 1
+    bps = (u8(21) % 2) * 16 + F.floor(u8(22) / 16) + 1
+    total = (u8(22) % 16) * F.lit(2**32) + _be_at(payload, 23, 4)
+    return F.struct(
+        F.when(ok & (sr > 0), sr).cast("bigint").alias("sample_rate"),
+        F.when(ok, ch).cast("bigint").alias("n_channels"),
+        F.when(ok, bps).cast("bigint").alias("bits_per_sample"),
+        F.when(ok, total).cast("bigint").alias("total_samples"),
+        F.when(ok & (sr > 0), F.floor(total * 1000 / sr))
+        .cast("bigint")
+        .alias("duration_ms"),
+    )
+
+
+def mp3_flac_manifest(mp3_assets: DataFrame, flac_assets: DataFrame) -> DataFrame:
+    """Manifest rows for the compressed-audio formats, shaped to slot
+    into the m1 union: media type from the PARSE ('mp3' ⊕ 'flac'),
+    magic from the leading bytes (ID3 vs bare MPEG sync vs fLaC),
+    sample rate / channels / duration from the header fields,
+    ``frame_bytes`` (the ISO frame-length derivation) riding
+    body_bytes and FLAC's total_samples riding n_samples.  Map-only,
+    zero Python, corrupt payloads degrade to nulls."""
+    mi = mp3_frame_info(F.col("payload"))
+    mp3 = mp3_assets.select(
+        "asset_id",
+        F.lit("mp3").alias("media_type"),
+        F.when(mi["has_id3"], F.lit("ID3")).otherwise(F.lit("MPEG")).alias("magic"),
+        F.length("payload").cast("int").alias("byte_len"),
+        mi["frame_bytes"].cast("int").alias("body_bytes"),
+        F.lit(None).cast("bigint").alias("width"),
+        F.lit(None).cast("bigint").alias("height"),
+        mi["sample_rate"].alias("sample_rate"),
+        mi["n_channels"].alias("n_channels"),
+        mi["duration_ms"].alias("duration_ms"),
+        F.md5(F.hex("payload")).alias("checksum"),
+        F.lit(None).cast("bigint").alias("n_samples"),
+        F.lit(None).cast("bigint").alias("pcm_duration_ms"),
+    )
+    fi = flac_stream_info(F.col("payload"))
+    flac = flac_assets.select(
+        "asset_id",
+        F.lit("flac").alias("media_type"),
+        F.when(
+            F.hex(F.substring("payload", 1, 4)) == "664C6143", F.lit("fLaC")
+        ).alias("magic"),
+        F.length("payload").cast("int").alias("byte_len"),
+        F.lit(None).cast("int").alias("body_bytes"),
+        F.lit(None).cast("bigint").alias("width"),
+        F.lit(None).cast("bigint").alias("height"),
+        fi["sample_rate"].alias("sample_rate"),
+        fi["n_channels"].alias("n_channels"),
+        fi["duration_ms"].alias("duration_ms"),
+        F.md5(F.hex("payload")).alias("checksum"),
+        fi["total_samples"].alias("n_samples"),
+        F.lit(None).cast("bigint").alias("pcm_duration_ms"),
+    )
+    return mp3.unionByName(flac)
+
+
 def jpeg_manifest(assets: DataFrame) -> DataFrame:
     """Manifest rows for JPEG payloads: media type derived from the
     PARSED frame marker (baseline vs progressive), magic from the APP0

@@ -477,3 +477,78 @@ def test_image_near_duplicates(spark):
         if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= 6
     }
     assert set(got) == want
+
+
+def test_mp3_flac_manifest_matches_python_reference(spark):
+    """MP3 frame-header + FLAC STREAMINFO parsing: generate→parse
+    round-trips pinned against independent Python byte construction
+    (ISO 11172-3 tables, FLAC bit packing), checksums included;
+    corrupt payloads degrade to nulls."""
+    import hashlib
+
+    from kafkastreamsinteractivequeries_spark.operators import multimodal as M
+
+    docs = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+
+    def py_mp3(i):
+        out = b""
+        if i % 4 == 2:
+            ts = i % 17
+            out += b"ID3" + bytes([3, 0, 0, 0, 0, 0, ts]) + b"\x54" * ts
+        br, sr_i, pad, ch = 1 + i % 14, i % 3, i % 2, i % 4
+        out += bytes([0xFF, 0xFB, br * 16 + sr_i * 4 + pad * 2, ch * 64])
+        return out + b"\xAA" * (1 + i % 7)
+
+    def py_flac(i):
+        rates = [8000, 16000, 22050, 24000, 32000, 44100, 48000]
+        sr, ch = rates[i % 7], 1 + i % 2
+        total = 1000 + (i * 31) % 100000
+        packed = bytes(
+            [sr >> 12, (sr >> 4) & 255, ((sr & 15) << 4) | ((ch - 1) << 1), 0xF0]
+        )
+        return (
+            b"fLaC" + bytes([0x80, 0, 0, 0x22]) + (4096).to_bytes(2, "big") * 2
+            + b"\x00" * 6 + packed + (total & 0xFFFFFFFF).to_bytes(4, "big")
+            + b"\x00" * 16
+        )
+
+    BR = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    RT = [44100, 48000, 32000]
+    mm = M.mp3_flac_manifest(
+        M.mp3_assets_from_documents(docs), M.flac_assets_from_documents(docs)
+    )
+    rows = {(r["media_type"], r["asset_id"]): r for r in mm.collect()}
+    assert len(rows) == 24
+    for i in range(60):
+        if i % 5 == 2:
+            r, p = rows[("mp3", i)], py_mp3(i)
+            br, sr = BR[i % 14], RT[i % 3]
+            assert r["byte_len"] == len(p)
+            assert r["body_bytes"] == 144000 * br // sr + i % 2
+            assert r["sample_rate"] == sr
+            assert r["n_channels"] == (1 if i % 4 == 3 else 2)
+            assert r["duration_ms"] == 1152000 // sr
+            assert r["magic"] == ("ID3" if i % 4 == 2 else "MPEG")
+            assert r["checksum"] == hashlib.md5(p.hex().upper().encode()).hexdigest()
+        if i % 5 == 3:
+            r, p = rows[("flac", i)], py_flac(i)
+            rates = [8000, 16000, 22050, 24000, 32000, 44100, 48000]
+            sr, total = rates[i % 7], 1000 + (i * 31) % 100000
+            assert r["byte_len"] == len(p)
+            assert r["sample_rate"] == sr
+            assert r["n_channels"] == 1 + i % 2
+            assert r["duration_ms"] == total * 1000 // sr
+            assert r["n_samples"] == total
+            assert r["checksum"] == hashlib.md5(p.hex().upper().encode()).hexdigest()
+
+    corrupt = spark.createDataFrame(
+        [
+            (1, bytearray(b"garbage")),
+            (2, bytearray(b"\xff\xfb")),  # sync but truncated
+            (3, bytearray(b"fLaC\x80")),  # magic but truncated
+            (4, bytearray(b"")),
+        ],
+        "asset_id long, payload binary",
+    )
+    for r in M.mp3_flac_manifest(corrupt, corrupt).collect():
+        assert r["sample_rate"] is None and r["duration_ms"] is None
