@@ -1577,7 +1577,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("long").alias("rank"),
             F.lit(-1.0).alias("share"),
         )
-        return vocab.unionByName(bpe).unionByName(seg).unionByName(sega)
+        # 'wpvocab' ⊕ 'wordpiece' — the BERT-family tokenizer beside
+        # the GPT-family BPE: a deterministic frequency-ranked
+        # prefix/continuation vocabulary (hash-verified including each
+        # piece's rank) and greedy longest-match-first MaxMatch
+        # segmentation of every doc through the production Arrow
+        # encoder, with the reference whole-word-[UNK] rule.  The
+        # oracle replays the vocab build, the per-(word, position)
+        # longest-match table, and the match chain as a recursive walk.
+        wpv = T.wordpiece_vocab(
+            docs, max_piece_len=4, top_start=60, top_cont=60
+        ).localCheckpoint(eager=False)
+        wpvocab = wpv.select(
+            F.lit("wpvocab").alias("variant"),
+            F.when(F.col("is_cont") == 1, F.concat(F.lit("##"), "piece"))
+            .otherwise(F.col("piece"))
+            .alias("term"),
+            F.col("count").alias("n"),
+            F.col("rank"),
+            F.col("is_cont").cast("double").alias("share"),
+        )
+        vrows = wpv.collect()  # bounded: top_start + top_cont pieces
+        wp = T.wordpiece_segment_arrow(
+            nonempty,
+            [r["piece"] for r in vrows if r["is_cont"] == 0],
+            [r["piece"] for r in vrows if r["is_cont"] == 1],
+        ).select(
+            F.lit("wordpiece").alias("variant"),
+            F.concat_ws(" ", "wp_tokens").alias("term"),
+            F.col("n_wp_tokens").cast("long").alias("n"),
+            F.col("doc_id").cast("long").alias("rank"),
+            F.lit(-1.0).alias("share"),
+        )
+        return (
+            vocab.unionByName(bpe)
+            .unionByName(seg)
+            .unionByName(sega)
+            .unionByName(wpvocab)
+            .unionByName(wp)
+        )
 
     q["x11_vocab_bpe"] = _x11
 
@@ -5024,6 +5062,64 @@ UNION ALL SELECT * FROM rrftop
 ), total AS (SELECT CAST(SUM(count) AS BIGINT) AS tot FROM counts),
 top AS (
   SELECT token, count FROM counts ORDER BY count DESC, token LIMIT 50
+),
+-- WordPiece: occurrence-weighted word table, frequency-ranked
+-- prefix/continuation piece vocab (top-60 each, (count DESC, piece)
+-- total order), the per-(word, position) LONGEST-match table, and the
+-- greedy MaxMatch chain as a recursive walk (whole word → [UNK] when
+-- the walk dies before len(w)+1)
+wpw AS (
+  SELECT tok AS w, COUNT(*) AS c
+  FROM t, unnest(toks) AS u(tok) WHERE tok != '' GROUP BY tok
+),
+wps AS MATERIALIZED (
+  SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rank
+  FROM (
+    SELECT substr(w, 1, l) AS piece, SUM(c) AS cnt
+    FROM wpw, unnest(generate_series(1, least(len(w), 4))) AS gl(l)
+    GROUP BY 1
+  ) ORDER BY cnt DESC, piece LIMIT 60
+),
+wpc AS MATERIALIZED (
+  SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rank
+  FROM (
+    SELECT substr(w, p, l) AS piece, SUM(c) AS cnt
+    FROM (SELECT w, c, p FROM wpw,
+          unnest(generate_series(2, len(w))) AS gp(p)),
+         unnest(generate_series(1, least(4, len(w) - p + 1))) AS gl(l)
+    GROUP BY 1
+  ) ORDER BY cnt DESC, piece LIMIT 60
+),
+wpm AS MATERIALIZED (
+  SELECT w, p, piece FROM (
+    SELECT w, p, piece,
+           ROW_NUMBER() OVER (PARTITION BY w, p
+                              ORDER BY len(piece) DESC) AS rn
+    FROM (
+      SELECT wpw.w, 1 AS p, wps.piece
+      FROM wpw JOIN wps ON substr(wpw.w, 1, len(wps.piece)) = wps.piece
+      UNION ALL
+      SELECT x.w, x.p, wpc.piece
+      FROM (SELECT w, p FROM wpw,
+            unnest(generate_series(2, len(w))) AS gp(p)) x
+      JOIN wpc ON substr(x.w, x.p, len(wpc.piece)) = wpc.piece
+    )
+  ) WHERE rn = 1
+),
+wpwalk AS (
+  SELECT w, 1 AS p, CAST([] AS VARCHAR[]) AS toks FROM wpw
+  UNION ALL
+  SELECT k.w, k.p + len(k.piece),
+         w0.toks || [CASE WHEN w0.p = 1 THEN k.piece
+                          ELSE '##' || k.piece END]
+  FROM wpwalk w0 JOIN wpm k ON k.w = w0.w AND k.p = w0.p
+),
+wseg AS MATERIALIZED (
+  SELECT m.w,
+         CASE WHEN m.maxp = len(m.w) + 1 THEN wk.toks
+              ELSE ['[UNK]'] END AS ws
+  FROM (SELECT w, MAX(p) AS maxp FROM wpwalk GROUP BY w) m
+  JOIN wpwalk wk ON wk.w = m.w AND wk.p = m.maxp
 )
 SELECT 'vocab' AS variant, token AS term, CAST(count AS BIGINT) AS n,
        CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) AS BIGINT) AS rank,
@@ -5050,7 +5146,25 @@ FROM (
 -- 'segment' = expression path, 'segmenta' = the Arrow mapInPandas
 -- production encoder; identical values by contract, so one replay
 -- serves both variants
-CROSS JOIN (VALUES ('segment'), ('segmenta')) AS sv(seg_variant)"""
+CROSS JOIN (VALUES ('segment'), ('segmenta')) AS sv(seg_variant)
+UNION ALL
+SELECT 'wpvocab', piece, CAST(cnt AS BIGINT), CAST(rank AS BIGINT), 0.0
+FROM wps
+UNION ALL
+SELECT 'wpvocab', '##' || piece, CAST(cnt AS BIGINT), CAST(rank AS BIGINT), 1.0
+FROM wpc
+UNION ALL
+SELECT 'wordpiece', array_to_string(wp, ' '), CAST(len(wp) AS BIGINT),
+       CAST(doc_id AS BIGINT), -1.0
+FROM (
+  SELECT doc_id, flatten(list(ws ORDER BY pos)) AS wp
+  FROM (
+    SELECT t.doc_id, g.i AS pos, wseg.ws
+    FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+    JOIN wseg ON wseg.w = toks[g.i]
+    WHERE t.norm != ''
+  ) GROUP BY doc_id
+)"""
     )
     # x10 — mergeable-sketch union (kmv ⊕ hll ⊕ cms): every branch is
     # deterministic integer arithmetic over the same 32-bit ring hash,

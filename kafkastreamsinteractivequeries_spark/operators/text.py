@@ -1341,6 +1341,183 @@ def bpe_segment_arrow(
     )
 
 
+def wordpiece_vocab(
+    docs: DataFrame,
+    max_piece_len: int = 4,
+    top_start: int = 60,
+    top_cont: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """A deterministic WordPiece-style vocabulary: the top
+    ``top_start`` word PREFIXES (start pieces) and top ``top_cont``
+    interior substrings (continuation pieces, applied with the ``##``
+    convention at segment time) by occurrence-weighted corpus count,
+    capped at ``max_piece_len`` chars.  Frequency-ranked substring
+    selection is the deterministic stand-in for WordPiece's
+    likelihood-greedy vocab learning (Wu et al. arXiv:1609.08144 §4.1
+    — the INFERENCE algorithm, greedy longest-match-first, is the
+    standard one; vocab construction differs per implementation) —
+    and, unlike the learned build, it is exactly replayable in SQL.
+
+    Output: (piece, is_cont, count, rank) — rank per piece class by
+    (count DESC, piece ASC), the total-order rule every hash-verified
+    top-k in this repo uses.
+
+    Scale shape: one token scan, candidate pieces exploded via
+    ``transform(sequence(...))`` (≤ max_piece_len² per word occurrence
+    — array ops, no join), one aggregation shuffle on the piece
+    string, and a top-k that plans as TakeOrderedAndProject (never a
+    global sort)."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import tokens_col
+    from kafkastreamsinteractivequeries_spark.sources.tables import spread
+
+    words = (
+        spread(docs)
+        .select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    L = int(max_piece_len)
+    starts = (
+        words.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, least(length(w), {L})),"
+                    " l -> substring(w, 1, l))"
+                )
+            ).alias("piece"),
+            "c",
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("count"))
+        .orderBy(F.col("count").desc(), "piece")
+        .limit(int(top_start))
+        .select(
+            "piece",
+            F.lit(0).alias("is_cont"),
+            "count",
+            F.row_number()
+            .over(Window.orderBy(F.col("count").desc(), "piece"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    conts = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(2, length(w)), p ->"
+                    f" transform(sequence(1, least({L}, length(w) - p + 1)),"
+                    " l -> substring(w, p, l))))"
+                )
+            ).alias("piece"),
+            "c",
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("count"))
+        .orderBy(F.col("count").desc(), "piece")
+        .limit(int(top_cont))
+        .select(
+            "piece",
+            F.lit(1).alias("is_cont"),
+            "count",
+            F.row_number()
+            .over(Window.orderBy(F.col("count").desc(), "piece"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    return starts.unionByName(conts)
+
+
+def wordpiece_segment_arrow(
+    docs: DataFrame,
+    start_pieces: list[str],
+    cont_pieces: list[str],
+    unk_token: str = "[UNK]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BERT-style WordPiece segmentation — greedy longest-match-first
+    (MaxMatch): at a word's start the longest matching START piece is
+    taken, after it the longest matching continuation piece (emitted
+    with the ``##`` prefix); a position with no match makes the WHOLE
+    word ``unk_token`` (the reference WordPiece behavior, not a
+    partial emit).  Output: (id, wp_tokens, n_wp_tokens).
+
+    The production shape mirrors ``bpe_segment_arrow``: one Arrow
+    ``mapInPandas`` pass, piece sets closure-captured once per
+    executor, a per-batch distinct-word cache, and length-bucketed
+    lookups (longest-first probe over a set is O(max_piece_len) per
+    position).  Map-only — zero shuffle, zero join.  NULL text
+    degrades to a NULL token row."""
+    import re
+
+    starts = set(start_pieces)
+    conts = set(cont_pieces)
+    max_s = max((len(p) for p in starts), default=0)
+    max_c = max((len(p) for p in conts), default=0)
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, wp_tokens array<string>, n_wp_tokens int"
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            toks: list[str] = []
+            pos, n = 0, len(w)
+            while pos < n:
+                table, cap = (starts, max_s) if pos == 0 else (conts, max_c)
+                match = None
+                for ln in range(min(cap, n - pos), 0, -1):
+                    cand = w[pos : pos + ln]
+                    if cand in table:
+                        match = cand
+                        break
+                if match is None:
+                    toks = [unk_token]
+                    break
+                toks.append(match if pos == 0 else "##" + match)
+                pos += len(match)
+            cache[w] = toks
+            return toks
+
+        for pdf in batches:
+            ids, toks, ns = [], [], []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                ids.append(rid)
+                if txt is None or (isinstance(txt, float) and txt != txt):
+                    toks.append(None)
+                    ns.append(None)
+                    continue
+                norm = ws.sub(" ", str(txt).lower()).strip(" \t\n\x0b\f\r")
+                segs: list[str] = []
+                for w in norm.split(" "):
+                    if w:
+                        segs.extend(encode_word(w))
+                toks.append(segs)
+                ns.append(len(segs))
+            yield pd.DataFrame(
+                {id_col: ids, "wp_tokens": toks, "n_wp_tokens": ns}
+            )
+
+    from kafkastreamsinteractivequeries_spark.sources.tables import spread
+
+    return (
+        spread(docs)
+        .select(id_col, text_col)
+        .mapInPandas(encode_batches, schema)
+    )
+
+
 def gram_histogram(
     corpus: DataFrame,
     num_buckets: int = 4096,

@@ -977,3 +977,82 @@ def test_normalize_nfc_arrow(spark):
     assert out[4]["n_raw"] == 0 and out[4]["n_nfc"] == 0
     # astral char counts as ONE code point; the A+ring pair composes
     assert out[5]["n_raw"] == 11 and out[5]["n_nfc"] == 10
+
+
+def test_wordpiece_vocab_and_maxmatch(spark):
+    """WordPiece: frequency-ranked prefix/continuation vocab and greedy
+    longest-match-first segmentation pinned against an independent
+    Python reference, including the whole-word-[UNK] rule, the ##
+    continuation convention, and NULL/empty degradation."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        wordpiece_segment_arrow,
+        wordpiece_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "unbearable unbearable unbend"),
+            (1, "bear bears bend the the the"),
+            (2, "un un un able able"),
+            (3, "zzz9"),  # chars the vocab will not cover -> [UNK]
+            (4, None),
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = wordpiece_vocab(docs, max_piece_len=4, top_start=12, top_cont=12)
+    rows = vocab.collect()
+    starts = {r["piece"]: r for r in rows if r["is_cont"] == 0}
+    conts = [r["piece"] for r in rows if r["is_cont"] == 1]
+
+    # Python reference for the vocab: occurrence-weighted prefix counts
+    words = {}
+    for t in [
+        "unbearable", "unbearable", "unbend", "bear", "bears", "bend",
+        "the", "the", "the", "un", "un", "un", "able", "able", "zzz9",
+    ]:
+        words[t] = words.get(t, 0) + 1
+    pref = {}
+    for w, c in words.items():
+        for l in range(1, min(len(w), 4) + 1):
+            p = w[:l]
+            pref[p] = pref.get(p, 0) + c
+    expect = sorted(pref.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    assert sorted(starts) == sorted(p for p, _ in expect)
+    for i, (p, c) in enumerate(expect, 1):
+        assert starts[p]["count"] == c and starts[p]["rank"] == i
+
+    seg = {
+        r["doc_id"]: r
+        for r in wordpiece_segment_arrow(
+            docs, list(starts), conts
+        ).collect()
+    }
+
+    # Python MaxMatch reference
+    sset, cset = set(starts), set(conts)
+
+    def mm(w):
+        toks, pos = [], 0
+        while pos < len(w):
+            table = sset if pos == 0 else cset
+            m = next(
+                (w[pos:pos + l] for l in range(min(4, len(w) - pos), 0, -1)
+                 if w[pos:pos + l] in table),
+                None,
+            )
+            if m is None:
+                return ["[UNK]"]
+            toks.append(m if pos == 0 else "##" + m)
+            pos += len(m)
+        return toks
+
+    for did, text in [(0, "unbearable unbearable unbend"),
+                      (1, "bear bears bend the the the"),
+                      (2, "un un un able able"),
+                      (3, "zzz9")]:
+        want = [t for w in text.split() for t in mm(w)]
+        assert seg[did]["wp_tokens"] == want, (did, seg[did]["wp_tokens"], want)
+    assert seg[3]["wp_tokens"] == ["[UNK]"]
+    assert seg[4]["wp_tokens"] is None and seg[4]["n_wp_tokens"] is None
+    assert seg[5]["wp_tokens"] == [] and seg[5]["n_wp_tokens"] == 0
