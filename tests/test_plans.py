@@ -845,3 +845,60 @@ def test_no_straddle_packing_is_one_shard_shuffle(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_pagerank_no_cartesian_and_skinny_rank_joins(spark, sf_dir):
+    """PageRank's scale contract: every join is an equi (hash) join or
+    a deliberate 1-row scalar broadcast — never a CartesianProduct over
+    data tables.  The per-iteration localCheckpoint truncates lineage,
+    so the final plan shows only the closing stage; the iteration-body
+    contract is asserted on an UNCHECKPOINTED replica of one step."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators import graph as G
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = G.normalize_edges(
+        ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("event_id") * 7 + 3) % 41).alias("dst"),
+        )
+    )
+    final = (
+        G.pagerank(edges, iterations=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in final
+
+    # one iteration body, unchekpointed: rank join on src must be an
+    # equi hash join; the dangling scalar attaches as a 1-row broadcast
+    deg = G.out_degrees(edges)
+    ranks = edges.select(F.col("src").alias("id")).distinct().join(
+        deg, "id", "left"
+    ).select(
+        "id",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.lit(10**9).alias("rank"),
+    )
+    dangling = ranks.filter(F.col("out_deg") == 0).agg(
+        F.coalesce(F.sum("rank"), F.lit(0)).alias("dangling")
+    )
+    step = (
+        edges.join(
+            ranks.filter(F.col("out_deg") > 0).select(
+                F.col("id").alias("src"),
+                F.expr("rank div out_deg").alias("share"),
+            ),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("share").alias("inflow"))
+        .crossJoin(F.broadcast(dangling))
+    )
+    body = step._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" in body  # the 1-row scalar attach
+    assert "Join" in body and "partial" in body.lower()  # map-side agg
