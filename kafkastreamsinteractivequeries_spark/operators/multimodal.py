@@ -904,10 +904,11 @@ def mp3_assets_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFr
     )
 
 
-def mp3_frame_info(payload: F.Column) -> F.Column:
-    """struct(sample_rate, n_channels, bitrate_kbps, frame_bytes,
-    duration_ms, has_id3) parsed from an MPEG audio stream head — pure
-    Column arithmetic, no UDF, no decoder:
+def with_mp3_frame_info(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Append MP3 frame-header columns (``mp3_sample_rate``,
+    ``mp3_n_channels``, ``mp3_bitrate_kbps``, ``mp3_frame_bytes``,
+    ``mp3_duration_ms``, ``mp3_has_id3``) parsed from an MPEG audio
+    stream head — pure Column arithmetic, no UDF, no decoder:
 
     - an ID3v2 prefix is skipped via its syncsafe 28-bit size (each
       size byte contributes 7 bits — ID3v2.3 §3.1);
@@ -919,7 +920,15 @@ def mp3_frame_info(payload: F.Column) -> F.Column:
       ``duration_ms = 1152·1000 div sample_rate`` (1152 samples per
       MPEG-1 Layer III frame) are integer, hash-stable derivations.
 
+    Shaped as a STAGED DataFrame transform, not one Column: the frame
+    position depends on the data (the ID3 skip), so inlining it into
+    every byte read re-expands the skip expression ~20× — the TIFF IFD
+    analysis-cost lesson (SCALING.md).  Staging ``_mp3pos`` and the
+    four header bytes as intermediate columns keeps the tree linear;
+    the executed plan is identical map-only projections.
+
     Non-MP3 / truncated / reserved-index payloads yield nulls."""
+    payload = F.col(payload_col)
 
     def u8(pos) -> F.Column:
         return _be_at(payload, pos, 1)
@@ -932,19 +941,35 @@ def mp3_frame_info(payload: F.Column) -> F.Column:
         + (u8(9) % 128) * (1 << 7)
         + (u8(10) % 128)
     )
-    pos = F.when(has_id3, F.lit(11) + syncsafe.cast("int")).otherwise(F.lit(1))
-    h1, h2, h3, h4 = u8(pos), u8(pos + 1), u8(pos + 2), u8(pos + 3)
+    staged = df.withColumns(
+        {
+            "mp3_has_id3": has_id3,
+            "_mp3pos": F.when(
+                has_id3, F.lit(11) + syncsafe.cast("int")
+            ).otherwise(F.lit(1)),
+        }
+    ).withColumns(
+        {
+            "_mp3h1": u8(F.col("_mp3pos")),
+            "_mp3h2": u8(F.col("_mp3pos") + 1),
+            "_mp3h3": u8(F.col("_mp3pos") + 2),
+            "_mp3h4": u8(F.col("_mp3pos") + 3),
+        }
+    )
+    h1, h2, h3, h4 = (F.col(f"_mp3h{i}") for i in (1, 2, 3, 4))
+    br_idx = F.floor(h3 / 16)
+    sr_idx = F.floor(h3 / 4) % 4
+    padding = F.floor(h3 / 2) % 2
     ok = (
         (h1 == 255)
         & (F.floor(h2 / 32) % 8 == 7)  # sync low bits
         & (F.floor(h2 / 8) % 4 == 3)  # MPEG-1
         & (F.floor(h2 / 2) % 4 == 1)  # Layer III
         & h4.isNotNull()
+        & (br_idx >= 1)
+        & (br_idx <= 14)
+        & (sr_idx <= 2)
     )
-    br_idx = F.floor(h3 / 16)
-    sr_idx = F.floor(h3 / 4) % 4
-    padding = F.floor(h3 / 2) % 2
-    ok = ok & (br_idx >= 1) & (br_idx <= 14) & (sr_idx <= 2)
     bitrate = F.element_at(
         F.array(*[F.lit(b) for b in _MP3_BITRATES]), br_idx.cast("int")
     ).cast("bigint")
@@ -952,20 +977,21 @@ def mp3_frame_info(payload: F.Column) -> F.Column:
         F.array(*[F.lit(r) for r in _MP3_RATES]), (sr_idx + 1).cast("int")
     ).cast("bigint")
     chmode = F.floor(h4 / 64)
-    return F.struct(
-        F.when(ok, rate).alias("sample_rate"),
-        F.when(ok, F.when(chmode == 3, F.lit(1)).otherwise(F.lit(2)))
-        .cast("bigint")
-        .alias("n_channels"),
-        F.when(ok, bitrate).alias("bitrate_kbps"),
-        F.when(
-            ok, (F.floor(bitrate * 144000 / rate) + padding).cast("bigint")
-        ).alias("frame_bytes"),
-        F.when(ok, F.floor(F.lit(1152000) / rate).cast("bigint")).alias(
-            "duration_ms"
-        ),
-        has_id3.alias("has_id3"),
-    )
+    return staged.withColumns(
+        {
+            "mp3_sample_rate": F.when(ok, rate),
+            "mp3_n_channels": F.when(
+                ok, F.when(chmode == 3, F.lit(1)).otherwise(F.lit(2))
+            ).cast("bigint"),
+            "mp3_bitrate_kbps": F.when(ok, bitrate),
+            "mp3_frame_bytes": F.when(
+                ok, (F.floor(bitrate * 144000 / rate) + padding).cast("bigint")
+            ),
+            "mp3_duration_ms": F.when(
+                ok, F.floor(F.lit(1152000) / rate).cast("bigint")
+            ),
+        }
+    ).drop("_mp3pos", "_mp3h1", "_mp3h2", "_mp3h3", "_mp3h4")
 
 
 def flac_assets_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1050,18 +1076,19 @@ def mp3_flac_manifest(mp3_assets: DataFrame, flac_assets: DataFrame) -> DataFram
     ``frame_bytes`` (the ISO frame-length derivation) riding
     body_bytes and FLAC's total_samples riding n_samples.  Map-only,
     zero Python, corrupt payloads degrade to nulls."""
-    mi = mp3_frame_info(F.col("payload"))
-    mp3 = mp3_assets.select(
+    mp3 = with_mp3_frame_info(mp3_assets).select(
         "asset_id",
         F.lit("mp3").alias("media_type"),
-        F.when(mi["has_id3"], F.lit("ID3")).otherwise(F.lit("MPEG")).alias("magic"),
+        F.when(F.col("mp3_has_id3"), F.lit("ID3"))
+        .otherwise(F.lit("MPEG"))
+        .alias("magic"),
         F.length("payload").cast("int").alias("byte_len"),
-        mi["frame_bytes"].cast("int").alias("body_bytes"),
+        F.col("mp3_frame_bytes").cast("int").alias("body_bytes"),
         F.lit(None).cast("bigint").alias("width"),
         F.lit(None).cast("bigint").alias("height"),
-        mi["sample_rate"].alias("sample_rate"),
-        mi["n_channels"].alias("n_channels"),
-        mi["duration_ms"].alias("duration_ms"),
+        F.col("mp3_sample_rate").alias("sample_rate"),
+        F.col("mp3_n_channels").alias("n_channels"),
+        F.col("mp3_duration_ms").alias("duration_ms"),
         F.md5(F.hex("payload")).alias("checksum"),
         F.lit(None).cast("bigint").alias("n_samples"),
         F.lit(None).cast("bigint").alias("pcm_duration_ms"),
