@@ -2365,6 +2365,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ",", F.transform("codes", lambda c: c.cast("string"))
             ).alias("code"),
         )
+        # 'pca' — top principal component by FIXED-POINT power
+        # iteration: the exact-integer covariance (one aggregate pass,
+        # bit-identical under any partitioning) and three integer
+        # matvec/max-norm rounds; the oracle replays the quantization,
+        # the n·Σxx − Σx·Σx identity, the 2^20 shift, and all three
+        # iterations, so the hash pins the whole trajectory.  vec_id
+        # carries the dim index; code = "v:v_prev".
+        pca = S.pca_power_iteration(emb, dims=16, iterations=3).select(
+            F.col("dim").cast("long").alias("vec_id"),
+            F.lit("pca").alias("index_kind"),
+            F.concat_ws(
+                ":", F.col("v").cast("string"), F.col("v_prev").cast("string")
+            ).alias("code"),
+        )
         return (
             srp.unionByName(ivf)
             .unionByName(ivft)
@@ -2373,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(pooled)
             .unionByName(int8)
             .unionByName(appended)
+            .unionByName(pca)
         )
 
     q["s2_index_assignments"] = _s2
@@ -5761,6 +5776,56 @@ WITH cent AS (
     # s2 = the index-build stages under one tagged key: SRP bit-codes
     # ('srp16'), seed-quantizer IVF assignment ('ivf16'), and trained
     # 2-iteration k-means IVF assignment ('ivf16t').
+    # PCA oracle: exact-integer covariance + 3 unrolled fixed-point
+    # power iterations (mirrors similarity.pca_power_iteration —
+    # 2^20 shift and norm-256 rescale are exact power-of-two /
+    # sub-2^53 double operations in both engines)
+    pca_iter_ctes = "".join(
+        f""",
+pcaw{t} AS (
+  SELECT c.j AS dim, CAST(SUM(c.c * v.v) AS BIGINT) AS w
+  FROM pcac c JOIN pcav{t - 1} v ON c.k = v.dim GROUP BY c.j
+),
+pcam{t} AS (SELECT MAX(ABS(w)) AS m FROM pcaw{t}),
+pcav{t} AS (
+  SELECT dim, CAST(CASE WHEN m = 0 THEN w
+                        ELSE FLOOR(w * 256 / m) END AS BIGINT) AS v
+  FROM pcaw{t} CROSS JOIN pcam{t}
+)"""
+        for t in (1, 2, 3)
+    )
+    pca_ctes = (
+        """,
+pcax AS MATERIALIZED (
+  SELECT list_transform(embedding[1:16],
+                        x -> CAST(FLOOR(x::DOUBLE * 1000) AS BIGINT)) AS xq
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= 16
+    AND len(list_filter(embedding[1:16],
+                        x -> x IS NULL OR isnan(x::DOUBLE))) = 0
+),
+pcap AS (
+  SELECT gj.j, gk.k, CAST(SUM(xq[gj.j] * xq[gk.k]) AS BIGINT) AS p
+  FROM pcax, generate_series(1, 16) AS gj(j), generate_series(1, 16) AS gk(k)
+  GROUP BY 1, 2
+),
+pcas AS (
+  SELECT gj.j, CAST(SUM(xq[gj.j]) AS BIGINT) AS s
+  FROM pcax, generate_series(1, 16) AS gj(j) GROUP BY 1
+),
+pcan AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pcax),
+pcac AS MATERIALIZED (
+  SELECT p.j - 1 AS j, p.k - 1 AS k,
+         CAST(FLOOR((n * p - sj.s * sk.s) / 1048576.0) AS BIGINT) AS c
+  FROM pcap p JOIN pcas sj ON sj.j = p.j JOIN pcas sk ON sk.j = p.k
+  CROSS JOIN pcan
+),
+pcav0 AS (
+  SELECT g.j - 1 AS dim, CAST(256 AS BIGINT) AS v
+  FROM generate_series(1, 16) AS g(j)
+)"""
+        + pca_iter_ctes
+    )
     o["s2_index_assignments"] = (
         codes_cte.rstrip()
         + ","
@@ -5769,6 +5834,7 @@ WITH cent AS (
         + ivf_trained_ctes(2)
         + ",\n"
         + ",\n".join(pq_encode_parts())
+        + pca_ctes
         + """
 SELECT vec_id, 'srp16' AS index_kind, code FROM codes
 UNION ALL
@@ -5815,7 +5881,11 @@ FROM (
          ROUND(AVG(embedding[g.p]::DOUBLE), 6) AS m
   FROM embeddings CROSS JOIN generate_series(1, 64) AS g(p)
   GROUP BY 1, 2
-) pool GROUP BY did"""
+) pool GROUP BY did
+UNION ALL
+SELECT CAST(v3.dim AS BIGINT) AS vec_id, 'pca' AS index_kind,
+       CAST(v3.v AS VARCHAR) || ':' || CAST(v2.v AS VARCHAR) AS code
+FROM pcav3 v3 JOIN pcav2 v2 ON v3.dim = v2.dim"""
     )
     s6_sql = (
         ivf_cte

@@ -1890,3 +1890,181 @@ def knn_ivfpq(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# PCA: top principal component by integer power iteration
+# --------------------------------------------------------------------------
+
+
+def covariance_matrix_int(
+    emb: DataFrame,
+    dims: int = 16,
+    quant_scale: int = 1000,
+    shift_bits: int = 20,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The (scaled) covariance numerator of the first ``dims``
+    embedding components as an EXACT-integer matrix: embeddings are
+    quantized to ``floor(x * quant_scale)`` longs, then
+    ``C[j,k] = n·Σx_j x_k − Σx_j·Σx_k`` — the n·covariance identity,
+    computed entirely in int64 so the matrix is bit-identical across
+    engines and partitionings (a float covariance would depend on the
+    summation order).  The result is right-shifted ``shift_bits``
+    (power-of-two division is exact in both engines' semantics) to
+    leave headroom for the power iteration's products.
+
+    Scale shape: ONE aggregate pass over the corpus — dims + dims² map-
+    side partial sums, a 1-row result, then a dims²-row matrix derived
+    from it.  The corpus is never shuffled; at any scale the cost is
+    the scan.  Rows with NULL/NaN components are excluded (the NaN
+    lesson: one NaN would poison every sum).  int64 envelope:
+    ``n · (quant_scale·max|x|)² · dims`` must stay below 2^63 — at
+    10^10 rows use quant_scale=100.
+
+    Output: (j, k, c) over the full dims×dims grid (symmetric)."""
+    x = F.col(vec_col)
+    clean = emb.filter(
+        x.isNotNull()
+        & (F.size(x) >= dims)
+        & ~F.exists(
+            F.slice(x, 1, dims), lambda v: v.isNull() | F.isnan(v)
+        )
+    )
+    xq = F.transform(
+        F.slice(x, 1, dims),
+        lambda v: F.floor(v.cast("double") * quant_scale).cast("long"),
+    )
+    q = clean.select(xq.alias("xq"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(dims):
+        aggs.append(F.sum(F.element_at("xq", j + 1)).alias(f"s{j}"))
+    for j in range(dims):
+        for k in range(j, dims):
+            aggs.append(
+                F.sum(
+                    F.element_at("xq", j + 1) * F.element_at("xq", k + 1)
+                ).alias(f"p{j}_{k}")
+            )
+    stats = q.agg(*aggs).localCheckpoint(eager=False)
+    cells = []
+    for j in range(dims):
+        for k in range(dims):
+            lo, hi = min(j, k), max(j, k)
+            cells.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.lit(k).alias("k"),
+                    (
+                        F.col("n") * F.col(f"p{lo}_{hi}")
+                        - F.col(f"s{j}") * F.col(f"s{k}")
+                    ).alias("craw"),
+                )
+            )
+    return (
+        stats.select(F.explode(F.array(*cells)).alias("cell"))
+        .select(
+            F.col("cell.j").alias("j"),
+            F.col("cell.k").alias("k"),
+            # power-of-two scaling: exact in double, floor == div 2^b
+            F.floor(F.col("cell.craw") / F.lit(float(1 << shift_bits)))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+
+
+def pca_power_iteration(
+    emb: DataFrame,
+    dims: int = 16,
+    iterations: int = 3,
+    quant_scale: int = 1000,
+    shift_bits: int = 20,
+    norm_target: int = 256,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding corpus by FIXED-POINT
+    power iteration — the dimensionality-reduction primitive semantic-
+    dedup and embedding-whitening pipelines run before clustering
+    (SemDeDup uses PCA-reduced representations; public method per
+    Golub & Van Loan, power method).
+
+    Everything is integer: the covariance matrix from
+    :func:`covariance_matrix_int`, then ``iterations`` rounds of
+    ``w = C·v`` (a dims²⋈dims equi-join + a dims-row aggregation —
+    the distributed matvec shape that scales to huge d where C itself
+    is a table) with max-norm rescaling ``v ← w·norm_target div
+    max|w|`` (integer floor division keeps the trajectory
+    bit-deterministic; L2 normalization would need a sqrt).  Starting
+    vector: all-``norm_target``.  Each round ends in a
+    ``localCheckpoint`` barrier (the PageRank/BPE lineage pattern).
+
+    Returns (dim, v, v_prev) — the final and previous iterates, sign
+    and scale as the iteration leaves them (callers wanting a unit
+    vector normalize the longs; the DIRECTION is the result)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    spark = emb.sparkSession
+    cmat = covariance_matrix_int(
+        emb, dims, quant_scale, shift_bits, vec_col
+    ).localCheckpoint(eager=False)
+    v = spark.range(dims).select(
+        F.col("id").cast("int").alias("dim"),
+        F.lit(norm_target).cast("long").alias("v"),
+        F.lit(norm_target).cast("long").alias("v_prev"),
+    )
+    for _ in range(iterations):
+        w = (
+            cmat.join(v.select(F.col("dim").alias("k"), "v"), "k")
+            .groupBy(F.col("j").alias("dim"))
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs("w")).alias("m"))
+        v = (
+            w.join(v.select("dim", F.col("v").alias("pv")), "dim")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "dim",
+                F.when(F.col("m") == 0, F.col("w"))
+                .otherwise(
+                    # products ≤ norm_target·max|w| < 2^53: the double
+                    # floor-division is exact at this envelope
+                    F.floor(F.col("w") * norm_target / F.col("m"))
+                )
+                .cast("long")
+                .alias("v"),
+                F.col("pv").alias("v_prev"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v
+
+
+def pca_project(
+    emb: DataFrame,
+    loadings: list[int],
+    quant_scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project every embedding onto an integer loading vector (the
+    ``pca_power_iteration`` result, collected — dims longs, the
+    literal-quantizer pattern): ``pc = Σ floor(x_j·quant_scale)·v_j``.
+    Map-only, zero shuffle; the projection is the 1-D reduced
+    representation (rank-ordering is scale-free)."""
+    dims = len(loadings)
+    x = F.col(vec_col)
+    xq = F.transform(
+        F.slice(x, 1, dims),
+        lambda v: F.floor(v.cast("double") * quant_scale).cast("long"),
+    )
+    terms = F.aggregate(
+        F.zip_with(
+            xq,
+            F.array(*[F.lit(int(v)).cast("long") for v in loadings]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return emb.select(F.col(id_col), terms.alias("pc1"))

@@ -1056,3 +1056,103 @@ def test_reciprocal_rank_fusion_semantics(spark):
         for r in reciprocal_rank_fusion([b, a], k=5).collect()
     }
     assert swapped == {d: r["rrf"] for d, r in out.items()}
+
+
+def test_pca_power_iteration_matches_integer_reference(spark):
+    """The fixed-point PCA trajectory is bit-identical to a pure-Python
+    integer replay, and partitioning-invariant (the determinism
+    contract a float covariance could never give)."""
+    import math
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+
+    # constructed corpus with a DOMINANT direction along dim 0+1
+    rows = []
+    for i in range(200):
+        base = (i % 21 - 10) / 10.0
+        vec = [base, 0.9 * base] + [((i * 7 + j) % 11 - 5) / 50.0 for j in range(6)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    DIMS, QS, SH, NT = 8, 1000, 20, 256
+    pyvecs = [[math.floor(float(f) * QS) for f in v[:DIMS]]
+              for _, v in rows]
+    # re-quantize through float32 like the Spark column does
+    import numpy as np
+
+    pyvecs = [
+        [math.floor(float(np.float32(f)) * QS) for f in v[:DIMS]]
+        for _, v in rows
+    ]
+    n = len(pyvecs)
+    s = [sum(r[j] for r in pyvecs) for j in range(DIMS)]
+    C = [
+        [
+            (n * sum(r[j] * r[k] for r in pyvecs) - s[j] * s[k]) >> SH
+            for k in range(DIMS)
+        ]
+        for j in range(DIMS)
+    ]
+    v, pv = [NT] * DIMS, [NT] * DIMS
+    for _ in range(3):
+        w = [sum(C[j][k] * v[k] for k in range(DIMS)) for j in range(DIMS)]
+        m = max(abs(x) for x in w)
+        pv, v = v, (w if m == 0 else [math.floor(x * NT / m) for x in w])
+
+    for parts in (1, 7):
+        got = {
+            r["dim"]: r
+            for r in pca_power_iteration(
+                emb.repartition(parts), dims=DIMS, iterations=3
+            ).collect()
+        }
+        assert [got[j]["v"] for j in range(DIMS)] == v, parts
+        assert [got[j]["v_prev"] for j in range(DIMS)] == pv, parts
+
+    # direction: dominant axis (1, 0.9, ~0) — cosine with the numpy
+    # eigenvector of the float covariance must be high on this
+    # well-separated spectrum
+    X = np.array([vv[:DIMS] for _, vv in rows], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    top = evecs[:, -1]
+    g = np.array(v, dtype=np.float64)
+    cos = abs(g @ top) / (np.linalg.norm(g) * np.linalg.norm(top))
+    assert cos > 0.99, cos
+
+
+def test_pca_project_is_integer_dot(spark):
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        pca_project,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.5, -0.25]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["pc1"] for r in pca_project(emb, [2, 3]).collect()}
+    assert out[0] == 500 * 2 + (-250) * 3
+    assert out[1] == 1000 * 2 + 1000 * 3
+
+
+def test_pca_skips_nan_rows(spark):
+    """One NaN component must exclude the row, not poison the matrix."""
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        covariance_matrix_int,
+    )
+
+    clean = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, [0.3, -0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    dirty = spark.createDataFrame(
+        [(2, [float("nan"), 0.5]), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    a = {(r["j"], r["k"]): r["c"]
+         for r in covariance_matrix_int(clean, dims=2).collect()}
+    b = {(r["j"], r["k"]): r["c"]
+         for r in covariance_matrix_int(clean.unionByName(dirty), dims=2).collect()}
+    assert a == b
