@@ -1596,6 +1596,103 @@ def wav_sample_features(assets: DataFrame) -> DataFrame:
     return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)
 
 
+def wav_energy_segments(
+    assets: DataFrame,
+    window_frames: int = 256,
+    threshold: int = 1_000_000,
+) -> DataFrame:
+    """Energy-based audio segmentation (the silence-trim / VAD-prep
+    step speech-corpus pipelines run before transcription): decode
+    PCM-16, window into ``window_frames``-frame blocks, compute each
+    window's EXACT-INTEGER energy ``Σv²  div n`` (per-sample mean
+    square — deterministic, no floats), mark windows ≥ ``threshold``
+    active, and merge consecutive active windows into segments.
+
+    Output: one row per ACTIVE segment — (asset_id, seg_idx,
+    start_frame, end_frame, n_windows, energy) with ``energy`` the
+    integer mean of the member windows' energies and ``end_frame``
+    exclusive; fully silent assets emit no rows.
+
+    Scale shape: one Arrow ``mapInPandas`` decode pass (the m6/m7/m8
+    codec-stage envelope) — per-asset linear work, zero shuffle, zero
+    join.  Corrupt payloads degrade to no rows."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import decode_wav
+
+    schema = (
+        "asset_id long, seg_idx int, start_frame int, end_frame int, "
+        "n_windows int, energy long"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _rate, ch, samples = decode_wav(bytes(payload))
+                except Exception:
+                    continue
+                v = samples.astype("int64")
+                n_frames = v.size // ch
+                seg_idx = 0
+                cur = None  # (start_window, [energies])
+                n_windows = (n_frames + window_frames - 1) // window_frames
+                for wi in range(n_windows):
+                    lo = wi * window_frames * ch
+                    hi = min((wi + 1) * window_frames, n_frames) * ch
+                    blk = v[lo:hi]
+                    energy = int((blk * blk).sum()) // blk.size
+                    if energy >= threshold:
+                        if cur is None:
+                            cur = (wi, [])
+                        cur[1].append(energy)
+                    elif cur is not None:
+                        s, es = cur
+                        rows.append(
+                            {
+                                "asset_id": asset_id,
+                                "seg_idx": seg_idx,
+                                "start_frame": s * window_frames,
+                                "end_frame": min(
+                                    (s + len(es)) * window_frames, n_frames
+                                ),
+                                "n_windows": len(es),
+                                "energy": sum(es) // len(es),
+                            }
+                        )
+                        seg_idx += 1
+                        cur = None
+                if cur is not None:
+                    s, es = cur
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "seg_idx": seg_idx,
+                            "start_frame": s * window_frames,
+                            "end_frame": min(
+                                (s + len(es)) * window_frames, n_frames
+                            ),
+                            "n_windows": len(es),
+                            "energy": sum(es) // len(es),
+                        }
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {
+                    "asset_id": pd.Series(dtype="int64"),
+                    "seg_idx": pd.Series(dtype="int32"),
+                    "start_frame": pd.Series(dtype="int32"),
+                    "end_frame": pd.Series(dtype="int32"),
+                    "n_windows": pd.Series(dtype="int32"),
+                    "energy": pd.Series(dtype="int64"),
+                }
+            )
+
+    return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)
+
+
 def video_frame_features(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Per-frame Python feature extraction: the full decode chain —
     frame-sampling plan (JVM ``sequence``/``posexplode``) ⋈ payload,

@@ -552,3 +552,58 @@ def test_mp3_flac_manifest_matches_python_reference(spark):
     )
     for r in M.mp3_flac_manifest(corrupt, corrupt).collect():
         assert r["sample_rate"] is None and r["duration_ms"] is None
+
+
+def test_wav_energy_segments_closed_form(spark):
+    """Energy segmentation over a constructed WAV with known loud and
+    silent regions: window energies are exact integers, consecutive
+    active windows merge, boundaries land on frame multiples, silence
+    and corrupt payloads emit nothing."""
+    import struct
+
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        wav_energy_segments,
+    )
+
+    def wav_bytes(samples, rate=8000, ch=1):
+        pcm = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+
+    W = 4  # window_frames
+    # asset 1: [loud 8][silent 4][loud 4] -> two segments
+    loud, quiet = 2000, 1
+    s1 = [loud] * (2 * W) + [quiet] * W + [loud] * W
+    # asset 2: all silence -> no rows; asset 3: corrupt -> no rows
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(wav_bytes(s1))),
+            (2, bytearray(wav_bytes([0] * 16))),
+            (3, bytearray(b"not a wav")),
+        ],
+        "asset_id long, payload binary",
+    )
+    out = wav_energy_segments(
+        assets, window_frames=W, threshold=loud * loud
+    ).collect()
+    segs = sorted(
+        [r for r in out if r["asset_id"] == 1], key=lambda r: r["seg_idx"]
+    )
+    assert {r["asset_id"] for r in out} == {1}
+    assert len(segs) == 2
+    assert (segs[0]["start_frame"], segs[0]["end_frame"]) == (0, 8)
+    assert segs[0]["n_windows"] == 2 and segs[0]["energy"] == loud * loud
+    assert (segs[1]["start_frame"], segs[1]["end_frame"]) == (12, 16)
+    assert segs[1]["n_windows"] == 1 and segs[1]["energy"] == loud * loud
+
+    # ragged tail: 6 loud frames with window 4 -> one segment to frame 6
+    s2 = [loud] * 6
+    ragged = spark.createDataFrame(
+        [(9, bytearray(wav_bytes(s2)))], "asset_id long, payload binary"
+    )
+    r = wav_energy_segments(ragged, window_frames=W, threshold=loud * loud).collect()
+    assert len(r) == 1 and (r[0]["start_frame"], r[0]["end_frame"]) == (0, 6)
