@@ -1773,6 +1773,161 @@ def host_gate(
     )
 
 
+def robots_rules(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse per-host robots.txt documents into the rule set that
+    applies to ``agent`` — the crawl-stack step before any fetch enters
+    a corpus pipeline.  Follows the REP as specified in RFC 9309:
+
+    - groups are runs of consecutive ``User-agent:`` lines followed by
+      their rules; several groups naming the same agent merge;
+    - the MOST SPECIFIC matching group set wins — if any group names
+      ``agent`` exactly (case-insensitive), the ``*`` groups are
+      ignored;
+    - directive names are case-insensitive, ``#`` comments and CR are
+      stripped, empty-path ``Disallow:`` (allow-everything) drops out.
+
+    Output: (host, allow int, path) — one row per applicable rule.
+    Shape: posexplode of lines + two window passes partitioned BY HOST
+    (never a global window) + one aggregation; the result is a skinny
+    per-host rule table sized for a broadcast join against the URL
+    stream."""
+    lines = (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(
+                F.split(F.regexp_replace(F.col(text_col), "\r", ""), "\n")
+            ).alias("pos", "line"),
+        )
+        # strip comments + whitespace
+        .withColumn("line", F.trim(F.regexp_replace("line", "#.*$", "")))
+        .filter(F.col("line") != "")
+        .withColumn(
+            "ua",
+            F.when(
+                F.regexp_like(F.col("line"), F.lit(r"(?i)^user-agent\s*:")),
+                F.lower(
+                    F.trim(F.regexp_replace("line", r"(?i)^user-agent\s*:", ""))
+                ),
+            ),
+        )
+        .withColumn(
+            "allow",
+            F.when(
+                F.regexp_like(F.col("line"), F.lit(r"(?i)^allow\s*:")), F.lit(1)
+            ).when(
+                F.regexp_like(F.col("line"), F.lit(r"(?i)^disallow\s*:")),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "path",
+            F.trim(F.regexp_replace("line", r"(?i)^(dis)?allow\s*:", "")),
+        )
+    )
+    by_pos = Window.partitionBy("host").orderBy("pos")
+    prev_ua = F.lag("ua").over(by_pos)
+    sectioned = (
+        lines.withColumn(
+            "sec_start",
+            F.when(F.col("ua").isNotNull() & prev_ua.isNull(), 1).otherwise(0),
+        )
+        .withColumn(
+            "section",
+            F.sum("sec_start").over(
+                by_pos.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("section") > 0)  # rules before any UA line: ignored
+    )
+    agent_lc = agent.lower()
+    sec_spec = sectioned.groupBy("host", "section").agg(
+        F.max(
+            F.when(F.col("ua") == agent_lc, 2)
+            .when(F.col("ua") == "*", 1)
+            .otherwise(0)
+        ).alias("spec")
+    )
+    host_spec = sec_spec.groupBy("host").agg(F.max("spec").alias("max_spec"))
+    return (
+        sectioned.filter(F.col("allow").isNotNull() & (F.col("path") != ""))
+        .join(sec_spec, ["host", "section"])
+        .join(host_spec, "host")
+        .filter((F.col("spec") == F.col("max_spec")) & (F.col("spec") > 0))
+        .select("host", F.col("allow").cast("int").alias("allow"), "path")
+        .distinct()
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Evaluate each (host, path) URL against a ``robots_rules`` table:
+    the LONGEST matching rule wins; on a length tie ``Allow`` wins (the
+    RFC 9309 precedence); no matching rule (or no rules for the host)
+    means allowed.  Matching is prefix-based with the ``$`` end anchor
+    (a rule ``/p$`` matches exactly ``/p``); ``*`` wildcards inside
+    paths are out of scope and documented (the original REP subset).
+
+    Output: every input URL row + ``allowed int``.  Shape: one
+    equi-join on host (rules are a skinny per-host table — broadcast
+    while it fits, AQE decides) + a ``max_by`` aggregation over each
+    URL's bounded matching-rule set (a map-side-combinable argmax, the
+    line-dedup pattern — deliberately not a window, so one hot host
+    never serializes into one task).  The URL stream is never shuffled
+    beyond the join."""
+    anchored = F.col("r_path").endswith("$")
+    base = F.when(
+        anchored, F.expr("substring(r_path, 1, length(r_path) - 1)")
+    ).otherwise(F.col("r_path"))
+    matches = (
+        urls.select(
+            F.col(host_col).alias("host"), F.col(path_col).alias("path")
+        )
+        .join(
+            rules.select(
+                "host", "allow", F.col("path").alias("r_path")
+            ),
+            "host",
+            "left",
+        )
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("r_path").isNull(), F.lit(None)
+            ).when(
+                anchored, F.col("path") == base
+            ).otherwise(F.col("path").startswith(base)),
+        )
+    )
+    return (
+        matches.groupBy("host", "path")
+        .agg(
+            F.max_by(
+                F.col("allow"),
+                F.when(
+                    F.col("hit"),
+                    F.struct(
+                        F.length("r_path").alias("l"), F.col("allow").alias("a")
+                    ),
+                ),
+            ).alias("win_allow")
+        )
+        .select(
+            "host",
+            "path",
+            F.coalesce(F.col("win_allow"), F.lit(1)).cast("int").alias("allowed"),
+        )
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

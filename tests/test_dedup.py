@@ -850,3 +850,79 @@ def test_host_stats_and_gate(spark):
     assert gate["mirror.example"] == 1  # dup share
     assert gate["flood.example"] == 1  # doc cap
     assert gate["ok.example"] == 0
+
+
+def test_robots_rules_and_evaluation(spark):
+    """RFC 9309 robots evaluation: group parsing (consecutive UA lines,
+    merged same-agent groups, comments/CR stripped), most-specific
+    agent-group selection, longest-match precedence with Allow winning
+    ties, $ anchors, empty Disallow dropped, ruleless hosts allowed."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    a_txt = (
+        "# comment\r\n"
+        "User-agent: googlebot\r\n"
+        "User-Agent: otherbot\r\n"
+        "Disallow: /private/\r\n"
+        "Allow: /private/ok\r\n"
+        "\r\n"
+        "User-agent: *\r\n"
+        "Disallow: /\r\n"
+    )
+    b_txt = (
+        "User-agent: *\r\n"
+        "Disallow: /tmp$\r\n"
+        "Disallow:\r\n"          # empty: allow-everything, must drop out
+        "disallow: /logs/  # inline comment\r\n"
+        "\r\n"
+        "User-agent: *\r\n"      # second * group merges
+        "Allow: /logs/public\r\n"
+    )
+    robots = spark.createDataFrame(
+        [("a.com", a_txt), ("b.com", b_txt)], "host string, robots_txt string"
+    )
+
+    # specific agent: the * group on a.com must be IGNORED
+    rules_g = robots_rules(robots, agent="GoogleBot")
+    got_a = {(r["allow"], r["path"]) for r in rules_g.filter("host='a.com'").collect()}
+    assert got_a == {(0, "/private/"), (1, "/private/ok")}
+    # b.com has no googlebot group -> falls back to its * groups, merged
+    got_b = {(r["allow"], r["path"]) for r in rules_g.filter("host='b.com'").collect()}
+    assert got_b == {(0, "/tmp$"), (0, "/logs/"), (1, "/logs/public")}
+
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "/private/secret"),   # disallowed
+            ("a.com", "/private/ok/page"),  # longer Allow wins
+            ("a.com", "/open"),             # no matching rule -> allowed
+            ("b.com", "/tmp"),              # $ anchor exact -> disallowed
+            ("b.com", "/tmpfile"),          # anchor does NOT match prefix
+            ("b.com", "/logs/secret"),      # disallowed
+            ("b.com", "/logs/public/x"),    # longer Allow wins
+            ("c.com", "/anything"),         # host without robots -> allowed
+        ],
+        "host string, path string",
+    )
+    verdicts = {
+        (r["host"], r["path"]): r["allowed"]
+        for r in robots_allowed(urls, rules_g).collect()
+    }
+    assert verdicts[("a.com", "/private/secret")] == 0
+    assert verdicts[("a.com", "/private/ok/page")] == 1
+    assert verdicts[("a.com", "/open")] == 1
+    assert verdicts[("b.com", "/tmp")] == 0
+    assert verdicts[("b.com", "/tmpfile")] == 1
+    assert verdicts[("b.com", "/logs/secret")] == 0
+    assert verdicts[("b.com", "/logs/public/x")] == 1
+    assert verdicts[("c.com", "/anything")] == 1
+
+    # generic-agent evaluation: a.com's * group (Disallow /) now applies
+    rules_star = robots_rules(robots, agent="randombot")
+    v2 = {
+        (r["host"], r["path"]): r["allowed"]
+        for r in robots_allowed(urls, rules_star).collect()
+    }
+    assert v2[("a.com", "/open")] == 0
