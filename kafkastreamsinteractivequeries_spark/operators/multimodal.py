@@ -819,6 +819,103 @@ def with_tiff_dimensions(
     )
 
 
+def with_exif_orientation(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    max_segments: int = 8,
+    max_entries: int = 16,
+) -> DataFrame:
+    """Append ``exif_orientation`` (the TIFF tag 274 SHORT, 1–8) parsed
+    from a JPEG's APP1 Exif segment — the rotation pipelines must apply
+    before any pixel work (a portrait photo stored landscape with
+    orientation 6 resizes to the wrong aspect otherwise).
+
+    Two real walks, both bounded and data-dependent: a JPEG marker walk
+    (≤ ``max_segments`` segments, each skipped by its length field)
+    finds the APP1 whose identifier is ``Exif\\0\\0``; the embedded
+    TIFF is then IFD-walked exactly like ``with_tiff_dimensions`` but
+    with every offset RELATIVE TO THE TIFF BASE (the EXIF rule — IFD
+    offsets are not file offsets).  Staged as intermediate columns per
+    the TIFF/MP3 analysis-cost lesson.  Missing APP1 / non-JPEG /
+    truncated payloads yield null."""
+    payload = F.col(payload_col)
+
+    def u8(pos) -> F.Column:
+        return _be_at(payload, pos, 1)
+
+    # marker walk: carry (pos, base); base fixes once found
+    nul = F.lit(None).cast("bigint")
+    init = F.struct(F.lit(3).cast("bigint").alias("pos"), nul.alias("base"))
+
+    def seg_step(acc: F.Column, _i: F.Column) -> F.Column:
+        pos = acc["pos"]
+        marker = u8(pos + 1)
+        seglen = _be_at(payload, pos + 2, 2)
+        is_app1_exif = (
+            (u8(pos) == 255)
+            & (marker == 0xE1)
+            & (F.hex(F.substring(payload, pos + 4, 6)) == "457869660000")
+        )
+        found = F.coalesce(
+            acc["base"], F.when(is_app1_exif, pos + 10)
+        )
+        nxt = F.when(
+            acc["base"].isNotNull() | (u8(pos) != 255) | seglen.isNull(),
+            pos,
+        ).otherwise(pos + 2 + seglen)
+        return F.struct(nxt.alias("pos"), found.alias("base"))
+
+    walked = F.aggregate(
+        F.when(
+            F.hex(F.substring(payload, 1, 2)) == "FFD8",
+            F.sequence(F.lit(1), F.lit(max_segments)),
+        ).otherwise(F.array().cast("array<int>")),
+        init,
+        seg_step,
+    )
+    s1 = assets.select("*", walked["base"].alias("_xbase"))
+    base = F.col("_xbase")
+    le0 = F.hex(F.substring(payload, base, 2)) == "4949"
+    be0 = F.hex(F.substring(payload, base, 2)) == "4D4D"
+    s2 = s1.select(
+        "*",
+        le0.alias("_xle"),
+        (
+            base.isNotNull()
+            & (le0 | be0)
+            & (_uint_at(payload, base + 2, 2, le0) == 42)
+        ).alias("_xok"),
+        # EXIF rule: the IFD offset is relative to the TIFF base
+        (base + _uint_at(payload, base + 4, 4, le0)).alias("_xifd"),
+    )
+    le, ok, ifd = F.col("_xle"), F.col("_xok"), F.col("_xifd")
+    s3 = s2.select(
+        "*",
+        F.least(_uint_at(payload, ifd, 2, le), F.lit(max_entries)).alias("_xn"),
+    )
+    n = F.col("_xn")
+
+    def ifd_step(acc: F.Column, i: F.Column) -> F.Column:
+        entry = ifd + 2 + i.cast("bigint") * 12
+        tag = _uint_at(payload, entry, 2, le)
+        typ = _uint_at(payload, entry + 2, 2, le)
+        val = F.when(typ == 3, _uint_at(payload, entry + 8, 2, le))
+        return F.coalesce(acc, F.when(tag == 274, val))
+
+    orientation = F.aggregate(
+        F.when(ok & n.isNotNull() & (n > 0), F.sequence(F.lit(0), n - 1))
+        .otherwise(F.array().cast("array<int>")),
+        nul,
+        ifd_step,
+    )
+    return s3.select(
+        *assets.columns,
+        F.when(
+            orientation.between(1, 8), orientation
+        ).alias("exif_orientation"),
+    )
+
+
 def webp_tiff_manifest(webp_assets: DataFrame, tiff_assets: DataFrame) -> DataFrame:
     """Manifest rows for the RIFF-image and endian-tagged formats,
     shaped like ``gif_bmp_manifest``: media type from the PARSE

@@ -607,3 +607,55 @@ def test_wav_energy_segments_closed_form(spark):
     )
     r = wav_energy_segments(ragged, window_frames=W, threshold=loud * loud).collect()
     assert len(r) == 1 and (r[0]["start_frame"], r[0]["end_frame"]) == (0, 6)
+
+
+def test_exif_orientation_walks_app1(spark):
+    """EXIF orientation: JPEG marker walk finds APP1/Exif past other
+    segments, the embedded TIFF is walked with offsets RELATIVE to the
+    TIFF base, both byte orders work, and non-JPEG / APP1-less /
+    corrupt payloads degrade to null."""
+    import struct
+
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        with_exif_orientation,
+    )
+
+    def tiff_exif(orientation, le=True, extra_entries=()):
+        e = "<" if le else ">"
+        order = b"II" if le else b"MM"
+        entries = list(extra_entries) + [(274, 3, orientation)]
+        entries.sort()
+        out = order + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+        out += struct.pack(e + "H", len(entries))
+        for tag, typ, val in entries:
+            if typ == 3:
+                vf = struct.pack(e + "H", val) + b"\x00\x00"
+            else:
+                vf = struct.pack(e + "I", val)
+            out += struct.pack(e + "HH", tag, typ) + struct.pack(e + "I", 1) + vf
+        return out + struct.pack(e + "I", 0)
+
+    def jpeg(orientation, le=True, with_jfif=True, extra=()):
+        exif = b"Exif\x00\x00" + tiff_exif(orientation, le, extra)
+        app1 = b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif
+        jfif = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        return b"\xff\xd8" + (jfif if with_jfif else b"") + app1
+
+    rows = [
+        (1, bytearray(jpeg(6, le=True))),                # LE after JFIF
+        (2, bytearray(jpeg(8, le=False, with_jfif=False))),  # BE, first seg
+        (3, bytearray(jpeg(3, le=True, extra=[(256, 4, 100), (271, 3, 7)]))),
+        (4, bytearray(b"\xff\xd8\xff\xdb\x00\x04\x00\x00")),  # no APP1
+        (5, bytearray(b"not jpeg")),
+        (6, bytearray(jpeg(99, le=True))),               # out-of-range value
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {
+        r["asset_id"]: r["exif_orientation"]
+        for r in with_exif_orientation(assets).collect()
+    }
+    assert out[1] == 6
+    assert out[2] == 8
+    assert out[3] == 3  # tag found among other entries
+    assert out[4] is None and out[5] is None
+    assert out[6] is None  # 99 rejected by the 1..8 validity range
