@@ -101,6 +101,10 @@ def curate_documents(
     embedding_threshold: float = 0.9,
     redact: bool = False,
     url_col: str | None = None,
+    robots: DataFrame | None = None,
+    robots_agent: str = "*",
+    host_max_docs: int | None = None,
+    host_max_dup_permille: int | None = None,
 ) -> DataFrame:
     """The composed pipeline; returns surviving docs with
     (quality_score, n_tokens, cum_tokens) provenance columns.
@@ -130,6 +134,16 @@ def curate_documents(
       regardless of text mutations, so they must collapse before any
       text-based gate sees them): only ``dedup.url_dedup`` keepers
       enter the pipeline, via a broadcast-friendly skinny-id semi join.
+    - ``robots=robots_df`` (requires ``url_col``; a (host, robots_txt)
+      table) drops URLs the host's robots rules disallow for
+      ``robots_agent`` BEFORE anything else — the crawl-order rule: a
+      page robots forbids should never even be fetched, let alone
+      curated.  ``dedup.robots_rules`` + ``robots_allowed``; the rule
+      table is skinny-per-host and broadcast-friendly.
+    - ``host_max_docs`` / ``host_max_dup_permille`` (requires
+      ``url_col``) apply the RefinedWeb-style host gate next: every doc
+      of a flooding or mirror host drops via one anti join against the
+      one-row-per-host ``dedup.host_gate`` decision table.
     """
     # The stats are pure row maps over (id, text) — compute them inline
     # on the corpus scan instead of joining text_stats back on id (a
@@ -140,9 +154,55 @@ def curate_documents(
         redacted_text_col,
     )
 
-    if url_col is not None:
-        from kafkastreamsinteractivequeries_spark.operators.dedup import url_dedup
+    if robots is not None or host_max_docs is not None or (
+        host_max_dup_permille is not None
+    ):
+        if url_col is None:
+            raise ValueError(
+                "robots / host-gate stages require url_col to be set"
+            )
 
+    if url_col is not None:
+        from kafkastreamsinteractivequeries_spark.operators.dedup import (
+            host_gate,
+            robots_allowed,
+            robots_rules,
+            url_dedup,
+            url_host_col,
+            url_path_col,
+        )
+
+        if robots is not None:
+            rules = robots_rules(robots, agent=robots_agent)
+            probes = docs.select(
+                F.col(id_col),
+                url_host_col(F.col(url_col)).alias("host"),
+                url_path_col(F.col(url_col)).alias("path"),
+            )
+            verdicts = robots_allowed(probes, rules)
+            ok_ids = (
+                probes.join(verdicts, ["host", "path"])
+                .filter(F.col("allowed") == 1)
+                .select(id_col)
+            )
+            docs = docs.join(ok_ids, id_col, "left_semi")
+        if host_max_docs is not None or host_max_dup_permille is not None:
+            blocked = host_gate(
+                docs.select(id_col, F.col(url_col).alias("url")),
+                max_docs_per_host=(
+                    host_max_docs if host_max_docs is not None else 1 << 62
+                ),
+                max_dup_permille=(
+                    host_max_dup_permille
+                    if host_max_dup_permille is not None
+                    else 1001
+                ),
+            ).filter(F.col("blocked") == 1).select("host")
+            docs = docs.join(
+                F.broadcast(blocked),
+                url_host_col(F.col(url_col)) == blocked["host"],
+                "left_anti",
+            )
         keepers = url_dedup(docs, url_col=url_col, id_col=id_col).select(id_col)
         docs = docs.join(keepers, id_col, "left_semi")
 

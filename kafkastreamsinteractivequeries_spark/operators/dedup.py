@@ -1701,6 +1701,20 @@ def url_host_col(col: F.Column) -> F.Column:
     return F.when(has_scheme, host).otherwise(F.lit(""))
 
 
+def url_path_col(col: F.Column) -> F.Column:
+    """Path + query of a URL (the part robots rules match against):
+    everything after the authority, fragment stripped, empty path
+    normalized to '/'.  Schemeless strings degrade to '/'."""
+    rest = F.regexp_replace(
+        F.trim(col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+    )
+    has_scheme = F.regexp_like(
+        F.trim(col), F.lit(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    )
+    p = F.substring_index(rest, "#", 1)
+    return F.when(has_scheme & (p != ""), p).otherwise(F.lit("/"))
+
+
 def host_stats(
     docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -630,3 +630,56 @@ def test_curation_url_dedup_stage_runs_first(spark):
     # without the stage, all three survive (texts differ)
     base = curate_documents(df, min_quality=0.0, near_dup_threshold=1.01)
     assert sorted(r["doc_id"] for r in base.collect()) == [1, 2, 3]
+
+
+def test_curate_documents_web_stages(spark):
+    """The full crawl-order front of the pipeline: robots disallow →
+    host flood/mirror gate → URL-level dedup, each dropping before any
+    text stage runs."""
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        curate_documents,
+    )
+
+    good = "spark streams data pipeline with plenty of words to pass quality " * 3
+    rows = [
+        # blocked by robots (path /private/)
+        (1, good + "one", "https://a.com/private/x"),
+        # allowed by robots, survives
+        (2, good + "two", "https://a.com/open/x"),
+        # flood host: 5 docs on b.com with cap 3 -> all dropped
+        *[(10 + i, good + f"b{i}", f"https://b.com/p{i}") for i in range(5)],
+        # URL dup pair on c.com: only the first survives
+        (20, good + "same page", "https://c.com/page?utm_source=x"),
+        (21, good + "same page again", "https://C.COM/page"),
+    ]
+    rows = [(i, t, "en", "web", len(t), u) for i, t, u in rows]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    out = curate_documents(
+        docs,
+        min_quality=0.0,
+        near_dup_threshold=1.01,  # disable near-dup for this test
+        url_col="url",
+        robots=robots,
+        host_max_docs=3,
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 not in ids        # robots
+    assert ids.isdisjoint({10, 11, 12, 13, 14})  # host flood
+    assert 20 in ids and 21 not in ids  # URL dedup keeps lowest id
+    assert 2 in ids
+
+    # the stages demand url_col
+    try:
+        curate_documents(docs, robots=robots)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError without url_col")
