@@ -381,3 +381,103 @@ def cms_estimate(
         .groupBy(probe_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+def mg_heavy_hitters(
+    df: DataFrame, col: str, k: int = 32, group_col: str | None = None
+) -> DataFrame:
+    """Misra–Gries frequent items: one-pass bounded-memory heavy
+    hitters (the frequent-items member of the sketch family beside
+    KMV/HLL/CMS).  Each partition keeps at most ``k`` counters — on
+    overflow every counter decrements (the classic MG step), so a
+    partition's counter underestimates that partition's true count by
+    at most ``n_p/(k+1)``; summing partial counters across partitions
+    keeps the bound additive, giving the global guarantee:
+
+        true_count − n/(k+1)  ≤  estimate  ≤  true_count
+
+    and EVERY item with true count > n/(k+1) survives to the output
+    (no false negatives above the threshold).  The estimates are
+    partitioning-DEPENDENT (inherent to MG — the decrement order
+    depends on arrival order), which is why this operator is
+    pytest/property-verified rather than hash-verified; the guarantee,
+    not the exact counter, is the contract.
+
+    Scale shape: one ``mapInPandas`` pass holding k counters per
+    partition (Arrow-batched, constant memory), then one aggregation
+    over the ≤ k·partitions summary rows and a TakeOrdered top-k.
+    Output: (item, estimate, n_total, error_bound) — estimate summed
+    partial counters, ``error_bound = n div (k+1)``.
+
+    ``group_col`` scopes the sketch per group (counters keyed by
+    (group, item); memory k per group per partition)."""
+    import pandas as pd
+
+    keep = [c for c in ([group_col] if group_col else []) + [col]]
+    src = df.select(*keep).filter(F.col(col).isNotNull())
+    out_schema = (
+        (f"{group_col} string, " if group_col else "")
+        + "item string, partial long"
+    )
+
+    def summarize(batches):
+        counters: dict[tuple, int] = {}
+        for pdf in batches:
+            groups = (
+                pdf[group_col].astype(str)
+                if group_col
+                else pd.Series(["_"] * len(pdf))
+            )
+            for g, item in zip(groups, pdf[col].astype(str)):
+                key = (g, item)
+                if key in counters:
+                    counters[key] += 1
+                else:
+                    same_group = [kk for kk in counters if kk[0] == g]
+                    if len(same_group) < k:
+                        counters[key] = 1
+                    else:
+                        dead = []
+                        for kk in same_group:
+                            counters[kk] -= 1
+                            if counters[kk] == 0:
+                                dead.append(kk)
+                        for kk in dead:
+                            del counters[kk]
+        rows = [
+            {
+                **({group_col: g} if group_col else {}),
+                "item": item,
+                "partial": c,
+            }
+            for (g, item), c in counters.items()
+        ]
+        cols = ([group_col] if group_col else []) + ["item", "partial"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    summaries = src.mapInPandas(summarize, out_schema)
+    gcols = [group_col] if group_col else []
+    totals = df.filter(F.col(col).isNotNull()).groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    agg = summaries.groupBy(*gcols, "item").agg(
+        F.sum("partial").cast("long").alias("estimate")
+    )
+    joined = (
+        agg.join(F.broadcast(totals), gcols) if gcols else agg.crossJoin(
+            F.broadcast(totals)
+        )
+    )
+    ranked = joined.select(
+        *gcols,
+        "item",
+        "estimate",
+        "n_total",
+        F.expr(f"n_total div {k + 1}").cast("long").alias("error_bound"),
+    )
+    if gcols:
+        # grouped: every surviving counter (≤ k per group per source
+        # partition before the merge); callers top-k per group with
+        # top_k_per_key_two_phase if they want exactly k
+        return ranked
+    return ranked.orderBy(F.col("estimate").desc(), "item").limit(k)

@@ -237,3 +237,55 @@ def test_sketches_exclude_null_keys_like_count_distinct(spark):
     exact = df.agg(F.countDistinct("v")).collect()[0][0]
     assert exact == 2
     assert abs(hll.distinct_estimate - exact) < 1.0
+
+
+def test_mg_heavy_hitters_guarantees(spark):
+    """Misra-Gries contract: every item with true count > n/(k+1)
+    survives, estimates never exceed the truth and underestimate by at
+    most n/(k+1) — across partitionings (the estimates may differ, the
+    GUARANTEE may not)."""
+    from kafkastreamsinteractivequeries_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    # adversarial mix: two heavy items in a sea of 400 singletons
+    rows = (
+        [("hot",)] * 300
+        + [("warm",)] * 120
+        + [(f"noise{i}",) for i in range(400)]
+    )
+    n, k = len(rows), 8
+    bound = n // (k + 1)
+    truth = {"hot": 300, "warm": 120}
+
+    for parts in (1, 13):
+        df = spark.createDataFrame(rows, "item string").repartition(parts)
+        out = {
+            r["item"]: r
+            for r in mg_heavy_hitters(df, "item", k=k).collect()
+        }
+        for item, true_c in truth.items():
+            assert true_c > bound  # the scenario really is above threshold
+            assert item in out, (parts, item)
+            est = out[item]["estimate"]
+            assert true_c - bound <= est <= true_c, (parts, item, est)
+            assert out[item]["error_bound"] == bound
+            assert out[item]["n_total"] == n
+
+
+def test_mg_heavy_hitters_grouped(spark):
+    from kafkastreamsinteractivequeries_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    rows = [("a", "x")] * 50 + [("a", f"n{i}") for i in range(20)] + [
+        ("b", "y")
+    ] * 30
+    df = spark.createDataFrame(rows, "g string, item string")
+    out = mg_heavy_hitters(df, "item", k=4, group_col="g").collect()
+    byg = {}
+    for r in out:
+        byg.setdefault(r["g"], {})[r["item"]] = r
+    assert "x" in byg["a"] and byg["a"]["x"]["n_total"] == 70
+    assert "y" in byg["b"] and byg["b"]["y"]["estimate"] <= 30
+    assert byg["b"]["y"]["estimate"] >= 30 - 30 // 5
