@@ -451,6 +451,39 @@ def streaming_exact_dedup(
     return fp.dropDuplicatesWithinWatermark(["fingerprint"])
 
 
+def streaming_url_dedup(
+    doc_stream: DataFrame,
+    event_time_col: str = "event_time",
+    watermark: str = "1 hour",
+    url_col: str = "url",
+) -> DataFrame:
+    """Streaming URL-level dedup — the streaming analog of batch
+    ``dedup.url_dedup`` and the stage a live crawl runs BEFORE text
+    dedup: canonicalize every arriving URL (the full
+    ``canonicalize_url_col`` chain is stateless, so it runs unchanged
+    on streams) and keep the first-ARRIVING record per canonical form
+    within the watermark horizon.  Same state contract as
+    ``streaming_exact_dedup``: one state row per distinct canonical
+    URL, GC'd past the watermark — bounded by the horizon's crawl
+    volume, never the crawl's history (history-wide suppression is the
+    batch ``url_dedup_incremental`` anti-join against the landed seen
+    set).  The ``canonical_url`` column rides the output for that
+    downstream landing."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        canonicalize_url_col,
+    )
+
+    if "canonical_url" in doc_stream.columns:
+        raise ValueError(
+            "input stream already has a 'canonical_url' column — rename "
+            "it before streaming_url_dedup"
+        )
+    canon = doc_stream.withColumn(
+        "canonical_url", canonicalize_url_col(F.col(url_col))
+    ).withWatermark(event_time_col, watermark)
+    return canon.dropDuplicatesWithinWatermark(["canonical_url"])
+
+
 def stream_stream_attribution_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -1631,3 +1631,51 @@ def test_code_sink_compaction_preserves_union(spark, tmp_path):
     assert sink.compact(spark, keep_last=1) == 0
     # no staging leftovers
     assert not [d for d in os.listdir(store) if "~compact" in d]
+
+
+def test_streaming_url_dedup_matches_batch_canonical_set(spark, tmp_path):
+    """Streaming URL dedup: the full canonicalization chain runs
+    unchanged on the stream and the surviving CANONICAL SET within the
+    watermark equals batch url_dedup's (survivor choice is
+    first-arrival vs lowest-id, the sets must agree)."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import url_dedup
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        streaming_url_dedup,
+    )
+
+    rows = [
+        (1, "https://example.com/a?b=2&a=1", T0),
+        (2, "HTTPS://EXAMPLE.COM:443/a?a=1&utm_source=x&b=2#f",
+         T0 + dt.timedelta(minutes=1)),  # canonical dup of 1
+        (3, "https://example.com/b", T0 + dt.timedelta(minutes=2)),
+        (4, "https://u:pw@example.com/b", T0 + dt.timedelta(minutes=3)),  # dup of 3
+        (5, "http://other.org/", T0 + dt.timedelta(minutes=4)),
+    ]
+    schema = "doc_id long, url string, event_time timestamp"
+    src = str(tmp_path / "urls")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_url_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("url_dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_u"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.canonical_url
+        for r in spark.sql(
+            "SELECT canonical_url FROM url_dedup_stream"
+        ).collect()
+    }
+    batch = {
+        r["canonical_url"]
+        for r in url_dedup(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert got == batch and len(got) == 3
