@@ -1439,6 +1439,7 @@ def wordpiece_segment_arrow(
     unk_token: str = "[UNK]",
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """BERT-style WordPiece segmentation — greedy longest-match-first
     (MaxMatch): at a word's start the longest matching START piece is
@@ -1446,6 +1447,13 @@ def wordpiece_segment_arrow(
     with the ``##`` prefix); a position with no match makes the WHOLE
     word ``unk_token`` (the reference WordPiece behavior, not a
     partial emit).  Output: (id, wp_tokens, n_wp_tokens).
+
+    ``byte_fallback=True`` switches to the SentencePiece/Llama
+    convention instead: an unmatched position NEVER produces UNK — the
+    single character there decomposes into its UTF-8 bytes as
+    ``<0xNN>`` tokens and MaxMatch resumes after it, so every input
+    round-trips losslessly (the property production tokenizers
+    guarantee; UNK destroys training text).
 
     The production shape mirrors ``bpe_segment_arrow``: one Arrow
     ``mapInPandas`` pass, piece sets closure-captured once per
@@ -1483,8 +1491,14 @@ def wordpiece_segment_arrow(
                         match = cand
                         break
                 if match is None:
-                    toks = [unk_token]
-                    break
+                    if not byte_fallback:
+                        toks = [unk_token]
+                        break
+                    toks.extend(
+                        f"<0x{b:02X}>" for b in w[pos].encode("utf-8")
+                    )
+                    pos += 1
+                    continue
                 toks.append(match if pos == 0 else "##" + match)
                 pos += len(match)
             cache[w] = toks

@@ -1056,3 +1056,59 @@ def test_wordpiece_vocab_and_maxmatch(spark):
     assert seg[3]["wp_tokens"] == ["[UNK]"]
     assert seg[4]["wp_tokens"] is None and seg[4]["n_wp_tokens"] is None
     assert seg[5]["wp_tokens"] == [] and seg[5]["n_wp_tokens"] == 0
+
+
+def test_wordpiece_byte_fallback_roundtrips(spark):
+    """byte_fallback: no UNK ever — unmatched characters decompose to
+    <0xNN> UTF-8 byte tokens and the token stream reconstructs the
+    input losslessly (the SentencePiece/Llama property)."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        wordpiece_segment_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the thé zzz9 漢字 the"), (1, "€uro")],
+        "doc_id long, text string",
+    )
+    starts = ["the", "t", "z"]
+    conts = ["he", "h", "e", "z"]
+    out = {
+        r["doc_id"]: r["wp_tokens"]
+        for r in wordpiece_segment_arrow(
+            docs, starts, conts, byte_fallback=True
+        ).collect()
+    }
+    assert not any(t == "[UNK]" for toks in out.values() for t in toks)
+
+    def rebuild(toks):
+        words, cur, byte_buf = [], "", b""
+        for t in toks:
+            if t.startswith("<0x") and t.endswith(">"):
+                byte_buf += bytes([int(t[3:-1], 16)])
+                continue
+            if byte_buf:
+                cur += byte_buf.decode("utf-8")
+                byte_buf = b""
+            if t.startswith("##"):
+                cur += t[2:]
+            else:
+                if cur:
+                    words.append(cur)
+                cur = t
+        if byte_buf:
+            cur += byte_buf.decode("utf-8")
+        if cur:
+            words.append(cur)
+        return words
+
+    # Word boundaries are lost in the flat stream when a word STARTS
+    # with a fallback byte (no un-##'d token opens it) — rebuild per
+    # word instead: re-encode each word alone and round-trip it.
+    for word in ["the", "thé", "zzz9", "漢字", "€uro"]:
+        single = spark.createDataFrame(
+            [(0, word)], "doc_id long, text string"
+        )
+        toks = wordpiece_segment_arrow(
+            single, starts, conts, byte_fallback=True
+        ).collect()[0]["wp_tokens"]
+        assert rebuild(toks) in ([word.lower()], [word]), (word, toks)
