@@ -2068,3 +2068,90 @@ def pca_project(
         lambda acc, t: acc + t,
     )
     return emb.select(F.col(id_col), terms.alias("pc1"))
+
+
+def pca_top_components(
+    emb: DataFrame,
+    n_components: int = 2,
+    dims: int = 16,
+    iterations: int = 3,
+    quant_scale: int = 1000,
+    shift_bits: int = 20,
+    norm_target: int = 256,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top ``n_components`` principal directions by power iteration
+    with INTEGER DEFLATION: after each component ``v`` converges, the
+    covariance deflates by the Hotelling step
+
+        C' = C − (v vᵀ · (vᵀ C v)) div (vᵀv · vᵀv)
+
+    computed entirely in int64 (each deflation's rounding is bounded
+    by one unit per cell, so later components are approximate the way
+    any finite-precision deflation is — but bit-deterministic, which
+    a float deflation would not be).  The covariance is built ONCE
+    (the corpus is scanned once); each extra component costs only
+    dims²-table arithmetic.  Output: (component, dim, v) — sign and
+    max-norm scale as the iteration leaves them."""
+    if n_components < 1:
+        raise ValueError("n_components must be >= 1")
+    spark = emb.sparkSession
+    cmat = covariance_matrix_int(
+        emb, dims, quant_scale, shift_bits, vec_col
+    ).localCheckpoint(eager=False)
+    out = None
+    for comp in range(n_components):
+        v = spark.range(dims).select(
+            F.col("id").cast("int").alias("dim"),
+            F.lit(norm_target).cast("long").alias("v"),
+        )
+        for _ in range(iterations):
+            w = (
+                cmat.join(v.select(F.col("dim").alias("k"), "v"), "k")
+                .groupBy(F.col("j").alias("dim"))
+                .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+            )
+            m = w.agg(F.max(F.abs("w")).alias("m"))
+            v = (
+                w.crossJoin(F.broadcast(m))
+                .select(
+                    "dim",
+                    F.when(F.col("m") == 0, F.col("w"))
+                    .otherwise(F.floor(F.col("w") * norm_target / F.col("m")))
+                    .cast("long")
+                    .alias("v"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        rows = v.select(
+            F.lit(comp).cast("int").alias("component"), "dim", "v"
+        )
+        out = rows if out is None else out.unionByName(rows)
+        if comp == n_components - 1:
+            break
+        # Hotelling deflation in integers: numerator/denominator as
+        # 1-row scalars, the rank-1 update as a dims×dims join
+        vk = v.select(F.col("dim").alias("k"), F.col("v").alias("vk"))
+        vj = v.select(F.col("dim").alias("j"), F.col("v").alias("vj"))
+        quad = (
+            cmat.join(vk, "k")
+            .join(vj, "j")
+            .agg(F.sum(F.col("c") * F.col("vk") * F.col("vj")).alias("num"))
+        )
+        denom = v.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
+        cmat = (
+            cmat.join(vj, "j")
+            .join(vk, "k")
+            .crossJoin(F.broadcast(quad))
+            .crossJoin(F.broadcast(denom))
+            .select(
+                "j",
+                "k",
+                (
+                    F.col("c")
+                    - F.expr("(vj * vk * num) div (den * den)")
+                ).cast("long").alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return out

@@ -1156,3 +1156,53 @@ def test_pca_skips_nan_rows(spark):
     b = {(r["j"], r["k"]): r["c"]
          for r in covariance_matrix_int(clean.unionByName(dirty), dims=2).collect()}
     assert a == b
+
+
+def test_pca_top_components_deflation(spark):
+    """Multi-component PCA via integer Hotelling deflation: both
+    components align with numpy's eigenvectors on a two-dominant-
+    direction corpus, and the integer trajectory is partitioning-
+    invariant."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        pca_top_components,
+    )
+
+    rows = []
+    for i in range(300):
+        a = (i % 21 - 10) / 10.0
+        b = ((i * 7) % 17 - 8) / 16.0
+        vec = [a, 0.9 * a + 0.1 * b, b, -0.8 * b] + [
+            ((i * 11 + j) % 13 - 6) / 100.0 for j in range(4)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run(parts):
+        out = pca_top_components(
+            emb.repartition(parts), n_components=2, dims=8
+        ).collect()
+        comps = {}
+        for r in out:
+            comps.setdefault(r["component"], {})[r["dim"]] = r["v"]
+        return comps
+
+    a, b = run(1), run(9)
+    assert a == b  # bit-deterministic across partitionings
+
+    X = np.array([v for _, v in rows])
+    Xc = X - X.mean(0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    for c in (0, 1):
+        g = np.array([a[c][j] for j in range(8)], float)
+        ref = evecs[:, -1 - c]
+        cos = abs(g @ ref) / (np.linalg.norm(g) * np.linalg.norm(ref))
+        assert cos > 0.99, (c, cos)
+
+    try:
+        pca_top_components(emb, n_components=0)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError")
