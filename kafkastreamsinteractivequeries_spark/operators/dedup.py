@@ -1787,6 +1787,102 @@ def host_gate(
     )
 
 
+def extract_links_col(html: F.Column) -> F.Column:
+    """All ``<a href="...">`` targets of an HTML document as a string
+    array — one ``regexp_extract_all`` pass (zero shuffle, zero
+    Python): single- or double-quoted hrefs, case-insensitive tag and
+    attribute, other attributes before ``href`` tolerated.  NULL html
+    degrades to an empty array."""
+    pat = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"']+)["']"""
+    return F.coalesce(
+        F.regexp_extract_all(html, F.lit(pat), 1),
+        F.array().cast("array<string>"),
+    )
+
+
+def resolve_url_col(base: F.Column, ref: F.Column) -> F.Column:
+    """Resolve a link target against its page URL — the RFC 3986 §5
+    cases a link-graph builder meets: absolute (``scheme://``) passes
+    through; protocol-relative (``//host/…``) takes the base's scheme;
+    root-relative (``/x``) replaces the base's path; anything else is
+    path-relative (appended to the base's directory).  Fragment-only
+    refs resolve to the base itself.  Dot-segment normalization
+    (``../``) is out of scope (canonicalization treats them as opaque
+    path bytes — documented).  Pure Column chain."""
+    b = F.trim(base)
+    r = F.trim(ref)
+    scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    authority = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    origin = F.concat(scheme, F.lit("://"), authority)
+    # base directory: everything through the last '/' of the path part
+    path = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    dirpart = F.when(
+        path.rlike("/"), F.regexp_replace(path, r"/[^/]*$", "/")
+    ).otherwise(F.lit("/"))
+    return (
+        F.when(r == "", b)
+        .when(r.startswith("#"), b)
+        .when(r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), r)
+        .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
+        .when(r.startswith("/"), F.concat(origin, r))
+        .otherwise(F.concat(origin, dirpart, r))
+    )
+
+
+def web_link_graph(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """HOST-level link graph from raw crawled pages — the input
+    ``graph.pagerank`` ranks: extract every href, resolve it against
+    the page URL, canonicalize both ends, project to hosts, and emit
+    normalized (src, dst) host edges (dedup'd, self-loops dropped —
+    host-level PageRank ignores intra-site links by construction).
+
+    Hosts travel as md5-derived 63-bit longs (``graph`` operators key
+    on longs); the (src, dst, src_host, dst_host) output keeps the
+    readable names beside the keys.  Shape: one map-only extract +
+    explode pass, then the one distinct shuffle ``normalize_edges``
+    costs anyway."""
+    page_host = url_host_col(F.col(url_col))
+    links = (
+        pages.select(
+            F.col(url_col).alias("_page"),
+            page_host.alias("src_host"),
+            F.explode_outer(extract_links_col(F.col(html_col))).alias("_ref"),
+        )
+        .filter(F.col("_ref").isNotNull())
+        .select(
+            "src_host",
+            url_host_col(
+                canonicalize_url_col(
+                    resolve_url_col(F.col("_page"), F.col("_ref"))
+                )
+            ).alias("dst_host"),
+        )
+        .filter(
+            (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .distinct()
+    )
+
+    def hkey(c: str) -> F.Column:
+        # low 15 hex chars of md5 → a positive 60-bit long key
+        return F.conv(F.substring(F.md5(F.col(c)), 18, 15), 16, 10).cast(
+            "long"
+        )
+
+    return links.select(
+        hkey("src_host").alias("src"),
+        hkey("dst_host").alias("dst"),
+        "src_host",
+        "dst_host",
+    )
+
+
 def host_stats_incremental(
     new_docs: DataFrame,
     landed_stats: DataFrame | None,

@@ -960,3 +960,56 @@ def test_host_stats_incremental_equals_one_shot(spark):
             assert got[h][c] == want[h][c], (h, c, got[h][c], want[h][c])
     # second batch added no new canonical URLs (same residue formulas)
     assert p2.count() == 0
+
+
+def test_extract_resolve_and_link_graph(spark):
+    """Href extraction, RFC 3986 reference resolution, and the
+    host-level link graph feeding pagerank end-to-end."""
+    from kafkastreamsinteractivequeries_spark.operators import graph as G
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        extract_links_col,
+        resolve_url_col,
+        web_link_graph,
+    )
+    from pyspark.sql import functions as F
+
+    # resolution cases
+    cases = spark.createDataFrame(
+        [
+            ("https://a.com/dir/page.html", "https://b.com/x", "https://b.com/x"),
+            ("https://a.com/dir/page.html", "//c.com/y", "https://c.com/y"),
+            ("https://a.com/dir/page.html", "/root.html", "https://a.com/root.html"),
+            ("https://a.com/dir/page.html", "sib.html", "https://a.com/dir/sib.html"),
+            ("https://a.com/dir/page.html", "#frag", "https://a.com/dir/page.html"),
+            ("https://a.com", "x", "https://a.com/x"),  # no path -> root dir
+        ],
+        "base string, ref string, want string",
+    )
+    got = cases.select(
+        "want", resolve_url_col(F.col("base"), F.col("ref")).alias("got")
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["got"], r["want"])
+
+    html_a = (
+        '<p>x</p><A class="l" HREF="https://b.com/p1">b</A>'
+        "<a href='/local'>l</a><a href=\"//c.com/q\">c</a>"
+        '<a href="#top">top</a><a href="rel.html">r</a>'
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/dir/page.html", html_a),
+            ("https://b.com/p1", '<a href="https://a.com/">back</a>'
+                                 '<a href="https://b.com/self">self</a>'),
+            ("https://d.com/", None),  # null html degrades to no links
+        ],
+        "url string, html string",
+    )
+    edges = web_link_graph(pages)
+    named = {(r["src_host"], r["dst_host"]) for r in edges.collect()}
+    # a.com links out to b.com and c.com (local/#/rel stay on a.com and drop)
+    assert named == {("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "a.com")}
+
+    # the long keys feed pagerank directly
+    pr = G.pagerank(G.normalize_edges(edges.select("src", "dst")), iterations=2)
+    assert pr.count() == 3 and pr.filter("rank <= 0").count() == 0
