@@ -146,3 +146,57 @@ def test_full_reference_surface_runs_as_spark_sql(spark, sf_dir):
 
     for sql, df in cases:
         assert norm(spark.sql(sql).collect()) == norm(df.collect()), sql
+
+
+def test_read_warc_records(spark, tmp_path):
+    """WARC source: record split by Content-Length, HTTP envelope split
+    for response records, gzip members inflated, truncated tails and
+    corrupt gzip degrade instead of erroring."""
+    import gzip
+
+    from kafkastreamsinteractivequeries_spark.sources.warc import read_warc
+
+    def rec(wtype, uri, payload, extra=""):
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(payload)}\r\n{extra}\r\n"
+        ).encode()
+        return hdr + payload + b"\r\n\r\n"
+
+    html = b"<html><a href=\"https://b.com/\">x</a></html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"\r\n" + html
+    )
+    warc = (
+        rec("warcinfo", "urn:x", b"software: test\r\n")
+        + rec("response", "https://a.com/page", http,
+              "Content-Type: application/http; msgtype=response\r\n")
+        + rec("request", "https://a.com/page", b"GET /page HTTP/1.1\r\n")
+    )
+    plain = tmp_path / "warc_in"
+    plain.mkdir()
+    (plain / "a.warc").write_bytes(warc)
+    (plain / "b.warc.gz").write_bytes(gzip.compress(warc))
+    (plain / "bad.warc.gz").write_bytes(b"\x1f\x8bnot really gzip")
+    (plain / "trunc.warc").write_bytes(warc[: len(warc) - 40])
+
+    out = read_warc(spark, str(plain / "*")).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r["source_file"].rsplit("/", 1)[-1], []).append(r)
+    for f in ("a.warc", "b.warc.gz"):
+        recs = sorted(by_file[f], key=lambda r: r["record_idx"])
+        assert [r["warc_type"] for r in recs] == [
+            "warcinfo", "response", "request"
+        ]
+        resp = recs[1]
+        assert resp["target_uri"] == "https://a.com/page"
+        assert resp["http_status"] == 200
+        assert resp["http_content_type"] == "text/html; charset=utf-8"
+        assert bytes(resp["body"]) == html
+        assert bytes(recs[0]["body"]).startswith(b"software")
+    assert "bad.warc.gz" not in by_file  # corrupt gzip degrades
+    assert len(by_file.get("trunc.warc", [])) == 2  # truncated tail dropped
