@@ -1974,6 +1974,79 @@ def strip_html_col(col: F.Column) -> F.Column:
     return F.trim(F.regexp_replace(out, r"[ \t\n\x0B\f\r]+", " "))
 
 
+def main_content_col(
+    col: F.Column,
+    min_chars: int = 40,
+    max_link_density_permille: int = 500,
+) -> F.Column:
+    """Main-content extraction beyond tag stripping — the
+    readability/trafilatura-class heuristic reduced to its load-bearing
+    signal, LINK DENSITY: navigation, footers, and sidebars are mostly
+    anchor text, article bodies are not.  One Column chain:
+
+    1. script/style/comment content removed (the ``strip_html_col``
+       prefix — their text is code);
+    2. the page splits into BLOCKS at block-level tag boundaries
+       (p/div/section/article/headers/li/tr/br);
+    3. per block, integer permille link density = anchor-text chars ÷
+       text chars, computed inside a ``transform`` over the block
+       array — no explode, no shuffle;
+    4. blocks shorter than ``min_chars`` or denser than
+       ``max_link_density_permille`` drop; survivors strip their
+       remaining inline tags and rejoin with blank lines.
+
+    Zero shuffle, zero Python, deterministic — the 90% case of a DOM
+    scorer, same stance as ``strip_html_col`` (which remains the
+    keep-everything variant).  NULL html degrades to NULL."""
+    cleaned = col
+    for pat in HTML_BLOCK_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, " ")
+    blocks = F.split(
+        cleaned,
+        r"(?i)</?(?:p|div|section|article|main|aside|nav|footer|header"
+        r"|h[1-6]|li|ul|ol|tr|table|br)\b[^>]*>",
+    )
+
+    def block_text(b: F.Column) -> F.Column:
+        t = F.regexp_replace(b, HTML_TAG_PATTERN, " ")
+        for ent, rep in HTML_ENTITIES:
+            t = F.replace(t, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(t, r"[ \t\n\x0B\f\r]+", " "))
+
+    def link_chars(b: F.Column) -> F.Column:
+        anchors = F.regexp_extract_all(
+            b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1
+        )
+        return F.aggregate(
+            F.transform(
+                anchors, lambda a: F.length(block_text(a))
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            block_text(b).alias("t"),
+            F.length(block_text(b)).alias("n"),
+            link_chars(b).alias("lc"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (s["n"] >= min_chars)
+        & (
+            (s["lc"] * 1000)
+            <= F.lit(max_link_density_permille) * s["n"]
+        ),
+    )
+    return F.when(
+        col.isNotNull(),
+        F.array_join(F.transform(kept, lambda s: s["t"]), "\n\n"),
+    )
+
+
 def html_markup_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1112,3 +1112,50 @@ def test_wordpiece_byte_fallback_roundtrips(spark):
             single, starts, conts, byte_fallback=True
         ).collect()[0]["wp_tokens"]
         assert rebuild(toks) in ([word.lower()], [word]), (word, toks)
+
+
+def test_main_content_extraction_by_link_density(spark):
+    """Link-density block filtering: navigation/footer (anchor-dense)
+    and short fragments drop, article paragraphs survive with inline
+    markup stripped; script content never leaks; NULL degrades."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        main_content_col,
+    )
+
+    para1 = (
+        "This is the actual article body with a good amount of running "
+        "text that any reader would consider the main content of the page."
+    )
+    para2 = (
+        "A second substantial paragraph continues the article with more "
+        "prose and even an inline <b>bold</b> span plus one "
+        '<a href="/ref">reference link</a> inside otherwise long text.'
+    )
+    html = (
+        '<div class="nav"><a href="/">Home</a> <a href="/a">Products and '
+        'things</a> <a href="/b">About our company</a> <a href="/c">Contact '
+        "and support pages</a></div>"
+        "<script>var x = 'this must never leak into the corpus';</script>"
+        f"<p>{para1}</p><p>short bit</p><p>{para2}</p>"
+        '<footer><a href="/t">Terms of service</a> <a href="/p">Privacy '
+        "policy information</a> <a href=\"/i\">Imprint and legal</a></footer>"
+    )
+    docs = spark.createDataFrame(
+        [(1, html), (2, None)], "doc_id long, html string"
+    )
+    out = {
+        r["doc_id"]: r["main"]
+        for r in docs.select(
+            "doc_id", main_content_col(F.col("html")).alias("main")
+        ).collect()
+    }
+    main = out[1]
+    assert "actual article body" in main
+    assert "second substantial paragraph" in main
+    assert "bold" in main and "<b>" not in main  # inline tags stripped
+    assert "Home" not in main and "Privacy" not in main  # link-dense gone
+    assert "never leak" not in main  # script content removed
+    assert "short bit" not in main  # min_chars
+    assert out[2] is None
