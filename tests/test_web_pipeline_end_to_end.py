@@ -1,0 +1,140 @@
+"""End-to-end web-crawl pipeline: WARC bytes → records → main-content
+extraction → host link graph → PageRank, and the same records through
+the composed curation front (robots → host gate → URL dedup → quality
+gates).  Every stage is an operator verified elsewhere; this test pins
+that they COMPOSE — schemas line up, hosts extracted from record URIs
+match hosts extracted from link targets, and the end artifacts
+(ranked hosts, curated docs) are consistent with the crawl's link
+structure.
+"""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from kafkastreamsinteractivequeries_spark.operators import graph as G
+from kafkastreamsinteractivequeries_spark.operators.curation import (
+    curate_documents,
+)
+from kafkastreamsinteractivequeries_spark.operators.dedup import (
+    web_link_graph,
+)
+from kafkastreamsinteractivequeries_spark.operators.text import (
+    main_content_col,
+)
+from kafkastreamsinteractivequeries_spark.sources.warc import read_warc
+
+BODY = (
+    "This page carries a long and perfectly ordinary paragraph of "
+    "running article text so the quality gates downstream accept it "
+    "as genuine content rather than boilerplate noise."
+)
+
+
+def _page(host, path, links):
+    anchors = " ".join(f'<a href="{href}">x</a>' for href in links)
+    return (
+        f'<div class="nav">{anchors}</div>'
+        f"<p>{BODY} Hosted at {host}{path}.</p>"
+    )
+
+
+def _rec(uri, html):
+    body = html.encode()
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return hdr + http + b"\r\n\r\n"
+
+
+def test_crawl_to_pagerank_and_curation(spark, tmp_path):
+    pages = {
+        "https://hub.com/": _page(
+            "hub.com", "/", ["https://a.com/", "https://b.com/", "/self"]
+        ),
+        "https://a.com/": _page("a.com", "/", ["https://hub.com/"]),
+        "https://b.com/": _page("b.com", "/", ["https://hub.com/"]),
+        # duplicate fetch of hub.com under a tracking param
+        "https://hub.com/?utm_source=feed": _page(
+            "hub.com", "/", ["https://a.com/", "https://b.com/", "/self"]
+        ),
+        # a page robots will forbid
+        "https://a.com/private/x": _page("a.com", "/private/x", []),
+    }
+    warc = b"".join(_rec(uri, html) for uri, html in pages.items())
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "crawl-00000.warc.gz").write_bytes(gzip.compress(warc))
+
+    records = read_warc(spark, str(d / "*.warc.gz")).filter(
+        F.col("warc_type") == "response"
+    )
+    assert records.count() == 5
+
+    docs = records.select(
+        F.col("record_idx").cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.decode("body", "utf-8").alias("html"),
+    ).localCheckpoint()
+
+    # link graph + pagerank: hub.com is linked by both leaves and must
+    # outrank them; intra-site /self never creates an edge
+    edges = web_link_graph(docs.select("url", "html"))
+    named = {(r["src_host"], r["dst_host"]) for r in edges.collect()}
+    assert ("hub.com", "hub.com") not in named
+    ranks = {
+        r["src_host"]: None
+        for r in edges.collect()
+    }
+    pr = G.pagerank(G.normalize_edges(edges.select("src", "dst")))
+    keyed = {r["src"]: r["src_host"] for r in edges.collect()}
+    keyed.update({r["dst"]: r["dst_host"] for r in edges.collect()})
+    by_host = {
+        keyed[r["id"]]: r["rank"] for r in pr.collect() if r["id"] in keyed
+    }
+    assert by_host["hub.com"] > by_host["a.com"]
+    assert by_host["hub.com"] > by_host["b.com"]
+
+    # curation front over the SAME records: robots kills /private/,
+    # URL dedup collapses the tracking-param duplicate, main content
+    # from the html feeds the text stages
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    curated = curate_documents(
+        docs.withColumn("text", main_content_col(F.col("html")))
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("crawl"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .drop("html"),
+        min_quality=0.1,
+        near_dup_threshold=1.01,
+        url_col="url",
+        robots=robots,
+    )
+    urls = {r["doc_id"]: r["url"] for r in docs.collect()}
+    rows = curated.collect()
+    kept = {urls[r["doc_id"]] for r in rows}
+    assert "https://a.com/private/x" not in kept  # robots
+    # exactly one of the two hub.com fetches survives URL dedup
+    assert len([u for u in kept if u.startswith("https://hub.com/")]) == 1
+    assert "https://a.com/" in kept and "https://b.com/" in kept
+    # survivors carry real token counts from the EXTRACTED text (the
+    # output is provenance-shaped; the text itself was asserted above
+    # through main_content_col's own extraction test)
+    for r in rows:
+        assert r["n_tokens"] > 10 and r["quality_score"] >= 0.1
+    extracted = {
+        r["doc_id"]: r["text"]
+        for r in docs.withColumn(
+            "text", main_content_col(F.col("html"))
+        ).collect()
+    }
+    for r in rows:
+        t = extracted[r["doc_id"]]
+        assert "nav" not in t and BODY.split()[0] in t
