@@ -1833,6 +1833,7 @@ def web_link_graph(
     pages: DataFrame,
     url_col: str = "url",
     html_col: str = "html",
+    weighted: bool = False,
 ) -> DataFrame:
     """HOST-level link graph from raw crawled pages — the input
     ``graph.pagerank`` ranks: extract every href, resolve it against
@@ -1844,7 +1845,12 @@ def web_link_graph(
     on longs); the (src, dst, src_host, dst_host) output keeps the
     readable names beside the keys.  Shape: one map-only extract +
     explode pass, then the one distinct shuffle ``normalize_edges``
-    costs anyway."""
+    costs anyway.
+
+    ``weighted=True`` keeps the LINK COUNT per host pair as a ``w``
+    column (same single shuffle — count instead of distinct) for
+    ``graph.pagerank(weight_col='w')``: twenty links endorse more than
+    one."""
     page_host = url_host_col(F.col(url_col))
     links = (
         pages.select(
@@ -1866,8 +1872,13 @@ def web_link_graph(
             & (F.col("dst_host") != "")
             & (F.col("src_host") != F.col("dst_host"))
         )
-        .distinct()
     )
+    if weighted:
+        links = links.groupBy("src_host", "dst_host").agg(
+            F.count(F.lit(1)).cast("long").alias("w")
+        )
+    else:
+        links = links.distinct()
 
     def hkey(c: str) -> F.Column:
         # low 15 hex chars of md5 → a positive 60-bit long key
@@ -1880,6 +1891,7 @@ def web_link_graph(
         hkey("dst_host").alias("dst"),
         "src_host",
         "dst_host",
+        *(["w"] if weighted else []),
     )
 
 

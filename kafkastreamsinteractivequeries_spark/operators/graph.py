@@ -78,6 +78,7 @@ def pagerank(
     iterations: int = 3,
     damping_pct: int = 85,
     scale: int = PAGERANK_SCALE,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-iteration PageRank in integer micro-units.
 
@@ -93,17 +94,35 @@ def pagerank(
     where ``base = scale div n`` is the uniform initial rank.  Returns
     one row per node: ``id, out_deg, in_deg, rank, rank_prev`` (the
     last two iterations — a cheap convergence signal).  All longs.
-    """
+
+    ``weight_col`` names an integer edge-weight column for WEIGHTED
+    PageRank (a host linking another host twenty times endorses it
+    more than once — link COUNTS are the natural weights of a
+    host-level graph): the share becomes
+    ``(rank(u) * w(u→v)) div Σw(u→·)`` — same integer determinism,
+    same join/agg shape, out_deg reported as the weight SUM.  Weights
+    must be positive; keep Σw per node ≪ 2^63/scale (the int64
+    product envelope, same class as the PCA scaling notes)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    if weight_col is None:
+        edges = edges.select(
+            "src", "dst", F.lit(1).cast("long").alias("w")
+        ).localCheckpoint(eager=False)
+    else:
+        edges = edges.select(
+            "src", "dst", F.col(weight_col).cast("long").alias("w")
+        ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = out_degrees(edges)
+    # out_deg is the WEIGHT SUM (== edge count when unweighted)
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").cast("long").alias("out_deg")
+    )
     indeg = in_degrees(edges)
     # 1-row scalar (n, base) broadcast to every node via crossJoin —
     # never a driver-side collect.
@@ -136,12 +155,17 @@ def pagerank(
             edges.join(
                 ranks.filter(F.col("out_deg") > 0).select(
                     F.col("id").alias("src"),
-                    F.expr("rank div out_deg").alias("share"),
+                    "rank",
+                    F.col("out_deg").alias("_ow"),
                 ),
                 "src",
             )
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("share").cast("long").alias("inflow"))
+            .agg(
+                F.sum(F.expr("(rank * w) div _ow"))
+                .cast("long")
+                .alias("inflow")
+            )
         )
         ranks = (
             ranks.join(inflow, "id", "left")

@@ -1013,3 +1013,37 @@ def test_extract_resolve_and_link_graph(spark):
     # the long keys feed pagerank directly
     pr = G.pagerank(G.normalize_edges(edges.select("src", "dst")), iterations=2)
     assert pr.count() == 3 and pr.filter("rank <= 0").count() == 0
+
+
+def test_web_link_graph_weighted(spark):
+    """weighted=True keeps link counts per host pair and feeds
+    pagerank(weight_col='w')."""
+    from kafkastreamsinteractivequeries_spark.operators import graph as G
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        web_link_graph,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/", '<a href="https://b.com/1">1</a>'
+                               '<a href="https://b.com/2">2</a>'
+                               '<a href="https://b.com/3">3</a>'
+                               '<a href="https://c.com/">c</a>'),
+            ("https://b.com/", '<a href="https://a.com/">x</a>'),
+            ("https://c.com/", '<a href="https://a.com/">x</a>'),
+        ],
+        "url string, html string",
+    )
+    e = web_link_graph(pages, weighted=True)
+    w = {(r["src_host"], r["dst_host"]): r["w"] for r in e.collect()}
+    assert w[("a.com", "b.com")] == 3 and w[("a.com", "c.com")] == 1
+    pr = {
+        r["id"]: r["rank"]
+        for r in G.pagerank(
+            e.select("src", "dst", "w"), weight_col="w"
+        ).collect()
+    }
+    keyed = {r["src"]: r["src_host"] for r in e.collect()}
+    keyed.update({r["dst"]: r["dst_host"] for r in e.collect()})
+    by_host = {keyed[i]: v for i, v in pr.items()}
+    assert by_host["b.com"] > by_host["c.com"]  # 3 links beat 1

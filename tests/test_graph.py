@@ -103,3 +103,29 @@ def test_pagerank_rejects_zero_iterations(spark):
     except ValueError:
         return
     raise AssertionError("expected ValueError")
+
+
+def test_weighted_pagerank(spark):
+    """weight_col: shares split by weight ((rank*w) div sum_w); with
+    all-1 weights the result is bit-identical to the unweighted path
+    (the driver-verified semantics), and a heavier edge pulls more
+    rank to its target."""
+    from pyspark.sql import functions as F
+
+    wdf = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 9), (2, 1, 1), (3, 1, 1)],
+        "src long, dst long, w long",
+    )
+    edges = wdf.select("src", "dst")
+    plain = {r["id"]: r["rank"] for r in G.pagerank(edges).collect()}
+    ones = {
+        r["id"]: r["rank"]
+        for r in G.pagerank(
+            wdf.withColumn("w", F.lit(1)), weight_col="w"
+        ).collect()
+    }
+    assert plain == ones  # all-1 weights == unweighted, bit-for-bit
+
+    weighted = {r["id"]: r for r in G.pagerank(wdf, weight_col="w").collect()}
+    assert weighted[3]["rank"] > weighted[2]["rank"]  # the 9x edge wins
+    assert weighted[1]["out_deg"] == 10  # weight SUM reported
