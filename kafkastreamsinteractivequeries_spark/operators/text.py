@@ -2076,3 +2076,86 @@ def html_markup_stats(
         F.floor(micros).cast("long").alias("markup_ratio_micros"),
         clean.alias("text_clean"),
     )
+
+
+def tokenizer_fertility(
+    seg: DataFrame,
+    docs: DataFrame,
+    tokens_col_name: str = "wp_tokens",
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer evaluation — the fertility table every
+    multilingual tokenizer report leads with (e.g. XLM-R/mBERT
+    comparisons): join a segmentation output (id, subword array) back
+    to the corpus and aggregate, per ``by`` group:
+
+    - ``fertility_micro``  — subword tokens per whitespace word ×1e6
+      (integer micro-units: Σtokens·1e6 div Σwords — the fixed-point
+      rule, deterministic under any partitioning);
+    - ``chars_per_token_micro`` — normalized chars per subword ×1e6;
+    - ``cont_permille``    — continuation-piece share (``##…`` or
+      ``<0x…>`` byte-fallback tokens) in permille;
+    - ``unk_permille``     — ``[UNK]`` share in permille (0 under
+      byte fallback by construction).
+
+    High fertility on a language = the vocab underserves it — the
+    signal tokenizer-vocab allocation decisions are made on.  One
+    equi-join on id + one aggregation; the token arrays never shuffle
+    beyond the join."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        normalized_text,
+        tokens_col,
+    )
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(by).alias("grp"),
+        F.size(tokens_col(F.col(text_col))).alias("_words"),
+        F.length(normalized_text(F.col(text_col))).alias("_chars"),
+    ).join(
+        seg.select(F.col(id_col), F.col(tokens_col_name).alias("_toks")),
+        id_col,
+    )
+    n_toks = F.size("_toks")
+    n_cont = F.size(
+        F.filter(
+            F.col("_toks"),
+            lambda t: t.startswith("##") | t.startswith("<0x"),
+        )
+    )
+    n_unk = F.size(F.filter(F.col("_toks"), lambda t: t == "[UNK]"))
+    return (
+        base.groupBy(F.col("grp").alias(by))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(n_toks).cast("long").alias("total_tokens"),
+            F.sum("_words").cast("long").alias("total_words"),
+            F.sum("_chars").cast("long").alias("total_chars"),
+            F.sum(n_cont).cast("long").alias("_cont"),
+            F.sum(n_unk).cast("long").alias("_unk"),
+        )
+        .select(
+            by,
+            "n_docs",
+            "total_tokens",
+            "total_words",
+            F.expr(
+                "CASE WHEN total_words > 0"
+                " THEN (total_tokens * 1000000) div total_words END"
+            ).cast("long").alias("fertility_micro"),
+            F.expr(
+                "CASE WHEN total_tokens > 0"
+                " THEN (total_chars * 1000000) div total_tokens END"
+            ).cast("long").alias("chars_per_token_micro"),
+            F.expr(
+                "CASE WHEN total_tokens > 0"
+                " THEN (1000 * _cont) div total_tokens END"
+            ).cast("long").alias("cont_permille"),
+            F.expr(
+                "CASE WHEN total_tokens > 0"
+                " THEN (1000 * _unk) div total_tokens END"
+            ).cast("long").alias("unk_permille"),
+        )
+    )

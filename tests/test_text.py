@@ -1159,3 +1159,39 @@ def test_main_content_extraction_by_link_density(spark):
     assert "never leak" not in main  # script content removed
     assert "short bit" not in main  # min_chars
     assert out[2] is None
+
+
+def test_tokenizer_fertility(spark):
+    """Fertility table: integer micro-unit tokens/word and chars/token,
+    continuation and UNK shares, per language group."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        tokenizer_fertility,
+        wordpiece_segment_arrow,
+        wordpiece_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaa bbb aaa", "en"),
+            (1, "aaa aaa", "en"),
+            (2, "zzzz yyyy", "xx"),  # vocab will not cover -> UNK-heavy
+        ],
+        "doc_id long, text string, lang string",
+    )
+    vocab = wordpiece_vocab(docs.filter("lang = 'en'"), max_piece_len=2,
+                            top_start=4, top_cont=4)
+    rows = vocab.collect()
+    seg = wordpiece_segment_arrow(
+        docs,
+        [r["piece"] for r in rows if r["is_cont"] == 0],
+        [r["piece"] for r in rows if r["is_cont"] == 1],
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(seg, docs).collect()}
+    en, xx = out["en"], out["xx"]
+    # 'aaa' -> aa ##a (2 pieces), 'bbb' -> bb ##b: 5 words -> 10 tokens
+    assert en["total_words"] == 5 and en["total_tokens"] == 10
+    assert en["fertility_micro"] == 2_000_000
+    assert en["unk_permille"] == 0 and en["cont_permille"] == 500
+    # xx words are whole-word UNK: fertility 1.0, unk 1000
+    assert xx["fertility_micro"] == 1_000_000
+    assert xx["unk_permille"] == 1000
