@@ -2096,12 +2096,14 @@ def robots_allowed(
     (a rule ``/p$`` matches exactly ``/p``); ``*`` wildcards inside
     paths are out of scope and documented (the original REP subset).
 
-    Output: every input URL row + ``allowed int``.  Shape: one
-    equi-join on host (rules are a skinny per-host table — broadcast
-    while it fits, AQE decides) + a ``max_by`` aggregation over each
-    URL's bounded matching-rule set (a map-side-combinable argmax, the
-    line-dedup pattern — deliberately not a window, so one hot host
-    never serializes into one task).  The URL stream is never shuffled
+    Output: one row per DISTINCT (host, path) with ``allowed int``
+    (duplicate URL rows collapse — join the verdict back by key when
+    per-fetch rows are needed).  Shape: one equi-join on host (rules
+    are a skinny per-host table — broadcast while it fits, AQE
+    decides) + a ``max_by`` aggregation over each URL's bounded
+    matching-rule set (a map-side-combinable argmax, the line-dedup
+    pattern — deliberately not a window, so one hot host never
+    serializes into one task).  The URL stream is never shuffled
     beyond the join."""
     anchored = F.col("r_path").endswith("$")
     base = F.when(
