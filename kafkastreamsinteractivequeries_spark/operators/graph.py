@@ -198,3 +198,131 @@ def pagerank(
             "rank_prev",
         )
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Seeded (personalized) PageRank — TrustRank (Gyöngyi et al.,
+    VLDB 2004): the teleport mass lands ONLY on a trusted seed set
+    instead of uniformly, so reputation flows outward from known-good
+    hosts and link farms that no trusted host reaches score ~zero.
+    The corpus-quality prior web pipelines seed from curated domain
+    lists.
+
+    ``seeds``: (id) — each seed gets an equal share of the teleport
+    mass (``(100-damping_pct)·scale div 100 div n_seeds`` micro-units;
+    rank starts as that same distribution).  Same integer arithmetic,
+    join/agg shape, dangling redistribution (dangling mass returns to
+    the SEEDS, per the personalized formulation), and
+    ``localCheckpoint`` barriers as :func:`pagerank`.
+
+    Output: ``id, out_deg, in_deg, rank, rank_prev, is_seed``."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    edges = edges.select("src", "dst", w.alias("w")).localCheckpoint(
+        eager=False
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").cast("long").alias("out_deg")
+    )
+    indeg = in_degrees(edges)
+    seed_ids = seeds.select(F.col("id").cast("long").alias("id")).distinct()
+    # only seeds that exist in the graph receive mass
+    seed_ids = seed_ids.join(nodes, "id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    n_seed_row = seed_ids.agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    ).localCheckpoint(eager=False)
+    teleport_total = (100 - damping_pct) * scale // 100
+    ranks = (
+        nodes.join(deg, "id", "left")
+        .join(seed_ids.select("id", F.lit(1).alias("is_seed")), "id", "left")
+        .crossJoin(F.broadcast(n_seed_row))
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("is_seed", F.lit(0)).cast("int").alias("is_seed"),
+            "ns",
+            F.when(
+                F.col("is_seed") == 1,
+                F.expr(f"CAST({scale} AS BIGINT) div ns"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank"),
+        )
+        .withColumn("rank_prev", F.col("rank"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iterations):
+        dangling = ranks.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dangling")
+        )
+        inflow = (
+            edges.join(
+                ranks.filter(F.col("out_deg") > 0).select(
+                    F.col("id").alias("src"),
+                    "rank",
+                    F.col("out_deg").alias("_ow"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum(F.expr("(rank * w) div _ow"))
+                .cast("long")
+                .alias("inflow")
+            )
+        )
+        ranks = (
+            ranks.join(inflow, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                "out_deg",
+                "is_seed",
+                "ns",
+                (
+                    F.when(
+                        F.col("is_seed") == 1,
+                        F.expr(
+                            f"CAST({teleport_total} AS BIGINT) div ns"
+                            f" + (CAST({damping_pct} AS BIGINT)"
+                            " * (dangling div ns)) div 100"
+                        ),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                    + F.expr(
+                        f"(CAST({damping_pct} AS BIGINT)"
+                        " * coalesce(inflow, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).cast("long").alias("rank"),
+                F.col("rank").alias("rank_prev"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.join(indeg, "id", "left").select(
+        "id",
+        "out_deg",
+        F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        "rank",
+        "rank_prev",
+        "is_seed",
+    )

@@ -129,3 +129,48 @@ def test_weighted_pagerank(spark):
     weighted = {r["id"]: r for r in G.pagerank(wdf, weight_col="w").collect()}
     assert weighted[3]["rank"] > weighted[2]["rank"]  # the 9x edge wins
     assert weighted[1]["out_deg"] == 10  # weight SUM reported
+
+
+def test_trustrank_flows_from_seeds(spark):
+    """TrustRank: teleport lands only on seeds, reputation decays with
+    link distance from them, and a disconnected farm that no trusted
+    host reaches scores zero; Python integer replay pins the exact
+    trajectory."""
+    # seed 1 -> 2 -> 3; farm 10 <-> 11 disconnected from the seed
+    edges_rows = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)]
+    edges = G.normalize_edges(
+        spark.createDataFrame(edges_rows, "src long, dst long")
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r for r in G.trustrank(edges, seeds).collect()}
+    assert out[1]["is_seed"] == 1 and out[2]["is_seed"] == 0
+    assert out[1]["rank"] > 0 and out[2]["rank"] > 0 and out[3]["rank"] > 0
+    assert out[2]["rank"] > out[3]["rank"]  # one hop beats two
+    assert out[10]["rank"] == 0 and out[11]["rank"] == 0  # unreachable farm
+
+    # independent integer replay
+    SCALE, D_, T = 10**12, 85, 3
+    nodes = sorted({s for s, _ in edges_rows} | {d for _, d in edges_rows})
+    outd = {v: 0 for v in nodes}
+    for s, _ in edges_rows:
+        outd[s] += 1
+    ns = 1
+    rank = {v: (SCALE // ns if v == 1 else 0) for v in nodes}
+    tele = (100 - D_) * SCALE // 100
+    for _ in range(T):
+        dang = sum(rank[v] for v in nodes if outd[v] == 0)
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges_rows:
+            inflow[d] += rank[s] // outd[s]
+        rank = {
+            v: (tele // ns + (D_ * (dang // ns)) // 100 if v == 1 else 0)
+            + (D_ * inflow[v]) // 100
+            for v in nodes
+        }
+    for v in nodes:
+        assert out[v]["rank"] == rank[v], (v, out[v]["rank"], rank[v])
+
+    # seeds not present in the graph are ignored (no divide-by-extra)
+    seeds2 = spark.createDataFrame([(1,), (999,)], "id long")
+    out2 = {r["id"]: r["rank"] for r in G.trustrank(edges, seeds2).collect()}
+    assert out2 == {v: r["rank"] for v, r in out.items()}
