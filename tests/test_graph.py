@@ -174,3 +174,70 @@ def test_trustrank_flows_from_seeds(spark):
     seeds2 = spark.createDataFrame([(1,), (999,)], "id long")
     out2 = {r["id"]: r["rank"] for r in G.trustrank(edges, seeds2).collect()}
     assert out2 == {v: r["rank"] for v, r in out.items()}
+
+
+def test_hyperball_harmonic_matches_exact_bfs(spark):
+    """HyperBall harmonic centrality vs exact BFS on a small graph:
+    estimates within HLL small-range accuracy, ordering preserved
+    (the hub everything links to scores highest), radius truncation
+    respected, and the run is partitioning-invariant."""
+    # star into 1 (nodes 2..6 -> 1), chain 7 -> 2, isolated pair 8 -> 9
+    edge_rows = [(2, 1), (3, 1), (4, 1), (5, 1), (6, 1), (7, 2), (8, 9)]
+    edges = spark.createDataFrame(edge_rows, "src long, dst long")
+
+    def exact_harmonic(radius):
+        # reversed reach: d(u, v) over edges u->v
+        import collections
+
+        nodes = sorted({s for s, _ in edge_rows} | {d for _, d in edge_rows})
+        adj_rev = collections.defaultdict(list)  # v <- its in-neighbors
+        for s, d in edge_rows:
+            adj_rev[d].append(s)
+        H = {}
+        for v in nodes:
+            dist = {v: 0}
+            frontier = [v]
+            r = 0
+            while frontier and r < radius:
+                r += 1
+                nxt = []
+                for x in frontier:
+                    for u in adj_rev[x]:
+                        if u not in dist:
+                            dist[u] = r
+                            nxt.append(u)
+                frontier = nxt
+            H[v] = sum(1.0 / d for u, d in dist.items() if d > 0)
+        return H
+
+    want = exact_harmonic(3)
+    for parts in (1, 5):
+        got = {
+            r["id"]: r
+            for r in G.hyperball_harmonic(
+                G.normalize_edges(edges.repartition(parts)), radius=3
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v]["harmonic"] - want[v]) <= max(
+                0.25, 0.2 * want[v]
+            ), (v, got[v]["harmonic"], want[v])
+        # ordering: the hub beats everything else
+        assert got[1]["harmonic"] == max(g["harmonic"] for g in got.values())
+        assert got[8]["harmonic"] == 0.0  # nothing reaches 8
+
+    # determinism across partitionings is exact, not just within error
+    a = {
+        r["id"]: r["harmonic"]
+        for r in G.hyperball_harmonic(
+            G.normalize_edges(edges.repartition(1)), radius=3
+        ).collect()
+    }
+    b = {
+        r["id"]: r["harmonic"]
+        for r in G.hyperball_harmonic(
+            G.normalize_edges(edges.repartition(5)), radius=3
+        ).collect()
+    }
+    assert a == b
