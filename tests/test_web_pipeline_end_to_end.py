@@ -98,6 +98,14 @@ def test_crawl_to_pagerank_and_curation(spark, tmp_path):
     }
     assert by_host["hub.com"] > by_host["a.com"]
     assert by_host["hub.com"] > by_host["b.com"]
+    # harmonic centrality over the same graph agrees on the hub
+    hb = G.hyperball_harmonic(
+        G.normalize_edges(edges.select("src", "dst")), radius=2
+    )
+    h_by_host = {
+        keyed[r["id"]]: r["harmonic"] for r in hb.collect() if r["id"] in keyed
+    }
+    assert h_by_host["hub.com"] == max(h_by_host.values())
 
     # curation front over the SAME records: robots kills /private/,
     # URL dedup collapses the tracking-param duplicate, main content
