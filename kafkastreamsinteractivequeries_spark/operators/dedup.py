@@ -1829,6 +1829,66 @@ def resolve_url_col(base: F.Column, ref: F.Column) -> F.Column:
     )
 
 
+def anchor_text_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """The anchor-text index — what OTHER pages' link text says about a
+    page, the classic incoming relevance signal web search has used
+    since its beginning (anchor text describes the TARGET better than
+    the target describes itself): extract every ``<a href>…</a>`` pair,
+    resolve + canonicalize the target, strip the anchor's inline
+    markup, and aggregate per target URL.
+
+    Output: (canonical_url, anchor_text, n_anchors) — ``anchor_text``
+    is the distinct anchor strings sorted and joined with '\\n'
+    (deterministic under any partitioning; feed it to ``bm25_search``
+    as a document to rank pages by what the web calls them).  Shape:
+    one map-only extract pass + one aggregation on the target URL;
+    self-links are excluded (a page's own nav says nothing about it)."""
+    pat = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
+    raw = pages.select(
+        F.col(url_col).alias("_page"),
+        canonicalize_url_col(F.col(url_col)).alias("_self"),
+        F.explode_outer(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col(html_col), F.lit(pat), 1).alias(
+                    "href"
+                ),
+                F.regexp_extract_all(F.col(html_col), F.lit(pat), 2).alias(
+                    "txt"
+                ),
+            )
+        ).alias("a"),
+    ).filter(F.col("a").isNotNull())
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("a.txt"), r"<[^>]*>", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    resolved = raw.select(
+        "_self",
+        canonicalize_url_col(
+            resolve_url_col(F.col("_page"), F.col("a.href"))
+        ).alias("canonical_url"),
+        text.alias("anchor"),
+    ).filter(
+        (F.col("anchor") != "") & (F.col("canonical_url") != F.col("_self"))
+    )
+    return (
+        resolved.groupBy("canonical_url")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("anchor")), "\n"
+            ).alias("anchor_text"),
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        )
+    )
+
+
 def web_link_graph(
     pages: DataFrame,
     url_col: str = "url",

@@ -1047,3 +1047,33 @@ def test_web_link_graph_weighted(spark):
     keyed.update({r["dst"]: r["dst_host"] for r in e.collect()})
     by_host = {keyed[i]: v for i, v in pr.items()}
     assert by_host["b.com"] > by_host["c.com"]  # 3 links beat 1
+
+
+def test_anchor_text_index(spark):
+    """Anchor text aggregates per canonical target: inline markup
+    stripped, relative targets resolved, tracking-param forms collapse
+    onto one canonical, self-links excluded, text deterministic
+    (sorted distinct)."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        anchor_text_index,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/", '<a href="https://t.com/p">great <b>docs</b></a>'
+                               '<a href="https://a.com/">home</a>'),  # self
+            ("https://b.com/", '<a href="https://t.com/p?utm_source=x">very '
+                               'useful reference</a>'
+                               '<a href="/local">b local</a>'),
+            ("https://c.com/dir/", '<a href="../other">elsewhere</a>'
+                                   '<a href="https://t.com/p">great docs</a>'),
+        ],
+        "url string, html string",
+    )
+    out = {r["canonical_url"]: r for r in anchor_text_index(pages).collect()}
+    t = out["https://t.com/p"]
+    assert t["n_anchors"] == 3
+    # distinct, sorted, markup-stripped
+    assert t["anchor_text"] == "great docs\nvery useful reference"
+    assert "https://a.com/" not in out  # only self-link pointed there
+    assert out["https://b.com/local"]["anchor_text"] == "b local"
