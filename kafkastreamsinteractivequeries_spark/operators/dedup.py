@@ -2327,3 +2327,38 @@ def cdc_chunk_dedup(
             & (F.col("_keep")["chunk_idx"] == F.col("chunk_idx"))
         ).alias("is_first"),
     )
+
+
+def sitemap_urls_col(xml: F.Column) -> F.Column:
+    """All ``<loc>`` URLs of a sitemap.xml / sitemapindex document as a
+    trimmed string array — the crawl-frontier seed source next to
+    robots.txt (sitemaps are referenced FROM robots via ``Sitemap:``
+    lines; both plain urlsets and nested sitemap indexes carry their
+    targets in ``<loc>``).  One ``regexp_extract_all`` pass, CDATA
+    wrappers unwrapped; NULL xml degrades to an empty array."""
+    unwrapped = F.regexp_replace(
+        F.regexp_replace(xml, r"<!\[CDATA\[", ""), r"\]\]>", ""
+    )
+    locs = F.regexp_extract_all(
+        unwrapped, F.lit(r"(?is)<loc>\s*(.*?)\s*</loc>"), 1
+    )
+    return F.coalesce(
+        F.transform(locs, F.trim), F.array().cast("array<string>")
+    )
+
+
+def robots_sitemaps_col(robots_txt: F.Column) -> F.Column:
+    """``Sitemap:`` declarations of a robots.txt as a string array
+    (case-insensitive directive, one per line, comments tolerated) —
+    the hand-off from the robots fetch to sitemap discovery."""
+    return F.coalesce(
+        F.transform(
+            F.regexp_extract_all(
+                robots_txt,
+                F.lit(r"(?im)^\s*sitemap\s*:\s*([^#\r\n]+)"),
+                1,
+            ),
+            F.trim,
+        ),
+        F.array().cast("array<string>"),
+    )

@@ -1077,3 +1077,35 @@ def test_anchor_text_index(spark):
     assert t["anchor_text"] == "great docs\nvery useful reference"
     assert "https://a.com/" not in out  # only self-link pointed there
     assert out["https://b.com/local"]["anchor_text"] == "b local"
+
+
+def test_sitemap_and_robots_sitemap_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        robots_sitemaps_col,
+        sitemap_urls_col,
+    )
+
+    xml = (
+        '<?xml version="1.0"?><urlset><url><loc> https://a.com/1 </loc>'
+        "</url><url><LOC>https://a.com/2</LOC></url>"
+        "<url><loc><![CDATA[https://a.com/3?x=1&amp;y=2]]></loc></url></urlset>"
+    )
+    robots = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.com/sitemap.xml  # main\n"
+        "sitemap:https://a.com/news.xml\n"
+    )
+    df = spark.createDataFrame([(xml, robots), (None, None)], "xml string, rb string")
+    r = df.select(
+        sitemap_urls_col(F.col("xml")).alias("locs"),
+        robots_sitemaps_col(F.col("rb")).alias("maps"),
+    ).collect()
+    assert r[0]["locs"] == [
+        "https://a.com/1", "https://a.com/2", "https://a.com/3?x=1&amp;y=2"
+    ]
+    assert r[0]["maps"] == [
+        "https://a.com/sitemap.xml", "https://a.com/news.xml"
+    ]
+    assert r[1]["locs"] == [] and r[1]["maps"] == []
