@@ -2343,7 +2343,7 @@ def sitemap_urls_col(xml: F.Column) -> F.Column:
         unwrapped, F.lit(r"(?is)<loc>\s*(.*?)\s*</loc>"), 1
     )
     return F.coalesce(
-        F.transform(locs, F.trim), F.array().cast("array<string>")
+        F.transform(locs, lambda x: F.trim(x)), F.array().cast("array<string>")
     )
 
 
@@ -2358,7 +2358,7 @@ def robots_sitemaps_col(robots_txt: F.Column) -> F.Column:
                 F.lit(r"(?im)^\s*sitemap\s*:\s*([^#\r\n]+)"),
                 1,
             ),
-            F.trim,
+            lambda x: F.trim(x),
         ),
         F.array().cast("array<string>"),
     )
