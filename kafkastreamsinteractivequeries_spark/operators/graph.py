@@ -416,3 +416,77 @@ def hyperball_harmonic(
         F.round(F.col("_prev"), 6).alias("reach_est"),
         F.round("harmonic", 6).alias("harmonic"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    norm_target: int = 1 << 20,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) in fixed-point
+    integers — the complement to PageRank for query-dependent link
+    analysis: a good AUTHORITY is pointed to by good hubs
+    (``a = Eᵀh``), a good HUB points to good authorities (``h = Ea``).
+    Per iteration each vector is rescaled to max-norm ``norm_target``
+    by integer floor division (the PCA/power-iteration pattern — L2
+    would need a sqrt; the RANKING is the result), so the trajectory
+    is bit-deterministic across engines and partitionings.
+
+    Shape: two edge⋈vector equi-joins + two aggregations per
+    iteration over skinny (id, score) tables, ``localCheckpoint``
+    barriers throughout — the pagerank cost model.  Output:
+    (id, hub, authority) longs."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hv = nodes.select("id", F.lit(norm_target).cast("long").alias("h"))
+    av = nodes.select("id", F.lit(norm_target).cast("long").alias("a"))
+
+    def rescale(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(F.max(F.abs(col)).alias("m"))
+        return (
+            df.crossJoin(F.broadcast(m))
+            .select(
+                "id",
+                F.when(F.col("m") == 0, F.col(col))
+                .otherwise(
+                    F.floor(F.col(col) * norm_target / F.col("m"))
+                )
+                .cast("long")
+                .alias(col),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    for _ in range(iterations):
+        a_new = (
+            edges.join(hv.select(F.col("id").alias("src"), "h"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("a"))
+        )
+        av = rescale(
+            nodes.join(a_new, "id", "left").select(
+                "id", F.coalesce("a", F.lit(0)).cast("long").alias("a")
+            ),
+            "a",
+        )
+        h_new = (
+            edges.join(av.select(F.col("id").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hv = rescale(
+            nodes.join(h_new, "id", "left").select(
+                "id", F.coalesce("h", F.lit(0)).cast("long").alias("h")
+            ),
+            "h",
+        )
+    return hv.join(av, "id").select(
+        "id", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )

@@ -241,3 +241,53 @@ def test_hyperball_harmonic_matches_exact_bfs(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_hits_hubs_and_authorities(spark):
+    """HITS: an integer-trajectory replay pins the exact values; the
+    page everything links to is the top authority, the page linking to
+    everything is the top hub, and runs are partitioning-invariant."""
+    # 1 and 2 are hubs pointing at authorities 10, 11; 1 also hits 12
+    edge_rows = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 1)]
+    edges = spark.createDataFrame(edge_rows, "src long, dst long")
+
+    NT, T = 1 << 20, 3
+    nodes = sorted({s for s, _ in edge_rows} | {d for _, d in edge_rows})
+    h = {v: NT for v in nodes}
+    a = {v: NT for v in nodes}
+
+    def rescale(d):
+        m = max(abs(x) for x in d.values())
+        return d if m == 0 else {k: (v * NT) // m for k, v in d.items()}
+
+    import math
+
+    def rescale_floor(d):
+        m = max(abs(x) for x in d.values())
+        return d if m == 0 else {
+            k: math.floor(v * NT / m) for k, v in d.items()
+        }
+
+    for _ in range(T):
+        a = rescale_floor(
+            {v: sum(h[s] for s, d in edge_rows if d == v) for v in nodes}
+        )
+        h = rescale_floor(
+            {v: sum(a[d] for s, d in edge_rows if s == v) for v in nodes}
+        )
+
+    for parts in (1, 7):
+        got = {
+            r["id"]: r
+            for r in G.hits(
+                G.normalize_edges(edges.repartition(parts)), iterations=T
+            ).collect()
+        }
+        for v in nodes:
+            assert got[v]["hub"] == h[v], (parts, v)
+            assert got[v]["authority"] == a[v], (parts, v)
+        hubs = {v: got[v]["hub"] for v in nodes}
+        auths = {v: got[v]["authority"] for v in nodes}
+        assert max(hubs, key=hubs.get) == 1      # links to all three
+        assert auths[10] == max(auths.values())  # two hubs point at 10
+        assert auths[10] == auths[11] and auths[10] > auths[12]
