@@ -490,3 +490,46 @@ def hits(
     return hv.join(av, "id").select(
         "id", F.col("h").alias("hub"), F.col("a").alias("authority")
     )
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row graph datasheet over a normalized edge list: node/edge
+    counts, degree extremes, dangling share, and RECIPROCITY (the
+    fraction of edges whose reverse also exists — web graphs sit near
+    0.2-0.3; a near-1.0 host graph suggests link rings).  Reciprocity
+    is one self-join on the reversed key; everything else folds into
+    two aggregates over skinny tables."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outd = out_degrees(edges)
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    recip = edges.join(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ),
+        ["src", "dst"],
+        "left_semi",
+    ).count()
+    degs = outd.agg(
+        F.max("out_deg").alias("max_out"),
+        F.count(F.lit(1)).alias("n_with_out"),
+    ).collect()[0]
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_nodes,
+                n_edges,
+                int(degs["max_out"] or 0),
+                n_nodes - int(degs["n_with_out"]),
+                (1000 * recip) // n_edges if n_edges else 0,
+            )
+        ],
+        "n_nodes long, n_edges long, max_out_degree long, "
+        "n_dangling long, reciprocity_permille long",
+    )

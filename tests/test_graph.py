@@ -291,3 +291,15 @@ def test_hits_hubs_and_authorities(spark):
         assert max(hubs, key=hubs.get) == 1      # links to all three
         assert auths[10] == max(auths.values())  # two hubs point at 10
         assert auths[10] == auths[11] and auths[10] > auths[12]
+
+
+def test_graph_summary(spark):
+    edge_rows = [(1, 2), (2, 1), (1, 3), (3, 4), (5, 1)]
+    edges = G.normalize_edges(
+        spark.createDataFrame(edge_rows, "src long, dst long")
+    )
+    row = G.graph_summary(edges).collect()[0]
+    assert row["n_nodes"] == 5 and row["n_edges"] == 5
+    assert row["max_out_degree"] == 2  # node 1
+    assert row["n_dangling"] == 1  # node 4
+    assert row["reciprocity_permille"] == 1000 * 2 // 5  # the 1<->2 pair
