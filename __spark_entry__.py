@@ -813,7 +813,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         )
-        urls = D.url_dedup(docs.select("doc_id", url.alias("url"))).select(
+        # One pinned canonical table feeds BOTH the 'url' and 'host'
+        # branches (the x13 shared-scan contract): canonicalization is
+        # the expensive regex chain — run it once, aggregate twice.
+        canon = (
+            docs.select("doc_id", url.alias("url"))
+            .select(
+                "doc_id",
+                "url",
+                D.canonicalize_url_col(F.col("url")).alias("canonical_url"),
+                D.url_host_col(F.col("url")).alias("host"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        urls = D.url_dedup(canon, canonical_col="canonical_url").select(
             F.lit("url").alias("variant"),
             "doc_id",
             F.col("canonical_url").alias("text"),
@@ -827,9 +840,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer, so the hash verifies extraction, the distinct-URL
         # aggregation, AND the decision itself.
         hosts = D.host_gate(
-            docs.select("doc_id", url.alias("url")),
+            canon,
             max_docs_per_host=12,
             max_dup_permille=700,
+            host_col="host",
+            canonical_col="canonical_url",
         ).select(
             F.lit("host").alias("variant"),
             F.col("first_id").alias("doc_id"),
@@ -1866,13 +1881,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _m1(s: SparkSession, d: str) -> DataFrame:
         base = M.asset_manifest_full(_assets(s, d))
         docs = _docs(s, d)
-        jm = M.jpeg_manifest(M.jpeg_assets_from_documents(docs))
+        # The format parses are interpreted HOF folds evaluated per row;
+        # the raw parquet layout puts all sf0.1 ids in 1-2 partitions,
+        # so one task serializes each family's folds (a measured 7+1/8
+        # straggler).  A bare repartition of the id column spreads the
+        # folds — the shuffle moves 5k longs per family, trivial; a
+        # localCheckpoint pin was measured SLOWER (materialization per
+        # action beat the straggler it removed).
+        ids = docs.select("doc_id").repartition(8)
+        jm = M.jpeg_manifest(M.jpeg_assets_from_documents(ids))
         # gif87a/gif89a ⊕ bmp/bmp_topdown: the LITTLE-endian formats —
         # dims parsed with the byte-swap substring technique, top-down
         # BMPs (negative stored height) normalized to (abs, flag), all
         # of it visible in media_type so the hash verifies the parse.
         gb = M.gif_bmp_manifest(
-            M.gif_assets_from_documents(docs), M.bmp_assets_from_documents(docs)
+            M.gif_assets_from_documents(ids), M.bmp_assets_from_documents(ids)
         )
         # webp_vp8/vp8l/vp8x ⊕ tiff_le/tiff_be: the RIFF-image chunk
         # walk (decode_wav generalized) and the endian-tagged IFD walk
@@ -1880,8 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampled ids (%5) bound m1's per-format cost (the hash
         # verifies the parse logic, not the row count).
         wt = M.webp_tiff_manifest(
-            M.webp_assets_from_documents(docs),
-            M.tiff_assets_from_documents(docs),
+            M.webp_assets_from_documents(ids),
+            M.tiff_assets_from_documents(ids),
         )
         # mp3 ⊕ flac (sampled ids %5 = 2/3): the compressed-audio
         # header walks — ID3v2 syncsafe skip + ISO 11172-3 table
@@ -1889,8 +1912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 20/3/5/36-bit STREAMINFO unpack for FLAC; all integer Column
         # arithmetic, checksums over oracle-replayed bytes.
         mf = M.mp3_flac_manifest(
-            M.mp3_assets_from_documents(docs),
-            M.flac_assets_from_documents(docs),
+            M.mp3_assets_from_documents(ids),
+            M.flac_assets_from_documents(ids),
         )
         nul = F.lit(None)
 

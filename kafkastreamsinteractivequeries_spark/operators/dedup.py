@@ -1373,7 +1373,10 @@ def canonicalize_url_col(col: F.Column) -> F.Column:
 
 
 def url_dedup(
-    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    canonical_col: str | None = None,
 ) -> DataFrame:
     """URL-level first-occurrence dedup — the stage C4/RefinedWeb run
     BEFORE any text dedup (two fetches of one canonical URL are the
@@ -1386,11 +1389,20 @@ def url_dedup(
     Scale shape: canonicalization is a map-only Column chain; the
     keeper is a min-struct AGGREGATE on the canonical string (map-side
     partial min — a hot URL costs one partial row per map task, the
-    ``line_dedup`` argmin pattern, never a window funnel)."""
+    ``line_dedup`` argmin pattern, never a window funnel).
+
+    ``canonical_col`` names an ALREADY-canonicalized column to reuse —
+    the shared-scan contract for pipelines that also run
+    ``host_stats``/``host_gate`` over the same URLs (canonicalize
+    once, aggregate twice)."""
     canon = docs.select(
         F.col(id_col),
         F.col(url_col).alias("url"),
-        canonicalize_url_col(F.col(url_col)).alias("canonical_url"),
+        (
+            F.col(canonical_col)
+            if canonical_col is not None
+            else canonicalize_url_col(F.col(url_col))
+        ).alias("canonical_url"),
     )
     return (
         canon.groupBy("canonical_url")
@@ -1716,7 +1728,11 @@ def url_path_col(col: F.Column) -> F.Column:
 
 
 def host_stats(
-    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    host_col: str | None = None,
+    canonical_col: str | None = None,
 ) -> DataFrame:
     """Per-host crawl statistics — the aggregation behind RefinedWeb-
     style host/domain filtering (arXiv:2306.01116 §3.1 filters by URL
@@ -1730,11 +1746,22 @@ def host_stats(
     plans count-distinct as a two-phase expand — partial per map task,
     so one hot host never funnels raw rows to one reducer), and the
     first-doc keeper rides the same aggregate as a min-struct.
-    Output: (host, n_docs, n_urls, dup_permille, first_id)."""
+    Output: (host, n_docs, n_urls, dup_permille, first_id).
+
+    ``host_col``/``canonical_col`` name ALREADY-extracted columns to
+    reuse (the ``url_dedup`` shared-scan contract)."""
     canon = docs.select(
         F.col(id_col),
-        url_host_col(F.col(url_col)).alias("host"),
-        canonicalize_url_col(F.col(url_col)).alias("canonical_url"),
+        (
+            F.col(host_col)
+            if host_col is not None
+            else url_host_col(F.col(url_col))
+        ).alias("host"),
+        (
+            F.col(canonical_col)
+            if canonical_col is not None
+            else canonicalize_url_col(F.col(url_col))
+        ).alias("canonical_url"),
     )
     return (
         canon.groupBy("host")
@@ -1761,6 +1788,8 @@ def host_gate(
     max_dup_permille: int = 700,
     url_col: str = "url",
     id_col: str = "doc_id",
+    host_col: str | None = None,
+    canonical_col: str | None = None,
 ) -> DataFrame:
     """Host-level keep/block decisions — the gate web pipelines apply
     BEFORE fetch-level text processing: a host is blocked when it
@@ -1773,7 +1802,7 @@ def host_gate(
     Returns ``host_stats`` plus a ``blocked`` int (1 = drop every doc
     of this host).  Apply with a broadcast semi/anti join of the doc
     table against the (skinny, one-row-per-host) decision table."""
-    hs = host_stats(docs, url_col, id_col)
+    hs = host_stats(docs, url_col, id_col, host_col, canonical_col)
     return hs.select(
         "*",
         F.when(
@@ -2153,8 +2182,15 @@ def robots_allowed(
     the LONGEST matching rule wins; on a length tie ``Allow`` wins (the
     RFC 9309 precedence); no matching rule (or no rules for the host)
     means allowed.  Matching is prefix-based with the ``$`` end anchor
-    (a rule ``/p$`` matches exactly ``/p``); ``*`` wildcards inside
-    paths are out of scope and documented (the original REP subset).
+    (a rule ``/p$`` matches exactly ``/p``) and full RFC 9309 ``*``
+    wildcards (``*`` matches any byte run, so ``/*?sessionid`` blocks
+    every path carrying that query fragment).  Wildcards compile to a
+    SQL ``LIKE`` pattern Column-side — ``%``/``_``/``\\`` in the rule
+    are escaped, ``*`` becomes ``%``, and non-anchored rules get a
+    trailing ``%`` for the prefix semantics — so evaluation stays a
+    whole-stage-codegen string match, never a Python regex.  Rule
+    precedence length is the raw rule-path length (octet count, the
+    RFC 9309 / Googlebot convention — wildcards count as one octet).
 
     Output: one row per DISTINCT (host, path) with ``allowed int``
     (duplicate URL rows collapse — join the verdict back by key when
@@ -2169,6 +2205,14 @@ def robots_allowed(
     base = F.when(
         anchored, F.expr("substring(r_path, 1, length(r_path) - 1)")
     ).otherwise(F.col("r_path"))
+    # Compile the rule path to a LIKE pattern: escape LIKE specials
+    # (default escape char is backslash), then '*' -> '%'.  Anchored
+    # rules must match the WHOLE path; others match any prefix (the
+    # trailing '%').  LIKE's greedy '%' implements exactly the RFC's
+    # "matches if any wildcard expansion does".
+    patt = F.regexp_replace(
+        F.regexp_replace(base, r"([%_\\])", r"\\$1"), r"\*", "%"
+    )
     matches = (
         urls.select(
             F.col(host_col).alias("host"), F.col(path_col).alias("path")
@@ -2185,8 +2229,10 @@ def robots_allowed(
             F.when(
                 F.col("r_path").isNull(), F.lit(None)
             ).when(
-                anchored, F.col("path") == base
-            ).otherwise(F.col("path").startswith(base)),
+                anchored, F.like(F.col("path"), patt)
+            ).otherwise(
+                F.like(F.col("path"), F.concat(patt, F.lit("%")))
+            ),
         )
     )
     return (

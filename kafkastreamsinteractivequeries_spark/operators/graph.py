@@ -435,7 +435,16 @@ def hits(
     Shape: two edge⋈vector equi-joins + two aggregations per
     iteration over skinny (id, score) tables, ``localCheckpoint``
     barriers throughout — the pagerank cost model.  Output:
-    (id, hub, authority) longs."""
+    (id, hub, authority) longs.
+
+    int64 envelope (the pagerank weight-note discipline): post-rescale
+    scores are ≤ norm_target = 2^20, so a summed score is
+    ≤ 2^20·max_in_degree and the rescale product score·norm_target is
+    ≤ 2^40·max_in_degree — EXACT integer arithmetic up to
+    max in-degree < 2^23 (~8M in-edges on one node), past which the
+    bigint product wraps.  The rescale is a pure-integer ``div`` (no
+    double division), so there is no 2^53 precision cliff below that
+    wrap point."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     edges = edges.select("src", "dst").localCheckpoint(eager=False)
@@ -449,6 +458,10 @@ def hits(
     av = nodes.select("id", F.lit(norm_target).cast("long").alias("a"))
 
     def rescale(df: DataFrame, col: str) -> DataFrame:
+        # Pure-integer rescale: scores are non-negative sums, so
+        # truncating `div` IS floor division; the double-division form
+        # (score * NT / m) would lose exactness past 2^53 (see the
+        # envelope note above).
         m = df.agg(F.max(F.abs(col)).alias("m"))
         return (
             df.crossJoin(F.broadcast(m))
@@ -456,7 +469,7 @@ def hits(
                 "id",
                 F.when(F.col("m") == 0, F.col(col))
                 .otherwise(
-                    F.floor(F.col(col) * norm_target / F.col("m"))
+                    F.expr(f"(cast({col} as bigint) * {norm_target}L) div m")
                 )
                 .cast("long")
                 .alias(col),
@@ -498,38 +511,42 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     fraction of edges whose reverse also exists — web graphs sit near
     0.2-0.3; a near-1.0 host graph suggests link rings).  Reciprocity
     is one self-join on the reversed key; everything else folds into
-    two aggregates over skinny tables."""
+    single-row aggregates cross-joined into ONE plan — zero driver
+    actions (the caller's collect is the only action), so the pattern
+    is safe to copy into hotter code."""
     edges = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    outd = out_degrees(edges)
-    n_nodes = nodes.count()
-    n_edges = edges.count()
-    recip = edges.join(
+    node_agg = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edge_agg = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    deg_agg = out_degrees(edges).agg(
+        F.coalesce(F.max("out_deg"), F.lit(0)).alias("max_out_degree"),
+        F.count(F.lit(1)).alias("_n_with_out"),
+    )
+    recip_agg = edges.join(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         ),
         ["src", "dst"],
         "left_semi",
-    ).count()
-    degs = outd.agg(
-        F.max("out_deg").alias("max_out"),
-        F.count(F.lit(1)).alias("n_with_out"),
-    ).collect()[0]
-    spark = edges.sparkSession
-    return spark.createDataFrame(
-        [
-            (
-                n_nodes,
-                n_edges,
-                int(degs["max_out"] or 0),
-                n_nodes - int(degs["n_with_out"]),
-                (1000 * recip) // n_edges if n_edges else 0,
-            )
-        ],
-        "n_nodes long, n_edges long, max_out_degree long, "
-        "n_dangling long, reciprocity_permille long",
+    ).agg(F.count(F.lit(1)).alias("_recip"))
+    return (
+        node_agg.crossJoin(F.broadcast(edge_agg))
+        .crossJoin(F.broadcast(deg_agg))
+        .crossJoin(F.broadcast(recip_agg))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("max_out_degree").cast("long").alias("max_out_degree"),
+            (F.col("n_nodes") - F.col("_n_with_out"))
+            .cast("long")
+            .alias("n_dangling"),
+            F.when(F.col("n_edges") == 0, F.lit(0))
+            .otherwise(F.expr("(1000 * _recip) div n_edges"))
+            .cast("long")
+            .alias("reciprocity_permille"),
+        )
     )

@@ -421,7 +421,10 @@ def mg_heavy_hitters(
     )
 
     def summarize(batches):
-        counters: dict[tuple, int] = {}
+        # dict-of-dicts keyed by group: the MG overflow decrement
+        # touches only that group's <= k counters — O(items x k), not
+        # O(items x k x n_groups) (a full-counter scan per miss).
+        counters: dict[str, dict[str, int]] = {}
         for pdf in batches:
             groups = (
                 pdf[group_col].astype(str)
@@ -429,28 +432,27 @@ def mg_heavy_hitters(
                 else pd.Series(["_"] * len(pdf))
             )
             for g, item in zip(groups, pdf[col].astype(str)):
-                key = (g, item)
-                if key in counters:
-                    counters[key] += 1
+                grp = counters.setdefault(g, {})
+                if item in grp:
+                    grp[item] += 1
+                elif len(grp) < k:
+                    grp[item] = 1
                 else:
-                    same_group = [kk for kk in counters if kk[0] == g]
-                    if len(same_group) < k:
-                        counters[key] = 1
-                    else:
-                        dead = []
-                        for kk in same_group:
-                            counters[kk] -= 1
-                            if counters[kk] == 0:
-                                dead.append(kk)
-                        for kk in dead:
-                            del counters[kk]
+                    dead = []
+                    for it in grp:
+                        grp[it] -= 1
+                        if grp[it] == 0:
+                            dead.append(it)
+                    for it in dead:
+                        del grp[it]
         rows = [
             {
                 **({group_col: g} if group_col else {}),
                 "item": item,
                 "partial": c,
             }
-            for (g, item), c in counters.items()
+            for g, grp in counters.items()
+            for item, c in grp.items()
         ]
         cols = ([group_col] if group_col else []) + ["item", "partial"]
         yield pd.DataFrame(rows, columns=cols)

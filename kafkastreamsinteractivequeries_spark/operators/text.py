@@ -2187,7 +2187,10 @@ def decode_crawl_bytes(
     charset) where charset is the one actually used."""
     import codecs
 
-    schema = f"{id_col} long, text string, charset string"
+    # Derive the id type from the input (the wordpiece_segment_arrow
+    # convention) — hardcoding `long` breaks string/int doc ids.
+    id_type = dict(pages.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, text string, charset string"
     alias = {
         "latin-1": "cp1252", "latin1": "cp1252", "iso-8859-1": "cp1252",
         "windows-1252": "cp1252", "us-ascii": "cp1252",

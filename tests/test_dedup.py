@@ -928,6 +928,64 @@ def test_robots_rules_and_evaluation(spark):
     assert v2[("a.com", "/open")] == 0
 
 
+def test_robots_wildcard_rules(spark):
+    """RFC 9309 '*' wildcards: '/*?sessionid' blocks any path carrying
+    the fragment, '/fish*.php' needs both segments in order, '*' + '$'
+    compose, LIKE specials (%/_) in real paths stay literal, and the
+    longest-rule precedence still counts raw rule octets."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*?sessionid\n"
+        "Disallow: /fish*.php\n"
+        "Disallow: /static/*.map$\n"
+        "Allow: /fish*public*.php\n"
+        "Disallow: /pct%2F\n"
+        "Disallow: /under_score\n"
+    )
+    robots = spark.createDataFrame(
+        [("w.com", txt)], "host string, robots_txt string"
+    )
+    rules = robots_rules(robots, agent="anybot")
+    urls = spark.createDataFrame(
+        [
+            ("w.com", "/page?sessionid=abc"),        # /*?sessionid
+            ("w.com", "/a/b/c?sessionid=1&x=2"),     # deep path, still hit
+            ("w.com", "/page?other=1"),              # no fragment -> allowed
+            ("w.com", "/fishery/run.php"),           # /fish*.php
+            ("w.com", "/fish.html"),                 # .php missing -> allowed
+            ("w.com", "/fish/public/x.php"),         # Allow (longer rule) wins
+            ("w.com", "/static/app.js.map"),         # anchored wildcard
+            ("w.com", "/static/app.js.map2"),        # $ rejects the suffix
+            ("w.com", "/pct%2Fx"),                   # literal % in rule+path
+            ("w.com", "/pctX2Fx"),                   # % must NOT wildcard
+            ("w.com", "/under_score/y"),             # literal _ in rule+path
+            ("w.com", "/underXscore/y"),             # _ must NOT wildcard
+        ],
+        "host string, path string",
+    )
+    got = {
+        r["path"]: r["allowed"]
+        for r in robots_allowed(urls, rules).collect()
+    }
+    assert got["/page?sessionid=abc"] == 0
+    assert got["/a/b/c?sessionid=1&x=2"] == 0
+    assert got["/page?other=1"] == 1
+    assert got["/fishery/run.php"] == 0
+    assert got["/fish.html"] == 1
+    assert got["/fish/public/x.php"] == 1
+    assert got["/static/app.js.map"] == 0
+    assert got["/static/app.js.map2"] == 1
+    assert got["/pct%2Fx"] == 0
+    assert got["/pctX2Fx"] == 1
+    assert got["/under_score/y"] == 0
+    assert got["/underXscore/y"] == 1
+
+
 def test_host_stats_incremental_equals_one_shot(spark):
     """Two half-batches merged through the landed-stats + seen-pairs
     state equal one-shot host_stats row-for-row (the mergeable-state

@@ -257,22 +257,17 @@ def test_hits_hubs_and_authorities(spark):
     a = {v: NT for v in nodes}
 
     def rescale(d):
+        # Pure-integer reference (scores are non-negative, so // is
+        # floor): mirrors the engine's `(score * NT) div m` exactly —
+        # no float division, no 2^53 cliff.
         m = max(abs(x) for x in d.values())
         return d if m == 0 else {k: (v * NT) // m for k, v in d.items()}
 
-    import math
-
-    def rescale_floor(d):
-        m = max(abs(x) for x in d.values())
-        return d if m == 0 else {
-            k: math.floor(v * NT / m) for k, v in d.items()
-        }
-
     for _ in range(T):
-        a = rescale_floor(
+        a = rescale(
             {v: sum(h[s] for s, d in edge_rows if d == v) for v in nodes}
         )
-        h = rescale_floor(
+        h = rescale(
             {v: sum(a[d] for s, d in edge_rows if s == v) for v in nodes}
         )
 

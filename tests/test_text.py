@@ -1233,3 +1233,11 @@ def test_decode_crawl_bytes_detection_ladder(spark):
     # row 6 starts with bad bytes but NOT a BOM at position 0? It IS
     # "bad " first — so utf-8 with replacement characters, no error
     assert out[6]["charset"] == "utf-8" and "�" in out[6]["text"]
+
+    # string doc ids: the output schema must derive the id type from
+    # the input (WARC record ids are strings), not hardcode long
+    spages = spark.createDataFrame(
+        [("urn:uuid:1", bytearray(b"abc"))], "doc_id string, body binary"
+    )
+    srow = decode_crawl_bytes(spages).collect()[0]
+    assert srow["doc_id"] == "urn:uuid:1" and srow["text"] == "abc"
