@@ -9,6 +9,14 @@
 of the session excluded via a trivial action first).  Each query is
 executed to completion with a count() + a bounded collect so results
 materialize but the driver isn't flooded.
+
+``--all`` times EVERY ``queries()`` key (metric
+``all_queries_total_wall_clock``) instead of the frozen 26-key
+headline set, and adds branch sub-timings for the heavyweight tagged
+unions (a11's TPC-H branches, x6's gate branches).  The headline set
+stays frozen for r1-baseline comparability; the full sweep is the
+regression tracker for the other keys — capture a row into
+BENCH_NOTES.md per round.
 """
 
 from __future__ import annotations
@@ -79,10 +87,24 @@ BRANCHES: dict[str, list[str]] = {
     "x13_decontamination": ["exact", "bloom", "fuzzy"],
     "p2_packing_chunking": ["pack", "chunk", "nostraddle"],
     "a6_asof_purchase_click": ["bwd", "fwd", "bwdtol"],
-    "d1_exact_dedup": ["dedup", "groups", "incremental", "ids"],
+    "d1_exact_dedup": ["dedup", "groups", "incremental", "ids", "url", "host"],
     "t5_stock_aggregation": ["agg", "daily", "rolled", "hllmerge"],
     "x4_winnowing_fingerprint": [
         "docmin", "full", "dupspan", "dupfrac", "trimmed", "linededup", "cdc",
+    ],
+}
+
+# Extra branch sub-timings captured only under --all: the heavyweight
+# unions outside the frozen headline set.
+ALL_BRANCHES: dict[str, list[str]] = {
+    "a11_revenue_kpis": [
+        "promo_ratio", "disjunctive", "q21", "q22cnt", "q22bal", "q17",
+        "q15", "q6", "q7", "q8", "q9", "q13", "q18", "q2", "q11", "q16",
+        "q20",
+    ],
+    "x6_quality_gates": [
+        "length", "constraint", "skew", "salted", "dsir", "qlrw", "qlr",
+        "gopher", "blocklist", "gate", "html", "mojibake", "nfc",
     ],
 }
 
@@ -123,6 +145,7 @@ def wait_for_quiet_host(max_wait_sec: float) -> dict:
 
 
 def main() -> None:
+    run_all = "--all" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     load_guard = wait_for_quiet_host(
@@ -133,6 +156,10 @@ def main() -> None:
 
     queries = entry_mod.queries()
     names = [n for n in HEADLINE if n in queries]
+    if run_all:
+        # headline order first (comparable sub-sequence), then every
+        # remaining key in sorted order
+        names = names + sorted(set(queries) - set(names))
     # Warm-up: run every headline query once AT THE TARGET SCALE first,
     # so JIT / whole-stage-codegen compilation (which is per plan shape,
     # and AQE picks different shapes at different scales), Python worker
@@ -188,7 +215,10 @@ def main() -> None:
     # instead, where Catalyst's constant-fold + empty-relation pruning
     # actually isolates the branch under test.
     branch_source = {"s1_knn": entry_mod.knn_union}
-    for name, tags in BRANCHES.items():
+    branch_specs = dict(BRANCHES)
+    if run_all:
+        branch_specs.update(ALL_BRANCHES)
+    for name, tags in branch_specs.items():
         if name not in names:
             continue
         branches[name] = {}
@@ -209,7 +239,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall_clock",
+                "metric": (
+                    "all_queries_total_wall_clock"
+                    if run_all
+                    else "headline_queries_total_wall_clock"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
