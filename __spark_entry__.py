@@ -1624,12 +1624,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("long").alias("rank"),
             F.lit(-1.0).alias("share"),
         )
+        # 'uvocab' ⊕ 'unigram' — the SentencePiece-family unigram LM
+        # beside BPE and WordPiece (the third major tokenizer family,
+        # the one Llama-class pipelines train): seed-substring vocab →
+        # one hard-EM round (Viterbi E step over distinct words, usage
+        # recount + prune M step) with costs in exact HALF-BIT fixed
+        # point (floor(2·log2 n) via integer bit-length — never libm),
+        # then min-cost Viterbi segmentation of every doc through the
+        # production Arrow encoder.  The oracle replays the ENTIRE
+        # trajectory: seed counts, both Viterbi passes as unrolled
+        # 16-stage DPs with the (cost, n_pieces, path) total order,
+        # the usage recount, and the final vocab.
+        uvoc = T.unigram_lm_train(docs, max_piece_len=4, top_k=40)
+        uvocab = s.createDataFrame(
+            uvoc, "piece string, cnt long, cost long, urank long"
+        ).select(
+            F.lit("uvocab").alias("variant"),
+            F.col("piece").alias("term"),
+            F.col("cnt").alias("n"),
+            F.col("urank").alias("rank"),
+            F.col("cost").cast("double").alias("share"),
+        )
+        useg = T.unigram_segment_arrow(nonempty, uvoc, max_piece_len=4).select(
+            F.lit("unigram").alias("variant"),
+            F.concat_ws(" ", "u_tokens").alias("term"),
+            F.col("n_u_tokens").cast("long").alias("n"),
+            F.col("doc_id").cast("long").alias("rank"),
+            F.lit(-1.0).alias("share"),
+        )
         return (
             vocab.unionByName(bpe)
             .unionByName(seg)
             .unionByName(sega)
             .unionByName(wpvocab)
             .unionByName(wp)
+            .unionByName(uvocab)
+            .unionByName(useg)
         )
 
     q["x11_vocab_bpe"] = _x11
@@ -5089,6 +5119,123 @@ UNION ALL SELECT * FROM rrftop
         f"CAST({t_i} AS BIGINT) AS rank, -1.0 AS share FROM best{t_i}"
         for t_i in range(1, bpe_rounds + 1)
     )
+
+    # ---- unigram-LM trajectory replay (text.unigram_lm_train +
+    # unigram_segment_arrow): seed substring counts → half-bit costs
+    # (floor(2·log2 n) = length(bin(n*n)) - 1, exact integer — the
+    # Python side uses bit_length, bit-identical) → Viterbi over the
+    # distinct-word table as an UNROLLED 16-stage DP (corpus max word
+    # length is 8 at every SF; 2× headroom) with the (cost, n_pieces,
+    # path-joined-with-chr(1)) total order → usage recount + prune →
+    # final vocab → second DP under the final costs → per-doc
+    # reassembly.  BIGINT squaring is exact below piece totals of
+    # 2^31.5 (document envelope; switch to HUGEINT past it). ----
+    _UNI_L, _UNI_TOPK, _UNI_STAGES = 4, 40, 16
+
+    def _uni_dp(pfx: str, vocab: str) -> str:
+        parts = [f"""{pfx}cand AS MATERIALIZED (
+  SELECT x.w, x.p, v.piece, v.cost, len(v.piece) AS pl
+  FROM (SELECT w, p FROM wpw,
+        unnest(generate_series(1, len(w))) AS gp(p)) x
+  JOIN {vocab} v ON substr(x.w, x.p, len(v.piece)) = v.piece
+), {pfx}b0 AS (
+  SELECT w, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS path FROM wpw
+)"""]
+        for p in range(1, _UNI_STAGES + 1):
+            steps = "\n      UNION ALL\n      ".join(
+                f"""SELECT b.w, b.cost + c.cost AS cost, b.np + 1 AS np,
+             CASE WHEN b.path = '' THEN c.piece
+                  ELSE b.path || chr(1) || c.piece END AS path
+      FROM {pfx}b{p - l} b JOIN {pfx}cand c
+        ON c.w = b.w AND c.p = {p - l + 1} AND c.pl = {l}"""
+                for l in range(1, min(_UNI_L, p) + 1)
+            )
+            parts.append(f"""{pfx}b{p} AS MATERIALIZED (
+  SELECT w, cost, np, path FROM (
+    SELECT w, cost, np, path,
+           ROW_NUMBER() OVER (PARTITION BY w
+                              ORDER BY cost, np, path) AS rn
+    FROM (
+      {steps}
+    )
+  ) WHERE rn = 1
+)""")
+        ends = "\n    UNION ALL\n    ".join(
+            f"SELECT w, path, {p} AS pend FROM {pfx}b{p}"
+            for p in range(1, _UNI_STAGES + 1)
+        )
+        parts.append(f"""{pfx}best AS MATERIALIZED (
+  SELECT w, path FROM (
+    {ends}
+  ) WHERE pend = len(w)
+)""")
+        return ",\n".join(parts)
+
+    _hb_sql = "(length(bin(t.t * t.t)) - 1) - (length(bin(cnt * cnt)) - 1)"
+    _x11_uni_ctes = (
+        f"""ucand AS (
+  SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+    SELECT substr(w, p, l) AS piece, c
+    FROM (SELECT w, c, p FROM wpw,
+          unnest(generate_series(1, len(w))) AS gp(p)),
+         unnest(generate_series(1, least({_UNI_L}, len(w) - p + 1))) AS gl(l)
+  ) GROUP BY piece
+),
+useed AS MATERIALIZED (
+  SELECT piece, cnt FROM ucand WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM ucand WHERE len(piece) >= 2
+    ORDER BY cnt DESC, piece LIMIT {_UNI_TOPK}
+  )
+),
+utot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM useed),
+useedc AS MATERIALIZED (
+  SELECT piece, cnt, {_hb_sql} AS cost FROM useed CROSS JOIN utot t
+),
+"""
+        + _uni_dp("us", "useedc")
+        + """,
+uusage AS MATERIALIZED (
+  SELECT piece, CAST(SUM(c) AS BIGINT) AS usage
+  FROM (SELECT w, unnest(string_split(path, chr(1))) AS piece
+        FROM usbest) s
+  JOIN wpw USING (w)
+  GROUP BY piece
+),
+ufin0 AS (
+  SELECT s.piece, CAST(COALESCE(u.usage, 0) + 1 AS BIGINT) AS cnt
+  FROM useedc s LEFT JOIN uusage u USING (piece)
+  WHERE len(s.piece) = 1 OR COALESCE(u.usage, 0) > 0
+),
+uftot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM ufin0),
+ufinal AS MATERIALIZED (
+  SELECT piece, cnt, """
+        + _hb_sql
+        + """ AS cost,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS urank
+  FROM ufin0 CROSS JOIN uftot t
+),
+"""
+        + _uni_dp("uf", "ufinal")
+    )
+    _x11_uni_union = """
+UNION ALL
+SELECT 'uvocab', piece, CAST(cnt AS BIGINT), CAST(urank AS BIGINT),
+       CAST(cost AS DOUBLE)
+FROM ufinal
+UNION ALL
+SELECT 'unigram', array_to_string(ut, ' '), CAST(len(ut) AS BIGINT),
+       CAST(doc_id AS BIGINT), -1.0
+FROM (
+  SELECT doc_id, flatten(list(ws ORDER BY pos)) AS ut
+  FROM (
+    SELECT t.doc_id, g.i AS pos, string_split(ufbest.path, chr(1)) AS ws
+    FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+    JOIN ufbest ON ufbest.w = toks[g.i]
+    WHERE t.norm != ''
+  ) GROUP BY doc_id
+)"""
     o["x11_vocab_bpe"] = (
         t_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ", "
@@ -5158,7 +5305,10 @@ wseg AS MATERIALIZED (
               ELSE ['[UNK]'] END AS ws
   FROM (SELECT w, MAX(p) AS maxp FROM wpwalk GROUP BY w) m
   JOIN wpwalk wk ON wk.w = m.w AND wk.p = m.maxp
-)
+),
+"""
+        + _x11_uni_ctes
+        + """
 SELECT 'vocab' AS variant, token AS term, CAST(count AS BIGINT) AS n,
        CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) AS BIGINT) AS rank,
        ROUND(CAST(SUM(count) OVER (ORDER BY count DESC, token
@@ -5203,6 +5353,7 @@ FROM (
     WHERE t.norm != ''
   ) GROUP BY doc_id
 )"""
+        + _x11_uni_union
     )
     # x10 — mergeable-sketch union (kmv ⊕ hll ⊕ cms): every branch is
     # deterministic integer arithmetic over the same 32-bit ring hash,

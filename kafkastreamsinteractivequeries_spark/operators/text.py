@@ -1532,6 +1532,249 @@ def wordpiece_segment_arrow(
     )
 
 
+def _hb(n: int) -> int:
+    """floor(2·log2 n) by exact integer bit arithmetic — the half-bit
+    fixed-point log this repo's unigram LM scores live on.  Python
+    ``(n*n).bit_length() - 1`` equals SQL ``length(bin(n*n)) - 1``
+    bit-for-bit (both engines verified), so trajectory replays never
+    touch libm (whose last-ulp rounding differs across engines and
+    would flip Viterbi argmins)."""
+    if n < 1:
+        raise ValueError("hb is defined for n >= 1")
+    return (n * n).bit_length() - 1
+
+
+_USEP = "\x01"  # path separator < every corpus char: joined-string
+# comparison == piece-tuple comparison in both engines
+
+
+def _unigram_viterbi(
+    w: str,
+    costs: dict[str, int],
+    max_piece_len: int,
+    unk_cost: int,
+    cache: dict[str, list[str]],
+) -> list[str]:
+    """Min-cost segmentation of one word under a unigram piece-cost
+    table: DP over end positions, state = (total_cost, n_pieces,
+    pieces-joined-with-\\x01); ties break on fewer pieces then the
+    lexicographically smallest joined path — a TOTAL order both
+    engines replay (DuckDB compares the same UTF-8 strings).  A
+    character absent from the table segments as itself at
+    ``unk_cost`` (never fires on training data: every corpus char is
+    in the vocab by construction)."""
+    got = cache.get(w)
+    if got is not None:
+        return got
+    n = len(w)
+    best: list[tuple[int, int, str] | None] = [(0, 0, "")] + [None] * n
+    for p in range(1, n + 1):
+        cur = None
+        for ln in range(1, min(max_piece_len, p) + 1):
+            prev = best[p - ln]
+            if prev is None:
+                continue
+            piece = w[p - ln : p]
+            c = costs.get(piece)
+            if c is None:
+                if ln != 1:
+                    continue
+                c = unk_cost
+            cand = (
+                prev[0] + c,
+                prev[1] + 1,
+                piece if prev[2] == "" else prev[2] + _USEP + piece,
+            )
+            if cur is None or cand < cur:
+                cur = cand
+        best[p] = cur
+    out = best[n][2].split(_USEP) if n else [""]
+    cache[w] = out
+    return out
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    max_piece_len: int = 4,
+    top_k: int = 40,
+    text_col: str = "text",
+) -> list[tuple[str, int, int, int]]:
+    """SentencePiece-style unigram-LM vocabulary training (Kudo,
+    arXiv:1804.10959), deterministic and fixed-point so the full
+    trajectory replays in SQL — the third major tokenizer family
+    beside BPE (``bpe_train_trajectory``) and WordPiece
+    (``wordpiece_vocab``), and the one Llama-class pipelines train:
+
+    1. SEED: every substring of every corpus word up to
+       ``max_piece_len`` chars, occurrence-weighted; ALL single
+       characters are kept (the character-coverage guarantee), plus
+       the ``top_k`` multi-char pieces by (count DESC, piece ASC).
+       Seed cost = hb(T) − hb(count) in HALF-BITS, where
+       hb = floor(2·log2 n) via exact integer bit-length (libm logs
+       differ across engines in the last ulp and would flip Viterbi
+       argmins — the quantized-log discipline).
+    2. HARD-EM round (the E step is Viterbi, the M step a recount —
+       the deterministic core of Kudo's EM+prune loop): segment every
+       DISTINCT word under the seed costs, count occurrence-weighted
+       piece USAGE, PRUNE multi-char pieces never used, and re-score
+       from add-one-smoothed usage (count = usage + 1, so unused
+       single chars stay defined).  Rank by (count DESC, piece ASC).
+
+    Returns the final vocab as [(piece, count, cost_halfbits, rank)]
+    — a BOUNDED list (≤ top_k + |alphabet|), suitable for closure
+    shipping into ``unigram_segment_arrow`` and for
+    ``spark.createDataFrame``.
+
+    Scale shape: both corpus-sized passes are distributed (substring
+    explosion + aggregation for the seed; an Arrow ``mapInPandas``
+    Viterbi over the distinct-word table for usage); only the
+    bounded vocab tables are collected, and their cost/rank
+    arithmetic runs in exact Python big-ints (no int64 envelope on
+    the totals).  int64 note for the SQL replay: the oracle squares
+    counts in BIGINT, exact while corpus piece totals stay below
+    2^31.5 — switch the replay to HUGEINT squaring past that."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import tokens_col
+    from kafkastreamsinteractivequeries_spark.sources.tables import spread
+
+    L = int(max_piece_len)
+    words = (
+        spread(docs)
+        .select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        words.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(w)), p ->"
+                    f" transform(sequence(1, least({L}, length(w) - p + 1)),"
+                    " l -> substring(w, p, l))))"
+                )
+            ).alias("piece"),
+            "c",
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("count"))
+        .localCheckpoint(eager=False)
+    )
+    seed_rows = (
+        cand.filter(F.length("piece") == 1)
+        .unionByName(
+            cand.filter(F.length("piece") >= 2)
+            .orderBy(F.col("count").desc(), "piece")
+            .limit(int(top_k))
+        )
+        .collect()  # one bounded action: |alphabet| + top_k rows
+    )
+    seed = {r["piece"]: int(r["count"]) for r in seed_rows}
+    t_seed = sum(seed.values())
+    hb_t = _hb(t_seed)
+    seed_costs = {p: hb_t - _hb(c) for p, c in seed.items()}
+    unk = max(seed_costs.values(), default=0) + 2
+
+    # E step: distributed Viterbi over the distinct-word table — the
+    # seed table is bounded, closure-captured once per executor
+    def usage_batches(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            counts: dict[str, int] = {}
+            for w, c in zip(pdf["w"], pdf["c"]):
+                for piece in _unigram_viterbi(
+                    str(w), seed_costs, L, unk, cache
+                ):
+                    counts[piece] = counts.get(piece, 0) + int(c)
+            yield pd.DataFrame(
+                {"piece": list(counts), "usage": list(counts.values())}
+            )
+
+    usage_rows = (
+        words.mapInPandas(usage_batches, "piece string, usage long")
+        .groupBy("piece")
+        .agg(F.sum("usage").cast("long").alias("usage"))
+        .collect()
+    )
+    usage = {r["piece"]: int(r["usage"]) for r in usage_rows}
+
+    # M step + prune: add-one-smoothed usage over the surviving pieces
+    final_counts = {
+        p: usage.get(p, 0) + 1
+        for p in seed
+        if len(p) == 1 or usage.get(p, 0) > 0
+    }
+    t_final = sum(final_counts.values())
+    hb_tf = _hb(t_final)
+    ranked = sorted(final_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [
+        (piece, cnt, hb_tf - _hb(cnt), rank)
+        for rank, (piece, cnt) in enumerate(ranked, start=1)
+    ]
+
+
+def unigram_segment_arrow(
+    docs: DataFrame,
+    vocab: list[tuple[str, int, int, int]] | list[tuple[str, int]],
+    max_piece_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Viterbi segmentation of every doc under a trained unigram-LM
+    vocab (``unigram_lm_train`` rows, or bare (piece, cost) pairs) —
+    the production encode path, shaped like ``bpe_segment_arrow``:
+    one Arrow ``mapInPandas`` pass, vocab closure-captured once per
+    executor, per-batch distinct-word cache, zero shuffle.  Unknown
+    characters (never present in training data) segment as
+    themselves at max-cost+2.  Output: (id, u_tokens, n_u_tokens)."""
+    import re
+
+    costs = {
+        row[0]: int(row[2]) if len(row) >= 3 else int(row[1])
+        for row in vocab
+    }
+    unk = max(costs.values(), default=0) + 2
+    L = int(max_piece_len)
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, u_tokens array<string>, n_u_tokens int"
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, toks, ns = [], [], []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                ids.append(rid)
+                if txt is None or (isinstance(txt, float) and txt != txt):
+                    toks.append(None)
+                    ns.append(None)
+                    continue
+                norm = ws.sub(" ", str(txt).lower()).strip(" \t\n\x0b\f\r")
+                segs: list[str] = []
+                for w in norm.split(" "):
+                    if w:
+                        segs.extend(
+                            _unigram_viterbi(w, costs, L, unk, cache)
+                        )
+                toks.append(segs)
+                ns.append(len(segs))
+            yield pd.DataFrame(
+                {id_col: ids, "u_tokens": toks, "n_u_tokens": ns}
+            )
+
+    from kafkastreamsinteractivequeries_spark.sources.tables import spread
+
+    return (
+        spread(docs)
+        .select(id_col, text_col)
+        .mapInPandas(encode_batches, schema)
+    )
+
+
 def gram_histogram(
     corpus: DataFrame,
     num_buckets: int = 4096,

@@ -1241,3 +1241,87 @@ def test_decode_crawl_bytes_detection_ladder(spark):
     )
     srow = decode_crawl_bytes(spages).collect()[0]
     assert srow["doc_id"] == "urn:uuid:1" and srow["text"] == "abc"
+
+
+def _brute_min_segmentation(w, costs, max_piece_len, unk):
+    """Independent reference: enumerate EVERY segmentation of w into
+    vocab pieces (unknown single chars allowed at unk cost), pick the
+    minimum by (total_cost, n_pieces, joined-with-\\x01 path) — the
+    engine's total order, derived without the DP."""
+    outs = []
+
+    def rec(pos, acc_cost, acc_path):
+        if pos == len(w):
+            outs.append((acc_cost, len(acc_path), "\x01".join(acc_path)))
+            return
+        for ln in range(1, min(max_piece_len, len(w) - pos) + 1):
+            piece = w[pos : pos + ln]
+            c = costs.get(piece)
+            if c is None:
+                if ln != 1:
+                    continue
+                c = unk
+            rec(pos + ln, acc_cost + c, acc_path + [piece])
+
+    rec(0, 0, [])
+    return min(outs)[2].split("\x01")
+
+
+def test_unigram_lm_train_and_viterbi(spark):
+    """Unigram-LM training: seed = all substrings (singles always
+    kept, top-k multis by count desc/piece asc), costs in exact
+    half-bit fixed point, one hard-EM prune round; segmentation is
+    Viterbi with the (cost, n_pieces, path) total order — pinned
+    against a brute-force enumeration of every segmentation, and
+    partitioning-invariant."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        _hb,
+        unigram_lm_train,
+        unigram_segment_arrow,
+    )
+
+    rows = [
+        (1, "banana bandana"),
+        (2, "banana banana band"),
+        (3, "an ban nab"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    vocab = unigram_lm_train(docs, max_piece_len=3, top_k=8)
+    pieces = {p: (cnt, cost, rank) for p, cnt, cost, rank in vocab}
+    # every corpus character survives pruning
+    chars = {ch for _i, t in rows for w in t.split() for ch in w}
+    assert chars <= set(pieces)
+    # ranks are the (count desc, piece asc) total order, 1-based dense
+    ordered = sorted(vocab, key=lambda r: (-r[1], r[0]))
+    assert [r[3] for r in ordered] == list(range(1, len(vocab) + 1))
+    # costs replay exactly from the counts (half-bit fixed point)
+    t_final = sum(cnt for _p, cnt, _c, _r in vocab)
+    for p, cnt, cost, _rank in vocab:
+        assert cost == _hb(t_final) - _hb(cnt), p
+    # multi-char pieces all have nonzero usage (count = usage + 1 >= 2)
+    assert all(cnt >= 2 for p, cnt, _c, _r in vocab if len(p) >= 2)
+
+    costs = {p: c for p, _n, c, _r in vocab}
+    unk = max(costs.values()) + 2
+    for parts in (1, 5):
+        seg = {
+            r["doc_id"]: (r["u_tokens"], r["n_u_tokens"])
+            for r in unigram_segment_arrow(
+                docs.repartition(parts), vocab, max_piece_len=3
+            ).collect()
+        }
+        for i, text in rows:
+            expect = []
+            for w in text.split():
+                expect.extend(_brute_min_segmentation(w, costs, 3, unk))
+            assert seg[i][0] == expect, (parts, i)
+            assert seg[i][1] == len(expect)
+        # lossless: pieces re-concatenate to the normalized words
+        for i, text in rows:
+            assert "".join(seg[i][0]) == text.replace(" ", "")
+
+    # unknown characters segment as themselves (never UNK-destroyed)
+    zdocs = spark.createDataFrame([(9, "banqzq")], "doc_id long, text string")
+    z = unigram_segment_arrow(zdocs, vocab, max_piece_len=3).collect()[0]
+    assert "".join(z["u_tokens"]) == "banqzq"
