@@ -1135,6 +1135,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sent.alias("n"),
             sent.alias("total"),
         )
+        # 'qsketch' — the MERGEABLE bounded-error quantile path beside
+        # the exact percentiles ('length') and the fixed-bin histogram
+        # estimates ('hp*'): the deterministic weight-stratified hash
+        # sampler (operators/sketches.hashed_quantile_sketch — the
+        # multiset-deterministic sibling of KLL, whose compaction
+        # trajectory is arrival-order-dependent and can never hash-
+        # verify).  The oracle replays the whole closed form: distinct
+        # length counts → binary-digit entries → the mix_hash32 keep
+        # slice → weights → integer cum-threshold quantiles, so the
+        # driver hash proves the sketch CONTENT and the estimates.
+        from kafkastreamsinteractivequeries_spark.operators.dedup import (
+            tokens_col,
+        )
+        from kafkastreamsinteractivequeries_spark.operators.sketches import (
+            hashed_quantile_estimates,
+            hashed_quantile_sketch,
+        )
+
+        lens = docs.select(
+            F.size(tokens_col(F.col("text"))).cast("long").alias("v")
+        )
+        qsk = hashed_quantile_estimates(
+            hashed_quantile_sketch(lens, "v", k=256), (25, 50, 75, 90)
+        ).select(
+            F.lit("qsketch").alias("variant"),
+            F.concat(F.lit("p"), F.col("percentile").cast("string")).alias(
+                "name"
+            ),
+            F.col("value").cast("double").alias("value"),
+            F.col("n_est").cast("long").alias("n"),
+            F.col("sketch_rows").cast("long").alias("total"),
+        )
         orders = load_table(s, d, "orders")
         rules = [
             ("not_null", "o_orderkey"),
@@ -1456,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(html)
             .unionByName(moji)
             .unionByName(nfc)
+            .unionByName(qsk)
         )
 
     q["x6_quality_gates"] = _x6
@@ -4491,7 +4524,52 @@ FROM (
     )
     o["x6_quality_gates"] = (
         t_cte
-        + f""", hbins AS (
+        + f""", zqcnt AS MATERIALIZED (
+  -- 'qsketch' replay: the deterministic weight-stratified hash
+  -- sampler (sketches.hashed_quantile_sketch) in closed form —
+  -- distinct length counts, binary-digit entries, mix_hash32 keep
+  -- slice (the HLL oracle's xorshift chain), inverse-probability
+  -- weights, integer cum-threshold quantiles
+  SELECT CAST(len(toks) AS BIGINT) AS value, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY 1
+), zqn AS (
+  SELECT GREATEST(0, (length(bin(CAST(SUM(c) AS BIGINT))) - 1) - 8) AS s
+  FROM zqcnt
+), zqbits AS (
+  SELECT value, c, s, j
+  FROM zqcnt CROSS JOIN zqn, unnest(generate_series(0, 40)) AS gj(j)
+  WHERE CAST(FLOOR(c / power(2, j)) AS BIGINT) % 2 = 1
+), zqh AS (
+  SELECT value, s, j, xor(h4, h4 // 131072) AS h
+  FROM (
+    SELECT *, (h3 * 69621) % 4294967296 AS h4 FROM (
+      SELECT *, xor(h2, h2 // 8192) AS h3 FROM (
+        SELECT *, (h1 * 16807) % 4294967296 AS h2 FROM (
+          SELECT *, xor(h0, h0 // 65536) AS h1 FROM (
+            SELECT value, s, j,
+                   (((value * 97 + j) % 4294967296) * 48271) % 4294967296 AS h0
+            FROM zqbits
+          )
+        )
+      )
+    )
+  )
+), zqsk AS MATERIALIZED (
+  SELECT value,
+         CAST(SUM(CASE WHEN j >= s THEN CAST(power(2, j) AS BIGINT)
+                       ELSE CAST(power(2, s) AS BIGINT) END) AS BIGINT)
+           AS weight
+  FROM zqh
+  WHERE j >= s
+     OR h % CAST(power(2, GREATEST(s - j, 1)) AS BIGINT) = 0
+  GROUP BY value
+), zqcum AS (
+  SELECT value,
+         SUM(weight) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(weight) OVER () AS wtot,
+         COUNT(*) OVER () AS nrows
+  FROM zqsk
+), hbins AS (
   SELECT CAST(LEAST(GREATEST(FLOOR(CAST(len(toks) AS DOUBLE) / 8.0), 0), 63)
               AS INTEGER) AS bin,
          COUNT(*) AS cnt
@@ -4757,6 +4835,12 @@ FROM (
     FROM documents WHERE doc_id % 7 = 0
   )
 )
+UNION ALL
+SELECT 'qsketch', 'p' || CAST(pp AS VARCHAR), CAST(MIN(value) AS DOUBLE),
+       CAST(MIN(wtot) AS BIGINT), CAST(MIN(nrows) AS BIGINT)
+FROM zqcum CROSS JOIN (VALUES (25), (50), (75), (90)) AS ps(pp)
+WHERE cum * 100 >= pp * wtot
+GROUP BY pp
 """
     )
     # Tagged union mirroring _x7: raw LM scores ('score') ⊕ the CCNet

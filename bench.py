@@ -104,7 +104,11 @@ ALL_BRANCHES: dict[str, list[str]] = {
     ],
     "x6_quality_gates": [
         "length", "constraint", "skew", "salted", "dsir", "qlrw", "qlr",
-        "gopher", "blocklist", "gate", "html", "mojibake", "nfc",
+        "gopher", "blocklist", "gate", "html", "mojibake", "nfc", "qsketch",
+    ],
+    "x11_vocab_bpe": [
+        "vocab", "bpe", "segment", "segmenta", "wpvocab", "wordpiece",
+        "uvocab", "unigram",
     ],
 }
 

@@ -483,3 +483,272 @@ def mg_heavy_hitters(
         # top_k_per_key_two_phase if they want exactly k
         return ranked
     return ranked.orderBy(F.col("estimate").desc(), "item").limit(k)
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketches: the bounded-error path for 100 TB where
+# `length_percentiles` (exact, needs the full multiset) and
+# `length_histogram_quantiles` (mergeable, but on a CHOSEN bin grid)
+# both fall short.  Two operators, two contracts:
+#
+# - `hashed_quantile_sketch` — a DETERMINISTIC weight-stratified hash
+#   sampler (the bottom-k/VarOpt family): the sketch is a pure
+#   function of the value MULTISET, so it is partitioning-invariant,
+#   engine-portable, and hash-verifiable in the driver's DuckDB
+#   oracle (a KLL compaction trajectory depends on arrival order and
+#   can never be).  Skew-safe by construction: the high binary-weight
+#   digits of a value's count are ALWAYS kept, so a value carrying
+#   half the corpus can never be sampled away.
+# - `kll_sketch` — the real Karnin–Lang–Liberty compactor (FOCS 2016,
+#   arXiv:1603.05346): tighter space for a given rank error on
+#   unbounded-cardinality streams, but arrival-order-dependent, so it
+#   is pytest/property-verified (the Misra–Gries precedent — the
+#   GUARANTEE, not the exact content, is the contract).
+# --------------------------------------------------------------------------
+
+
+def _hqs_thin(weighted: DataFrame, k: int, max_level: int = 41) -> DataFrame:
+    """Core of the hashed quantile sketch: (value, c) weighted rows →
+    kept (value, weight) rows.  Each count decomposes into its binary
+    digits — entry (value, j) of weight 2^j per set bit j — and a
+    digit survives iff j ≥ S (always: the skew guarantee) or the ring
+    hash of (value, j) lands in the 2^-(S-j) acceptance slice, in
+    which case it carries inverse-probability weight 2^S (unbiased).
+    S = max(0, floor(log2 n) − floor(log2 k)) comes from the total
+    mass in CLOSED FORM — no compaction loop, so the whole
+    construction replays as plain SQL.  Keep-sets are NESTED in S
+    (a 2^-(S+1) slice is half of the 2^-S slice), which is what makes
+    re-thinning after a merge deterministic and consistent.
+
+    Expected kept rows ≤ ~max_level·k; expected absolute rank error
+    is O(n·√max_level / k) (each sampled level contributes variance
+    ≤ n·2^S ≤ n²/k per level).  Exact (S = 0, zero sampling) whenever
+    n ≤ k.  int64 envelope: counts below 2^41 per value (max_level);
+    raise max_level toward 62 for hotter keys."""
+    n_agg = weighted.agg(F.sum("c").cast("long").alias("n"))
+    logk = max(int(k).bit_length() - 1, 0)
+    s_col = F.greatest(
+        F.lit(0), (F.length(F.bin(F.col("n"))) - 1) - F.lit(logk)
+    ).alias("s")
+    pow2 = lambda e: F.floor(F.pow(F.lit(2.0), e)).cast("long")  # noqa: E731
+    entries = (
+        weighted.crossJoin(F.broadcast(n_agg.select("n", s_col)))
+        .select(
+            "value",
+            "c",
+            "s",
+            F.explode(F.sequence(F.lit(0), F.lit(max_level - 1))).alias("j"),
+        )
+        # bit j of c — division by a power of two is exact in double
+        # below 2^53 on both engines (the determinism rule)
+        .filter(F.floor(F.col("c") / F.pow(F.lit(2.0), F.col("j"))).cast("long") % 2 == 1)
+        # mix_hash32, NOT kmv_hash: mod a power of two the pure
+        # multiplicative walk is AFFINE in the key, so keep-decisions
+        # at different levels of the same value pin each other (a
+        # residue class kept at level j is kept or dropped WHOLESALE
+        # at level j+2 after a merge doubles its weights — measured
+        # +50% mass bias in the streaming sink test).  The xorshift
+        # mixer's low bits are fed from its high bits, breaking the
+        # lattice — the HLL lesson replayed at the low-bit end.
+        # greatest(s-j, 1): rows with j >= s pass via the first
+        # disjunct, but engines may still EVALUATE the modulus for
+        # them — a 2^negative exponent would truncate to 0 and make
+        # it a division by zero (an error in DuckDB's replay)
+        .filter(
+            (F.col("j") >= F.col("s"))
+            | (
+                mix_hash32(F.col("value") * 97 + F.col("j"))
+                % pow2(F.greatest(F.col("s") - F.col("j"), F.lit(1)))
+                == 0
+            )
+        )
+        .select(
+            "value",
+            F.when(F.col("j") >= F.col("s"), pow2(F.col("j")))
+            .otherwise(pow2(F.col("s")))
+            .alias("w"),
+        )
+    )
+    return entries.groupBy("value").agg(
+        F.sum("w").cast("long").alias("weight")
+    )
+
+
+def hashed_quantile_sketch(
+    df: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """Build the deterministic mergeable quantile sketch over an
+    integer column: (value, weight) rows, Σweight an unbiased
+    estimate of the row count.  One aggregation to distinct-value
+    counts (map-side combinable — a hot value collapses per task),
+    then the closed-form thin; no sort, no window, no Python."""
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast("long").alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return _hqs_thin(counts, k)
+
+
+def merge_hashed_quantile_sketches(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Merge two sketches: weights add per value, then one re-thin
+    under the merged total's S.  Deterministic given the two inputs
+    (merging the same pair twice is bit-identical), and the estimates
+    stay unbiased — each re-thinned digit is re-sampled by the same
+    inverse-probability hash rule, so variance grows gracefully with
+    merge depth rather than biasing.  NOT bit-equal to the one-shot
+    sketch of the union: the halves were thinned under a smaller S,
+    so their kept weights re-decompose differently — the one-shot
+    build is the hash-verified form; merging is the incremental
+    form."""
+    summed = (
+        a.select("value", F.col("weight").alias("c"))
+        .unionByName(b.select("value", F.col("weight").alias("c")))
+        .groupBy("value")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return _hqs_thin(summed, k)
+
+
+def hashed_quantile_estimates(
+    sketch: DataFrame, percents: tuple[int, ...] = (25, 50, 75, 90)
+) -> DataFrame:
+    """One row per requested percentile from a sketch: the smallest
+    value whose cumulative weight reaches ceil(p·W/100), in exact
+    integer arithmetic (cum·100 ≥ p·W — no float thresholds).  The
+    window runs over the BOUNDED sketch (≤ ~41·k rows), the
+    histogram-quantile precedent, never over raw data.  Output:
+    (percentile, value, n_est, sketch_rows)."""
+    cum = sketch.select(
+        "value",
+        "weight",
+        F.sum("weight")
+        .over(Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("weight").over(Window.partitionBy()).alias("wtot"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nrows"),
+    )
+    out = None
+    for p in percents:
+        row = cum.filter(F.col("cum") * 100 >= F.lit(int(p)) * F.col("wtot")).agg(
+            F.lit(int(p)).alias("percentile"),
+            F.min("value").alias("value"),
+            F.min(F.col("wtot")).alias("n_est"),
+            F.min(F.col("nrows")).alias("sketch_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _kll_compact(levels: list[list[float]], k: int, state: dict) -> None:
+    """In-place KLL compaction: find the lowest over-full level, sort
+    it, keep the odd- or even-indexed half (selector bit = md5 of the
+    per-level compaction counter — reproducible run-to-run), promote
+    the kept half one level up (weight doubles).  Level capacities
+    decay going DOWN from the top (cap = k·(2/3)^(top−lvl), the KLL
+    schedule): the newest/highest level keeps the full k, old levels
+    shrink — low-weight items are the cheap ones to forget."""
+    import hashlib
+
+    while True:
+        top = len(levels) - 1
+        target = None
+        for lvl, buf in enumerate(levels):
+            if len(buf) > max(2, int(k * (2 / 3) ** (top - lvl))):
+                target = lvl
+                break
+        if target is None:
+            return
+        buf = sorted(levels[target])
+        ctr = state["ctr"] = state.get("ctr", 0) + 1
+        bit = hashlib.md5(f"{target}:{ctr}".encode()).digest()[0] & 1
+        kept = buf[bit::2]
+        levels[target] = []
+        if target + 1 == len(levels):
+            levels.append([])
+        levels[target + 1].extend(kept)
+
+
+def kll_sketch(df: DataFrame, col: str, k: int = 128) -> DataFrame:
+    """Karnin–Lang–Liberty quantile sketch (arXiv:1603.05346): one
+    Arrow ``mapInPandas`` pass holding a capacity-decayed compactor
+    chain per partition (constant memory), then a driver-side merge
+    of the bounded per-partition summaries (concatenate per level,
+    re-compact) — the Misra–Gries scale shape.  Output: (level,
+    value) rows; an item at level ℓ represents 2^ℓ originals.
+
+    Rank error is O(n/k) with high probability; min/max/n are exact
+    side outputs of any scan.  The compaction selector bit is
+    md5(level:counter) — deterministic for a fixed partitioning and
+    arrival order (re-running the same layout reproduces the sketch
+    bit-for-bit), but arrival-order dependence is INHERENT to KLL,
+    so the operator is pytest/property-verified, never
+    hash-verified; `hashed_quantile_sketch` is the deterministic
+    sibling for oracle-checked pipelines."""
+    import pandas as pd  # noqa: F401
+
+    src = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("v")
+    )
+
+    def summarize(batches):
+        import pandas as pd
+
+        levels: list[list[float]] = [[]]
+        state: dict = {}
+        for pdf in batches:
+            for v in pdf["v"]:
+                levels[0].append(float(v))
+                _kll_compact(levels, k, state)
+        rows = [
+            {"level": lvl, "value": v}
+            for lvl, buf in enumerate(levels)
+            for v in buf
+        ]
+        yield pd.DataFrame(rows, columns=["level", "value"])
+
+    partials = src.mapInPandas(summarize, "level int, value double")
+    # driver-side final merge: per-partition sketches are O(k·log n)
+    # rows each — bounded, the MG summary-collect precedent
+    rows = partials.collect()
+    levels: list[list[float]] = []
+    for r in rows:
+        while len(levels) <= r["level"]:
+            levels.append([])
+        levels[r["level"]].append(r["value"])
+    state: dict = {"ctr": 1 << 20}  # disjoint counter space from map side
+    _kll_compact(levels, k, state)
+    out = [
+        (lvl, v) for lvl, buf in enumerate(levels) for v in sorted(buf)
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(out or [(0, None)], "level int, value double")
+
+
+def kll_quantiles(
+    sketch: DataFrame, quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9)
+) -> dict[float, float]:
+    """Quantile estimates from a KLL sketch: weighted rank over the
+    bounded sketch rows (collected — the sketch IS small)."""
+    rows = [
+        (r["value"], 1 << r["level"])
+        for r in sketch.collect()
+        if r["value"] is not None
+    ]
+    rows.sort()
+    total = sum(w for _v, w in rows)
+    out: dict[float, float] = {}
+    for q in quantiles:
+        target = q * total
+        cum = 0
+        val = rows[-1][0] if rows else None
+        for v, w in rows:
+            cum += w
+            if cum >= target:
+                val = v
+                break
+        out[q] = val
+    return out

@@ -995,6 +995,47 @@ class StreamingHllSink(_VersionedSketchSink):
         return hll_estimate(self.registers(spark), self.group_cols, self.p)
 
 
+class StreamingQuantileSketchSink(_VersionedSketchSink):
+    """Landed mergeable quantile sketch over an integer column
+    (``operators.sketches.hashed_quantile_sketch``): continuous
+    quantile telemetry with state ≤ ~41·k rows forever.  Each batch's
+    sketch merges into the landed one by the deterministic re-thin
+    (weights add per value, one closed-form re-sample under the new
+    total's S) — unbiased across any number of batches, estimates
+    inside the one-shot error corridor (pinned by test), and, unlike
+    ``StreamingHistogramSink``, no bin grid to choose up front."""
+
+    def __init__(self, path: str, value_col: str, k: int = 256):
+        super().__init__(path)
+        self.value_col = value_col
+        self.k = k
+
+    def _sketch(self, batch_df: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.sketches import (
+            hashed_quantile_sketch,
+        )
+
+        return hashed_quantile_sketch(batch_df, self.value_col, self.k)
+
+    def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.sketches import (
+            merge_hashed_quantile_sketches,
+        )
+
+        return merge_hashed_quantile_sketches(a, b, self.k)
+
+    def sketch(self, spark: SparkSession) -> DataFrame:
+        """The landed (value, weight) sketch (latest snapshot)."""
+        return self._latest(spark)
+
+    def estimates(self, spark: SparkSession, percents=(25, 50, 75, 90)) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.sketches import (
+            hashed_quantile_estimates,
+        )
+
+        return hashed_quantile_estimates(self.sketch(spark), percents)
+
+
 class StreamingHistogramSink(_VersionedSketchSink):
     """Landed fixed-bin token-length histogram: continuous length-
     distribution telemetry with state ≤ ``bins`` rows.  Bin edges are

@@ -289,3 +289,139 @@ def test_mg_heavy_hitters_grouped(spark):
     assert "x" in byg["a"] and byg["a"]["x"]["n_total"] == 70
     assert "y" in byg["b"] and byg["b"]["y"]["estimate"] <= 30
     assert byg["b"]["y"]["estimate"] >= 30 - 30 // 5
+
+
+def test_hashed_quantile_sketch_exact_small_and_deterministic(spark):
+    """n <= k means S = 0: the sketch IS the exact value histogram;
+    construction is partitioning-invariant (pure function of the
+    multiset)."""
+    from kafkastreamsinteractivequeries_spark.operators.sketches import (
+        hashed_quantile_estimates,
+        hashed_quantile_sketch,
+    )
+
+    rows = [(i, i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    sk = {r["value"]: r["weight"] for r in hashed_quantile_sketch(df, "v", k=256).collect()}
+    assert sk == {x: (100 // 7 + (1 if x < 100 % 7 else 0)) for x in range(7)}
+    sk2 = {
+        r["value"]: r["weight"]
+        for r in hashed_quantile_sketch(
+            spark.createDataFrame(rows, "id long, v long").repartition(9), "v", k=256
+        ).collect()
+    }
+    assert sk == sk2
+    est = {r["percentile"]: r["value"] for r in hashed_quantile_estimates(
+        hashed_quantile_sketch(df, "v", k=256)
+    ).collect()}
+    # exact quantiles of 0..6 repeated ~evenly
+    assert est[50] == 3 and est[25] == 1 and est[90] == 6
+
+
+def test_hashed_quantile_sketch_error_bound_and_skew(spark):
+    """Sampled regime: estimates stay within the documented expected
+    rank error, and a value holding half the mass is NEVER lost (its
+    high count bits are always kept) — the skew guarantee a uniform
+    sampler lacks."""
+    from kafkastreamsinteractivequeries_spark.operators.sketches import (
+        hashed_quantile_estimates,
+        hashed_quantile_sketch,
+    )
+
+    n = 20_000
+    rows = [(i, i % 1000) for i in range(n)]          # uniform over 0..999
+    rows += [(n + i, 500) for i in range(n)]          # value 500 = half the mass
+    df = spark.createDataFrame(rows, "id long, v long")
+    sk = hashed_quantile_sketch(df, "v", k=256)
+    skm = {r["value"]: r["weight"] for r in sk.collect()}
+    assert 500 in skm
+    # value 500 carries ~n+20 copies; kept weight within 25%
+    assert abs(skm[500] - (n + 20)) <= (n + 20) * 0.25
+    est = {r["percentile"]: r["value"] for r in hashed_quantile_estimates(sk).collect()}
+    # true p50 = 500 exactly (the heavy value spans ranks ~25%..75%);
+    # true p25 is ALSO 500 (cum mass below 500 is 10000 < 25% of
+    # 40020) — the sketch may land just under on sampling noise
+    assert est[50] == 500
+    assert 400 <= est[25] <= 500
+    # true p90: ~5978 of the uniform tail past 500 -> ~value 798
+    assert 700 <= est[90] <= 900
+
+
+def test_hashed_quantile_sketch_merge(spark):
+    """Merging is deterministic (same pair twice -> bit-identical) and
+    the merged estimates stay inside the error corridor of the true
+    combined distribution, for both disjoint and overlapping value
+    sets."""
+    from kafkastreamsinteractivequeries_spark.operators.sketches import (
+        hashed_quantile_estimates,
+        hashed_quantile_sketch,
+        merge_hashed_quantile_sketches,
+    )
+
+    lo = spark.createDataFrame([(i, i % 500) for i in range(10_000)], "id long, v long")
+    hi = spark.createDataFrame(
+        [(i, 500 + i % 500) for i in range(10_000)], "id long, v long"
+    )
+    k = 128
+    merged = merge_hashed_quantile_sketches(
+        hashed_quantile_sketch(lo, "v", k=k),
+        hashed_quantile_sketch(hi, "v", k=k),
+        k=k,
+    )
+    again = merge_hashed_quantile_sketches(
+        hashed_quantile_sketch(lo, "v", k=k),
+        hashed_quantile_sketch(hi, "v", k=k),
+        k=k,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # union is uniform over 0..999: merged estimates near the truth
+    est = {
+        r["percentile"]: r["value"]
+        for r in hashed_quantile_estimates(merged).collect()
+    }
+    assert abs(est[50] - 500) <= 120 and abs(est[25] - 250) <= 120
+    # overlapping halves: same distribution, estimates agree loosely
+    m2 = merge_hashed_quantile_sketches(
+        hashed_quantile_sketch(lo, "v", k=k),
+        hashed_quantile_sketch(lo, "v", k=k),
+        k=k,
+    )
+    est2 = {r["percentile"]: r["value"] for r in hashed_quantile_estimates(m2).collect()}
+    assert abs(est2[50] - 250) <= 100
+
+
+def test_kll_sketch_guarantee_and_merge(spark):
+    """KLL: rank error of every estimated quantile within the O(n/k)
+    corridor on uniform and skewed data; min/max present; re-running
+    the same partitioning reproduces the sketch (md5 selector); the
+    sketch is ~k-bounded, not n-bounded."""
+    from kafkastreamsinteractivequeries_spark.operators.sketches import (
+        kll_quantiles,
+        kll_sketch,
+    )
+
+    n, k = 20_000, 128
+    vals = [(i, float((i * 7919) % n)) for i in range(n)]  # shuffled uniform
+    df = spark.createDataFrame(vals, "id long, v double").repartition(8)
+    sk = kll_sketch(df, "v", k=k)
+    assert sk.count() <= 12 * k  # bounded summary, not the data
+    qs = kll_quantiles(sk, (0.25, 0.5, 0.75, 0.9))
+    for q, est in qs.items():
+        true_rank = q * n
+        est_rank = sum(1 for _i, v in vals if v <= est)
+        assert abs(est_rank - true_rank) <= 8 * n / k, (q, est)
+    # determinism under a fixed layout
+    sk2 = kll_sketch(spark.createDataFrame(vals, "id long, v double").repartition(8), "v", k=k)
+    assert sorted(map(tuple, sk.collect())) == sorted(map(tuple, sk2.collect()))
+    # heavy skew: half the mass on one value — p50 must hit it
+    sk3 = kll_sketch(
+        spark.createDataFrame(
+            [(i, 42.0 if i % 2 == 0 else float(i % 1000) + 1000.0) for i in range(n)],
+            "id long, v double",
+        ),
+        "v",
+        k=k,
+    )
+    assert kll_quantiles(sk3, (0.25,))[0.25] == 42.0

@@ -1679,3 +1679,60 @@ def test_streaming_url_dedup_matches_batch_canonical_set(spark, tmp_path):
         for r in url_dedup(spark.createDataFrame(rows, schema)).collect()
     }
     assert got == batch and len(got) == 3
+
+
+def test_streaming_quantile_sketch_sink(spark, tmp_path):
+    """Landed quantile sketch: two micro-batches merge through the
+    deterministic re-thin; estimates off the landed sketch sit inside
+    the one-shot sketch's error corridor, store stays ~41*k-bounded,
+    and replaying the same batches is deterministic."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.sketches import (
+        hashed_quantile_estimates,
+        hashed_quantile_sketch,
+    )
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingQuantileSketchSink,
+    )
+
+    src = str(tmp_path / "vals")
+    a = spark.range(0, 20_000).select((F.col("id") % 1000).alias("v"))
+    b = spark.range(0, 20_000).select(F.lit(500).alias("v"))
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "q_store")
+    sink = StreamingQuantileSketchSink(store, "v", k=256)
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = sink.sketch(spark)
+    assert landed.count() <= 41 * 256
+    est = {
+        r["percentile"]: r["value"]
+        for r in sink.estimates(spark).collect()
+    }
+    # combined distribution = uniform 0..999 + half the mass on 500:
+    # true p50 = 500 (exactly, as in the batch test), p90 ~ 798
+    one_shot = {
+        r["percentile"]: r["value"]
+        for r in hashed_quantile_estimates(
+            hashed_quantile_sketch(a.unionByName(b), "v", k=256)
+        ).collect()
+    }
+    assert est[50] == one_shot[50] == 500
+    assert abs(est[90] - one_shot[90]) <= 120
+    # total-mass estimate within 15% of the 40k ingested rows
+    n_est = sink.estimates(spark).collect()[0]["n_est"]
+    assert abs(n_est - 40_000) <= 6_000
