@@ -2100,7 +2100,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("width").alias("pixel_min"),
             F.col("height").alias("pixel_max"),
         )
-        return png.unionByName(apng).unionByName(rez).unionByName(dh)
+        # 'phash' — the DCT perceptual hash beside dHash: decode →
+        # luma → NN 32×32 → fixed-point integer DCT-II (the inlined
+        # dct_table literals — no libm on either engine) → top-left
+        # 8×8 block → bit = coef > 32nd-smallest.  The oracle replays
+        # the whole spectrum arithmetically (two matmul joins against
+        # the same 8×32 integer table), so the hash verifies decode,
+        # resample, AND the low-frequency signature.  Same row shape
+        # as 'dhash'.
+        ph = M.image_phash(png_assets).select(
+            F.lit("phash").alias("variant"),
+            "asset_id",
+            F.lit(0).alias("frame_idx"),
+            F.lit(1).alias("n_frames"),
+            F.col("q0").alias("width"),
+            F.col("q1").alias("height"),
+            F.col("q2").alias("target_width"),
+            F.col("q3").alias("target_height"),
+            "channels",
+            F.lit(-1.0).alias("pixel_mean"),
+            F.col("width").alias("pixel_min"),
+            F.col("height").alias("pixel_max"),
+        )
+        return (
+            png.unionByName(apng)
+            .unionByName(rez)
+            .unionByName(dh)
+            .unionByName(ph)
+        )
 
     q["m7_decoded_pixel_stats"] = _m7
     # m8: the AUDIO codec round-trip — real RIFF/WAVE PCM-16 encode per
@@ -4286,6 +4313,70 @@ SELECT asset_id, w, h, ch,
                 THEN bit << (15 - (gy * 8 + gx) % 16) ELSE 0 END) AS INTEGER) AS q3
 FROM bits GROUP BY 1, 2, 3, 4
 """
+    # phash replay: pixel formulas → luma on the NN 32×32 grid → the
+    # fixed-point DCT-II as two matmul joins against the SAME 8×32
+    # integer cosine table the operator uses (dct_table literals —
+    # Python generates both, so no libm on either engine) → top-left
+    # 8×8 → bit = coef > 32nd-smallest under (coef, u, v).
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        dct_table as _dct_table,
+    )
+
+    _pc_rows = ",\n    ".join(
+        ", ".join(f"({k}, {n}, {c})" for n, c in enumerate(row))
+        for k, row in enumerate(_dct_table(8, 32))
+    )
+    phash_sql = f"""
+WITH pp AS (
+  SELECT doc_id AS asset_id,
+         4 + doc_id % 13 AS w,
+         4 + (doc_id * 7) % 11 AS h,
+         1 + doc_id % 3 AS ch
+  FROM documents
+), pc(k, n, c) AS (
+  SELECT * FROM (VALUES
+    {_pc_rows}
+  )
+), pl AS (
+  SELECT pp.asset_id, pp.w, pp.h, pp.ch, y.i AS y, x.i AS x,
+         CASE WHEN pp.ch = 3 THEN
+           (299 * ((pp.asset_id * 31 + (((y.i * pp.h // 32) * pp.w + (x.i * pp.w // 32)) * pp.ch + 0)) % 256)
+            + 587 * ((pp.asset_id * 31 + (((y.i * pp.h // 32) * pp.w + (x.i * pp.w // 32)) * pp.ch + 1)) % 256)
+            + 114 * ((pp.asset_id * 31 + (((y.i * pp.h // 32) * pp.w + (x.i * pp.w // 32)) * pp.ch + 2)) % 256)) // 1000
+         ELSE (pp.asset_id * 31 + (((y.i * pp.h // 32) * pp.w + (x.i * pp.w // 32)) * pp.ch + 0)) % 256
+         END AS l
+  FROM pp, generate_series(0, 31) AS y(i), generate_series(0, 31) AS x(i)
+), pg AS (
+  SELECT pl.asset_id, pc.k AS u, pl.x, SUM(pc.c * pl.l) AS g
+  FROM pl JOIN pc ON pc.n = pl.y
+  GROUP BY 1, 2, 3
+), pf AS (
+  SELECT pg.asset_id, pg.u, pc.k AS v, SUM(pc.c * pg.g) AS f
+  FROM pg JOIN pc ON pc.n = pg.x
+  GROUP BY 1, 2, 3
+), pmed AS (
+  SELECT asset_id, f AS med FROM (
+    SELECT asset_id, f,
+           ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY f, u, v) AS rn
+    FROM pf
+  ) WHERE rn = 32
+), pbits AS (
+  SELECT pf.asset_id, pf.u, pf.v,
+         CASE WHEN pf.f > pmed.med THEN 1 ELSE 0 END AS bit
+  FROM pf JOIN pmed USING (asset_id)
+)
+SELECT b.asset_id, pp.w, pp.h, pp.ch,
+       CAST(SUM(CASE WHEN (u * 8 + v) // 16 = 0
+                THEN bit << (15 - (u * 8 + v) % 16) ELSE 0 END) AS INTEGER) AS q0,
+       CAST(SUM(CASE WHEN (u * 8 + v) // 16 = 1
+                THEN bit << (15 - (u * 8 + v) % 16) ELSE 0 END) AS INTEGER) AS q1,
+       CAST(SUM(CASE WHEN (u * 8 + v) // 16 = 2
+                THEN bit << (15 - (u * 8 + v) % 16) ELSE 0 END) AS INTEGER) AS q2,
+       CAST(SUM(CASE WHEN (u * 8 + v) // 16 = 3
+                THEN bit << (15 - (u * 8 + v) % 16) ELSE 0 END) AS INTEGER) AS q3
+FROM pbits b JOIN pp ON pp.asset_id = b.asset_id
+GROUP BY 1, 2, 3, 4
+"""
     o["m7_decoded_pixel_stats"] = f"""
 SELECT 'png' AS variant, asset_id, CAST(0 AS INTEGER) AS frame_idx,
        CAST(1 AS INTEGER) AS n_frames, width, height,
@@ -4310,6 +4401,14 @@ SELECT 'dhash', asset_id, CAST(0 AS INTEGER), CAST(1 AS INTEGER),
        CAST(ch AS INTEGER), -1.0,
        CAST(w AS INTEGER), CAST(h AS INTEGER)
 FROM ({dhash_sql}) dh_v
+UNION ALL
+-- phash: same riding convention as dhash
+SELECT 'phash', asset_id, CAST(0 AS INTEGER), CAST(1 AS INTEGER),
+       CAST(q0 AS INTEGER), CAST(q1 AS INTEGER),
+       CAST(q2 AS INTEGER), CAST(q3 AS INTEGER),
+       CAST(ch AS INTEGER), -1.0,
+       CAST(w AS INTEGER), CAST(h AS INTEGER)
+FROM ({phash_sql}) ph_v
 """
     return o
 

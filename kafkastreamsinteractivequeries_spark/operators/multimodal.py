@@ -1546,6 +1546,101 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)
 
 
+def dct_table(k_rows: int = 8, grid: int = 32, frac_bits: int = 14) -> list[list[int]]:
+    """Fixed-point DCT-II basis: C[k][n] = round(cos(π(2n+1)k/2G)·2^f)
+    for the first ``k_rows`` frequencies over a ``grid``-point signal.
+    Computed ONCE in Python and inlined as integer literals into both
+    the operator and the oracle SQL, so the trajectory never depends
+    on either engine's libm."""
+    import math
+
+    return [
+        [
+            round(math.cos(math.pi * (2 * n + 1) * k / (2 * grid)) * (1 << frac_bits))
+            for n in range(grid)
+        ]
+        for k in range(k_rows)
+    ]
+
+
+def image_phash(assets: DataFrame, grid: int = 32) -> DataFrame:
+    """64-bit perceptual DCT hash (pHash) from REAL decoded pixels —
+    the low-frequency complement to ``image_dhash``: decode → integer
+    luma → nearest-neighbor ``grid``×``grid`` resample (the dHash NN
+    convention) → fixed-point 2-D DCT-II (two integer matmuls against
+    the inlined ``dct_table`` — only the first 8 frequency rows are
+    ever needed) → the top-left 8×8 coefficient block → bit = coef >
+    median, where the median is the 32nd-smallest under the total
+    order (coef, u, v) (engine-replayable; no float quantile).  The
+    sign structure of the low-frequency spectrum survives the
+    brightness/contrast/high-frequency-noise edits that flip dHash's
+    adjacent-pixel bits (pinned comparatively by test).
+
+    Output mirrors ``image_dhash``: (asset_id, width, height,
+    channels, q0..q3, phash).  int64 envelope: |coef| ≤ 255·2^28·G²
+    ≈ 2^47 at G = 32 — exact.
+
+    Scale shape: one Arrow ``mapInPandas`` pass, table closure-
+    captured — partition-local, zero shuffle; pair detection reuses
+    the simhash/hamming pigeonhole machinery downstream."""
+    from kafkastreamsinteractivequeries_spark.functions.codecs import decode_png
+
+    table = dct_table(8, grid)
+    schema = (
+        "asset_id long, width int, height int, channels int, "
+        "q0 int, q1 int, q2 int, q3 int, phash string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        c = np.array(table, dtype=np.int64)  # 8 × grid
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_png(bytes(payload)).astype(np.int64)
+                h, w, ch = arr.shape
+                if ch == 3:
+                    luma = (
+                        299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+                    ) // 1000
+                else:
+                    luma = arr[:, :, 0]
+                ys = [y * h // grid for y in range(grid)]
+                xs = [x * w // grid for x in range(grid)]
+                l32 = luma[np.ix_(ys, xs)]  # grid × grid
+                f = c @ l32 @ c.T  # 8 × 8, exact int64
+                flat = [(int(f[u, v]), u, v) for u in range(8) for v in range(8)]
+                med = sorted(flat)[31][0]
+                bits = [
+                    1 if int(f[u, v]) > med else 0
+                    for u in range(8)
+                    for v in range(8)
+                ]
+                qs = [
+                    sum(b << (15 - j) for j, b in enumerate(bits[k * 16:(k + 1) * 16]))
+                    for k in range(4)
+                ]
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "q0": qs[0],
+                        "q1": qs[1],
+                        "q2": qs[2],
+                        "q3": qs[3],
+                        "phash": "".join(map(str, bits)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)
+
+
 def image_near_duplicates(
     assets: DataFrame,
     chunks: int = 8,

@@ -659,3 +659,77 @@ def test_exif_orientation_walks_app1(spark):
     assert out[3] == 3  # tag found among other entries
     assert out[4] is None and out[5] is None
     assert out[6] is None  # 99 rejected by the 1..8 validity range
+
+
+def test_image_phash_spectrum_and_noise_robustness(spark):
+    """pHash: (1) the DCT spectrum replays arithmetically from raw
+    pixels (independent pure-Python DCT on the same fixed-point
+    table); (2) brightness shifts without clipping leave the hash
+    unchanged (AC coefficients are shift-invariant); (3) per-pixel
+    high-frequency noise flips FEWER pHash bits than dHash bits —
+    the low-frequency robustness dHash lacks."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import encode_png
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        dct_table,
+        image_dhash,
+        image_phash,
+    )
+
+    rng = np.random.RandomState(7)
+    base = (rng.rand(24, 20, 3) * 160 + 20).astype(np.uint8)  # head-room
+    bright = np.clip(base.astype(np.int64) + 10, 0, 255).astype(np.uint8)
+    noise = rng.choice([-2, 2], size=base.shape)
+    noisy = np.clip(base.astype(np.int64) + noise, 0, 255).astype(np.uint8)
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(base))),
+            (2, bytearray(encode_png(bright))),
+            (3, bytearray(encode_png(noisy))),
+        ],
+        "asset_id long, payload binary",
+    )
+    ph = {r["asset_id"]: r for r in image_phash(assets).collect()}
+    dh = {r["asset_id"]: r["dhash"] for r in image_dhash(assets).collect()}
+
+    # (1) independent replay of asset 1's spectrum
+    luma = (
+        299 * base[:, :, 0].astype(np.int64)
+        + 587 * base[:, :, 1].astype(np.int64)
+        + 114 * base[:, :, 2].astype(np.int64)
+    ) // 1000
+    h, w = luma.shape
+    grid = [[luma[y * h // 32][x * w // 32] for x in range(32)] for y in range(32)]
+    c = dct_table(8, 32)
+    f = [
+        [
+            sum(c[u][y] * c[v][x] * grid[y][x] for y in range(32) for x in range(32))
+            for v in range(8)
+        ]
+        for u in range(8)
+    ]
+    med = sorted((f[u][v], u, v) for u in range(8) for v in range(8))[31][0]
+    expect = "".join(
+        "1" if f[u][v] > med else "0" for u in range(8) for v in range(8)
+    )
+    assert ph[1]["phash"] == expect
+    assert ph[1]["width"] == 20 and ph[1]["height"] == 24
+
+    # (2) brightness shift: AC terms identical, hash identical
+    assert ph[2]["phash"] == ph[1]["phash"]
+
+    # (3) high-frequency noise: pHash strictly more stable than dHash
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    d_ph = ham(ph[1]["phash"], ph[3]["phash"])
+    d_dh = ham(dh[1], dh[3])
+    assert d_ph < d_dh, (d_ph, d_dh)
+    assert d_ph <= 8
+
+    # partitioning invariance
+    again = {
+        r["asset_id"]: r["phash"]
+        for r in image_phash(assets.repartition(3)).collect()
+    }
+    assert again == {k: v["phash"] for k, v in ph.items()}
