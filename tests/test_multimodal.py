@@ -733,3 +733,84 @@ def test_image_phash_spectrum_and_noise_robustness(spark):
         for r in image_phash(assets.repartition(3)).collect()
     }
     assert again == {k: v["phash"] for k, v in ph.items()}
+
+
+def test_wav_goertzel_band_energy(spark):
+    """Goertzel band energies: a pure sine at DFT bin k concentrates
+    its energy at bin k (>=100x every other probed band), DC lands at
+    bin 0... (closed form: silence = all zeros), the recurrence
+    replays in pure-integer reference code, and runs are
+    partitioning-invariant."""
+    import math
+
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import (
+        encode_wav_pcm16,
+    )
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        goertzel_table,
+        wav_goertzel_band_energy,
+    )
+
+    frame = 256
+    n = frame * 2
+    t = np.arange(n)
+    sine8 = (10_000 * np.sin(2 * np.pi * 8 * t / frame)).astype(np.int16)
+    silence = np.zeros(n, dtype=np.int16)
+    # stereo: channel 0 = sine at bin 4, channel 1 = loud junk that
+    # must be IGNORED (channel-0 convention)
+    st = np.zeros(2 * n, dtype=np.int16)
+    st[0::2] = (8_000 * np.sin(2 * np.pi * 4 * t / frame)).astype(np.int16)
+    st[1::2] = 30_000
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16(sine8, 16000))),
+            (2, bytearray(encode_wav_pcm16(silence, 16000))),
+            (3, bytearray(encode_wav_pcm16(st, 16000, n_channels=2))),
+        ],
+        "asset_id long, payload binary",
+    )
+    bins = (1, 2, 4, 8, 16, 32)
+    out = wav_goertzel_band_energy(assets, bins=bins, frame=frame).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["asset_id"], r["frame_idx"]), {})[r["bin"]] = r["energy"]
+
+    # sine at bin 8: that band dominates every other by >= 100x
+    for w in (0, 1):
+        e = by[(1, w)]
+        assert all(e[8] >= 100 * max(e[k], 1) for k in bins if k != 8), e
+    # silence: all zero
+    assert all(v == 0 for v in by[(2, 0)].values())
+    # stereo: channel-0 sine at bin 4 dominates; the channel-1 junk
+    # never leaks in
+    e3 = by[(3, 0)]
+    assert all(e3[4] >= 100 * max(e3[k], 1) for k in bins if k != 4), e3
+    # freq_hz = bin * rate // frame
+    hz = {r["bin"]: r["freq_hz"] for r in out if r["asset_id"] == 1}
+    assert hz[8] == 8 * 16000 // frame == 500
+
+    # pure-integer reference replay of (asset 1, window 0, bin 8)
+    coefs = goertzel_table(bins, frame)
+    c = coefs[8]
+    s1 = s2 = 0
+    for x in sine8[:frame]:
+        s0 = int(x) + ((c * s1) >> 14) - s2
+        s2, s1 = s1, s0
+    power = s1 * s1 + s2 * s2 - ((c * s1 * s2) >> 14)
+    assert by[(1, 0)][8] == power // frame
+    # table sanity: c_0 = 2*2^14 exactly, c_{N/4} = 0
+    assert goertzel_table((0, frame // 4), frame) == {0: 1 << 15, frame // 4: 0}
+
+    # partitioning invariance
+    again = {
+        (r["asset_id"], r["frame_idx"], r["bin"]): r["energy"]
+        for r in wav_goertzel_band_energy(
+            assets.repartition(3), bins=bins, frame=frame
+        ).collect()
+    }
+    assert again == {
+        (r["asset_id"], r["frame_idx"], r["bin"]): r["energy"] for r in out
+    }
