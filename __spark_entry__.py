@@ -1944,14 +1944,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _m1(s: SparkSession, d: str) -> DataFrame:
         base = M.asset_manifest_full(_assets(s, d))
         docs = _docs(s, d)
-        # The format parses are interpreted HOF folds evaluated per row;
-        # the raw parquet layout puts all sf0.1 ids in 1-2 partitions,
-        # so one task serializes each family's folds (a measured 7+1/8
-        # straggler).  A bare repartition of the id column spreads the
-        # folds — the shuffle moves 5k longs per family, trivial; a
-        # localCheckpoint pin was measured SLOWER (materialization per
-        # action beat the straggler it removed).
-        ids = docs.select("doc_id").repartition(8)
+        # Generators read only doc_id.  Kept as a straight projection:
+        # a repartition(8) to spread the interpreted parse folds was
+        # measured a wash at sf0.1 (4.55 s vs 4.56 s — the per-action
+        # cost is driver-side optimize+codegen, not execution) and it
+        # broke the m1 zero-shuffle plan contract, which IS the 100 TB
+        # story (never shuffle a corpus-sized id column for a map-only
+        # parse).
+        ids = docs.select("doc_id")
         jm = M.jpeg_manifest(M.jpeg_assets_from_documents(ids))
         # gif87a/gif89a ⊕ bmp/bmp_topdown: the LITTLE-endian formats —
         # dims parsed with the byte-swap substring technique, top-down
