@@ -15,7 +15,7 @@ import hashlib
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kafkastreamsinteractivequeries_spark.operators.aggregation import aggregate_transactions
 from kafkastreamsinteractivequeries_spark.operators.windows import windowed_aggregate
@@ -2200,7 +2200,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "offset_in_bin",
             F.col("oversize").cast("string").alias("payload"),
         )
-        return pack.unionByName(chunks).unionByName(ns)
+        # 'chat' — the SFT conversation-prep chain (operators/chat.py)
+        # end-to-end THROUGH the real JSON round trip: documents fold
+        # into synthetic conversations (conv = doc_id % 101, turns in
+        # doc_id order, system/user/assistant roles by position),
+        # serialize with to_json, re-parse with from_json, then
+        # chat_loss_mask computes per-turn packed lengths, cumulative
+        # offsets, and the assistant-only loss mask.  The oracle
+        # computes the same table DIRECTLY from documents (no JSON), so
+        # the hash proves the serialize→parse→mask chain is lossless
+        # and integer-exact.  Row mapping: doc_id=conv_id,
+        # bin_id=turn_idx, offset_in_bin=loss_mask, payload=role.
+        from kafkastreamsinteractivequeries_spark.operators import chat as CH
+
+        tw = Window.partitionBy("conv_id").orderBy("doc_id")
+        src_turns = (
+            docs.select(
+                (F.col("doc_id") % 101).alias("conv_id"), "doc_id", "text"
+            )
+            .select(
+                "conv_id",
+                (F.row_number().over(tw) - 1).alias("turn_idx"),
+                F.col("text").alias("content"),
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.when(F.col("turn_idx") == 0, "system")
+                .when(F.col("turn_idx") % 2 == 1, "user")
+                .otherwise("assistant")
+                .alias("role"),
+                "content",
+            )
+        )
+        chat = CH.chat_loss_mask(
+            CH.parse_conversations(CH.conversations_to_json(src_turns))
+        ).select(
+            F.lit("chat").alias("variant"),
+            F.col("conv_id").alias("doc_id"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("start_token").cast("long").alias("start_token"),
+            F.col("turn_idx").cast("long").alias("bin_id"),
+            F.col("loss_mask").cast("long").alias("offset_in_bin"),
+            F.col("role").alias("payload"),
+        )
+        return (
+            pack.unionByName(chunks).unionByName(ns).unionByName(chat)
+        )
 
     q["p2_packing_chunking"] = _p2
 
@@ -3700,6 +3746,36 @@ FROM (
     FROM nf JOIN sh s ON s.shard = nf.shard AND s.rn = nf.rn + 1
   )
   SELECT * FROM nf
+)
+UNION ALL
+-- chat: the SFT loss-mask table computed DIRECTLY from documents —
+-- the Spark side goes through the real to_json -> from_json round
+-- trip first, so the hash proves serialization is lossless and the
+-- per-turn accounting (whitespace tokens + 3 template-overhead
+-- tokens, per-conv cumulative offsets, assistant-only mask) exact
+SELECT 'chat', conv_id,
+       CAST(n_tokens AS INTEGER),
+       CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT),
+       CAST(turn_idx AS BIGINT),
+       CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS BIGINT),
+       role
+FROM (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx = 0 THEN 'system'
+              WHEN turn_idx % 2 = 1 THEN 'user'
+              ELSE 'assistant' END AS role,
+         len(string_split(
+             trim(regexp_replace(lower(COALESCE(ctext, '')), '\\s+', ' ', 'g')),
+             ' ')) + 3 AS n_tokens
+  FROM (
+    SELECT doc_id % 101 AS conv_id,
+           ROW_NUMBER() OVER (PARTITION BY doc_id % 101 ORDER BY doc_id) - 1
+             AS turn_idx,
+           text AS ctext
+    FROM documents
+  )
 )
 """
     # p3 union: stratified ⊕ hardcoded mixture quotas (int(40·w/Σw):
