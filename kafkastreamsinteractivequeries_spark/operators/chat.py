@@ -226,3 +226,33 @@ def render_chat_template(
             F.size("t").cast("int").alias("n_turns"),
         )
     )
+
+
+def pack_conversations(
+    turns: DataFrame, seq_len: int = 2048, shards: int = 32
+) -> DataFrame:
+    """Contamination-free SFT batch layout: each CONVERSATION lands
+    whole in one bin (a conversation split across bins would train on
+    a truncated exchange), packed by its full rendered length —
+    Σ per-turn (content tokens + ``TURN_OVERHEAD_TOKENS``), the same
+    accounting ``chat_loss_mask`` reports, so mask offsets computed
+    there are valid inside the packed bin at ``bin_offset +
+    start_token``.  Composition: one aggregation to per-conv lengths,
+    then the no-straddle next-fit packer over the precomputed
+    lengths (``curation.pack_sequences_no_straddle(n_tokens_col=…)``
+    — deterministic shards, Arrow shard-local fill).  Output:
+    (conv_id, n_tokens, shard, bin_id, offset_in_bin, oversize)."""
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        pack_sequences_no_straddle,
+    )
+
+    lengths = chat_loss_mask(turns).groupBy("conv_id").agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens")
+    )
+    return pack_sequences_no_straddle(
+        lengths,
+        seq_len=seq_len,
+        shards=shards,
+        id_col="conv_id",
+        n_tokens_col="n_tokens",
+    )

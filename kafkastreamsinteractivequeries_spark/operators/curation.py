@@ -307,6 +307,7 @@ def pack_sequences_no_straddle(
     shards: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """NO-STRADDLE sequence packing: each document lands WHOLE in one
     bin (next-fit in id order), the contamination-free layout for
@@ -327,7 +328,11 @@ def pack_sequences_no_straddle(
     engine-replayable (the oracle replays next-fit as a recursive CTE).
     Raise ``shards`` with corpus size — packing quality is unaffected
     because bins never span shards by construction.
-    """
+
+    ``n_tokens_col`` names a PRECOMPUTED length column to pack on
+    instead of tokenizing ``text_col`` — the path for items whose
+    packed length isn't their whitespace token count (rendered
+    conversations with template overhead, pre-tokenized corpora)."""
     from kafkastreamsinteractivequeries_spark.operators.text import tokens_col
 
     if seq_len < 1:
@@ -335,11 +340,14 @@ def pack_sequences_no_straddle(
     # NULL text counts as a 0-token doc (it consumes no bin capacity
     # and never opens a bin) — degrade, never crash the Arrow fill
     # with a NaN (adversarial-input convention)
+    length = (
+        F.col(n_tokens_col).cast("int")
+        if n_tokens_col is not None
+        else F.size(tokens_col(F.col(text_col)))
+    )
     with_n = docs.select(
         F.col(id_col),
-        F.greatest(
-            F.coalesce(F.size(tokens_col(F.col(text_col))), F.lit(0)), F.lit(0)
-        ).alias("n_tokens"),
+        F.greatest(F.coalesce(length, F.lit(0)), F.lit(0)).alias("n_tokens"),
         (F.col(id_col) % shards).cast("int").alias("shard"),
     )
     schema = (

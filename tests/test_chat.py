@@ -122,3 +122,54 @@ def test_render_chat_template(spark):
         )
     )
     assert a == b
+
+
+def test_pack_conversations_no_straddle(spark):
+    """Conversations pack WHOLE: every conv's bin consumption equals
+    its chat_loss_mask total, bins never exceed seq_len (except
+    oversize-alone convs), and offsets are the running fill."""
+    import json
+
+    from kafkastreamsinteractivequeries_spark.operators.chat import (
+        chat_loss_mask,
+        pack_conversations,
+        parse_conversations,
+    )
+
+    convs = []
+    for cid in range(20):
+        msgs = [
+            {"role": "user", "content": " ".join(["q"] * (3 + cid % 5))},
+            {"role": "assistant", "content": " ".join(["a"] * (4 + cid % 7))},
+        ]
+        if cid == 7:  # oversize conversation
+            msgs.append({"role": "user", "content": " ".join(["x"] * 300)})
+            msgs.append({"role": "assistant", "content": "ok"})
+        convs.append((cid, json.dumps(msgs)))
+    turns = parse_conversations(
+        spark.createDataFrame(convs, "conv_id long, messages string")
+    )
+    lengths = {
+        r["conv_id"]: r["tot"]
+        for r in chat_loss_mask(turns)
+        .groupBy("conv_id")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    packed = {r["conv_id"]: r for r in pack_conversations(turns, seq_len=64, shards=4).collect()}
+    assert set(packed) == set(lengths)
+    for cid, r in packed.items():
+        assert r["n_tokens"] == lengths[cid]
+        assert r["oversize"] == (lengths[cid] > 64), cid
+    # per (shard, bin): fill never exceeds seq_len unless a single
+    # oversize conv owns the bin; offsets are the running fill
+    bins = {}
+    for r in packed.values():
+        bins.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for (sh, b), rows in bins.items():
+        rows.sort(key=lambda r: r["offset_in_bin"])
+        fill = 0
+        for r in rows:
+            assert r["offset_in_bin"] == fill
+            fill += r["n_tokens"]
+        assert fill <= 64 or (len(rows) == 1 and rows[0]["oversize"])
