@@ -860,12 +860,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("info"),
             F.col("n_docs").alias("n"),
         )
+        # 'pref' — the preference-pair (RLHF/DPO) prep family
+        # (operators/preference.py) over salted pairs: prompt = the doc
+        # text (the corpus's injected exact dups collapse pair
+        # fingerprints), chosen = text + a fixed suffix, rejected a
+        # fixed 3-token string.  One branch verifies the pair
+        # fingerprint (normalized triple joined with \\n), the
+        # min-struct first-occurrence keeper, the collapse count, AND
+        # the per-pair stats (token counts, floor-div length ratio,
+        # degenerate flag) — all integer/md5 arithmetic the oracle
+        # rebuilds from the same formulas.
+        from kafkastreamsinteractivequeries_spark.operators import (
+            preference as P,
+        )
+
+        pairs = docs.select(
+            F.col("doc_id").alias("pair_id"),
+            F.col("text").alias("prompt"),
+            F.concat(F.col("text"), F.lit(" indeed correct")).alias("chosen"),
+            F.lit("no not really").alias("rejected"),
+        )
+        pref = (
+            P.dedup_preference_pairs(pairs)
+            .join(P.preference_pair_stats(pairs), "pair_id")
+            .select(
+                F.lit("pref").alias("variant"),
+                F.col("pair_id").alias("doc_id"),
+                F.col("fingerprint").alias("text"),
+                F.concat_ws(
+                    "|",
+                    "prompt_tokens",
+                    "chosen_tokens",
+                    "len_ratio_permille",
+                    "degenerate",
+                ).alias("info"),
+                F.col("n_dups").alias("n"),
+            )
+        )
         return (
             kept.unionByName(groups)
             .unionByName(inc)
             .unionByName(ids)
             .unionByName(urls)
             .unionByName(hosts)
+            .unionByName(pref)
         )
 
     q["d1_exact_dedup"] = _d1
@@ -6819,6 +6857,38 @@ FROM (
              || '.com/q%2F' || CAST(doc_id % 15 AS VARCHAR) END AS canon
     FROM documents
   ) GROUP BY host
+)
+UNION ALL
+-- 'pref': preference-pair dedup + stats over salted pairs — the
+-- fingerprint is md5 of the normalized (prompt, chosen, rejected)
+-- triple joined with chr(10); first occurrence by pair_id wins;
+-- stats are whitespace token counts, floor(1000*chosen/rejected),
+-- and the normalized chosen==rejected degenerate flag
+SELECT 'pref', pair_id, fp,
+       CAST(pt AS VARCHAR) || '|' || CAST(ct AS VARCHAR)
+         || '|' || CAST(CAST(FLOOR(1000.0 * ct / rt) AS BIGINT) AS VARCHAR)
+         || '|' || CAST(CASE WHEN nc = nr THEN 1 ELSE 0 END AS VARCHAR),
+       n_dups
+FROM (
+  SELECT MIN(pair_id) AS pair_id, fp,
+         CAST(COUNT(*) AS BIGINT) AS n_dups,
+         MIN(pt) AS pt, MIN(ct) AS ct, MIN(rt) AS rt,
+         MIN(nc) AS nc, MIN(nr) AS nr
+  FROM (
+    SELECT doc_id AS pair_id,
+           md5(np || chr(10) || nc || chr(10) || nr) AS fp,
+           len(string_split(np, ' ')) AS pt,
+           len(string_split(nc, ' ')) AS ct,
+           len(string_split(nr, ' ')) AS rt,
+           nc, nr, np
+    FROM (
+      SELECT doc_id, {norm} AS np,
+             trim(regexp_replace(lower(text || ' indeed correct'),
+                                 '\\s+', ' ', 'g')) AS nc,
+             'no not really' AS nr
+      FROM documents
+    )
+  ) GROUP BY fp
 )
 """
     # d4 rows carry the full signature string (the d3 stage) alongside
