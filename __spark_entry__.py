@@ -2282,8 +2282,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("loss_mask").cast("long").alias("offset_in_bin"),
             F.col("role").alias("payload"),
         )
+        # 'fim' ⊕ 'span' — the pretraining-objective transforms
+        # (operators/objectives.py): deterministic fill-in-the-middle
+        # (md5 two-cut boundaries, PSM/SPM by hash parity, 50% rate)
+        # and T5 span corruption (aligned md5 grid, <extra_id_k>
+        # sentinels).  The oracle replays the md5 draws, the cuts, and
+        # the full rendered strings, so the hash verifies boundary
+        # arithmetic AND byte-exact rendering.  Row mapping: fim —
+        # start/bin/offset carry prefix/middle/suffix token counts,
+        # payload the rendered text; span — start_token = n_spans,
+        # bin_id = corrupted_tokens, payload = input ⊕ target joined
+        # with a newline.
+        from kafkastreamsinteractivequeries_spark.operators import (
+            objectives as OBJ,
+        )
+
+        fim = OBJ.fim_transform(docs, rate_permille=500).select(
+            F.lit("fim").alias("variant"),
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("prefix_tokens").alias("start_token"),
+            F.col("middle_tokens").alias("bin_id"),
+            F.col("suffix_tokens").alias("offset_in_bin"),
+            F.col("rendered").alias("payload"),
+        )
+        span = OBJ.span_corruption(docs).select(
+            F.lit("span").alias("variant"),
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("n_spans").alias("start_token"),
+            F.col("corrupted_tokens").alias("bin_id"),
+            F.lit(-1).cast("long").alias("offset_in_bin"),
+            F.concat_ws("\n", "input", "target").alias("payload"),
+        )
         return (
-            pack.unionByName(chunks).unionByName(ns).unionByName(chat)
+            pack.unionByName(chunks)
+            .unionByName(ns)
+            .unionByName(chat)
+            .unionByName(fim)
+            .unionByName(span)
         )
 
     q["p2_packing_chunking"] = _p2
@@ -3729,6 +3766,20 @@ SELECT * FROM cum WHERE cum_tokens <= 20000
     # chunking ('chunk'), the chunk text itself hash-verified.  DuckDB
     # list slices are INCLUSIVE and end-clamped, mirroring Spark's
     # F.slice(toks, start, length).
+    # first-6-md5-hex-digits integer draws (objectives._md5_int's SQL
+    # twin — DuckDB has no conv(), so the digit-sum form)
+    def _h6(expr: str) -> str:
+        return (
+            "CAST(list_sum(list_transform(generate_series(1, 6), hx -> "
+            f"(strpos('0123456789abcdef', substr(md5({expr}), hx, 1)) - 1)"
+            " * (16 ** (6 - hx)))) AS BIGINT)"
+        )
+
+    h6fim = _h6("CAST(doc_id AS VARCHAR) || '|fim'")
+    h6a = _h6("CAST(doc_id AS VARCHAR) || '|a'")
+    h6b = _h6("CAST(doc_id AS VARCHAR) || '|b'")
+    h6m = _h6("CAST(doc_id AS VARCHAR) || '|m'")
+    h6s = _h6("CAST(doc_id AS VARCHAR) || '|s|' || CAST(i AS VARCHAR)")
     p2 = f"""
 WITH t AS (
   SELECT doc_id, string_split({norm}, ' ') AS toks,
@@ -3784,6 +3835,59 @@ FROM (
     FROM nf JOIN sh s ON s.shard = nf.shard AND s.rn = nf.rn + 1
   )
   SELECT * FROM nf
+)
+UNION ALL
+-- fim: deterministic fill-in-the-middle replay — the two md5 cut
+-- draws, the PSM/SPM parity, and the byte-exact rendering
+SELECT 'fim', doc_id, CAST(n AS INTEGER),
+       CAST(CASE WHEN fim THEN lo ELSE n END AS BIGINT),
+       CAST(CASE WHEN fim THEN hi - lo ELSE 0 END AS BIGINT),
+       CAST(CASE WHEN fim THEN n - hi ELSE 0 END AS BIGINT),
+       CASE WHEN NOT fim THEN array_to_string(toks, ' ')
+            WHEN spm THEN '<|fim_suffix|>' || COALESCE(array_to_string(toks[hi+1:n], ' '), '')
+                 || '<|fim_prefix|>' || COALESCE(array_to_string(toks[1:lo], ' '), '')
+                 || '<|fim_middle|>' || COALESCE(array_to_string(toks[lo+1:hi], ' '), '')
+            ELSE '<|fim_prefix|>' || COALESCE(array_to_string(toks[1:lo], ' '), '')
+                 || '<|fim_suffix|>' || COALESCE(array_to_string(toks[hi+1:n], ' '), '')
+                 || '<|fim_middle|>' || COALESCE(array_to_string(toks[lo+1:hi], ' '), '')
+       END
+FROM (
+  SELECT doc_id, toks, n, fim, spm, LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi
+  FROM (
+    SELECT doc_id, toks, n,
+           ({h6fim}) % 1000 < 500 AS fim,
+           ({h6a}) % (n + 1) AS c1,
+           ({h6b}) % (n + 1) AS c2,
+           ({h6m}) % 2 = 1 AS spm
+    FROM t
+  )
+)
+UNION ALL
+-- span: T5 span corruption replay — the aligned md5 start grid,
+-- sentinel numbering, the position-skip input, the span-spelling
+-- target, tail truncation
+SELECT 'span', doc_id, CAST(n AS INTEGER),
+       CAST(len(starts) AS BIGINT),
+       CAST(COALESCE(list_sum(list_transform(starts,
+              s -> LEAST(3, n - s + 1))), 0) AS BIGINT),
+       CAST(-1 AS BIGINT),
+       COALESCE(array_to_string(list_filter(list_transform(generate_series(1, n),
+           i -> CASE
+             WHEN list_contains(starts, i)
+               THEN '<extra_id_' || CAST(len(list_filter(starts, s -> s <= i)) AS VARCHAR) || '>'
+             WHEN len(list_filter(starts, s -> i >= s AND i < s + 3)) > 0
+               THEN NULL
+             ELSE toks[i] END),
+           x -> x IS NOT NULL), ' '), '')
+       || chr(10) ||
+       COALESCE(array_to_string(flatten(list_transform(starts,
+           s -> ['<extra_id_' || CAST(len(list_filter(starts, s2 -> s2 <= s)) AS VARCHAR) || '>']
+                || toks[s:LEAST(s + 2, n)])), ' '), '')
+FROM (
+  SELECT doc_id, toks, n,
+         list_filter(generate_series(1, n),
+             i -> i % 3 = 1 AND ({h6s}) % 7 = 0) AS starts
+  FROM t
 )
 UNION ALL
 -- chat: the SFT loss-mask table computed DIRECTLY from documents —

@@ -85,7 +85,7 @@ BRANCHES: dict[str, list[str]] = {
     "s1_knn": ["brute", "srp16", "ivf16", "pq8x16", "pq_rerank", "ivfpq"],
     "s4_embedding_near_duplicates": ["self", "decon", "semgroup"],
     "x13_decontamination": ["exact", "bloom", "fuzzy"],
-    "p2_packing_chunking": ["pack", "chunk", "nostraddle", "chat"],
+    "p2_packing_chunking": ["pack", "chunk", "nostraddle", "chat", "fim", "span"],
     "a6_asof_purchase_click": ["bwd", "fwd", "bwdtol"],
     "d1_exact_dedup": ["dedup", "groups", "incremental", "ids", "url", "host", "pref"],
     "t5_stock_aggregation": ["agg", "daily", "rolled", "hllmerge"],

@@ -1,0 +1,216 @@
+"""Pretraining-objective data transforms — the last hop between a
+curated corpus and training examples for objectives other than plain
+next-token prediction:
+
+- **FIM** (fill-in-the-middle, Bavarian et al. arXiv:2207.14255): cut
+  a document into prefix/middle/suffix at deterministic token
+  boundaries and re-order with sentinel markers (PSM or SPM layout) so
+  the model learns infilling — standard for code models.
+- **Span corruption** (T5, Raffel et al. arXiv:1910.10683): replace
+  short token spans with numbered sentinels, emit the (input, target)
+  pair where the target spells out each sentinel's original tokens.
+
+Both are pure Column transforms over the whitespace token array —
+zero shuffle, zero Python — and fully DETERMINISTIC: cut points and
+span starts come from md5 of (doc_id, position) through the repo's
+first-6-hex-digits integer trick, never from rand(), so outputs are
+reproducible across runs, engines, and partitionings and the DuckDB
+oracle replays them exactly.  A production pipeline applies them at
+token-id granularity after tokenization; whitespace tokens keep the
+arithmetic engine-portable here, and the operators take any
+pre-tokenized array column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafkastreamsinteractivequeries_spark.operators.dedup import tokens_col
+
+FIM_PREFIX = "<|fim_prefix|>"
+FIM_MIDDLE = "<|fim_middle|>"
+FIM_SUFFIX = "<|fim_suffix|>"
+
+
+def _md5_int(*cols: F.Column) -> F.Column:
+    """First 6 md5 hex digits of the '|'-joined inputs as a bigint —
+    the repo's deterministic-bucket convention (exact in both
+    engines; 24 bits of uniformity)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 6), 16, 10
+    ).cast("bigint")
+
+
+def fim_transform(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate_permille: int = 500,
+) -> DataFrame:
+    """Deterministic FIM: documents whose md5 bucket falls under
+    ``rate_permille`` are cut at two hash-derived token boundaries
+    ``0 ≤ lo ≤ hi ≤ n`` and re-rendered with sentinels — PSM layout
+    (``<|fim_prefix|>P<|fim_suffix|>S<|fim_middle|>M``) for even
+    hash parity, SPM (suffix first) for odd; the rest pass through
+    untouched (``mode = 'plain'``).  Output: (id, mode, n_tokens,
+    prefix_tokens, middle_tokens, suffix_tokens, rendered).
+
+    The boundary draw is the standard uniform two-cut: lo/hi are two
+    independent md5 draws mod (n+1), swapped into order — every
+    split of the token sequence is reachable, and the empty
+    middle/prefix/suffix edge cases are exercised rather than
+    special-cased (a FIM pipeline must tolerate them).  Map-only."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    pick = _md5_int(F.col(id_col).cast("string"), F.lit("fim")) % 1000
+    c1 = _md5_int(F.col(id_col).cast("string"), F.lit("a")) % (n + 1)
+    c2 = _md5_int(F.col(id_col).cast("string"), F.lit("b")) % (n + 1)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    spm = _md5_int(F.col(id_col).cast("string"), F.lit("m")) % 2 == 1
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        n.alias("_n"),
+        (pick < rate_permille).alias("_fim"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+        spm.alias("_spm"),
+    )
+    t = F.col("_t")
+    prefix = F.array_join(F.slice(t, 1, F.col("_lo").cast("int")), " ")
+    middle = F.array_join(
+        F.slice(
+            t, (F.col("_lo") + 1).cast("int"), (F.col("_hi") - F.col("_lo")).cast("int")
+        ),
+        " ",
+    )
+    suffix = F.array_join(
+        F.slice(
+            t, (F.col("_hi") + 1).cast("int"), (F.col("_n") - F.col("_hi")).cast("int")
+        ),
+        " ",
+    )
+    psm = F.concat(
+        F.lit(FIM_PREFIX), prefix, F.lit(FIM_SUFFIX), suffix,
+        F.lit(FIM_MIDDLE), middle,
+    )
+    spm_r = F.concat(
+        F.lit(FIM_SUFFIX), suffix, F.lit(FIM_PREFIX), prefix,
+        F.lit(FIM_MIDDLE), middle,
+    )
+    return base.select(
+        id_col,
+        F.when(~F.col("_fim"), "plain")
+        .when(F.col("_spm"), "spm")
+        .otherwise("psm")
+        .alias("mode"),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.when(F.col("_fim"), F.col("_lo"))
+        .otherwise(F.col("_n"))
+        .cast("long")
+        .alias("prefix_tokens"),
+        F.when(F.col("_fim"), F.col("_hi") - F.col("_lo"))
+        .otherwise(0)
+        .cast("long")
+        .alias("middle_tokens"),
+        F.when(F.col("_fim"), F.col("_n") - F.col("_hi"))
+        .otherwise(0)
+        .cast("long")
+        .alias("suffix_tokens"),
+        F.when(~F.col("_fim"), F.array_join(t, " "))
+        .when(F.col("_spm"), spm_r)
+        .otherwise(psm)
+        .alias("rendered"),
+    )
+
+
+def span_corruption(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 3,
+    start_rate: int = 7,
+) -> DataFrame:
+    """Deterministic T5-style span corruption: a span of ``span_len``
+    tokens starts at position ``i`` iff ``i ≡ 1 (mod span_len)`` AND
+    the md5 draw for (doc, i) lands on ``% start_rate == 0`` — the
+    phase constraint makes spans non-overlapping BY CONSTRUCTION
+    (T5's random spans need overlap merging; the aligned grid trades
+    a little start-position freedom for closed-form determinism) and
+    the expected corruption rate is span_len/(span_len·start_rate) ≈
+    1/start_rate of all tokens.  Spans shorter than ``span_len`` at
+    the document tail are taken as-is.
+
+    Output: (id, n_tokens, n_spans, corrupted_tokens, input, target)
+    — ``input`` is the document with each span replaced by its
+    ``<extra_id_k>`` sentinel (k in span order), ``target`` the
+    sentinel-prefixed original spans, T5's exact convention.  All
+    array expressions over the token sequence; map-only."""
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+    t, n = F.col("_t"), F.col("_n")
+    idc = F.col(id_col).cast("string")
+
+    def is_start(i: F.Column) -> F.Column:
+        return (
+            (i % span_len == 1)
+            & (_md5_int(idc, F.lit("s"), i.cast("string")) % start_rate == 0)
+        )
+
+    starts = F.filter(
+        F.sequence(F.lit(1), n), lambda i: is_start(i)
+    )
+    # span index of a start position = #starts at or before it (1-based)
+    with_marks = base.select(
+        id_col,
+        "_t",
+        "_n",
+        starts.alias("_starts"),
+    )
+    st = F.col("_starts")
+    span_k = lambda i: F.size(F.filter(st, lambda s: s <= i))  # noqa: E731
+    in_span = lambda i: F.exists(  # noqa: E731
+        st, lambda s: (i >= s) & (i < s + span_len)
+    )
+    input_parts = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(
+                F.exists(st, lambda s: s == i),
+                F.concat(F.lit("<extra_id_"), span_k(i).cast("string"), F.lit(">")),
+            )
+            .when(in_span(i), F.lit(None))
+            .otherwise(F.element_at(t, i.cast("int"))),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    target_parts = F.flatten(
+        F.transform(
+            st,
+            lambda s: F.concat(
+                F.array(
+                    F.concat(
+                        F.lit("<extra_id_"), span_k(s).cast("string"), F.lit(">")
+                    )
+                ),
+                F.slice(
+                    t,
+                    s.cast("int"),
+                    F.least(F.lit(span_len), n - s + 1).cast("int"),
+                ),
+            ),
+        )
+    )
+    corrupted = F.aggregate(
+        st,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.least(F.lit(span_len), n - s + 1),
+    )
+    return with_marks.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.size(st).cast("long").alias("n_spans"),
+        corrupted.alias("corrupted_tokens"),
+        F.array_join(input_parts, " ").alias("input"),
+        F.array_join(target_parts, " ").alias("target"),
+    )

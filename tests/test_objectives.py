@@ -1,0 +1,109 @@
+"""Unit tests for operators/objectives.py (FIM + span corruption)."""
+
+import hashlib
+
+from kafkastreamsinteractivequeries_spark.operators.objectives import (
+    FIM_MIDDLE,
+    FIM_PREFIX,
+    FIM_SUFFIX,
+    fim_transform,
+    span_corruption,
+)
+
+
+def _m6(*parts) -> int:
+    return int(hashlib.md5("|".join(parts).encode()).hexdigest()[:6], 16)
+
+
+def test_fim_transform_replay_and_losslessness(spark):
+    """FIM cuts replay from the md5 formulas; rendered text is a
+    lossless re-ordering (token multiset preserved); rate 1000 FIMs
+    everything, rate 0 nothing; partitioning-invariant."""
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + i % 5))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fim_transform(docs, rate_permille=1000).collect()}
+    for i, text in rows:
+        toks = text.split()
+        n = len(toks)
+        c1, c2 = _m6(str(i), "a") % (n + 1), _m6(str(i), "b") % (n + 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        spm = _m6(str(i), "m") % 2 == 1
+        r = out[i]
+        assert (r["prefix_tokens"], r["middle_tokens"], r["suffix_tokens"]) == (
+            lo, hi - lo, n - hi,
+        ), i
+        p, m, s = (
+            " ".join(toks[:lo]), " ".join(toks[lo:hi]), " ".join(toks[hi:]),
+        )
+        expect = (
+            FIM_SUFFIX + s + FIM_PREFIX + p + FIM_MIDDLE + m
+            if spm
+            else FIM_PREFIX + p + FIM_SUFFIX + s + FIM_MIDDLE + m
+        )
+        assert r["rendered"] == expect, i
+        assert r["mode"] == ("spm" if spm else "psm")
+        # lossless: stripping sentinels recovers the token multiset
+        body = (
+            r["rendered"]
+            .replace(FIM_PREFIX, " ")
+            .replace(FIM_MIDDLE, " ")
+            .replace(FIM_SUFFIX, " ")
+        )
+        assert sorted(body.split()) == sorted(toks), i
+    # rate 0: everything plain and untouched
+    plain = fim_transform(docs, rate_permille=0).collect()
+    assert all(r["mode"] == "plain" and r["rendered"] == dict(rows)[r["doc_id"]]
+               for r in plain)
+    # partitioning invariance
+    again = {
+        r["doc_id"]: r["rendered"]
+        for r in fim_transform(docs.repartition(7), rate_permille=1000).collect()
+    }
+    assert again == {k: v["rendered"] for k, v in out.items()}
+
+
+def test_span_corruption_t5_convention(spark):
+    """Span corruption: spans replay from the md5 grid, input/target
+    follow the T5 sentinel convention, sentinel counts agree, tail
+    spans truncate, and zero-span docs pass through unchanged."""
+    rows = [(i, " ".join(f"t{j}" for j in range(25))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_corruption(docs).collect()}
+    hit_some = False
+    for i, text in rows:
+        toks = text.split()
+        n = len(toks)
+        starts = [
+            p for p in range(1, n + 1)
+            if p % 3 == 1 and _m6(str(i), "s", str(p)) % 7 == 0
+        ]
+        r = out[i]
+        assert r["n_spans"] == len(starts), i
+        exp_input, k, pos = [], 0, 1
+        while pos <= n:
+            if pos in starts:
+                k += 1
+                exp_input.append(f"<extra_id_{k}>")
+                pos += 3
+            else:
+                exp_input.append(toks[pos - 1])
+                pos += 1
+        # engine builds input positionally (skips in-span positions)
+        assert r["input"] == " ".join(exp_input), i
+        exp_target = []
+        for k, s in enumerate(starts, start=1):
+            exp_target.append(f"<extra_id_{k}>")
+            exp_target.extend(toks[s - 1 : s - 1 + 3])
+        assert r["target"] == " ".join(exp_target), i
+        assert r["corrupted_tokens"] == sum(min(3, n - s + 1) for s in starts)
+        if starts:
+            hit_some = True
+        else:
+            assert r["input"] == text
+    assert hit_some  # the grid actually fires on this corpus
+    # partitioning invariance
+    again = {
+        r["doc_id"]: (r["input"], r["target"])
+        for r in span_corruption(docs.repartition(5)).collect()
+    }
+    assert again == {k: (v["input"], v["target"]) for k, v in out.items()}
