@@ -902,3 +902,71 @@ def test_pagerank_no_cartesian_and_skinny_rank_joins(spark, sf_dir):
     assert "CartesianProduct" not in body
     assert "BroadcastNestedLoopJoin" in body  # the 1-row scalar attach
     assert "Join" in body and "partial" in body.lower()  # map-side agg
+
+
+def test_preference_decontamination_broadcasts_eval_prompts(spark, sf_dir):
+    # RLHF prompt decontamination follows the x13 contract: the eval
+    # prompt set is the BROADCAST side of the anti-join; the pairs
+    # corpus is never shuffled or sort-merge-joined for it.
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.preference import (
+        decontaminate_preference_prompts,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("prompt"),
+        F.col("text").alias("chosen"),
+        F.lit("no").alias("rejected"),
+    )
+    evals = docs.limit(20).select("text").withColumnRenamed("text", "prompt")
+    plan = (
+        decontaminate_preference_prompts(pairs, evals)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chat_chain_single_shuffle_and_objectives_shuffle_free(spark, sf_dir):
+    # chat parse -> mask: the only exchange is the per-conv window's
+    # partition-by (one hash exchange on conv_id); the FIM and span
+    # transforms are pure map work — ZERO exchanges over the corpus.
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.chat import (
+        chat_loss_mask,
+        parse_conversations,
+    )
+    from kafkastreamsinteractivequeries_spark.operators.objectives import (
+        fim_transform,
+        span_corruption,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    convs = docs.select(
+        (F.col("doc_id") % 101).alias("conv_id"),
+        F.to_json(
+            F.array(
+                F.struct(
+                    F.lit("user").alias("role"), F.col("text").alias("content")
+                )
+            )
+        ).alias("messages"),
+    )
+    plan = (
+        chat_loss_mask(parse_conversations(convs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # the conv_id window partition
+    for op in (fim_transform(docs), span_corruption(docs)):
+        p = op._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, "objective transforms must be map-only"
