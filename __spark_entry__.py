@@ -3785,6 +3785,15 @@ WITH t AS (
   SELECT doc_id, string_split({norm}, ' ') AS toks,
          COALESCE(len(string_split({norm}, ' ')), 0) AS n
   FROM documents
+), tz AS (
+  -- fim/span read the COALESCED form: NULL text is the empty
+  -- document (one empty token), the operators' degrade convention
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+                                          '\\s+', ' ', 'g')), ' ') AS toks,
+         len(string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+                                              '\\s+', ' ', 'g')), ' ')) AS n
+  FROM documents
 ), c AS (
   SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum FROM t
 )
@@ -3859,7 +3868,7 @@ FROM (
            ({h6a}) % (n + 1) AS c1,
            ({h6b}) % (n + 1) AS c2,
            ({h6m}) % 2 = 1 AS spm
-    FROM t
+    FROM tz
   )
 )
 UNION ALL
@@ -3887,7 +3896,7 @@ FROM (
   SELECT doc_id, toks, n,
          list_filter(generate_series(1, n),
              i -> i % 3 = 1 AND ({h6s}) % 7 = 0) AS starts
-  FROM t
+  FROM tz
 )
 UNION ALL
 -- chat: the SFT loss-mask table computed DIRECTLY from documents —

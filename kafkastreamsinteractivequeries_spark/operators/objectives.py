@@ -55,12 +55,16 @@ def fim_transform(
     untouched (``mode = 'plain'``).  Output: (id, mode, n_tokens,
     prefix_tokens, middle_tokens, suffix_tokens, rendered).
 
+    NULL text degrades as the empty document (coalesced before
+    tokenization — one empty token, the chat_loss_mask convention),
+    never an error.
+
     The boundary draw is the standard uniform two-cut: lo/hi are two
     independent md5 draws mod (n+1), swapped into order — every
     split of the token sequence is reachable, and the empty
     middle/prefix/suffix edge cases are exercised rather than
     special-cased (a FIM pipeline must tolerate them).  Map-only."""
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     pick = _md5_int(F.col(id_col).cast("string"), F.lit("fim")) % 1000
     c1 = _md5_int(F.col(id_col).cast("string"), F.lit("a")) % (n + 1)
@@ -146,7 +150,7 @@ def span_corruption(
     ``<extra_id_k>`` sentinel (k in span order), ``target`` the
     sentinel-prefixed original spans, T5's exact convention.  All
     array expressions over the token sequence; map-only."""
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
     base = docs.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
     t, n = F.col("_t"), F.col("_n")
     idc = F.col(id_col).cast("string")
