@@ -2038,3 +2038,104 @@ def video_frame_features(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(out)
 
     return spread(joined).mapInPandas(extract, schema)
+
+
+def image_caption_dedup(
+    pairs: DataFrame,
+    payload_col: str = "payload",
+    caption_col: str = "caption",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """CLIP-style image-text pair dedup: a pair is a duplicate when
+    BOTH its perceptual image hash (dHash over real decoded pixels)
+    and its normalized caption fingerprint match — re-encoded copies
+    of the same image with the same caption collapse, while the same
+    image under a NEW caption survives (it is a new supervision
+    signal, the multimodal twin of the paraphrase distinction).
+    First occurrence (lowest id) wins, the exact-dedup keeper rule.
+
+    Output: (pair_id, dhash, caption_fp, n_dups).  Scale shape: one
+    Arrow decode pass for the hash (``image_dhash``), a map-only
+    caption fingerprint, then ONE min-struct aggregate on the skinny
+    (dhash, caption_fp) key — payloads never shuffle (the id joins
+    back by key when bytes are needed)."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    hashes = image_dhash(
+        pairs.select(F.col(id_col).alias("asset_id"), F.col(payload_col))
+    ).select(F.col("asset_id").alias(id_col), "dhash")
+    caps = pairs.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.coalesce(F.col(caption_col), F.lit("")))).alias(
+            "caption_fp"
+        ),
+    )
+    return (
+        hashes.join(caps, id_col)
+        .groupBy("dhash", "caption_fp")
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .select(id_col, "dhash", "caption_fp", "n_dups")
+    )
+
+
+def caption_reuse_stats(
+    pairs: DataFrame,
+    payload_col: str = "payload",
+    caption_col: str = "caption",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """The two reuse profiles a web-scraped image-text corpus needs
+    before training: per distinct IMAGE (dhash), how many distinct
+    captions it carries (alt-text churn — high counts mean noisy
+    supervision), and per distinct CAPTION, how many distinct images
+    it labels (stock-photo boilerplate like 'image may contain...' —
+    LAION-class pipelines drop captions above a reuse cap).  Output:
+    one row per (kind, key): kind ∈ ('image', 'caption'),
+    n_partners = the distinct-count, n_pairs = total pairs carrying
+    the key, first_id.  Two count-distinct aggregates over the same
+    skinny (dhash, caption_fp, id) table — each plans as the
+    two-phase expand, no hot-key funnel."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    hashes = image_dhash(
+        pairs.select(F.col(id_col).alias("asset_id"), F.col(payload_col))
+    ).select(F.col("asset_id").alias(id_col), "dhash")
+    base = hashes.join(
+        pairs.select(
+            F.col(id_col),
+            F.md5(
+                normalized_text(F.coalesce(F.col(caption_col), F.lit("")))
+            ).alias("caption_fp"),
+        ),
+        id_col,
+    )
+    img = base.groupBy("dhash").agg(
+        F.countDistinct("caption_fp").cast("long").alias("n_partners"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min(id_col).cast("long").alias("first_id"),
+    ).select(
+        F.lit("image").alias("kind"),
+        F.col("dhash").alias("key"),
+        "n_partners",
+        "n_pairs",
+        "first_id",
+    )
+    cap = base.groupBy("caption_fp").agg(
+        F.countDistinct("dhash").cast("long").alias("n_partners"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min(id_col).cast("long").alias("first_id"),
+    ).select(
+        F.lit("caption").alias("kind"),
+        F.col("caption_fp").alias("key"),
+        "n_partners",
+        "n_pairs",
+        "first_id",
+    )
+    return img.unionByName(cap)

@@ -814,3 +814,53 @@ def test_wav_goertzel_band_energy(spark):
     assert again == {
         (r["asset_id"], r["frame_idx"], r["bin"]): r["energy"] for r in out
     }
+
+
+def test_image_caption_dedup_and_reuse(spark):
+    """Pair dedup: identical (pixels, caption) collapse; same image
+    with a NEW caption survives; same caption on a different image
+    survives.  Reuse stats count distinct partners on both sides."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import encode_png
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        caption_reuse_stats,
+        image_caption_dedup,
+    )
+
+    rng = np.random.RandomState(3)
+    img_a = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    img_b = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    pa, pb = bytearray(encode_png(img_a)), bytearray(encode_png(img_b))
+    rows = [
+        (1, pa, "a cat on a mat"),
+        (2, pa, "A  cat ON a mat"),   # dup after normalization
+        (3, pa, "a different caption"),
+        (4, pb, "a cat on a mat"),    # same caption, different image
+        (5, pb, "a cat on a mat"),    # dup of 4
+    ]
+    pairs = spark.createDataFrame(
+        rows, "pair_id long, payload binary, caption string"
+    )
+    kept = {r["pair_id"]: r for r in image_caption_dedup(pairs).collect()}
+    assert set(kept) == {1, 3, 4}
+    assert kept[1]["n_dups"] == 2 and kept[4]["n_dups"] == 2
+    assert kept[3]["n_dups"] == 1
+
+    stats = caption_reuse_stats(pairs).collect()
+    img_rows = {r["key"]: r for r in stats if r["kind"] == "image"}
+    cap_rows = {r["key"]: r for r in stats if r["kind"] == "caption"}
+    # image A carries 2 distinct captions over 3 pairs
+    a_hash = kept[1]["dhash"]
+    assert img_rows[a_hash]["n_partners"] == 2
+    assert img_rows[a_hash]["n_pairs"] == 3
+    # "a cat on a mat" labels 2 distinct images over 4 pairs
+    cat_fp = kept[1]["caption_fp"]
+    assert cap_rows[cat_fp]["n_partners"] == 2
+    assert cap_rows[cat_fp]["n_pairs"] == 4
+    # partitioning invariance
+    again = {
+        r["pair_id"]: r["n_dups"]
+        for r in image_caption_dedup(pairs.repartition(3)).collect()
+    }
+    assert again == {k: v["n_dups"] for k, v in kept.items()}
