@@ -1645,6 +1645,8 @@ def unigram_lm_train(
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
+    # no checkpoint: the candidate table feeds exactly ONE action (the
+    # unioned singles+multis collect below)
     cand = (
         words.select(
             F.explode(
@@ -1658,7 +1660,6 @@ def unigram_lm_train(
         )
         .groupBy("piece")
         .agg(F.sum("c").cast("long").alias("count"))
-        .localCheckpoint(eager=False)
     )
     seed_rows = (
         cand.filter(F.length("piece") == 1)
