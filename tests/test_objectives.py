@@ -107,3 +107,35 @@ def test_span_corruption_t5_convention(spark):
         for r in span_corruption(docs.repartition(5)).collect()
     }
     assert again == {k: (v["input"], v["target"]) for k, v in out.items()}
+
+
+def test_span_corruption_long_document_linear_time(spark):
+    """The segment-wise rendering is O(n + n_spans): a 60k-token
+    document (≈1.7e8 lambda evals under the old per-position
+    O(n·n_spans) scan) must render in seconds, and the output must
+    still replay the md5 grid exactly."""
+    import time
+
+    n = 60_000
+    text = " ".join(f"t{j}" for j in range(n))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.monotonic()
+    r = span_corruption(docs).collect()[0]
+    wall = time.monotonic() - t0
+    assert wall < 60, f"long-doc span corruption took {wall:.1f}s"
+    starts = [
+        p for p in range(1, n + 1)
+        if p % 3 == 1 and _m6("1", "s", str(p)) % 7 == 0
+    ]
+    assert r["n_spans"] == len(starts) > 1000
+    toks = text.split()
+    exp_input, k, pos = [], 0, 1
+    while pos <= n:
+        if pos in set(starts):
+            k += 1
+            exp_input.append(f"<extra_id_{k}>")
+            pos += 3
+        else:
+            exp_input.append(toks[pos - 1])
+            pos += 1
+    assert r["input"] == " ".join(exp_input)
