@@ -1664,12 +1664,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same oracle replay as 'segment', proving the 30k-merge-class
         # encode path is value-identical to the expression form at the
         # verified trajectory scale.
-        sega = T.bpe_segment_arrow(nonempty, merges).select(
+        sega_raw = T.bpe_segment_arrow(nonempty, merges).localCheckpoint(
+            eager=False
+        )
+        sega = sega_raw.select(
             F.lit("segmenta").alias("variant"),
             F.concat_ws(" ", "bpe_tokens_learned").alias("term"),
             F.col("n_bpe_tokens").cast("long").alias("n"),
             F.col("doc_id").cast("long").alias("rank"),
             F.lit(-1.0).alias("share"),
+        )
+        # 'tokvocab' ⊕ 'tokids' ⊕ 'tokbin' — the token-ID
+        # training-example emitter (operators/training.py), the last
+        # hop from tokenizer pieces to tensor-ready shards:
+        # frequency-ranked piece ids over the Arrow BPE segmentation
+        # (specials pad=0/unk=1/bos=2/eos=3), per-doc integer id
+        # arrays with EOS appended, then no-straddle 512-token bins
+        # whose input_ids / loss_mask / segment_ids / doc_ids are ALL
+        # rendered into the hash (term = the four tensors joined with
+        # ' | ').  The oracle replays vocab ranking, the id mapping,
+        # next-fit packing (recursive CTE per shard), and every
+        # padded tensor position.  rank = doc_id for tokids,
+        # shard·10⁶ + bin_id for tokbin; share = n_docs in the bin.
+        from kafkastreamsinteractivequeries_spark.operators import (
+            training as TRN,
+        )
+
+        tvoc_df = TRN.token_id_vocab(sega_raw)
+        tokvocab = tvoc_df.select(
+            F.lit("tokvocab").alias("variant"),
+            F.col("piece").alias("term"),
+            F.col("count").alias("n"),
+            F.col("token_id").cast("long").alias("rank"),
+            F.lit(-1.0).alias("share"),
+        )
+        vmap = {
+            r["piece"]: r["token_id"] for r in tvoc_df.collect()
+        }  # bounded: vocabulary size (train-once/serve-many)
+        ids_df = TRN.encode_token_ids(sega_raw, vmap).localCheckpoint(
+            eager=False
+        )
+        tokids = ids_df.select(
+            F.lit("tokids").alias("variant"),
+            F.array_join(
+                F.col("token_ids").cast("array<string>"), " "
+            ).alias("term"),
+            F.col("n_ids").cast("long").alias("n"),
+            F.col("doc_id").cast("long").alias("rank"),
+            F.lit(-1.0).alias("share"),
+        )
+        tokbin = TRN.token_training_examples(
+            ids_df, seq_len=512, shards=8
+        ).select(
+            F.lit("tokbin").alias("variant"),
+            F.concat_ws(
+                " | ",
+                F.array_join(F.col("input_ids").cast("array<string>"), " "),
+                F.array_join(F.col("loss_mask").cast("array<string>"), " "),
+                F.array_join(F.col("segment_ids").cast("array<string>"), " "),
+                F.array_join(F.col("doc_ids").cast("array<string>"), " "),
+            ).alias("term"),
+            F.col("n_tokens").cast("long").alias("n"),
+            (F.col("shard").cast("long") * 1000000 + F.col("bin_id")).alias(
+                "rank"
+            ),
+            F.col("n_docs").cast("double").alias("share"),
         )
         # 'wpvocab' ⊕ 'wordpiece' — the BERT-family tokenizer beside
         # the GPT-family BPE: a deterministic frequency-ranked
@@ -1735,6 +1794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             vocab.unionByName(bpe)
             .unionByName(seg)
             .unionByName(sega)
+            .unionByName(tokvocab)
+            .unionByName(tokids)
+            .unionByName(tokbin)
             .unionByName(wpvocab)
             .unionByName(wp)
             .unionByName(uvocab)
@@ -2771,7 +2833,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank_prev").alias("v2"),
             F.col("in_deg").alias("v3"),
         )
-        return fun.unionByName(coh).unionByName(ij).unionByName(pr)
+        # 'trustrank' — seeded (personalized) PageRank on the SAME
+        # graph (Gyöngyi VLDB'04): teleport + dangling mass land only
+        # on the id%3==0 seed set, so the hash proves the personalized
+        # trajectory (seed initialization, seed-only teleport, seed
+        # dangling return) — not just the shared join/agg shape.  v3
+        # carries is_seed; in_deg is already verified by 'pagerank'.
+        seeds = (
+            pr_edges.select(F.col("src").alias("id"))
+            .unionByName(pr_edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .filter(F.col("id") % 3 == 0)
+        )
+        tr = GR.trustrank(pr_edges, seeds, iterations=3).select(
+            F.lit("trustrank").alias("variant"),
+            F.col("id").alias("k1"),
+            F.col("out_deg").alias("k2"),
+            F.col("rank").alias("v1"),
+            F.col("rank_prev").alias("v2"),
+            F.col("is_seed").cast("long").alias("v3"),
+        )
+        # 'hits' — Kleinberg hubs/authorities on the same graph, the
+        # pure-integer max-norm rescale (2^20 fixed point) unrolled in
+        # the oracle per iteration, so every intermediate rescale is
+        # hash-proven.  v1=hub, v2=authority.
+        ht = GR.hits(pr_edges, iterations=3).select(
+            F.lit("hits").alias("variant"),
+            F.col("id").alias("k1"),
+            sent.alias("k2"),
+            F.col("hub").alias("v1"),
+            F.col("authority").alias("v2"),
+            sent.alias("v3"),
+        )
+        return (
+            fun.unionByName(coh)
+            .unionByName(ij)
+            .unionByName(pr)
+            .unionByName(tr)
+            .unionByName(ht)
+        )
 
     q["e1_event_analytics"] = _e1
 
@@ -3442,6 +3542,74 @@ def _extension_oracles() -> dict[str, str]:
     def ep(c: str) -> str:
         return es.format(c=c)
 
+    # trustrank replay (graph.trustrank): seed-only teleport + seed
+    # dangling return, 3 unrolled iterations over the same pr_e graph.
+    # 1000000000000 = PAGERANK_SCALE, 150000000000 = the 15% teleport
+    # mass; all divisions are non-negative, so // == Spark's div.
+    def _tr_iter(i: int) -> str:
+        prev = f"tr_r{i - 1}"
+        return f""", tr_d{i} AS (
+  SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang
+  FROM {prev} WHERE outd = 0
+), tr_i{i} AS (
+  SELECT e.dst AS id, CAST(SUM(r.rank // r.outd) AS BIGINT) AS inflow
+  FROM pr_e e JOIN {prev} r ON e.src = r.id AND r.outd > 0 GROUP BY 1
+), tr_r{i} AS (
+  SELECT r.id, r.outd, r.is_seed, r.ns,
+         CAST(CASE WHEN r.is_seed = 1
+              THEN 150000000000 // r.ns + (85 * (d.dang // r.ns)) // 100
+              ELSE 0 END
+              + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank
+  FROM {prev} r LEFT JOIN tr_i{i} i ON r.id = i.id CROSS JOIN tr_d{i} d
+)"""
+
+    tr_ctes = (
+        """, tr_seed AS (
+  SELECT id FROM pr_nodes WHERE id % 3 = 0
+), tr_ns AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM tr_seed
+), tr_r0 AS (
+  SELECT nd.id, COALESCE(dg.outd, 0) AS outd,
+         CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed, n.ns,
+         CAST(CASE WHEN s.id IS NOT NULL
+              THEN 1000000000000 // n.ns ELSE 0 END AS BIGINT) AS rank
+  FROM pr_nodes nd
+  LEFT JOIN pr_deg dg ON nd.id = dg.id
+  LEFT JOIN tr_seed s ON nd.id = s.id
+  CROSS JOIN tr_ns n
+)"""
+        + "".join(_tr_iter(i) for i in (1, 2, 3))
+    )
+
+    # hits replay (graph.hits): per half-iteration sum + pure-integer
+    # max-norm rescale to 2^20 = 1048576, unrolled ×3
+    def _hits_iter(i: int) -> str:
+        return f""", ht_a{i}f AS (
+  SELECT nd.id, COALESCE(x.a, 0) AS a
+  FROM pr_nodes nd LEFT JOIN (
+    SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS a
+    FROM pr_e e JOIN ht_h{i - 1} h ON e.src = h.id GROUP BY 1
+  ) x ON nd.id = x.id
+), ht_a{i} AS (
+  SELECT id, CAST(CASE WHEN m.m = 0 THEN a
+                  ELSE (a * 1048576) // m.m END AS BIGINT) AS a
+  FROM ht_a{i}f CROSS JOIN (SELECT MAX(ABS(a)) AS m FROM ht_a{i}f) m
+), ht_h{i}f AS (
+  SELECT nd.id, COALESCE(x.h, 0) AS h
+  FROM pr_nodes nd LEFT JOIN (
+    SELECT e.src AS id, CAST(SUM(a.a) AS BIGINT) AS h
+    FROM pr_e e JOIN ht_a{i} a ON e.dst = a.id GROUP BY 1
+  ) x ON nd.id = x.id
+), ht_h{i} AS (
+  SELECT id, CAST(CASE WHEN m.m = 0 THEN h
+                  ELSE (h * 1048576) // m.m END AS BIGINT) AS h
+  FROM ht_h{i}f CROSS JOIN (SELECT MAX(ABS(h)) AS m FROM ht_h{i}f) m
+)"""
+
+    hits_ctes = """, ht_h0 AS (
+  SELECT id, CAST(1048576 AS BIGINT) AS h FROM pr_nodes
+)""" + "".join(_hits_iter(i) for i in (1, 2, 3))
+
     o["e1_event_analytics"] = f"""
 WITH steps AS (
   SELECT user_id,
@@ -3534,7 +3702,7 @@ WITH steps AS (
               + (85 * (COALESCE(i.inflow, 0) + d.dang // r.n)) // 100
               AS BIGINT) AS rank
   FROM pr_r2 r LEFT JOIN pr_i3 i ON r.id = i.id CROSS JOIN pr_d3 d
-)
+){tr_ctes}{hits_ctes}
 SELECT 'funnel' AS variant, CAST(user_id AS BIGINT) AS k1,
        CAST(steps_completed AS BIGINT) AS k2,
        COALESCE({ep('t1')}, -1) AS v1,
@@ -3556,6 +3724,13 @@ SELECT 'pagerank', r3.id, r3.outd, r3.rank, r2.rank,
 FROM pr_r3 r3
 JOIN pr_r2 r2 ON r3.id = r2.id
 LEFT JOIN pr_ind ON r3.id = pr_ind.id
+UNION ALL
+SELECT 'trustrank', r3.id, r3.outd, r3.rank, r2.rank,
+       CAST(r3.is_seed AS BIGINT)
+FROM tr_r3 r3 JOIN tr_r2 r2 ON r3.id = r2.id
+UNION ALL
+SELECT 'hits', h.id, -1, h.h, a.a, -1
+FROM ht_h3 h JOIN ht_a3 a ON h.id = a.id
 """
 
     # e2 emits vfrom/vto as epoch-second BIGINTs (pandas datetime64[ns]
@@ -5658,7 +5833,7 @@ FROM (
         t_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ", "
         + ",\n".join(bpe_parts)
-        + """, counts AS (
+        + f""", counts AS (
   SELECT tok AS token, COUNT(*) AS count
   FROM t, unnest(toks) AS u(tok)
   GROUP BY tok
@@ -5724,6 +5899,77 @@ wseg AS MATERIALIZED (
   FROM (SELECT w, MAX(p) AS maxp FROM wpwalk GROUP BY w) m
   JOIN wpwalk wk ON wk.w = m.w AND wk.p = m.maxp
 ),
+-- token-ID training-example emitter (operators/training.py): per-doc
+-- BPE piece stream → frequency-ranked ids (specials 0..3 reserved,
+-- eos=3 appended per doc) → next-fit no-straddle packing into
+-- 512-token bins per doc_id%8 shard (recursive CTE, the p2
+-- 'nostraddle' replay shape) → per-bin input_ids / loss_mask /
+-- segment_ids / doc_ids rendered position-for-position
+docseg AS MATERIALIZED (
+  SELECT doc_id, flatten(list(ws ORDER BY pos)) AS bpe
+  FROM (
+    SELECT t.doc_id, g.i AS pos, wf.syms AS ws
+    FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+    JOIN w{bpe_rounds} wf ON wf.w = toks[g.i]
+    WHERE t.norm != ''
+  ) GROUP BY doc_id
+),
+tvoc AS MATERIALIZED (
+  SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) + 3 AS BIGINT)
+           AS tid
+  FROM (SELECT piece, COUNT(*) AS cnt
+        FROM (SELECT unnest(bpe) AS piece FROM docseg) GROUP BY piece)
+),
+docids AS MATERIALIZED (
+  SELECT doc_id, list(tid ORDER BY pos) || [CAST(3 AS BIGINT)] AS ids
+  FROM (
+    SELECT dp.doc_id, dp.pos, COALESCE(v.tid, CAST(1 AS BIGINT)) AS tid
+    FROM (SELECT d.doc_id, g.i AS pos, d.bpe[g.i] AS piece
+          FROM docseg d,
+               unnest(generate_series(1, len(bpe))) AS g(i)) dp
+    LEFT JOIN tvoc v ON v.piece = dp.piece
+  ) GROUP BY doc_id
+),
+tsh AS MATERIALIZED (
+  SELECT doc_id, len(ids) AS n_ids, CAST(doc_id % 8 AS INTEGER) AS shard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM docids
+),
+tnf AS (
+  SELECT shard, rn, doc_id, n_ids,
+         CAST(0 AS BIGINT) AS bin_id, CAST(n_ids AS BIGINT) AS used
+  FROM tsh WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.n_ids,
+         CASE WHEN tnf.used + s.n_ids > 512
+              THEN tnf.bin_id + 1 ELSE tnf.bin_id END,
+         CASE WHEN tnf.used + s.n_ids > 512
+              THEN CAST(s.n_ids AS BIGINT) ELSE tnf.used + s.n_ids END
+  FROM tnf JOIN tsh s ON s.shard = tnf.shard AND s.rn = tnf.rn + 1
+),
+tb0 AS (
+  SELECT n.shard, n.bin_id, n.doc_id, d.ids,
+         ROW_NUMBER() OVER (PARTITION BY n.shard, n.bin_id
+                            ORDER BY n.doc_id) AS j
+  FROM tnf n JOIN docids d USING (doc_id)
+),
+tbin AS MATERIALIZED (
+  SELECT shard, bin_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         flatten(list(ids ORDER BY doc_id)) AS allids,
+         flatten(list(list_transform(generate_series(1, len(ids)),
+                                     x -> CAST(j AS BIGINT))
+                      ORDER BY doc_id)) AS segs,
+         list(doc_id ORDER BY doc_id) AS dids
+  FROM tb0 GROUP BY shard, bin_id
+),
+tbinr AS (
+  SELECT shard, bin_id, n_docs, dids,
+         allids[1:512] AS realids, segs[1:512] AS segr,
+         LEAST(len(allids), 512) AS nreal
+  FROM tbin
+),
 """
         + _x11_uni_ctes
         + """
@@ -5740,19 +5986,37 @@ UNION ALL
 UNION ALL
 SELECT seg_variant, array_to_string(bpe, ' '), CAST(len(bpe) AS BIGINT),
        CAST(doc_id AS BIGINT), -1.0
-FROM (
-  SELECT doc_id, flatten(list(ws ORDER BY pos)) AS bpe
-  FROM (
-    SELECT t.doc_id, g.i AS pos, wf.syms AS ws
-    FROM t, unnest(generate_series(1, len(toks))) AS g(i)
-    JOIN w{bpe_rounds} wf ON wf.w = toks[g.i]
-    WHERE t.norm != ''
-  ) GROUP BY doc_id
-)
+FROM docseg
 -- 'segment' = expression path, 'segmenta' = the Arrow mapInPandas
 -- production encoder; identical values by contract, so one replay
 -- serves both variants
 CROSS JOIN (VALUES ('segment'), ('segmenta')) AS sv(seg_variant)
+UNION ALL
+SELECT 'tokvocab', piece, cnt, tid, -1.0 FROM tvoc
+UNION ALL
+SELECT 'tokids', array_to_string(ids, ' '), CAST(len(ids) AS BIGINT),
+       CAST(doc_id AS BIGINT), -1.0
+FROM docids
+UNION ALL
+SELECT 'tokbin',
+       array_to_string(realids
+           || list_transform(generate_series(1, 512 - nreal),
+                             x -> CAST(0 AS BIGINT)), ' ')
+       || ' | ' ||
+       array_to_string(list_transform(generate_series(1, nreal),
+                                      x -> CAST(1 AS BIGINT))
+           || list_transform(generate_series(1, 512 - nreal),
+                             x -> CAST(0 AS BIGINT)), ' ')
+       || ' | ' ||
+       array_to_string(segr
+           || list_transform(generate_series(1, 512 - nreal),
+                             x -> CAST(0 AS BIGINT)), ' ')
+       || ' | ' ||
+       array_to_string(dids, ' '),
+       CAST(nreal AS BIGINT),
+       CAST(shard AS BIGINT) * 1000000 + bin_id,
+       CAST(n_docs AS DOUBLE)
+FROM tbinr
 UNION ALL
 SELECT 'wpvocab', piece, CAST(cnt AS BIGINT), CAST(rank AS BIGINT), 0.0
 FROM wps

@@ -1,0 +1,134 @@
+"""Unit tests for operators/training.py — the token-ID
+training-example emitter (vocab ids → encode → no-straddle bins →
+loss mask / segment ids), including the detokenize round trip."""
+
+from pyspark.sql import functions as F
+
+from kafkastreamsinteractivequeries_spark.operators.text import (
+    bpe_segment_arrow,
+    bpe_train_trajectory,
+)
+from kafkastreamsinteractivequeries_spark.operators.training import (
+    EOS_ID,
+    N_SPECIALS,
+    PAD_ID,
+    UNK_ID,
+    encode_token_ids,
+    token_id_vocab,
+    token_training_examples,
+)
+
+ROWS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log and the cat sat too"),
+    (2, "a cat and a dog and a log"),
+    (3, "the the the the the the the the the the the the"),  # long-ish
+    (4, None),  # NULL text degrades, never crashes
+    (5, "cat"),
+]
+
+
+def _fixture(spark):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    traj = bpe_train_trajectory(docs, num_merges=4)
+    merges = [(left, right) for _s, left, right, _n in traj]
+    seg = bpe_segment_arrow(docs, merges)
+    vocab_df = token_id_vocab(seg)
+    vocab = {r["piece"]: r["token_id"] for r in vocab_df.collect()}
+    ids = encode_token_ids(seg, vocab)
+    return docs, seg, vocab_df, vocab, ids
+
+
+def test_vocab_ids_and_encode(spark):
+    docs, seg, vocab_df, vocab, ids = _fixture(spark)
+    rows = vocab_df.collect()
+    # frequency-ranked total order, ids contiguous from N_SPECIALS
+    ordered = sorted(rows, key=lambda r: (-r["count"], r["piece"]))
+    assert [r["token_id"] for r in ordered] == list(
+        range(N_SPECIALS, N_SPECIALS + len(rows))
+    )
+    assert min(vocab.values()) == N_SPECIALS  # specials never collide
+    seg_map = {r["doc_id"]: r["bpe_tokens_learned"] for r in seg.collect()}
+    for r in ids.collect():
+        pieces = seg_map[r["doc_id"]]
+        if pieces is None:
+            assert r["token_ids"] is None and r["n_ids"] is None
+            continue
+        expect = [vocab.get(p, UNK_ID) for p in pieces] + [EOS_ID]
+        assert list(r["token_ids"]) == expect
+        assert r["n_ids"] == len(expect)
+
+
+def test_training_examples_layout_and_roundtrip(spark):
+    docs, seg, vocab_df, vocab, ids = _fixture(spark)
+    ids = ids.filter(F.col("token_ids").isNotNull())
+    seq_len = 24
+    out = token_training_examples(ids, seq_len=seq_len, shards=2).collect()
+    inv = {v: k for k, v in vocab.items()}
+    seg_map = {r["doc_id"]: r["bpe_tokens_learned"] for r in seg.collect()}
+    seen_docs = []
+    for b in out:
+        assert len(b["input_ids"]) == seq_len
+        assert len(b["loss_mask"]) == seq_len
+        assert len(b["segment_ids"]) == seq_len
+        # mask ⟷ padding agreement, segment boundary agreement
+        for pos in range(seq_len):
+            real = pos < b["n_tokens"]
+            assert b["loss_mask"][pos] == (1 if real else 0)
+            assert (b["segment_ids"][pos] > 0) == real
+            if not real:
+                assert b["input_ids"][pos] == PAD_ID
+        # detokenize round trip: split the real ids at EOS back into
+        # documents and invert the vocab — must recover each doc's
+        # piece sequence exactly (truncated bins check the prefix)
+        real_ids = b["input_ids"][: b["n_tokens"]]
+        doc_ids = list(b["doc_ids"])
+        seen_docs.extend(doc_ids)
+        chunks, cur = [], []
+        for t in real_ids:
+            if t == EOS_ID:
+                chunks.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:  # truncated tail (no EOS) — oversize bins only
+            assert b["truncated"]
+            chunks.append(cur)
+        assert len(chunks) == len(doc_ids) == b["n_docs"]
+        for did, chunk in zip(doc_ids, chunks):
+            pieces = [inv[t] for t in chunk]
+            expect = seg_map[did]
+            if b["truncated"]:
+                assert pieces == expect[: len(pieces)]
+            else:
+                assert pieces == expect
+        # segment ids are the 1-based doc index, in layout order
+        boundaries = [b["segment_ids"][0]] + [
+            b["segment_ids"][i]
+            for i in range(1, b["n_tokens"])
+            if b["segment_ids"][i] != b["segment_ids"][i - 1]
+        ]
+        assert boundaries == list(range(1, len(doc_ids) + 1))
+    # every non-null doc landed in exactly one bin
+    assert sorted(seen_docs) == [0, 1, 2, 3, 5]
+    # doc 3 segments long (12 'the's → >24 ids?) — at least assert any
+    # oversize bin is alone in its bin
+    for b in out:
+        if b["truncated"]:
+            assert b["n_docs"] == 1 and b["n_tokens"] == seq_len
+
+
+def test_training_examples_partitioning_invariant(spark):
+    docs, seg, vocab_df, vocab, ids = _fixture(spark)
+    ids = ids.filter(F.col("token_ids").isNotNull())
+    a = {
+        (r["shard"], r["bin_id"]): (list(r["input_ids"]), list(r["segment_ids"]))
+        for r in token_training_examples(ids, seq_len=24, shards=2).collect()
+    }
+    b = {
+        (r["shard"], r["bin_id"]): (list(r["input_ids"]), list(r["segment_ids"]))
+        for r in token_training_examples(
+            ids.repartition(7), seq_len=24, shards=2
+        ).collect()
+    }
+    assert a == b
