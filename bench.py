@@ -109,7 +109,10 @@ ALL_BRANCHES: dict[str, list[str]] = {
     ],
     "x11_vocab_bpe": [
         "vocab", "bpe", "segment", "segmenta", "wpvocab", "wordpiece",
-        "uvocab", "unigram",
+        "uvocab", "unigram", "tokvocab", "tokids", "tokbin",
+    ],
+    "e1_event_analytics": [
+        "funnel", "cohort", "interval", "pagerank", "trustrank", "hits",
     ],
 }
 
@@ -241,18 +244,15 @@ def main() -> None:
         )
 
     total = round(sum(per_query.values()), 3)
+    # Key order matters for the DRIVER ARTIFACT: it stores a bounded
+    # TAIL of stdout, and BENCH_r09's tail began mid-queries-dict,
+    # losing the headline total.  The scalars the judge needs
+    # (metric/unit/sf/value) therefore go LAST in the JSON object so
+    # any tail that catches the line's end is self-contained.
     print(
         json.dumps(
             {
-                "metric": (
-                    "all_queries_total_wall_clock"
-                    if run_all
-                    else "headline_queries_total_wall_clock"
-                ),
-                "value": total,
-                "unit": "sec",
                 "queries": per_query,
-                "sf": sf,
                 "meta": {
                     "reps": reps,
                     "aggregation": "per_key_min",
@@ -264,6 +264,14 @@ def main() -> None:
                     "load_guard": load_guard,
                     "branches": branches,
                 },
+                "metric": (
+                    "all_queries_total_wall_clock"
+                    if run_all
+                    else "headline_queries_total_wall_clock"
+                ),
+                "unit": "sec",
+                "sf": sf,
+                "value": total,
             }
         )
     )
