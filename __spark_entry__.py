@@ -1599,7 +1599,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("ppl").alias("score"),
             "bucket",
         )
-        return score.unionByName(cc)
+        # 'kn3' — the interpolated Kneser–Ney trigram LM (the CCNet-
+        # proper smoothed model, D = 1/2 in exact integer micro-units;
+        # see text.kneser_ney_trigram_scores).  n_bigrams carries
+        # n_trigrams, score the mean KN probability in micro-units,
+        # bucket the per-doc SUM (so the hash pins both readouts).
+        kn = T.kneser_ney_trigram_scores(_docs(s, d)).select(
+            F.lit("kn3").alias("variant"),
+            "doc_id",
+            F.col("n_trigrams").alias("n_bigrams"),
+            F.col("avg_p_micro").cast("double").alias("score"),
+            F.col("sum_p_micro").cast("string").alias("bucket"),
+        )
+        return score.unionByName(cc).unionByName(kn)
 
     q["x7_bigram_logprob"] = _x7
     q["x8_repetition_stats"] = lambda s, d: T.repetition_stats(_docs(s, d))
@@ -5468,6 +5480,26 @@ GROUP BY pp
   SELECT ROUND(quantile_cont(avg_logprob, 1.0/3), 6) AS t1,
          ROUND(quantile_cont(avg_logprob, 2.0/3), 6) AS t2
   FROM lmsc
+), ktris AS (
+  SELECT doc_id, toks[i] AS u, toks[i + 1] AS v, toks[i + 2] AS w
+  FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+  WHERE len(toks) >= 3
+), kc3 AS MATERIALIZED (
+  SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c3 FROM ktris GROUP BY 1, 2, 3
+), kctx AS (
+  SELECT u, v, CAST(SUM(c3) AS BIGINT) AS cuv,
+         CAST(COUNT(*) AS BIGINT) AS n1p_uv
+  FROM kc3 GROUP BY 1, 2
+), kcont AS MATERIALIZED (
+  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS nvw FROM kc3 GROUP BY 1, 2
+), kmid AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS nv FROM kc3 GROUP BY 1
+), kfan AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS fv FROM kcont GROUP BY 1
+), kuni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS nw FROM kcont GROUP BY 1
+), ktot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM kcont
 )
 SELECT 'score' AS variant, doc_id, n_bigrams, avg_logprob AS score,
        '' AS bucket
@@ -5478,6 +5510,32 @@ SELECT 'ccnet', doc_id, n_bigrams, ROUND(exp(-avg_logprob), 2),
             WHEN avg_logprob >= t1 THEN 'middle'
             ELSE 'tail' END
 FROM lmsc CROSS JOIN th
+UNION ALL
+-- kn3: interpolated Kneser-Ney trigram replay (D = 1/2, integer
+-- micro-units, lower orders from trigram-type continuation counts) —
+-- every quantity non-negative, so // mirrors Spark's div exactly
+SELECT 'kn3', doc_id, CAST(COUNT(*) AS BIGINT),
+       CAST(CAST(SUM(p3) AS BIGINT) // COUNT(*) AS DOUBLE),
+       CAST(CAST(SUM(p3) AS BIGINT) AS VARCHAR)
+FROM (
+  SELECT doc_id,
+         ((1000000 * greatest(2 * c3 - 1, 0)) // (2 * cuv))
+         + ((n1p_uv * p2) // (2 * cuv)) AS p3
+  FROM (
+    SELECT tr.doc_id, kc.c3, kx.cuv, kx.n1p_uv,
+           ((1000000 * greatest(2 * kv.nvw - 1, 0)) // (2 * km.nv))
+           + ((kf.fv * ((1000000 * ku.nw) // kt.tt)) // (2 * km.nv)) AS p2
+    FROM ktris tr
+    JOIN kc3 kc USING (u, v, w)
+    JOIN kctx kx USING (u, v)
+    JOIN kcont kv USING (v, w)
+    JOIN kmid km USING (v)
+    JOIN kfan kf USING (v)
+    JOIN kuni ku USING (w)
+    CROSS JOIN ktot kt
+  )
+)
+GROUP BY doc_id
 """
     )
     # x4 union: the doc-min fingerprint ('docmin', one row per doc,

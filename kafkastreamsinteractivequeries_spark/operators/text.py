@@ -376,6 +376,104 @@ def bigram_logprob_scores(
     )
 
 
+def kneser_ney_trigram_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Interpolated Kneser–Ney trigram LM scores in EXACT integer
+    fixed point — the published CCNet-class fluency filter (Wenzek et
+    al. arXiv:1911.00359 trains a real smoothed LM; Chen & Goodman
+    1999 is the KN formulation) beside the add-1 bigram stand-in
+    (:func:`bigram_logprob_scores`).
+
+    Formulation (discount D = 1/2 so everything stays integral after
+    doubling; all lower orders derived from the trigram TYPE table,
+    the standard continuation-count construction)::
+
+        P1(w)    = (S·N1+(·w))              div N1+(··)
+        P2(w|v)  = (S·max(2·N1+(·vw)−1, 0)) div (2·N1+(·v·))
+                 + (N1+(v·)·P1(w))          div (2·N1+(·v·))
+        P3(w|uv) = (S·max(2·c(uvw)−1, 0))   div (2·c(uv))
+                 + (N1+(uv·)·P2(w|v))       div (2·c(uv))
+
+    with S = ``scale`` micro-units and integer floor division
+    throughout (the pagerank fixed-point discipline: every quantity is
+    non-negative, so Spark's truncating ``div`` IS floor and the
+    DuckDB ``//`` replay is bit-identical — no libm, no float sums).
+
+    Output per doc (≥3 tokens): ``(id, n_trigrams, sum_p_micro,
+    avg_p_micro)`` — ``avg_p_micro`` is the mean interpolated KN
+    probability of the doc's own trigrams in micro-units, the
+    monotone fluency signal (high = fluent, the head of a CCNet-style
+    split; a log readout would leave the integer grid, the
+    verify-the-logit rule).
+
+    Scale shape: one trigram explode, five partial-agg count tables
+    off the trigram-type table, one 1-row broadcast total, and a
+    scoring join chain on skinny (token…) keys — the
+    ``bigram_logprob_scores`` cost model with one extra order."""
+    toks = tokens_col(F.col(text_col))
+    docs = spread(docs)
+    base = docs.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= 3)
+    t = F.col("t")
+    tris = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.struct(
+                    t[i].alias("u"), t[i + 1].alias("v"), t[i + 2].alias("w")
+                ),
+            )
+        ).alias("tg"),
+    ).select(id_col, "tg.u", "tg.v", "tg.w")
+    # trigram occurrence counts; every lower-order statistic below is
+    # a TYPE count derived from this one table (continuation counts)
+    c3 = tris.groupBy("u", "v", "w").agg(F.count("*").alias("c3"))
+    ctx = c3.groupBy("u", "v").agg(
+        F.sum("c3").cast("long").alias("cuv"),  # c(uv)
+        F.count("*").alias("n1p_uv"),  # N1+(uv·)
+    )
+    cont = c3.groupBy("v", "w").agg(F.count("*").alias("nvw"))  # N1+(·vw)
+    mid = c3.groupBy("v").agg(F.count("*").alias("nv"))  # N1+(·v·)
+    fan = cont.groupBy("v").agg(F.count("*").alias("fv"))  # N1+(v·)
+    uni = cont.groupBy("w").agg(F.count("*").alias("nw"))  # N1+(·w)
+    tot = cont.agg(F.count("*").alias("tt"))  # N1+(··), 1 row
+    scored = (
+        tris.join(c3.hint("shuffle_hash"), ["u", "v", "w"])
+        .join(ctx.hint("shuffle_hash"), ["u", "v"])
+        .join(cont.hint("shuffle_hash"), ["v", "w"])
+        .join(mid.hint("shuffle_hash"), "v")
+        .join(fan.hint("shuffle_hash"), "v")
+        .join(uni.hint("shuffle_hash"), "w")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p1", F.expr(f"(CAST({scale} AS BIGINT) * nw) div tt")
+        )
+        .withColumn(
+            "p2",
+            F.expr(
+                f"((CAST({scale} AS BIGINT) * greatest(2 * nvw - 1, 0))"
+                " div (2 * nv)) + ((fv * p1) div (2 * nv))"
+            ),
+        )
+        .withColumn(
+            "p3",
+            F.expr(
+                f"((CAST({scale} AS BIGINT) * greatest(2 * c3 - 1, 0))"
+                " div (2 * cuv)) + ((n1p_uv * p2) div (2 * cuv))"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum("p3").cast("long").alias("sum_p_micro"),
+        F.expr("CAST(sum(p3) div count(*) AS BIGINT)").alias("avg_p_micro"),
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     text_col: str = "text",

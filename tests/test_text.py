@@ -1325,3 +1325,70 @@ def test_unigram_lm_train_and_viterbi(spark):
     zdocs = spark.createDataFrame([(9, "banqzq")], "doc_id long, text string")
     z = unigram_segment_arrow(zdocs, vocab, max_piece_len=3).collect()[0]
     assert "".join(z["u_tokens"]) == "banqzq"
+
+
+def test_kneser_ney_trigram_exact_replay(spark):
+    """KN trigram scores replay a hand computation on a tiny corpus:
+    counts, continuation counts, D=1/2 discounting, and the integer
+    floor-div interpolation — plus the fluency ordering and
+    partitioning invariance."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        kneser_ney_trigram_scores,
+    )
+
+    rows = [(i, "the cat sat on the mat") for i in range(4)]
+    rows.append((99, "zq xv qj wk"))
+    rows.append((100, "ab cd"))  # <3 tokens: excluded
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in kneser_ney_trigram_scores(df).collect()}
+    assert 100 not in out
+    assert out[0].n_trigrams == 4 and out[99].n_trigrams == 2
+
+    # hand replay in exact integer arithmetic
+    corpus = [r[1].split() for r in rows if len(r[1].split()) >= 3]
+    tri: dict[tuple, int] = {}
+    for toks in corpus:
+        for i in range(len(toks) - 2):
+            tri[tuple(toks[i : i + 3])] = tri.get(tuple(toks[i : i + 3]), 0) + 1
+    ctx: dict[tuple, list[int]] = {}
+    cont: dict[tuple, int] = {}
+    for (u, v, w), c in tri.items():
+        cu = ctx.setdefault((u, v), [0, 0])
+        cu[0] += c
+        cu[1] += 1
+        cont[(v, w)] = cont.get((v, w), 0) + 1
+    nv = {}
+    for (u, v, w) in tri:
+        nv[v] = nv.get(v, 0) + 1
+    fv, nw = {}, {}
+    for (v, w) in cont:
+        fv[v] = fv.get(v, 0) + 1
+        nw[w] = nw.get(w, 0) + 1
+    tt = len(cont)
+    S = 1_000_000
+
+    def p3(u, v, w):
+        p1 = (S * nw[w]) // tt
+        p2 = (S * max(2 * cont[(v, w)] - 1, 0)) // (2 * nv[v]) + (
+            fv[v] * p1
+        ) // (2 * nv[v])
+        cuv, n1p = ctx[(u, v)]
+        return (S * max(2 * tri[(u, v, w)] - 1, 0)) // (2 * cuv) + (
+            n1p * p2
+        ) // (2 * cuv)
+
+    for doc_id, text in rows:
+        toks = text.split()
+        if len(toks) < 3:
+            continue
+        ps = [p3(*toks[i : i + 3]) for i in range(len(toks) - 2)]
+        assert out[doc_id].sum_p_micro == sum(ps), doc_id
+        assert out[doc_id].avg_p_micro == sum(ps) // len(ps), doc_id
+    # fluency ordering: repeated phrase >> singleton gibberish
+    assert out[0].avg_p_micro > out[99].avg_p_micro
+    # partitioning invariance (integer arithmetic, no float sums)
+    again = {
+        r.doc_id: (r.sum_p_micro, r.avg_p_micro)
+        for r in kneser_ney_trigram_scores(df.repartition(5)).collect()
+    }
+    assert again == {k: (v.sum_p_micro, v.avg_p_micro) for k, v in out.items()}
