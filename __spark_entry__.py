@@ -1246,6 +1246,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_est").cast("long").alias("n"),
             F.col("sketch_rows").cast("long").alias("total"),
         )
+        # 'qstream' — the SAME quantile telemetry through the REAL
+        # STREAMING path: token lengths ingested as a file stream
+        # (availableNow), foreachBatch → StreamingQuantileSketchSink
+        # lands a versioned, _SUCCESS-gated (value, weight) store, and
+        # this branch reads the LANDED snapshot and derives estimates
+        # — hash-verified against the same closed-form oracle as
+        # 'qsketch', proving stream-landed == batch one-shot through
+        # the sink/commit/manifest plumbing.  The corpus is a single
+        # parquet file, so availableNow is one micro-batch and the
+        # landed sketch IS the one-shot build (multi-batch merge is
+        # the documented incremental form whose re-thin is not
+        # bit-equal — merge_hashed_quantile_sketches docstring).  The
+        # ingest runs once per (process, sf_dir).
+        from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+            StreamingQuantileSketchSink,
+        )
+
+        def _run_qstream() -> str:
+            import shutil
+            import tempfile
+
+            tag = hashlib.md5(d.encode()).hexdigest()[:10]
+            root = os.path.join(tempfile.gettempdir(), f"ksiq_qstream_{tag}")
+            shutil.rmtree(root, ignore_errors=True)  # fresh per process
+            sink = StreamingQuantileSketchSink(
+                os.path.join(root, "store"), "v", k=256
+            )
+            stream = (
+                s.readStream.schema("doc_id long, text string")
+                # the file source wants a DIRECTORY; glob-filter the
+                # one corpus file out of the sf_dir
+                .option("pathGlobFilter", "documents.parquet")
+                .parquet(d)
+                .select(F.size(tokens_col(F.col("text"))).cast("long").alias("v"))
+            )
+            sq = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+            return sink.path
+
+        qstream_store = _memo(("x6_qstream", d), _run_qstream)
+        qst = hashed_quantile_estimates(
+            StreamingQuantileSketchSink(qstream_store, "v", k=256).sketch(s),
+            (25, 50, 75, 90),
+        ).select(
+            F.lit("qstream").alias("variant"),
+            F.concat(F.lit("p"), F.col("percentile").cast("string")).alias(
+                "name"
+            ),
+            F.col("value").cast("double").alias("value"),
+            F.col("n_est").cast("long").alias("n"),
+            F.col("sketch_rows").cast("long").alias("total"),
+        )
         orders = load_table(s, d, "orders")
         rules = [
             ("not_null", "o_orderkey"),
@@ -1575,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(moji)
             .unionByName(nfc)
             .unionByName(qsk)
+            .unionByName(qst)
         )
 
     q["x6_quality_gates"] = _x6
@@ -2303,11 +2361,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("width").alias("pixel_min"),
             F.col("height").alias("pixel_max"),
         )
+        # 'gate' — LAION-style pair quality gates
+        # (multimodal.image_pair_quality_gates) over the same PNG
+        # assets paired with the doc text as caption: min-dims /
+        # aspect / byte-diversity / flat-image / caption-length
+        # failure bitmask (frame_idx), passed flag (n_frames),
+        # n_distinct_vals + top_share_permille riding the target dims,
+        # caption_tokens riding pixel_mean.  The oracle replays the
+        # pixel histogram closed-form from the asset formula
+        # (consecutive residues mod 256), so the hash verifies decode
+        # AND every gate decision.
+        pair_src = png_assets.join(
+            _docs(s, d).select(
+                F.col("doc_id").alias("asset_id"),
+                F.col("text").alias("caption"),
+            ),
+            "asset_id",
+        )
+        gate = M.image_pair_quality_gates(pair_src, id_col="asset_id").select(
+            F.lit("gate").alias("variant"),
+            "asset_id",
+            F.col("failure_mask").alias("frame_idx"),
+            F.col("passed").cast("int").alias("n_frames"),
+            "width",
+            "height",
+            F.col("n_distinct_vals").alias("target_width"),
+            F.col("top_share_permille").alias("target_height"),
+            "channels",
+            F.col("caption_tokens").cast("double").alias("pixel_mean"),
+            F.lit(-1).alias("pixel_min"),
+            F.lit(-1).alias("pixel_max"),
+        )
         return (
             png.unionByName(apng)
             .unionByName(rez)
             .unionByName(dh)
             .unionByName(ph)
+            .unionByName(gate)
         )
 
     q["m7_decoded_pixel_stats"] = _m7
@@ -4918,6 +5008,44 @@ SELECT 'phash', asset_id, CAST(0 AS INTEGER), CAST(1 AS INTEGER),
        CAST(ch AS INTEGER), -1.0,
        CAST(w AS INTEGER), CAST(h AS INTEGER)
 FROM ({phash_sql}) ph_v
+UNION ALL
+-- gate: pair quality gates replayed closed-form — the asset's pixels
+-- are n = w*h*ch CONSECUTIVE residues mod 256, so n_distinct =
+-- least(n, 256) and the dominant count = ceil(n/256); caption gates
+-- from the doc's normalized whitespace tokens
+SELECT 'gate', doc_id,
+       CAST(b0 + 2*b1 + 4*b2 + 8*b3 + 16*b4 AS INTEGER),
+       CAST(CASE WHEN b0 + b1 + b2 + b3 + b4 = 0
+            THEN 1 ELSE 0 END AS INTEGER),
+       CAST(w AS INTEGER), CAST(h AS INTEGER),
+       CAST(LEAST(n, 256) AS INTEGER),
+       CAST(((n + 255) // 256) * 1000 // n AS INTEGER),
+       CAST(ch AS INTEGER),
+       CAST(ct AS DOUBLE),
+       CAST(-1 AS INTEGER), CAST(-1 AS INTEGER)
+FROM (
+  SELECT doc_id, w, h, ch, n, ct,
+         CASE WHEN w < 8 OR h < 8 THEN 1 ELSE 0 END AS b0,
+         CASE WHEN 1000 * GREATEST(w, h) > 2000 * LEAST(w, h)
+              THEN 1 ELSE 0 END AS b1,
+         CASE WHEN LEAST(n, 256) < 16 THEN 1 ELSE 0 END AS b2,
+         CASE WHEN ((n + 255) // 256) * 1000 // n >= 900
+              THEN 1 ELSE 0 END AS b3,
+         CASE WHEN ct < 3 THEN 1 ELSE 0 END AS b4
+  FROM (
+    SELECT doc_id, w, h, ch, w * h * ch AS n,
+           len(list_filter(
+             string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+                                              '\\s+', ' ', 'g')), ' '),
+             x -> x != '')) AS ct
+    FROM (
+      SELECT doc_id, text,
+             4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h,
+             1 + doc_id % 3 AS ch
+      FROM documents
+    )
+  )
+)
 """
     return o
 
@@ -5444,11 +5572,15 @@ FROM (
   )
 )
 UNION ALL
-SELECT 'qsketch', 'p' || CAST(pp AS VARCHAR), CAST(MIN(value) AS DOUBLE),
+-- one replay serves the batch build ('qsketch') AND the landed
+-- streaming store ('qstream'): a single availableNow micro-batch
+-- lands the one-shot sketch bit-identically
+SELECT qv.qvariant, 'p' || CAST(pp AS VARCHAR), CAST(MIN(value) AS DOUBLE),
        CAST(MIN(wtot) AS BIGINT), CAST(MIN(nrows) AS BIGINT)
 FROM zqcum CROSS JOIN (VALUES (25), (50), (75), (90)) AS ps(pp)
+CROSS JOIN (VALUES ('qsketch'), ('qstream')) AS qv(qvariant)
 WHERE cum * 100 >= pp * wtot
-GROUP BY pp
+GROUP BY qv.qvariant, pp
 """
     )
     # Tagged union mirroring _x7: raw LM scores ('score') ⊕ the CCNet

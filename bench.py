@@ -92,7 +92,7 @@ BRANCHES: dict[str, list[str]] = {
     "x4_winnowing_fingerprint": [
         "docmin", "full", "dupspan", "dupfrac", "trimmed", "linededup", "cdc",
     ],
-    "m7_decoded_pixel_stats": ["png", "apng", "resize", "dhash", "phash"],
+    "m7_decoded_pixel_stats": ["png", "apng", "resize", "dhash", "phash", "gate"],
 }
 
 # Extra branch sub-timings captured only under --all: the heavyweight

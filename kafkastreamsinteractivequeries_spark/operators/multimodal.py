@@ -2083,6 +2083,185 @@ def image_caption_dedup(
     )
 
 
+def image_caption_near_duplicates(
+    pairs: DataFrame,
+    payload_col: str = "payload",
+    caption_col: str = "caption",
+    id_col: str = "pair_id",
+    caption_threshold: float = 0.5,
+    max_hamming: int = 6,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """FUZZY tier for CLIP-pair dedup, beside the exact-fingerprint
+    :func:`image_caption_dedup`: caption-side MinHash-LSH proposes
+    candidate pairs (captions are short strings — the same
+    shingle→minhash→band machinery as text near-dup), and image-side
+    dHash Hamming distance confirms (the d5 'hybrid'
+    propose-then-verify pattern).  A pair survives only when BOTH the
+    caption Jaccard ≥ ``caption_threshold`` AND the perceptual hashes
+    are within ``max_hamming`` bits — alt-text paraphrases of the
+    SAME image collapse, while a reused caption on a genuinely
+    different image (stock boilerplate) is rejected by the pixel
+    check, which is exactly the asymmetry LAION-class cleanup needs.
+
+    Output: (id_a, id_b, caption_jaccard, hamming).
+
+    Scale shape: LSH banding bounds the candidate set (capped
+    buckets, never all-pairs); one Arrow decode pass for signatures;
+    the Hamming check is a per-candidate Column fold over the 64-bit
+    strings — payloads never shuffle."""
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    cand = minhash_near_duplicates(
+        pairs.select(
+            F.col(id_col).alias("doc_id"), F.col(caption_col).alias("text")
+        ),
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=caption_threshold,
+        max_bucket_size=max_bucket_size,
+    ).select("id_a", "id_b", F.col("jaccard").alias("caption_jaccard"))
+    sigs = image_dhash(
+        pairs.select(F.col(id_col).alias("asset_id"), F.col(payload_col))
+    ).select("asset_id", "dhash")
+    joined = cand.join(
+        sigs.select(F.col("asset_id").alias("id_a"), F.col("dhash").alias("_ha")),
+        "id_a",
+    ).join(
+        sigs.select(F.col("asset_id").alias("id_b"), F.col("dhash").alias("_hb")),
+        "id_b",
+    )
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.col("_ha").substr(i, F.lit(1))
+            != F.col("_hb").substr(i, F.lit(1)),
+        )
+    )
+    return (
+        joined.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "caption_jaccard", "hamming")
+    )
+
+
+def image_pair_quality_gates(
+    pairs: DataFrame,
+    payload_col: str = "payload",
+    caption_col: str = "caption",
+    id_col: str = "pair_id",
+    min_side: int = 8,
+    max_aspect_permille: int = 2000,
+    min_distinct: int = 16,
+    max_top_share_permille: int = 900,
+    min_caption_tokens: int = 3,
+) -> DataFrame:
+    """LAION-style image-text pair quality gates, applied BEFORE
+    dedup/training (Schuhmann et al. arXiv:2210.08402 filter minimum
+    dimensions, extreme aspect ratios, and junk captions; the pixel
+    gates here also catch flat/near-flat images — tracking pixels,
+    solid color placeholders — from the decoded byte histogram).
+
+    Per-pair failure BITMASK (the ``gopher_quality_rules`` shape):
+
+    - bit 0: ``width < min_side OR height < min_side``
+    - bit 1: aspect ratio over the cap, checked in EXACT integers —
+      ``1000·max(w,h) > max_aspect_permille·min(w,h)``
+    - bit 2: low byte diversity — ``n_distinct_vals < min_distinct``
+    - bit 3: flat image — the dominant pixel value holds ≥
+      ``max_top_share_permille`` of all bytes (integer permille)
+    - bit 4: caption under ``min_caption_tokens`` whitespace tokens
+
+    Output: (id, width, height, channels, n_distinct_vals,
+    top_share_permille, caption_tokens, failure_mask, passed).
+    Compose ``pairs.join(gates.filter("passed"), id, "left_semi")``
+    in front of :func:`image_caption_dedup`.
+
+    Scale shape: ONE Arrow decode pass for the pixel stats (the
+    ``png_pixel_features`` cost), caption stats as zero-shuffle
+    Column ops, one id equi-join — payloads never shuffle."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import decode_png
+    from kafkastreamsinteractivequeries_spark.operators.dedup import tokens_col
+
+    schema = (
+        f"{id_col} long, width int, height int, channels int, "
+        "n_distinct_vals int, top_share_permille int"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_png(bytes(payload))
+                h, w, ch = arr.shape
+                counts = np.bincount(arr.ravel(), minlength=256)
+                n = arr.size
+                rows.append(
+                    {
+                        id_col: pid,
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "n_distinct_vals": int((counts > 0).sum()),
+                        "top_share_permille": int(counts.max()) * 1000 // n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    px = (
+        spread(pairs)
+        .select(id_col, payload_col)
+        .mapInPandas(extract, schema)
+    )
+    caps = pairs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                tokens_col(F.coalesce(F.col(caption_col), F.lit(""))),
+                lambda x: x != "",
+            )
+        )
+        .cast("int")
+        .alias("caption_tokens"),
+    )
+    joined = px.join(caps, id_col)
+    w, h = F.col("width"), F.col("height")
+    mask = (
+        F.when((w < min_side) | (h < min_side), 1).otherwise(0)
+        + F.when(
+            F.greatest(w, h) * 1000
+            > F.lit(max_aspect_permille) * F.least(w, h),
+            2,
+        ).otherwise(0)
+        + F.when(F.col("n_distinct_vals") < min_distinct, 4).otherwise(0)
+        + F.when(
+            F.col("top_share_permille") >= max_top_share_permille, 8
+        ).otherwise(0)
+        + F.when(F.col("caption_tokens") < min_caption_tokens, 16).otherwise(0)
+    )
+    return joined.select(
+        id_col,
+        "width",
+        "height",
+        "channels",
+        "n_distinct_vals",
+        "top_share_permille",
+        "caption_tokens",
+        mask.cast("int").alias("failure_mask"),
+        (mask == 0).alias("passed"),
+    )
+
+
 def caption_reuse_stats(
     pairs: DataFrame,
     payload_col: str = "payload",

@@ -441,24 +441,30 @@ def kneser_ney_trigram_scores(
     fan = cont.groupBy("v").agg(F.count("*").alias("fv"))  # N1+(v·)
     uni = cont.groupBy("w").agg(F.count("*").alias("nw"))  # N1+(·w)
     tot = cont.agg(F.count("*").alias("tt"))  # N1+(··), 1 row
-    scored = (
-        tris.join(c3.hint("shuffle_hash"), ["u", "v", "w"])
-        .join(ctx.hint("shuffle_hash"), ["u", "v"])
-        .join(cont.hint("shuffle_hash"), ["v", "w"])
-        .join(mid.hint("shuffle_hash"), "v")
+    # fold the backoff orders into a BIGRAM-TYPE table first (types ≪
+    # occurrences), so the corpus-sized occurrence stream joins only
+    # three skinny tables instead of six
+    p2vw = (
+        cont.join(mid.hint("shuffle_hash"), "v")
         .join(fan.hint("shuffle_hash"), "v")
         .join(uni.hint("shuffle_hash"), "w")
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "p1", F.expr(f"(CAST({scale} AS BIGINT) * nw) div tt")
         )
-        .withColumn(
-            "p2",
+        .select(
+            "v",
+            "w",
             F.expr(
                 f"((CAST({scale} AS BIGINT) * greatest(2 * nvw - 1, 0))"
                 " div (2 * nv)) + ((fv * p1) div (2 * nv))"
-            ),
+            ).alias("p2"),
         )
+    )
+    scored = (
+        tris.join(c3.hint("shuffle_hash"), ["u", "v", "w"])
+        .join(ctx.hint("shuffle_hash"), ["u", "v"])
+        .join(p2vw.hint("shuffle_hash"), ["v", "w"])
         .withColumn(
             "p3",
             F.expr(

@@ -864,3 +864,93 @@ def test_image_caption_dedup_and_reuse(spark):
         for r in image_caption_dedup(pairs.repartition(3)).collect()
     }
     assert again == {k: v["n_dups"] for k, v in kept.items()}
+
+
+def test_image_pair_quality_gates_bitmask(spark):
+    """LAION-style pair gates: each failure bit fires on a closed-form
+    fixture and the pass row clears all bits; integer aspect/permille
+    arithmetic replayed by hand."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import encode_png
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        image_pair_quality_gates,
+    )
+
+    rng = np.random.RandomState(7)
+
+    def png(w, h, flat=None):
+        if flat is not None:
+            arr = np.full((h, w, 3), flat, dtype=np.uint8)
+        else:
+            arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        return bytearray(encode_png(arr))
+
+    rows = [
+        (1, png(16, 16), "a perfectly good caption here"),  # pass
+        (2, png(4, 16), "a perfectly good caption here"),   # bit0: w<8 (+bit1 aspect 4:16)
+        (3, png(32, 8), "a perfectly good caption here"),   # bit1: aspect 4:1 > 2:1
+        (4, png(16, 16, flat=128), "a good caption here"),  # bit2+bit3: 1 value, 1000 share
+        (5, png(16, 16), "short one"),                      # bit4: 2 tokens < 3
+        (6, png(16, 16), None),                             # bit4: NULL caption
+    ]
+    pairs = spark.createDataFrame(
+        rows, "pair_id long, payload binary, caption string"
+    )
+    out = {r["pair_id"]: r for r in image_pair_quality_gates(pairs).collect()}
+    assert out[1]["failure_mask"] == 0 and out[1]["passed"]
+    assert out[2]["failure_mask"] & 1 and not out[2]["passed"]
+    assert out[2]["failure_mask"] & 2  # 4x16 is also over the 2:1 cap
+    assert out[3]["failure_mask"] == 2
+    assert out[4]["failure_mask"] == 4 + 8
+    assert out[4]["n_distinct_vals"] == 1
+    assert out[4]["top_share_permille"] == 1000
+    assert out[5]["failure_mask"] == 16 and out[5]["caption_tokens"] == 2
+    assert out[6]["failure_mask"] == 16 and out[6]["caption_tokens"] == 0
+    # random 16x16x3 image: 768 bytes over <=256 values, diverse
+    assert out[1]["n_distinct_vals"] >= 16
+    # composition: the semi-join keeps exactly the passing pair
+    kept = pairs.join(
+        image_pair_quality_gates(pairs).filter("passed"), "pair_id", "left_semi"
+    )
+    assert [r["pair_id"] for r in kept.collect()] == [1]
+
+
+def test_image_caption_near_duplicates_hybrid_matrix(spark):
+    """Collapse/survive matrix for the fuzzy pair tier: same image +
+    paraphrased caption collapses; reused caption on a DIFFERENT image
+    is proposed by the caption LSH but rejected by the dHash check;
+    unrelated captions never pair."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import encode_png
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        image_caption_near_duplicates,
+    )
+
+    rng = np.random.RandomState(11)
+    img_a = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    img_b = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    pa, pb = bytearray(encode_png(img_a)), bytearray(encode_png(img_b))
+    cap = "a brown cat sitting on a woven mat in the sun"
+    cap_para = "a brown cat sitting on a woven mat in the sun today"
+    rows = [
+        (1, pa, cap),
+        (2, pa, cap_para),   # same image, near-identical caption -> collapse
+        (3, pb, cap),        # same caption, different image -> survive
+        (4, pb, "completely unrelated text about spark plans"),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "pair_id long, payload binary, caption string"
+    )
+    out = image_caption_near_duplicates(
+        pairs, caption_threshold=0.5, max_hamming=6
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got
+    # (1,3)/(2,3) share the caption but not the image: hamming rejects
+    assert (1, 3) not in got and (2, 3) not in got
+    assert all(r["hamming"] <= 6 and r["caption_jaccard"] >= 0.5 for r in out)
+    for r in out:
+        if (r["id_a"], r["id_b"]) == (1, 2):
+            assert r["hamming"] == 0  # identical pixels
