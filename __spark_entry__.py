@@ -1837,6 +1837,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("long").alias("rank"),
             F.lit(-1.0).alias("share"),
         )
+        # 'sftbin' — the SFT shard emitter end-to-end: nonempty docs
+        # fold into synthetic conversations (conv = doc_id div 5,
+        # turns in doc_id order, system/user/assistant roles by
+        # position — the p2 'chat' convention), contents BPE-encode
+        # with a ROLE-RESERVED vocabulary (piece ids from 7, markers
+        # 4/5/6), each turn renders [role_marker] ids [EOS] with the
+        # assistant-only loss mask, and conversations pack WHOLE into
+        # 4096-id bins.  All four tensors + conv ids ride term; the
+        # oracle replays the role-shifted vocab, turn rendering, mask,
+        # next-fit, and every padded position.
+        sft_src = (
+            nonempty.select(
+                F.expr("doc_id div 5").alias("conv_id"), "doc_id", "text"
+            )
+            .select(
+                "conv_id",
+                (
+                    F.row_number().over(
+                        Window.partitionBy("conv_id").orderBy("doc_id")
+                    )
+                    - 1
+                ).alias("turn_idx"),
+                F.col("text").alias("content"),
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.when(F.col("turn_idx") == 0, "system")
+                .when(F.col("turn_idx") % 2 == 1, "user")
+                .otherwise("assistant")
+                .alias("role"),
+                "content",
+            )
+        )
+        _memo_df(
+            s,
+            ("x11_tvoc7", d),
+            lambda: TRN.token_id_vocab(
+                sega_raw, first_id=TRN.N_SFT_SPECIALS
+            ),
+        )
+        vmap7 = _memo(
+            ("x11_vmap7", d),
+            lambda: {
+                r["piece"]: r["token_id"]
+                for r in _TRAINED_MEMO[("x11_tvoc7", d)][0]
+            },
+        )
+        sftbin = TRN.sft_training_examples(
+            sft_src, merges, vmap7, seq_len=4096, shards=8
+        ).select(
+            F.lit("sftbin").alias("variant"),
+            F.concat_ws(
+                " | ",
+                F.array_join(F.col("input_ids").cast("array<string>"), " "),
+                F.array_join(F.col("loss_mask").cast("array<string>"), " "),
+                F.array_join(F.col("segment_ids").cast("array<string>"), " "),
+                F.array_join(F.col("doc_ids").cast("array<string>"), " "),
+            ).alias("term"),
+            F.col("n_tokens").cast("long").alias("n"),
+            (F.col("shard").cast("long") * 1000000 + F.col("bin_id")).alias(
+                "rank"
+            ),
+            F.col("n_docs").cast("double").alias("share"),
+        )
         tokbin = TRN.token_training_examples(
             ids_df, seq_len=512, shards=8
         ).select(
@@ -1928,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(tokvocab)
             .unionByName(tokids)
             .unionByName(tokbin)
+            .unionByName(sftbin)
             .unionByName(wpvocab)
             .unionByName(wp)
             .unionByName(uvocab)
@@ -6247,6 +6313,92 @@ tbinr AS (
          LEAST(len(allids), 512) AS nreal
   FROM tbin
 ),
+-- SFT shard emitter replay: role-reserved vocab (piece ids shift to
+-- start at 7, markers 4/5/6), per-turn [role] ids [EOS] rendering
+-- with the assistant-only mask, whole-conversation next-fit into
+-- 4096-id bins (conv = doc_id // 5, turns in doc_id order)
+tvoc7 AS (
+  SELECT piece, tid + 3 AS tid FROM tvoc
+),
+sdocids AS MATERIALIZED (
+  SELECT doc_id, list(tid ORDER BY pos) AS ids
+  FROM (
+    SELECT dp.doc_id, dp.pos, COALESCE(v.tid, CAST(1 AS BIGINT)) AS tid
+    FROM (SELECT d.doc_id, g.i AS pos, d.bpe[g.i] AS piece
+          FROM docseg d,
+               unnest(generate_series(1, len(bpe))) AS g(i)) dp
+    LEFT JOIN tvoc7 v ON v.piece = dp.piece
+  ) GROUP BY doc_id
+),
+sturn AS (
+  SELECT doc_id, doc_id // 5 AS conv,
+         ROW_NUMBER() OVER (PARTITION BY doc_id // 5
+                            ORDER BY doc_id) - 1 AS turn,
+         ids
+  FROM sdocids
+),
+sturn2 AS (
+  SELECT conv, turn,
+         [CASE WHEN turn = 0 THEN CAST(4 AS BIGINT)
+               WHEN turn % 2 = 1 THEN CAST(5 AS BIGINT)
+               ELSE CAST(6 AS BIGINT) END]
+           || ids || [CAST(3 AS BIGINT)] AS tids,
+         CASE WHEN turn > 0 AND turn % 2 = 0
+              THEN [CAST(0 AS BIGINT)]
+                   || list_transform(ids, x -> CAST(1 AS BIGINT))
+                   || [CAST(1 AS BIGINT)]
+              ELSE list_transform(generate_series(1, len(ids) + 2),
+                                  x -> CAST(0 AS BIGINT)) END AS tmask
+  FROM sturn
+),
+sconv AS MATERIALIZED (
+  SELECT conv, ids, mask, len(ids) AS n_ids FROM (
+    SELECT conv, flatten(list(tids ORDER BY turn)) AS ids,
+           flatten(list(tmask ORDER BY turn)) AS mask
+    FROM sturn2 GROUP BY conv
+  )
+),
+ssh AS MATERIALIZED (
+  SELECT conv, n_ids, CAST(conv % 8 AS INTEGER) AS shard,
+         ROW_NUMBER() OVER (PARTITION BY conv % 8 ORDER BY conv) AS rn
+  FROM sconv
+),
+snf AS (
+  SELECT shard, rn, conv, n_ids,
+         CAST(0 AS BIGINT) AS bin_id, CAST(n_ids AS BIGINT) AS used
+  FROM ssh WHERE rn = 1
+  UNION ALL
+  SELECT x.shard, x.rn, x.conv, x.n_ids,
+         CASE WHEN snf.used + x.n_ids > 4096
+              THEN snf.bin_id + 1 ELSE snf.bin_id END,
+         CASE WHEN snf.used + x.n_ids > 4096
+              THEN CAST(x.n_ids AS BIGINT) ELSE snf.used + x.n_ids END
+  FROM snf JOIN ssh x ON x.shard = snf.shard AND x.rn = snf.rn + 1
+),
+sb0 AS (
+  SELECT n.shard, n.bin_id, n.conv, c.ids, c.mask,
+         ROW_NUMBER() OVER (PARTITION BY n.shard, n.bin_id
+                            ORDER BY n.conv) AS j
+  FROM snf n JOIN sconv c USING (conv)
+),
+sbin AS MATERIALIZED (
+  SELECT shard, bin_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         flatten(list(ids ORDER BY conv)) AS allids,
+         flatten(list(mask ORDER BY conv)) AS allmask,
+         flatten(list(list_transform(generate_series(1, len(ids)),
+                                     x -> CAST(j AS BIGINT))
+                      ORDER BY conv)) AS segs,
+         list(conv ORDER BY conv) AS dids
+  FROM sb0 GROUP BY shard, bin_id
+),
+sbinr AS (
+  SELECT shard, bin_id, n_docs, dids,
+         allids[1:4096] AS realids, allmask[1:4096] AS realmask,
+         segs[1:4096] AS segr,
+         LEAST(len(allids), 4096) AS nreal
+  FROM sbin
+),
 """
         + _x11_uni_ctes
         + """
@@ -6294,6 +6446,25 @@ SELECT 'tokbin',
        CAST(shard AS BIGINT) * 1000000 + bin_id,
        CAST(n_docs AS DOUBLE)
 FROM tbinr
+UNION ALL
+SELECT 'sftbin',
+       array_to_string(realids
+           || list_transform(generate_series(1, 4096 - nreal),
+                             x -> CAST(0 AS BIGINT)), ' ')
+       || ' | ' ||
+       array_to_string(realmask
+           || list_transform(generate_series(1, 4096 - nreal),
+                             x -> CAST(0 AS BIGINT)), ' ')
+       || ' | ' ||
+       array_to_string(segr
+           || list_transform(generate_series(1, 4096 - nreal),
+                             x -> CAST(0 AS BIGINT)), ' ')
+       || ' | ' ||
+       array_to_string(dids, ' '),
+       CAST(nreal AS BIGINT),
+       CAST(shard AS BIGINT) * 1000000 + bin_id,
+       CAST(n_docs AS DOUBLE)
+FROM sbinr
 UNION ALL
 SELECT 'wpvocab', piece, CAST(cnt AS BIGINT), CAST(rank AS BIGINT), 0.0
 FROM wps

@@ -52,14 +52,25 @@ EOS_ID = 3
 N_SPECIALS = 4
 
 
+#: role-marker token ids for the SFT emitter — reserved directly
+#: after the 4 base specials (the ChatML-style turn delimiters as
+#: single ids); piece ids for SFT vocabularies start at
+#: ``N_SFT_SPECIALS`` so markers never collide with content
+ROLE_IDS = {"system": 4, "user": 5, "assistant": 6}
+N_SFT_SPECIALS = 7
+
+
 def token_id_vocab(
     segmented: DataFrame,
     pieces_col: str = "bpe_tokens_learned",
+    first_id: int = N_SPECIALS,
 ) -> DataFrame:
     """Frequency-ranked token-id table from a segmented corpus:
-    (piece, count, token_id) with ``token_id = N_SPECIALS - 1 + rank``
+    (piece, count, token_id) with ``token_id = first_id - 1 + rank``
     under the (count DESC, piece ASC) total order — deterministic,
     engine-replayable, and collision-free by construction.
+    ``first_id`` defaults to the 4 base specials; the SFT path passes
+    ``N_SFT_SPECIALS`` to also reserve the role-marker ids.
 
     The ranking window is intentionally global (single partition):
     its input is the piece-distinct aggregate, bounded by vocabulary
@@ -74,7 +85,7 @@ def token_id_vocab(
     return counts.select(
         "piece",
         "count",
-        (F.row_number().over(w) + F.lit(N_SPECIALS - 1))
+        (F.row_number().over(w) + F.lit(first_id - 1))
         .cast("int")
         .alias("token_id"),
     )
@@ -136,6 +147,7 @@ def token_training_examples(
     shards: int = 32,
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
+    mask_col: str | None = None,
 ) -> DataFrame:
     """Assemble tensor-ready training bins from per-document token
     ids: (shard, bin_id, n_docs, n_tokens, truncated, doc_ids,
@@ -147,7 +159,10 @@ def token_training_examples(
       bin, so truncation never crosses a document boundary), padded
       to exactly ``seq_len`` with ``PAD_ID``.
     - ``loss_mask``: 1 per real token (EOS included — the separator
-      is a trained position), 0 per pad.
+      is a trained position), 0 per pad.  When ``mask_col`` names a
+      per-document mask array ALIGNED with ``ids_col`` (the SFT
+      role-aware path), the bin mask is that array laid out/truncated
+      /padded exactly like the ids instead of all-1s.
     - ``segment_ids``: the 1-based in-bin document index per
       position, 0 on padding — enough to reconstruct block-diagonal
       attention without re-tokenizing.
@@ -170,31 +185,38 @@ def token_training_examples(
         id_col=id_col,
         n_tokens_col="n_ids",
     )
+    carry = [F.col(id_col), F.col(ids_col).alias("_ids")]
+    if mask_col is not None:
+        carry.append(F.col(mask_col).alias("_mask"))
     joined = packed.select(id_col, "shard", "bin_id").join(
-        ids_df.select(F.col(id_col), F.col(ids_col).alias("_ids")), id_col
+        ids_df.select(*carry), id_col
     )
+    struct_fields = [F.col(id_col).alias("did"), F.col("_ids")]
+    if mask_col is not None:
+        struct_fields.append(F.col("_mask"))
     grouped = joined.groupBy("shard", "bin_id").agg(
         F.sort_array(
-            F.collect_list(F.struct(F.col(id_col).alias("did"), F.col("_ids")))
+            F.collect_list(F.struct(*struct_fields))
         ).alias("_docs")
     )
     d = F.col("_docs")
     # stage the concatenated/truncated id stream and the segment
     # stream ONCE (multiply-referenced non-cheap subtrees re-inline
     # otherwise — the staged-struct rule)
-    staged = grouped.withColumns(
-        {
-            "_all": F.flatten(F.transform(d, lambda x: x["_ids"])),
-            "_segs": F.flatten(
-                F.transform(
-                    d,
-                    lambda x, j: F.array_repeat(
-                        (j + 1).cast("int"), F.size(x["_ids"])
-                    ),
-                )
-            ),
-        }
-    ).withColumns(
+    stage_cols = {
+        "_all": F.flatten(F.transform(d, lambda x: x["_ids"])),
+        "_segs": F.flatten(
+            F.transform(
+                d,
+                lambda x, j: F.array_repeat(
+                    (j + 1).cast("int"), F.size(x["_ids"])
+                ),
+            )
+        ),
+    }
+    if mask_col is not None:
+        stage_cols["_allmask"] = F.flatten(F.transform(d, lambda x: x["_mask"]))
+    staged = grouped.withColumns(stage_cols).withColumns(
         {
             "_real": F.slice(F.col("_all"), 1, seq_len),
         }
@@ -205,6 +227,16 @@ def token_training_examples(
     )
     nreal = F.col("_nreal")
     pad_n = (F.lit(seq_len) - nreal).cast("int")
+    if mask_col is None:
+        bin_mask = F.concat(
+            F.array_repeat(F.lit(1).cast("int"), nreal.cast("int")),
+            F.array_repeat(F.lit(0).cast("int"), pad_n),
+        )
+    else:
+        bin_mask = F.concat(
+            F.slice(F.col("_allmask"), 1, seq_len),
+            F.array_repeat(F.lit(0).cast("int"), pad_n),
+        )
     return staged.select(
         F.col("shard"),
         F.col("bin_id"),
@@ -216,12 +248,122 @@ def token_training_examples(
             F.col("_real"),
             F.array_repeat(F.lit(PAD_ID).cast("int"), pad_n),
         ).alias("input_ids"),
-        F.concat(
-            F.array_repeat(F.lit(1).cast("int"), nreal.cast("int")),
-            F.array_repeat(F.lit(0).cast("int"), pad_n),
-        ).alias("loss_mask"),
+        bin_mask.alias("loss_mask"),
         F.concat(
             F.slice(F.col("_segs"), 1, seq_len),
             F.array_repeat(F.lit(0).cast("int"), pad_n),
         ).alias("segment_ids"),
+    )
+
+
+def sft_conversation_ids(
+    turns: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-conversation token ids WITH the role-aware loss mask — the
+    token-level form of ``chat.chat_loss_mask``'s turn accounting.
+    Each turn renders as ``[role_marker] content_ids [EOS]`` (role
+    markers are the reserved single ids ``ROLE_IDS``; content is BPE-
+    encoded through the production Arrow path with the vocabulary's
+    piece ids, which must start at ``N_SFT_SPECIALS`` to avoid marker
+    collisions); turns concatenate in ``turn_col`` order.  The mask is
+    1 ONLY on assistant content ids and their EOS (the assistant-only
+    supervision convention — markers and the prompt side never train),
+    0 everywhere else, aligned position-for-position with the ids.
+
+    Output: (conv, token_ids array<int>, loss_mask array<int>,
+    n_ids int).  Scale shape: one Arrow encode pass over turn
+    contents, one (conv) groupBy with sorted struct collection —
+    per-task state is one conversation."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        bpe_segment_arrow,
+    )
+
+    # surrogate turn key for the single-id-column Arrow encoder
+    base = turns.select(
+        (F.col(conv_col).cast("long") * 100000 + F.col(turn_col))
+        .alias("_tk"),
+        F.col(conv_col).cast("long").alias("_conv"),
+        F.col(turn_col).cast("long").alias("_turn"),
+        F.col(role_col).alias("_role"),
+        F.col(content_col).alias("text"),
+    )
+    seg = bpe_segment_arrow(base.select("_tk", "text"), merges, id_col="_tk")
+    ids = encode_token_ids(seg, vocab, id_col="_tk", append_eos=False)
+    role_id = (
+        F.when(F.col("_role") == "system", ROLE_IDS["system"])
+        .when(F.col("_role") == "user", ROLE_IDS["user"])
+        .otherwise(ROLE_IDS["assistant"])
+        .cast("int")
+    )
+    content_ids = F.coalesce(
+        F.col("token_ids"), F.array().cast("array<int>")
+    )
+    per_turn = base.join(ids, "_tk").select(
+        "_conv",
+        "_turn",
+        F.concat(
+            F.array(role_id),
+            content_ids,
+            F.array(F.lit(EOS_ID).cast("int")),
+        ).alias("_tids"),
+        F.when(
+            F.col("_role") == "assistant",
+            F.concat(
+                F.array(F.lit(0).cast("int")),
+                F.array_repeat(F.lit(1).cast("int"), F.size(content_ids)),
+                F.array(F.lit(1).cast("int")),
+            ),
+        )
+        .otherwise(
+            F.array_repeat(F.lit(0).cast("int"), F.size(content_ids) + 2)
+        )
+        .alias("_tmask"),
+    )
+    grouped = per_turn.groupBy("_conv").agg(
+        F.sort_array(
+            F.collect_list(F.struct("_turn", "_tids", "_tmask"))
+        ).alias("_ts")
+    )
+    t = F.col("_ts")
+    return grouped.select(
+        F.col("_conv").alias(conv_col),
+        F.flatten(F.transform(t, lambda x: x["_tids"])).alias("token_ids"),
+        F.flatten(F.transform(t, lambda x: x["_tmask"])).alias("loss_mask"),
+    ).withColumn("n_ids", F.size("token_ids").cast("int"))
+
+
+def sft_training_examples(
+    turns: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    seq_len: int = 2048,
+    shards: int = 32,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+) -> DataFrame:
+    """Tensor-ready SFT shards: ``sft_conversation_ids`` (role-marked
+    token ids + assistant-only loss mask) packed WHOLE-CONVERSATION
+    into no-straddle ``seq_len`` bins by ``token_training_examples``
+    — the final hop from a conversation table to training files,
+    with attention boundaries (``segment_ids``) separating packed
+    conversations.  Same output schema as ``token_training_examples``
+    with ``doc_ids`` = the conversation ids in layout order."""
+    convs = sft_conversation_ids(
+        turns, merges, vocab, conv_col, turn_col, role_col, content_col
+    )
+    return token_training_examples(
+        convs,
+        seq_len=seq_len,
+        shards=shards,
+        id_col=conv_col,
+        ids_col="token_ids",
+        mask_col="loss_mask",
     )

@@ -132,3 +132,81 @@ def test_training_examples_partitioning_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_sft_training_examples_role_mask(spark):
+    """SFT shard emitter: each turn renders [role_marker] content [EOS],
+    the loss mask is 1 exactly on assistant content+EOS, conversations
+    pack whole, and the mask stays position-aligned through packing."""
+    from kafkastreamsinteractivequeries_spark.operators.training import (
+        N_SFT_SPECIALS,
+        ROLE_IDS,
+        sft_conversation_ids,
+        sft_training_examples,
+        token_id_vocab,
+    )
+
+    turns = spark.createDataFrame(
+        [
+            (1, 0, "system", "be helpful"),
+            (1, 1, "user", "the cat sat"),
+            (1, 2, "assistant", "on the mat"),
+            (2, 0, "system", "be helpful"),
+            (2, 1, "user", "a dog"),
+            (2, 2, "assistant", "a log and a cat"),
+        ],
+        "conv_id long, turn_idx int, role string, content string",
+    )
+    traj = bpe_train_trajectory(
+        turns.select(F.col("conv_id").alias("doc_id"), F.col("content").alias("text")),
+        num_merges=3,
+    )
+    merges = [(left, right) for _s, left, right, _n in traj]
+    seg_all = bpe_segment_arrow(
+        turns.select(
+            (F.col("conv_id") * 100000 + F.col("turn_idx")).alias("doc_id"),
+            F.col("content").alias("text"),
+        ),
+        merges,
+    )
+    vocab_df = token_id_vocab(seg_all, first_id=N_SFT_SPECIALS)
+    vocab = {r["piece"]: r["token_id"] for r in vocab_df.collect()}
+    assert min(vocab.values()) == N_SFT_SPECIALS  # role ids reserved
+
+    convs = {r["conv_id"]: r for r in sft_conversation_ids(turns, merges, vocab).collect()}
+    seg_map = {r["doc_id"]: r["bpe_tokens_learned"] for r in seg_all.collect()}
+    role_by_turn = {0: "system", 1: "user", 2: "assistant"}
+    for cid in (1, 2):
+        exp_ids, exp_mask = [], []
+        for t in (0, 1, 2):
+            content = [vocab[p] for p in seg_map[cid * 100000 + t]]
+            role = role_by_turn[t]
+            exp_ids += [ROLE_IDS[role]] + content + [3]
+            if role == "assistant":
+                exp_mask += [0] + [1] * len(content) + [1]
+            else:
+                exp_mask += [0] * (len(content) + 2)
+        assert list(convs[cid]["token_ids"]) == exp_ids, cid
+        assert list(convs[cid]["loss_mask"]) == exp_mask, cid
+        assert convs[cid]["n_ids"] == len(exp_ids)
+
+    seq_len = 64
+    bins = sft_training_examples(turns, merges, vocab, seq_len=seq_len, shards=2).collect()
+    seen = []
+    for b in bins:
+        assert len(b["input_ids"]) == seq_len == len(b["loss_mask"])
+        seen.extend(b["doc_ids"])
+        # reconstruct each packed conversation's slice and check the
+        # mask rides along position-for-position
+        pos = 0
+        for cid in b["doc_ids"]:
+            n = convs[cid]["n_ids"]
+            assert list(b["input_ids"][pos : pos + n]) == list(convs[cid]["token_ids"])
+            assert list(b["loss_mask"][pos : pos + n]) == list(convs[cid]["loss_mask"])
+            pos += n
+        # padding is unmasked
+        assert all(m == 0 for m in b["loss_mask"][b["n_tokens"]:])
+    assert sorted(seen) == [1, 2]
+    # assistant supervision exists and prompt side never trains
+    total_ones = sum(sum(b["loss_mask"]) for b in bins)
+    assert total_ones == sum(sum(convs[c]["loss_mask"]) for c in (1, 2)) > 0
