@@ -3120,12 +3120,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("authority").alias("v2"),
             sent.alias("v3"),
         )
+        # 'wpagerank' — WEIGHTED PageRank on the same graph with link
+        # COUNTS as weights (the host-graph convention: twenty links
+        # endorse more than one); share = (rank·w) div Σw, out_deg
+        # reported as the weight sum.  Same unrolled-CTE replay shape.
+        raw_edges = ev.select(
+            F.col("user_id").cast("long").alias("src"),
+            ((F.col("event_id") * 7 + 3) % 41).cast("long").alias("dst"),
+        ).filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        wedges = raw_edges.groupBy("src", "dst").agg(
+            F.count("*").cast("long").alias("w")
+        )
+        wpr = GR.pagerank(wedges, iterations=3, weight_col="w").select(
+            F.lit("wpagerank").alias("variant"),
+            F.col("id").alias("k1"),
+            F.col("out_deg").alias("k2"),
+            F.col("rank").alias("v1"),
+            F.col("rank_prev").alias("v2"),
+            F.col("in_deg").alias("v3"),
+        )
+        # 'gsum' — the one-row graph datasheet (node/edge counts,
+        # degree extremes, dangling share, reciprocity permille),
+        # previously pytest-only.
+        gsum = GR.graph_summary(pr_edges).select(
+            F.lit("gsum").alias("variant"),
+            F.col("n_nodes").alias("k1"),
+            F.col("n_edges").alias("k2"),
+            F.col("max_out_degree").alias("v1"),
+            F.col("n_dangling").alias("v2"),
+            F.col("reciprocity_permille").alias("v3"),
+        )
         return (
             fun.unionByName(coh)
             .unionByName(ij)
             .unionByName(pr)
             .unionByName(tr)
             .unionByName(ht)
+            .unionByName(wpr)
+            .unionByName(gsum)
         )
 
     q["e1_event_analytics"] = _e1
@@ -3865,6 +3901,56 @@ def _extension_oracles() -> dict[str, str]:
   SELECT id, CAST(1048576 AS BIGINT) AS h FROM pr_nodes
 )""" + "".join(_hits_iter(i) for i in (1, 2, 3))
 
+    # weighted-pagerank replay: identical unrolled shape with the
+    # share split (rank·w) // Σw and out_deg = the weight sum
+    def _wpr_iter(i: int) -> str:
+        prev = f"wpr_r{i - 1}"
+        return f""", wpr_i{i} AS (
+  SELECT e.dst AS id,
+         CAST(SUM((r.rank * e.w) // r.outd) AS BIGINT) AS inflow
+  FROM wpr_e e JOIN {prev} r ON e.src = r.id AND r.outd > 0 GROUP BY 1
+), wpr_d{i} AS (
+  SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang
+  FROM {prev} WHERE outd = 0
+), wpr_r{i} AS (
+  SELECT r.id, r.outd, r.n, r.base,
+         CAST((15 * r.base) // 100
+              + (85 * (COALESCE(i.inflow, 0) + d.dang // r.n)) // 100
+              AS BIGINT) AS rank
+  FROM {prev} r LEFT JOIN wpr_i{i} i ON r.id = i.id CROSS JOIN wpr_d{i} d
+)"""
+
+    wpr_ctes = (
+        """, wpr_e AS (
+  SELECT CAST(user_id AS BIGINT) AS src,
+         CAST((event_id * 7 + 3) % 41 AS BIGINT) AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND CAST(user_id AS BIGINT) <> CAST((event_id * 7 + 3) % 41 AS BIGINT)
+  GROUP BY 1, 2
+), wpr_deg AS (
+  SELECT src AS id, CAST(SUM(w) AS BIGINT) AS outd FROM wpr_e GROUP BY 1
+), wpr_r0 AS (
+  SELECT nd.id, COALESCE(d.outd, 0) AS outd, n.n, n.base,
+         CAST(n.base AS BIGINT) AS rank
+  FROM pr_nodes nd LEFT JOIN wpr_deg d ON nd.id = d.id CROSS JOIN pr_n n
+)"""
+        + "".join(_wpr_iter(i) for i in (1, 2, 3))
+        + """, gsum AS (
+  SELECT CAST(nn.c AS BIGINT) AS n_nodes, CAST(ne.c AS BIGINT) AS n_edges,
+         CAST(md.m AS BIGINT) AS maxod, CAST(nn.c - nd.c AS BIGINT) AS dang,
+         CAST((1000 * rc.c) // ne.c AS BIGINT) AS recip
+  FROM (SELECT COUNT(*) AS c FROM pr_nodes) nn,
+       (SELECT COUNT(*) AS c FROM pr_e) ne,
+       (SELECT MAX(outd) AS m FROM pr_deg) md,
+       (SELECT COUNT(*) AS c FROM pr_deg) nd,
+       (SELECT COUNT(*) AS c FROM pr_e a
+        WHERE EXISTS (SELECT 1 FROM pr_e b
+                      WHERE b.src = a.dst AND b.dst = a.src)) rc
+)"""
+    )
+
     o["e1_event_analytics"] = f"""
 WITH steps AS (
   SELECT user_id,
@@ -3957,7 +4043,7 @@ WITH steps AS (
               + (85 * (COALESCE(i.inflow, 0) + d.dang // r.n)) // 100
               AS BIGINT) AS rank
   FROM pr_r2 r LEFT JOIN pr_i3 i ON r.id = i.id CROSS JOIN pr_d3 d
-){tr_ctes}{hits_ctes}
+){tr_ctes}{hits_ctes}{wpr_ctes}
 SELECT 'funnel' AS variant, CAST(user_id AS BIGINT) AS k1,
        CAST(steps_completed AS BIGINT) AS k2,
        COALESCE({ep('t1')}, -1) AS v1,
@@ -3986,6 +4072,14 @@ FROM tr_r3 r3 JOIN tr_r2 r2 ON r3.id = r2.id
 UNION ALL
 SELECT 'hits', h.id, -1, h.h, a.a, -1
 FROM ht_h3 h JOIN ht_a3 a ON h.id = a.id
+UNION ALL
+SELECT 'wpagerank', r3.id, r3.outd, r3.rank, r2.rank,
+       COALESCE(pr_ind.ind, 0)
+FROM wpr_r3 r3
+JOIN wpr_r2 r2 ON r3.id = r2.id
+LEFT JOIN pr_ind ON r3.id = pr_ind.id
+UNION ALL
+SELECT 'gsum', n_nodes, n_edges, maxod, dang, recip FROM gsum
 """
 
     # e2 emits vfrom/vto as epoch-second BIGINTs (pandas datetime64[ns]
