@@ -952,6 +952,51 @@ class StreamingIvfPqCodeSink(_AppendOnlyCodeSink):
         )
 
 
+class StreamingTokenIdSink(_AppendOnlyCodeSink):
+    """``_AppendOnlyCodeSink`` for TOKENIZED TRAINING DATA: each
+    micro-batch of documents is segmented by the FROZEN merge list
+    (``text.bpe_segment_arrow``) and mapped to integer token ids with
+    the FROZEN vocabulary (``training.encode_token_ids``, EOS
+    appended) — the tokenize-while-ingesting half of the token-ID
+    emitter (``training.token_training_examples`` packs the landed
+    ids into bins as a batch job when a training run is cut).
+
+    Ids are a pure function of (text, merges, vocab), so the landed
+    union is bit-identical to a one-shot encode over everything
+    ingested regardless of batching (asserted by test) — the same
+    frozen-artifact contract as the PQ code sinks."""
+
+    def __init__(
+        self,
+        path: str,
+        merges: list[tuple[str, str]],
+        vocab: dict[str, int],
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        super().__init__(path)
+        self.merges = merges
+        self.vocab = vocab
+        self.text_col, self.id_col = text_col, id_col
+
+    def _encode(self, batch_df: DataFrame) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.text import (
+            bpe_segment_arrow,
+        )
+        from kafkastreamsinteractivequeries_spark.operators.training import (
+            encode_token_ids,
+        )
+
+        seg = bpe_segment_arrow(
+            batch_df, self.merges, text_col=self.text_col, id_col=self.id_col
+        )
+        return encode_token_ids(seg, self.vocab, id_col=self.id_col)
+
+    def token_ids(self, spark: SparkSession) -> DataFrame:
+        """The landed (id, token_ids, n_ids) table (committed batches)."""
+        return self.codes(spark)
+
+
 class StreamingHllSink(_VersionedSketchSink):
     """Landed HLL register store: continuous distinct-count telemetry
     over the ingest stream with total state ≤ groups × 2^p rows.  The

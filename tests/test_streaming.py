@@ -1736,3 +1736,72 @@ def test_streaming_quantile_sketch_sink(spark, tmp_path):
     # total-mass estimate within 15% of the 40k ingested rows
     n_est = sink.estimates(spark).collect()[0]["n_est"]
     assert abs(n_est - 40_000) <= 6_000
+
+
+def test_streaming_token_id_sink_matches_one_shot(spark, tmp_path):
+    """StreamingTokenIdSink: after N micro-batches the landed
+    (id, token_ids) store must be bit-identical to a one-shot
+    segment+encode over everything ingested — frozen merges + vocab
+    mean batching can never change a document's ids."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        bpe_segment_arrow,
+        bpe_train_trajectory,
+    )
+    from kafkastreamsinteractivequeries_spark.operators.training import (
+        encode_token_ids,
+        token_id_vocab,
+    )
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingTokenIdSink,
+    )
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "the cat sat on the mat",
+                "the dog sat on the log",
+                "a cat and a dog",
+                "the mat and the log",
+                "cats and dogs and logs",
+                "mat mat mat cat cat",
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    traj = bpe_train_trajectory(docs, num_merges=4)
+    merges = [(left, right) for _s, left, right, _n in traj]
+    seg = bpe_segment_arrow(docs, merges)
+    vocab = {r["piece"]: r["token_id"] for r in token_id_vocab(seg).collect()}
+
+    src = str(tmp_path / "docs")
+    for r in range(3):  # three files → three micro-batches
+        docs.filter(F.col("doc_id") % 3 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sink = StreamingTokenIdSink(str(tmp_path / "tok_store"), merges, vocab)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    landed = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_ids"])
+        for r in sink.token_ids(spark).collect()
+    }
+    one_shot = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_ids"])
+        for r in encode_token_ids(seg, vocab).collect()
+    }
+    assert landed == one_shot
+    assert len(landed) == len(rows)
