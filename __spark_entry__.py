@@ -3154,6 +3154,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_dangling").alias("v2"),
             F.col("reciprocity_permille").alias("v3"),
         )
+        # 'hyperball' — HyperBall harmonic centrality (Boldi & Vigna
+        # 1308.2144, Common Crawl's host-ranking algorithm) on the same
+        # graph: reach-balls as mergeable HLL register tables, 3 radius
+        # rounds of edge-join max-merge, truncated harmonic sum.  The
+        # oracle replays the xorshift hash chain, the registers, every
+        # radius round, the (rounded-4) estimates, and the harmonic
+        # accumulation; v1/v2 carry harmonic/reach in exact micro-units
+        # (the e1 columns are longs).
+        hb = GR.hyperball_harmonic(pr_edges, radius=3, p=6).select(
+            F.lit("hyperball").alias("variant"),
+            F.col("id").alias("k1"),
+            sent.alias("k2"),
+            F.round(F.col("harmonic") * 1000000).cast("long").alias("v1"),
+            F.round(F.col("reach_est") * 1000000).cast("long").alias("v2"),
+            sent.alias("v3"),
+        )
         return (
             fun.unionByName(coh)
             .unionByName(ij)
@@ -3162,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(ht)
             .unionByName(wpr)
             .unionByName(gsum)
+            .unionByName(hb)
         )
 
     q["e1_event_analytics"] = _e1
@@ -3951,6 +3968,67 @@ def _extension_oracles() -> dict[str, str]:
 )"""
     )
 
+    # hyperball replay: mix_hash32 chain → p=6 registers per node →
+    # 3 radius rounds of (edge-join ∪ self) max-merge → rounded-4 HLL
+    # estimates per round → truncated harmonic sum.  POW(2,-reg) terms
+    # are exact dyadics so z is bit-exact; α·m² = 0.709·64² inlined as
+    # the identical literal on both engines (the x10 hll convention).
+    _hb_alpha_m2 = repr(0.709 * 64 * 64)
+
+    def _hb_est(k: int) -> str:
+        return f""", hb_e{k} AS (
+  SELECT node,
+         ROUND(CASE WHEN CAST({_hb_alpha_m2} AS DOUBLE) / z <= 160.0
+                         AND empty > 0
+                    THEN 64.0 * LN(64.0 / empty)
+                    ELSE CAST({_hb_alpha_m2} AS DOUBLE) / z END, 4) AS b
+  FROM (
+    SELECT node, SUM(POW(2.0, -reg)) + (64 - COUNT(*)) AS z,
+           64 - COUNT(*) AS empty
+    FROM hb_r{k} GROUP BY node
+  )
+)"""
+
+    def _hb_round(k: int) -> str:
+        return f""", hb_r{k} AS (
+  SELECT node, bucket, MAX(reg) AS reg FROM (
+    SELECT node, bucket, reg FROM hb_r{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.bucket, r.reg
+    FROM pr_e e JOIN hb_r{k - 1} r ON r.node = e.src
+  ) GROUP BY 1, 2
+)"""
+
+    hb_ctes = (
+        """, hb_h AS (
+  SELECT id, xor(h5, h5 // 131072) AS h FROM (
+    SELECT id, (h4 * 69621) % 4294967296 AS h5 FROM (
+      SELECT id, xor(h3, h3 // 8192) AS h4 FROM (
+        SELECT id, (h2 * 16807) % 4294967296 AS h3 FROM (
+          SELECT id, xor(h1, h1 // 65536) AS h2 FROM (
+            SELECT id, ((id % 4294967296) * 48271) % 4294967296 AS h1
+            FROM pr_nodes)))))
+), hb_r0 AS (
+  SELECT id AS node, h % 64 AS bucket,
+         CASE WHEN h // 64 > 0 THEN 26 - length(bin(h // 64)) + 1
+              ELSE 27 END AS reg
+  FROM hb_h
+)"""
+        + _hb_est(0)
+        + "".join(_hb_round(k) + _hb_est(k) for k in (1, 2, 3))
+        + """, hb AS (
+  SELECT e0.node,
+         ROUND(GREATEST(e1.b - e0.b, 0) / 1.0
+               + GREATEST(e2.b - e1.b, 0) / 2.0
+               + GREATEST(e3.b - e2.b, 0) / 3.0, 6) AS harmonic,
+         ROUND(e3.b, 6) AS reach
+  FROM hb_e0 e0
+  JOIN hb_e1 e1 USING (node)
+  JOIN hb_e2 e2 USING (node)
+  JOIN hb_e3 e3 USING (node)
+)"""
+    )
+
     o["e1_event_analytics"] = f"""
 WITH steps AS (
   SELECT user_id,
@@ -4043,7 +4121,7 @@ WITH steps AS (
               + (85 * (COALESCE(i.inflow, 0) + d.dang // r.n)) // 100
               AS BIGINT) AS rank
   FROM pr_r2 r LEFT JOIN pr_i3 i ON r.id = i.id CROSS JOIN pr_d3 d
-){tr_ctes}{hits_ctes}{wpr_ctes}
+){tr_ctes}{hits_ctes}{wpr_ctes}{hb_ctes}
 SELECT 'funnel' AS variant, CAST(user_id AS BIGINT) AS k1,
        CAST(steps_completed AS BIGINT) AS k2,
        COALESCE({ep('t1')}, -1) AS v1,
@@ -4080,6 +4158,11 @@ JOIN wpr_r2 r2 ON r3.id = r2.id
 LEFT JOIN pr_ind ON r3.id = pr_ind.id
 UNION ALL
 SELECT 'gsum', n_nodes, n_edges, maxod, dang, recip FROM gsum
+UNION ALL
+SELECT 'hyperball', node, -1,
+       CAST(ROUND(harmonic * 1000000) AS BIGINT),
+       CAST(ROUND(reach * 1000000) AS BIGINT), -1
+FROM hb
 """
 
     # e2 emits vfrom/vto as epoch-second BIGINTs (pandas datetime64[ns]

@@ -113,7 +113,7 @@ ALL_BRANCHES: dict[str, list[str]] = {
     ],
     "e1_event_analytics": [
         "funnel", "cohort", "interval", "pagerank", "trustrank", "hits",
-        "wpagerank", "gsum",
+        "wpagerank", "gsum", "hyperball",
     ],
 }
 
