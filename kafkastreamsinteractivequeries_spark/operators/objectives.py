@@ -16,9 +16,11 @@ span starts come from md5 of (doc_id, position) through the repo's
 first-6-hex-digits integer trick, never from rand(), so outputs are
 reproducible across runs, engines, and partitionings and the DuckDB
 oracle replays them exactly.  A production pipeline applies them at
-token-id granularity after tokenization; whitespace tokens keep the
-arithmetic engine-portable here, and the operators take any
-pre-tokenized array column.
+token-id granularity after tokenization — :func:`fim_token_ids` and
+:func:`span_corruption_ids` are that form (same draws keyed by doc
+id, integer-id sentinels, arrays in / arrays out); the string forms
+keep the arithmetic human-auditable and drive the byte-exact oracle
+replays.
 """
 
 from __future__ import annotations
@@ -246,4 +248,174 @@ def span_corruption(
         corrupted.alias("corrupted_tokens"),
         F.array_join(input_parts, " ").alias("input"),
         F.array_join(target_parts, " ").alias("target"),
+    )
+
+
+#: sentinel token ids for the ID-GRANULARITY transforms — callers
+#: reserve these in their vocabulary (the training.ROLE_IDS pattern);
+#: defaults sit right after the SFT specials
+FIM_PREFIX_ID = 7
+FIM_SUFFIX_ID = 8
+FIM_MIDDLE_ID = 9
+EXTRA_ID_BASE = 100  # <extra_id_k> → EXTRA_ID_BASE + k
+
+
+def fim_token_ids(
+    ids_df: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    rate_permille: int = 500,
+    prefix_id: int = FIM_PREFIX_ID,
+    suffix_id: int = FIM_SUFFIX_ID,
+    middle_id: int = FIM_MIDDLE_ID,
+) -> DataFrame:
+    """:func:`fim_transform` at TOKEN-ID granularity — the production
+    form the module docstring promises: the same md5 two-cut draws
+    (keyed by ``id_col``, so a document FIMs identically whether
+    transformed as text or as ids), PSM/SPM layout by hash parity,
+    but operating on an integer id array and emitting
+    ``rendered_ids`` with single-id sentinels instead of marker
+    strings.  Zero shuffle, map-only, rand()-free."""
+    toks = F.coalesce(F.col(ids_col), F.array().cast("array<int>"))
+    n = F.size(toks)
+    idc = F.col(id_col).cast("string")
+    pick = _md5_int(idc, F.lit("fim")) % 1000
+    c1 = _md5_int(idc, F.lit("a")) % (n + 1)
+    c2 = _md5_int(idc, F.lit("b")) % (n + 1)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    spm = _md5_int(idc, F.lit("m")) % 2 == 1
+    base = ids_df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        n.alias("_n"),
+        (pick < rate_permille).alias("_fim"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+        spm.alias("_spm"),
+    )
+    t = F.col("_t")
+    prefix = F.slice(t, 1, F.col("_lo").cast("int"))
+    middle = F.slice(
+        t, (F.col("_lo") + 1).cast("int"), (F.col("_hi") - F.col("_lo")).cast("int")
+    )
+    suffix = F.slice(
+        t, (F.col("_hi") + 1).cast("int"), (F.col("_n") - F.col("_hi")).cast("int")
+    )
+
+    def _a(v: int) -> F.Column:
+        return F.array(F.lit(v).cast("int"))
+
+    psm = F.concat(_a(prefix_id), prefix, _a(suffix_id), suffix, _a(middle_id), middle)
+    spm_r = F.concat(_a(suffix_id), suffix, _a(prefix_id), prefix, _a(middle_id), middle)
+    return base.select(
+        id_col,
+        F.when(~F.col("_fim"), "plain")
+        .when(F.col("_spm"), "spm")
+        .otherwise("psm")
+        .alias("mode"),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.when(F.col("_fim"), F.col("_lo"))
+        .otherwise(F.col("_n"))
+        .cast("long")
+        .alias("prefix_tokens"),
+        F.when(F.col("_fim"), F.col("_hi") - F.col("_lo"))
+        .otherwise(0)
+        .cast("long")
+        .alias("middle_tokens"),
+        F.when(F.col("_fim"), F.col("_n") - F.col("_hi"))
+        .otherwise(0)
+        .cast("long")
+        .alias("suffix_tokens"),
+        F.when(~F.col("_fim"), t)
+        .when(F.col("_spm"), spm_r)
+        .otherwise(psm)
+        .alias("rendered_ids"),
+    )
+
+
+def span_corruption_ids(
+    ids_df: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    span_len: int = 3,
+    start_rate: int = 7,
+    extra_id_base: int = EXTRA_ID_BASE,
+) -> DataFrame:
+    """:func:`span_corruption` at TOKEN-ID granularity: the same
+    aligned md5 start grid (keyed by ``id_col`` — identical spans for
+    text and id forms of the same document), segment-wise O(n +
+    n_spans) rendering, sentinel ``<extra_id_k>`` as the single id
+    ``extra_id_base + k``.  Output: (id, n_tokens, n_spans,
+    corrupted_tokens, input_ids, target_ids)."""
+    toks = F.coalesce(F.col(ids_col), F.array().cast("array<int>"))
+    base = ids_df.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+    t, n = F.col("_t"), F.col("_n")
+    idc = F.col(id_col).cast("string")
+
+    def is_start(i: F.Column) -> F.Column:
+        return (
+            (i % span_len == 1)
+            & (_md5_int(idc, F.lit("s"), i.cast("string")) % start_rate == 0)
+        )
+
+    starts = F.filter(F.sequence(F.lit(1), n), lambda i: is_start(i))
+    with_marks = base.select(id_col, "_t", "_n", starts.alias("_starts"))
+    st = F.col("_starts")
+
+    def sentinel(j: F.Column) -> F.Column:
+        return (j + 1 + F.lit(extra_id_base)).cast("int")
+
+    def prev_end(j: F.Column) -> F.Column:
+        return F.when(j == 0, F.lit(0).cast("bigint")).otherwise(
+            F.element_at(st, j.cast("int")) + F.lit(span_len - 1)
+        )
+
+    last_end = F.when(
+        F.size(st) > 0, F.element_at(st, -1) + F.lit(span_len - 1)
+    ).otherwise(F.lit(0).cast("bigint"))
+    input_ids = F.concat(
+        F.flatten(
+            F.transform(
+                st,
+                lambda s, j: F.concat(
+                    F.slice(
+                        t,
+                        (prev_end(j) + 1).cast("int"),
+                        (s - prev_end(j) - 1).cast("int"),
+                    ),
+                    F.array(sentinel(j)),
+                ),
+            )
+        ),
+        F.slice(
+            t,
+            (F.least(last_end, n) + 1).cast("int"),
+            F.greatest(n - last_end, F.lit(0).cast("bigint")).cast("int"),
+        ),
+    )
+    target_ids = F.flatten(
+        F.transform(
+            st,
+            lambda s, j: F.concat(
+                F.array(sentinel(j)),
+                F.slice(
+                    t,
+                    s.cast("int"),
+                    F.least(F.lit(span_len), n - s + 1).cast("int"),
+                ),
+            ),
+        )
+    )
+    corrupted = F.aggregate(
+        st,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.least(F.lit(span_len), n - s + 1),
+    )
+    return with_marks.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.size(st).cast("long").alias("n_spans"),
+        corrupted.alias("corrupted_tokens"),
+        input_ids.alias("input_ids"),
+        target_ids.alias("target_ids"),
     )

@@ -2,6 +2,8 @@
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 from kafkastreamsinteractivequeries_spark.operators.objectives import (
     FIM_MIDDLE,
     FIM_PREFIX,
@@ -139,3 +141,83 @@ def test_span_corruption_long_document_linear_time(spark):
             exp_input.append(toks[pos - 1])
             pos += 1
     assert r["input"] == " ".join(exp_input)
+
+
+def test_token_id_objective_forms_match_string_forms(spark):
+    """The id-granularity FIM/span transforms make the SAME draws as
+    the string forms (keyed by doc id), so transforming a document as
+    ids or as text yields structurally identical cuts/spans — and the
+    rendered id sequences carry sentinel IDS where the strings carry
+    markers."""
+    from kafkastreamsinteractivequeries_spark.operators.objectives import (
+        EXTRA_ID_BASE,
+        FIM_MIDDLE_ID,
+        FIM_PREFIX_ID,
+        FIM_SUFFIX_ID,
+        fim_token_ids,
+        fim_transform,
+        span_corruption,
+        span_corruption_ids,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(12 + i % 7))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # ids: token j of doc i gets id 1000 + j (identity-decodable)
+    ids_df = docs.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "), lambda _x, j: (j + 1000).cast("int")
+        ).alias("token_ids"),
+    )
+    sf = {r["doc_id"]: r for r in fim_transform(docs, rate_permille=700).collect()}
+    fi = {r["doc_id"]: r for r in fim_token_ids(ids_df, rate_permille=700).collect()}
+    for i, text in rows:
+        a, b = sf[i], fi[i]
+        assert (a["mode"], a["n_tokens"], a["prefix_tokens"],
+                a["middle_tokens"], a["suffix_tokens"]) == (
+            b["mode"], b["n_tokens"], b["prefix_tokens"],
+            b["middle_tokens"], b["suffix_tokens"]), i
+        r = list(b["rendered_ids"])
+        n = a["n_tokens"]
+        if a["mode"] == "plain":
+            assert r == [1000 + j for j in range(n)]
+        else:
+            assert len(r) == n + 3
+            assert sorted(
+                x for x in r
+                if x not in (FIM_PREFIX_ID, FIM_SUFFIX_ID, FIM_MIDDLE_ID)
+            ) == [1000 + j for j in range(n)]
+            lo, mid = a["prefix_tokens"], a["middle_tokens"]
+            if a["mode"] == "psm":
+                assert r[0] == FIM_PREFIX_ID
+                assert r[1 : 1 + lo] == [1000 + j for j in range(lo)]
+                assert r[1 + lo] == FIM_SUFFIX_ID
+            else:
+                assert r[0] == FIM_SUFFIX_ID
+            assert r[-(mid + 1)] == FIM_MIDDLE_ID
+            assert r[-mid:] == [1000 + lo + j for j in range(mid)] if mid else True
+
+    ss = {r["doc_id"]: r for r in span_corruption(docs).collect()}
+    si = {r["doc_id"]: r for r in span_corruption_ids(ids_df).collect()}
+    hit = False
+    for i, _text in rows:
+        a, b = ss[i], si[i]
+        assert (a["n_spans"], a["corrupted_tokens"], a["n_tokens"]) == (
+            b["n_spans"], b["corrupted_tokens"], b["n_tokens"]), i
+        inp, tgt = list(b["input_ids"]), list(b["target_ids"])
+        if a["n_spans"] == 0:
+            assert inp == [1000 + j for j in range(a["n_tokens"])] and tgt == []
+            continue
+        hit = True
+        # sentinels number 1..k in order, in both input and target
+        in_sent = [x - EXTRA_ID_BASE for x in inp if EXTRA_ID_BASE < x < 1000]
+        tg_sent = [x - EXTRA_ID_BASE for x in tgt if EXTRA_ID_BASE < x < 1000]
+        assert in_sent == list(range(1, a["n_spans"] + 1)) == tg_sent
+        # input keeps exactly the uncorrupted ids; target spells the rest
+        kept = [x for x in inp if x >= 1000]
+        spelled = [x for x in tgt if x >= 1000]
+        assert len(spelled) == a["corrupted_tokens"]
+        assert sorted(kept + spelled) == [
+            1000 + j for j in range(a["n_tokens"])
+        ]
+    assert hit
