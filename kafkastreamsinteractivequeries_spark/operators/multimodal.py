@@ -2130,11 +2130,18 @@ def image_caption_near_duplicates(
     sigs = image_dhash(
         pairs.select(F.col(id_col).alias("asset_id"), F.col(payload_col))
     ).select("asset_id", "dhash")
+    # shuffle-hash: both sides are skinny (id, 64-char sig) tables —
+    # a sort buys nothing, and the signature side grows with the
+    # corpus so it must never broadcast (the jaccard_verify rule)
     joined = cand.join(
-        sigs.select(F.col("asset_id").alias("id_a"), F.col("dhash").alias("_ha")),
+        sigs.select(
+            F.col("asset_id").alias("id_a"), F.col("dhash").alias("_ha")
+        ).hint("shuffle_hash"),
         "id_a",
     ).join(
-        sigs.select(F.col("asset_id").alias("id_b"), F.col("dhash").alias("_hb")),
+        sigs.select(
+            F.col("asset_id").alias("id_b"), F.col("dhash").alias("_hb")
+        ).hint("shuffle_hash"),
         "id_b",
     )
     hamming = F.size(
