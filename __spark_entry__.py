@@ -2828,8 +2828,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle asserts by emitting the same tassign rows twice.
         import tempfile
 
+        # per-sf_dir path: a shared file let a concurrent run at
+        # ANOTHER sf overwrite the index between this process's write
+        # and read (caught by the r10 full suite racing a verify sweep)
         idx_path = os.path.join(
-            tempfile.gettempdir(), "ksiq_s2_ivf_index.parquet"
+            tempfile.gettempdir(),
+            f"ksiq_s2_ivf_index_{hashlib.md5(d.encode()).hexdigest()[:10]}.parquet",
         )
         # write the persisted index once per sf_dir (the round-trip
         # read below exercises load_ivf_centroids on every build)

