@@ -1902,9 +1902,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             F.col("n_docs").cast("double").alias("share"),
         )
-        tokbin = TRN.token_training_examples(
-            ids_df, seq_len=512, shards=8
-        ).select(
+        bins_df = TRN.token_training_examples(ids_df, seq_len=512, shards=8)
+        # 'tokstats' — the per-shard packing-efficiency datasheet over
+        # the same bins (training.packing_stats): term = shard:n_trunc,
+        # n = total real tokens, rank = n_bins, share = fill permille.
+        tokstats = TRN.packing_stats(bins_df, 512).select(
+            F.lit("tokstats").alias("variant"),
+            F.concat_ws(
+                ":",
+                F.col("shard").cast("string"),
+                F.col("n_truncated").cast("string"),
+                F.col("waste_tokens").cast("string"),
+            ).alias("term"),
+            F.col("total_tokens").alias("n"),
+            F.col("n_bins").alias("rank"),
+            F.col("fill_permille").cast("double").alias("share"),
+        )
+        tokbin = bins_df.select(
             F.lit("tokbin").alias("variant"),
             F.concat_ws(
                 " | ",
@@ -1993,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(tokvocab)
             .unionByName(tokids)
             .unionByName(tokbin)
+            .unionByName(tokstats)
             .unionByName(sftbin)
             .unionByName(wpvocab)
             .unionByName(wp)
@@ -6627,6 +6642,17 @@ SELECT 'tokbin',
        CAST(shard AS BIGINT) * 1000000 + bin_id,
        CAST(n_docs AS DOUBLE)
 FROM tbinr
+UNION ALL
+SELECT 'tokstats',
+       CAST(shard AS VARCHAR) || ':'
+         || CAST(CAST(SUM(CASE WHEN len(allids) > 512 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS VARCHAR) || ':'
+         || CAST(CAST(512 * COUNT(*) - SUM(nreal) AS BIGINT) AS VARCHAR),
+       CAST(SUM(nreal) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST((1000 * CAST(SUM(nreal) AS BIGINT)) // (512 * COUNT(*)) AS DOUBLE)
+FROM (SELECT shard, LEAST(len(allids), 512) AS nreal, allids FROM tbin)
+GROUP BY shard
 UNION ALL
 SELECT 'sftbin',
        array_to_string(realids

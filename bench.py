@@ -109,7 +109,7 @@ ALL_BRANCHES: dict[str, list[str]] = {
     ],
     "x11_vocab_bpe": [
         "vocab", "bpe", "segment", "segmenta", "wpvocab", "wordpiece",
-        "uvocab", "unigram", "tokvocab", "tokids", "tokbin", "sftbin",
+        "uvocab", "unigram", "tokvocab", "tokids", "tokbin", "tokstats", "sftbin",
     ],
     "e1_event_analytics": [
         "funnel", "cohort", "interval", "pagerank", "trustrank", "hits",

@@ -367,3 +367,27 @@ def sft_training_examples(
         ids_col="token_ids",
         mask_col="loss_mask",
     )
+
+
+def packing_stats(
+    bins_df: DataFrame,
+    seq_len: int,
+) -> DataFrame:
+    """Per-shard packing-efficiency datasheet over
+    :func:`token_training_examples` output — the QA table a training
+    run reads before shipping shards: (shard, n_bins, total_tokens,
+    n_truncated, fill_permille, waste_tokens).  ``fill_permille`` is
+    exact-integer ``(1000·Σn_tokens) div (seq_len·n_bins)``;
+    ``waste_tokens`` the padding total.  One partial-agg pass over the
+    bin table (bins-bounded, never corpus-bounded)."""
+    return bins_df.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("truncated").cast("long")).cast("long").alias("n_truncated"),
+        F.expr(
+            f"CAST((1000 * sum(n_tokens)) div ({seq_len} * count(1)) AS BIGINT)"
+        ).alias("fill_permille"),
+        (F.lit(seq_len) * F.count(F.lit(1)) - F.sum("n_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+    )

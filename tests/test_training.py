@@ -210,3 +210,27 @@ def test_sft_training_examples_role_mask(spark):
     # assistant supervision exists and prompt side never trains
     total_ones = sum(sum(b["loss_mask"]) for b in bins)
     assert total_ones == sum(sum(convs[c]["loss_mask"]) for c in (1, 2)) > 0
+
+
+def test_packing_stats_datasheet(spark):
+    """packing_stats aggregates the bin table exactly: bins, tokens,
+    truncation count, integer fill permille, waste."""
+    from kafkastreamsinteractivequeries_spark.operators.training import (
+        packing_stats,
+    )
+
+    docs, seg, vocab_df, vocab, ids = _fixture(spark)
+    ids = ids.filter(F.col("token_ids").isNotNull())
+    seq_len = 24
+    bins = token_training_examples(ids, seq_len=seq_len, shards=2)
+    rows = bins.collect()
+    stats = {r["shard"]: r for r in packing_stats(bins, seq_len).collect()}
+    for shard in {r["shard"] for r in rows}:
+        mine = [r for r in rows if r["shard"] == shard]
+        s = stats[shard]
+        assert s["n_bins"] == len(mine)
+        tot = sum(r["n_tokens"] for r in mine)
+        assert s["total_tokens"] == tot
+        assert s["n_truncated"] == sum(1 for r in mine if r["truncated"])
+        assert s["fill_permille"] == (1000 * tot) // (seq_len * len(mine))
+        assert s["waste_tokens"] == seq_len * len(mine) - tot
