@@ -1367,9 +1367,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dsir_importance_weights,
         )
 
+        # EAGER pin: the 'dsir' branch broadcasts `top` (derived from
+        # w) — a broadcast-exchange thread materializing a LAZY
+        # checkpoint deadlocks against the DAG scheduler (observed
+        # Java-level deadlock: RDDCheckpointData lock vs the
+        # scheduler's RDD lock, r10 full suite).  Eager materializes
+        # and marks on the main thread before any broadcast fires.
         w = dsir_importance_weights(
             docs, docs.filter(F.col("lang") == "en")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         top = (
             w.orderBy(F.col("log_weight").desc(), "doc_id")
             .limit(40)
@@ -1642,7 +1648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # al. arXiv:1911.00359 — the standard LM-fluency curation split).
     # The LM scoring passes are pinned once and feed both branches.
     def _x7(s: SparkSession, d: str) -> DataFrame:
-        sc = T.bigram_logprob_scores(_docs(s, d)).localCheckpoint(eager=False)
+        # eager: perplexity_buckets broadcasts th (derived from sc) —
+        # the lazy-checkpoint-under-broadcast deadlock class (see _x6)
+        sc = T.bigram_logprob_scores(_docs(s, d)).localCheckpoint(eager=True)
         score = sc.select(
             F.lit("score").alias("variant"),
             "doc_id",
@@ -1782,8 +1790,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same oracle replay as 'segment', proving the 30k-merge-class
         # encode path is value-identical to the expression form at the
         # verified trajectory scale.
+        # eager: tokbin's pack⋈ids join can broadcast a side whose
+        # lineage includes these checkpoints (deadlock class, see _x6)
         sega_raw = T.bpe_segment_arrow(nonempty, merges).localCheckpoint(
-            eager=False
+            eager=True
         )
         sega = sega_raw.select(
             F.lit("segmenta").alias("variant"),
@@ -1826,7 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             },
         )  # bounded: vocabulary size (rows already memoized above)
         ids_df = TRN.encode_token_ids(sega_raw, vmap).localCheckpoint(
-            eager=False
+            eager=True
         )
         tokids = ids_df.select(
             F.lit("tokids").alias("variant"),

@@ -82,6 +82,13 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-iteration power-iteration PageRank in integer micro-units.
 
+    Checkpoints here are EAGER: every iteration broadcasts 1-row
+    scalars derived from the checkpointed rank table, and a broadcast-
+    exchange thread materializing a LAZY checkpoint can deadlock with
+    the DAG scheduler (Java-level RDDCheckpointData-vs-RDD lock cycle,
+    observed in the r10 suite) — eager materialization happens on the
+    calling thread before any broadcast exists.
+
     ``edges`` must be normalized (see :func:`normalize_edges`).  Nodes
     are the union of both endpoints.  Per iteration, with integer
     division throughout::
@@ -108,16 +115,16 @@ def pagerank(
     if weight_col is None:
         edges = edges.select(
             "src", "dst", F.lit(1).cast("long").alias("w")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     else:
         edges = edges.select(
             "src", "dst", F.col(weight_col).cast("long").alias("w")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # out_deg is the WEIGHT SUM (== edge count when unweighted)
     deg = edges.groupBy(F.col("src").alias("id")).agg(
@@ -129,7 +136,7 @@ def pagerank(
     n_row = nodes.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(f"CAST({scale} AS BIGINT) div count(1)").alias("base"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     ranks = (
         nodes.join(deg, "id", "left")
@@ -142,7 +149,7 @@ def pagerank(
             F.col("base").cast("long").alias("rank"),
             F.col("base").cast("long").alias("rank_prev"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     teleport = F.expr(f"(CAST({100 - damping_pct} AS BIGINT) * base) div 100")
@@ -185,7 +192,7 @@ def pagerank(
                 ).cast("long").alias("rank"),
                 F.col("rank").alias("rank_prev"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
 
     return (
@@ -237,7 +244,7 @@ def trustrank(
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.sum("w").cast("long").alias("out_deg")
@@ -250,7 +257,7 @@ def trustrank(
     )
     n_seed_row = seed_ids.agg(
         F.count(F.lit(1)).cast("long").alias("ns")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     teleport_total = (100 - damping_pct) * scale // 100
     ranks = (
         nodes.join(deg, "id", "left")
@@ -270,7 +277,7 @@ def trustrank(
             .alias("rank"),
         )
         .withColumn("rank_prev", F.col("rank"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
         dangling = ranks.filter(F.col("out_deg") == 0).agg(
@@ -316,7 +323,7 @@ def trustrank(
                 ).cast("long").alias("rank"),
                 F.col("rank").alias("rank_prev"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return ranks.join(indeg, "id", "left").select(
         "id",
@@ -363,19 +370,19 @@ def hyperball_harmonic(
 
     if radius < 1:
         raise ValueError("radius must be >= 1")
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     regs = hll_registers(
         nodes.select(F.col("id").alias("node"), F.col("id").alias("key")),
         "key",
         ["node"],
         p,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     def est(r: DataFrame) -> DataFrame:
         return hll_estimate(r, ["node"], p).select(
@@ -395,7 +402,7 @@ def hyperball_harmonic(
             regs.unionByName(moved)
             .groupBy("node", "bucket")
             .agg(F.max("reg").alias("reg"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         cur = est(regs)
         acc = (
@@ -409,7 +416,7 @@ def hyperball_harmonic(
                 ).alias("harmonic"),
                 F.col("b").alias("_prev"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return acc.select(
         F.col("node").alias("id"),
@@ -447,12 +454,12 @@ def hits(
     wrap point."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     hv = nodes.select("id", F.lit(norm_target).cast("long").alias("h"))
     av = nodes.select("id", F.lit(norm_target).cast("long").alias("a"))
@@ -474,7 +481,7 @@ def hits(
                 .cast("long")
                 .alias(col),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
 
     for _ in range(iterations):
@@ -514,7 +521,7 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     single-row aggregates cross-joined into ONE plan — zero driver
     actions (the caller's collect is the only action), so the pattern
     is safe to copy into hotter code."""
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
