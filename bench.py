@@ -129,7 +129,10 @@ def wait_for_quiet_host(max_wait_sec: float) -> dict:
     attributable without BENCH_NOTES forensics.
     """
     cpus = os.cpu_count() or 1
-    threshold = cpus / 4
+    # cores/8 per the r10 verdict: the official r10 capture started at
+    # loadavg 8.4 on 32 cores, which PASSED the old cores/4 gate and
+    # still inflated the headline by ~1.3x.
+    threshold = cpus / 8
     initial = os.getloadavg()[0]
     waited = 0.0
     load = initial
@@ -195,7 +198,11 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     per_query: dict[str, float] = {}
     samples: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(reps):
+
+    def _timed_pass() -> float:
+        """One interleaved pass over every key; returns the pass's
+        start loadavg so contaminated passes are identifiable."""
+        load = os.getloadavg()[0]
         for name in names:
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
@@ -204,6 +211,31 @@ def main() -> None:
             # second collect() would re-execute the whole plan).
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+        return load
+
+    # Per-rep load defense (r10 verdict #1): record each pass's start
+    # loadavg; a pass that started above the quiet threshold is
+    # CONTAMINATED and earns one retry pass (after re-waiting for
+    # quiet), bounded at `reps` extras.  Per-key aggregation is min, so
+    # retry passes only ever improve the estimate.
+    cpus = os.cpu_count() or 1
+    rep_threshold = cpus / 8
+    rep_loads: list[float] = []
+    retried = 0
+    for _ in range(reps):
+        rep_loads.append(round(_timed_pass(), 2))
+    retry_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_WAIT", "120"))
+    while (
+        retried < reps
+        and sum(1 for ld in rep_loads[: reps + retried] if ld > rep_threshold)
+        > retried
+    ):
+        waited = 0.0
+        while os.getloadavg()[0] > rep_threshold and waited < retry_budget:
+            time.sleep(10.0)
+            waited += 10.0
+        retried += 1
+        rep_loads.append(round(_timed_pass(), 2))
     for name in names:
         per_query[name] = round(min(samples[name]), 3)
         print(
@@ -256,7 +288,15 @@ def main() -> None:
                 "queries": per_query,
                 "meta": {
                     "reps": reps,
+                    "extra_reps": retried,
+                    "rep_loadavg_1m": rep_loads,
                     "aggregation": "per_key_min",
+                    # x6/x11/s2 memoize bounded trained artifacts per
+                    # (process, sf_dir): rep 1 pays training, later reps
+                    # time the warm serve path.  Flagged here so artifact
+                    # consumers can tell warm-serve minima from
+                    # cold-build rounds (r10 ADVICE).
+                    "trained_memo": True,
                     "loadavg": list(os.getloadavg()),
                     "cpus": os.cpu_count(),
                     "spread": round(

@@ -888,6 +888,26 @@ def simhash_signatures(
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 
+def hamming_distance_bits(a, b, bits: int = 64):
+    """Column: Hamming distance between two '0'/'1' bit-string columns,
+    computed in INTEGER space — pack each string into 32-bit pieces via
+    ``conv(_, 2, 10)`` and sum ``bit_count(piece_a XOR piece_b)``.
+    Replaces the split→zip_with→filter→size array fold (two 64-element
+    array allocations per candidate pair) with pure whole-stage-codegen
+    arithmetic; values are identical.  32-bit pieces so the conv result
+    always fits a signed long (a full 64-bit conv with the MSB set
+    overflows the cast)."""
+    npieces = (bits + 31) // 32
+    total = None
+    for i in range(npieces):
+        width = min(32, bits - i * 32)
+        xa = F.conv(F.substring(a, i * 32 + 1, width), 2, 10).cast("long")
+        xb = F.conv(F.substring(b, i * 32 + 1, width), 2, 10).cast("long")
+        piece = F.bit_count(xa.bitwiseXOR(xb))
+        total = piece if total is None else total + piece
+    return total.cast("int")
+
+
 def hamming_near_duplicates(
     sigs: DataFrame,
     sig_col: str = "simhash",
@@ -967,16 +987,7 @@ def hamming_near_duplicates(
             .select("id_a", "id_b", "sim_a", "sim_b")
             .distinct()
         )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("sim_a"), ""),
-                F.split(F.col("sim_b"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda d: d,
-        )
-    )
+    hamming = hamming_distance_bits(F.col("sim_a"), F.col("sim_b"), bits)
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -2144,13 +2144,11 @@ def image_caption_near_duplicates(
         ).hint("shuffle_hash"),
         "id_b",
     )
-    hamming = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.col("_ha").substr(i, F.lit(1))
-            != F.col("_hb").substr(i, F.lit(1)),
-        )
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        hamming_distance_bits,
     )
+
+    hamming = hamming_distance_bits(F.col("_ha"), F.col("_hb"), 64)
     return (
         joined.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -284,9 +284,22 @@ def sft_conversation_ids(
         bpe_segment_arrow,
     )
 
-    # surrogate turn key for the single-id-column Arrow encoder
+    # Surrogate turn key for the single-id-column Arrow encoder.  The
+    # arithmetic pack (conv*100000 + turn) silently collides across
+    # conversations if turn_idx ever leaves [0, 100000) — guard it with
+    # an executor-side raise so malformed input is an error, not
+    # cross-conversation content mis-assignment (round-10 ADVICE).
+    _turn = F.col(turn_col).cast("long")
+    _turn_ok = F.when((_turn >= 0) & (_turn < 100000), _turn).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("sft_conversation_ids: turn_idx outside [0, 100000): "),
+                _turn.cast("string"),
+            )
+        ).cast("long")
+    )
     base = turns.select(
-        (F.col(conv_col).cast("long") * 100000 + F.col(turn_col))
+        (F.col(conv_col).cast("long") * 100000 + _turn_ok)
         .alias("_tk"),
         F.col(conv_col).cast("long").alias("_conv"),
         F.col(turn_col).cast("long").alias("_turn"),

@@ -212,6 +212,29 @@ def test_sft_training_examples_role_mask(spark):
     assert total_ones == sum(sum(convs[c]["loss_mask"]) for c in (1, 2)) > 0
 
 
+def test_sft_conversation_ids_turn_idx_guard(spark):
+    """turn_idx outside [0, 100000) must raise, not silently collide
+    the arithmetic surrogate key across conversations."""
+    import pytest
+    from kafkastreamsinteractivequeries_spark.operators.training import (
+        sft_conversation_ids,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, 100000, "user", "overflow turn"), (1, 0, "assistant", "ok")],
+        "conv_id long, turn_idx int, role string, content string",
+    )
+    with pytest.raises(Exception, match="turn_idx outside"):
+        sft_conversation_ids(bad, [], {"o": 10}).collect()
+
+    neg = spark.createDataFrame(
+        [(1, -1, "user", "negative turn")],
+        "conv_id long, turn_idx int, role string, content string",
+    )
+    with pytest.raises(Exception, match="turn_idx outside"):
+        sft_conversation_ids(neg, [], {"o": 10}).collect()
+
+
 def test_packing_stats_datasheet(spark):
     """packing_stats aggregates the bin table exactly: bins, tokens,
     truncation count, integer fill permille, waste."""
