@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -93,12 +95,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # training plan at BUILD time — re-training a frozen model on every
 # query construction is exactly what a serving layer must not do.
 _TRAINED_MEMO: dict[tuple, object] = {}
+# First-builds are serialized: two threads constructing the same query
+# concurrently would otherwise both run the training (and, for the
+# landed stores, both rmtree/re-land the same directory mid-read).
+# Double-checked so the steady-state hit path stays lock-free-cheap.
+_TRAINED_MEMO_LOCK = threading.Lock()
+# Per-process tag for landed temp stores (qstream et al.): two
+# PROCESSES benching the same sf_dir must not share an rmtree'd root —
+# the memo only guards within-process (round-10 ADVICE).  pid alone can
+# be reused after exit; the uuid suffix closes that.
+_PROC_TAG = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+
+def _corpus_fp(d: str) -> str:
+    """Cheap stat-only fingerprint of the sf_dir's documents corpus
+    (size+mtime of every part).  Folded into every trained-artifact
+    memo key so regenerating the data at the SAME path misses the
+    cache instead of silently serving stale trained artifacts
+    (round-10 ADVICE; same contract _knn_index_root already honors
+    for the embeddings index)."""
+    doc = os.path.join(d, "documents.parquet")
+    parts = [doc]
+    if os.path.isdir(doc):
+        parts = sorted(
+            os.path.join(doc, p) for p in os.listdir(doc) if p.endswith(".parquet")
+        )
+    h = hashlib.md5()
+    for p in parts:
+        try:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+        except OSError:
+            h.update(f"{p}:missing;".encode())
+    return h.hexdigest()[:12]
+
+
+def _memo_key(key: tuple) -> tuple:
+    """Fold the corpus fingerprint of any sf_dir appearing in the key."""
+    return key + tuple(
+        _corpus_fp(k) for k in key if isinstance(k, str) and os.path.isdir(k)
+    )
 
 
 def _memo(key: tuple, build: Callable[[], object]) -> object:
+    key = _memo_key(key)
     got = _TRAINED_MEMO.get(key)
     if got is None:
-        got = _TRAINED_MEMO[key] = build()
+        with _TRAINED_MEMO_LOCK:
+            got = _TRAINED_MEMO.get(key)
+            if got is None:
+                got = _TRAINED_MEMO[key] = build()
     return got
 
 
@@ -1267,8 +1313,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             import shutil
             import tempfile
 
+            # Per-process root (_PROC_TAG): a second concurrent process
+            # at the same sf_dir lands into its OWN directory instead of
+            # rmtree-ing a store this process is still reading.
             tag = hashlib.md5(d.encode()).hexdigest()[:10]
-            root = os.path.join(tempfile.gettempdir(), f"ksiq_qstream_{tag}")
+            root = os.path.join(
+                tempfile.gettempdir(), f"ksiq_qstream_{tag}_{_PROC_TAG}"
+            )
             shutil.rmtree(root, ignore_errors=True)  # fresh per process
             sink = StreamingQuantileSketchSink(
                 os.path.join(root, "store"), "v", k=256
@@ -1832,7 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("x11_vmap", d),
             lambda: {
                 r["piece"]: r["token_id"]
-                for r in _TRAINED_MEMO[("x11_tvoc", d)][0]
+                for r in _TRAINED_MEMO[_memo_key(("x11_tvoc", d))][0]
             },
         )  # bounded: vocabulary size (rows already memoized above)
         ids_df = TRN.encode_token_ids(sega_raw, vmap).localCheckpoint(
@@ -1840,6 +1891,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         tokids = ids_df.select(
             F.lit("tokids").alias("variant"),
+            F.array_join(
+                F.col("token_ids").cast("array<string>"), " "
+            ).alias("term"),
+            F.col("n_ids").cast("long").alias("n"),
+            F.col("doc_id").cast("long").alias("rank"),
+            F.lit(-1.0).alias("share"),
+        )
+        # 'tokstream' — the SAME token-id encode through the REAL
+        # STREAMING ingest path: documents arrive as a file stream
+        # (availableNow), foreachBatch → StreamingTokenIdSink encodes
+        # each micro-batch against the FROZEN merges + vocabulary and
+        # lands a _SUCCESS-gated batch=<id> code store, and this branch
+        # reads the LANDED snapshot — hash-verified against the same
+        # oracle replay as 'tokids', proving stream-landed ids ==
+        # one-shot batch encode through the sink/commit plumbing
+        # (ids are a pure function of text × merges × vocab, so the
+        # landed union is batching-invariant — the qstream precedent
+        # extended to the growing append-only store family).  The
+        # ingest runs once per (process, sf_dir); per-process root
+        # (_PROC_TAG) so concurrent processes never share an rmtree.
+        from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+            StreamingTokenIdSink,
+        )
+
+        def _run_tokstream() -> str:
+            import shutil
+            import tempfile
+
+            tag = hashlib.md5(d.encode()).hexdigest()[:10]
+            root = os.path.join(
+                tempfile.gettempdir(), f"ksiq_tokstream_{tag}_{_PROC_TAG}"
+            )
+            shutil.rmtree(root, ignore_errors=True)  # fresh per process
+            sink = StreamingTokenIdSink(
+                os.path.join(root, "store"), merges, vmap
+            )
+            stream = (
+                s.readStream.schema("doc_id long, text string")
+                .option("pathGlobFilter", "documents.parquet")
+                .parquet(d)
+                # same nonempty contract as the batch encode: docs whose
+                # normalized text is empty have no pieces and are
+                # excluded on both sides
+                .filter(normalized_text(F.col("text")) != "")
+            )
+            sq = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+            return sink.path
+
+        tokstream_store = _memo(("x11_tokstream", d), _run_tokstream)
+        tokstream = StreamingTokenIdSink(
+            tokstream_store, merges, vmap
+        ).token_ids(s).select(
+            F.lit("tokstream").alias("variant"),
             F.array_join(
                 F.col("token_ids").cast("array<string>"), " "
             ).alias("term"),
@@ -1892,7 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("x11_vmap7", d),
             lambda: {
                 r["piece"]: r["token_id"]
-                for r in _TRAINED_MEMO[("x11_tvoc7", d)][0]
+                for r in _TRAINED_MEMO[_memo_key(("x11_tvoc7", d))][0]
             },
         )
         sftbin = TRN.sft_training_examples(
@@ -2016,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(sega)
             .unionByName(tokvocab)
             .unionByName(tokids)
+            .unionByName(tokstream)
             .unionByName(tokbin)
             .unionByName(tokstats)
             .unionByName(sftbin)
@@ -6629,9 +6740,13 @@ CROSS JOIN (VALUES ('segment'), ('segmenta')) AS sv(seg_variant)
 UNION ALL
 SELECT 'tokvocab', piece, cnt, tid, -1.0 FROM tvoc
 UNION ALL
-SELECT 'tokids', array_to_string(ids, ' '), CAST(len(ids) AS BIGINT),
+-- 'tokids' = one-shot batch encode, 'tokstream' = the landed
+-- availableNow StreamingTokenIdSink store; ids are a pure function of
+-- (text, frozen merges, frozen vocab), so one replay serves both
+SELECT idv, array_to_string(ids, ' '), CAST(len(ids) AS BIGINT),
        CAST(doc_id AS BIGINT), -1.0
 FROM docids
+CROSS JOIN (VALUES ('tokids'), ('tokstream')) AS iv(idv)
 UNION ALL
 SELECT 'tokbin',
        array_to_string(realids
