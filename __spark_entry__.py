@@ -2594,12 +2594,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(-1).alias("pixel_min"),
             F.lit(-1).alias("pixel_max"),
         )
+        # 'capdup' — the FUZZY CLIP-pair dedup tier
+        # (multimodal.image_caption_near_duplicates) over the same
+        # pairs: caption-side MinHash-LSH (3-gram shingles, 12 hashes /
+        # 4 bands, bucket cap 1024) proposes, exact caption Jaccard
+        # >= 0.5 verifies, and image-side dHash Hamming <= 6 confirms.
+        # The oracle replays ALL FOUR stages — signatures, band
+        # buckets, the Jaccard verify, and the Hamming confirm over
+        # the same arithmetically-replayed dHash quarters as the
+        # 'dhash' branch — so the hash proves both the accept path
+        # (paraphrased caption + same-ish image collapses) and the
+        # reject path (reused caption on a different image survives).
+        # hamming rides frame_idx, jaccard rides pixel_mean, id_b
+        # rides pixel_min.
+        capdup = M.image_caption_near_duplicates(
+            pair_src, id_col="asset_id"
+        ).select(
+            F.lit("capdup").alias("variant"),
+            F.col("id_a").alias("asset_id"),
+            F.col("hamming").cast("int").alias("frame_idx"),
+            F.lit(-1).alias("n_frames"),
+            F.lit(-1).alias("width"),
+            F.lit(-1).alias("height"),
+            F.lit(-1).alias("target_width"),
+            F.lit(-1).alias("target_height"),
+            F.lit(-1).alias("channels"),
+            F.col("caption_jaccard").cast("double").alias("pixel_mean"),
+            F.col("id_b").cast("int").alias("pixel_min"),
+            F.lit(-1).alias("pixel_max"),
+        )
         return (
             png.unionByName(apng)
             .unionByName(rez)
             .unionByName(dh)
             .unionByName(ph)
             .unionByName(gate)
+            .unionByName(capdup)
         )
 
     q["m7_decoded_pixel_stats"] = _m7
@@ -5359,6 +5389,67 @@ SELECT b.asset_id, pp.w, pp.h, pp.ch,
 FROM pbits b JOIN pp ON pp.asset_id = b.asset_id
 GROUP BY 1, 2, 3, 4
 """
+    # capdup replay: 3-gram caption shingles → 12-hash minhash → 4-band
+    # buckets (cap 1024) → exact Jaccard >= 0.5 → dHash Hamming <= 6
+    # over the SAME replayed quarters as the 'dhash' branch (packed
+    # integer XOR + bit_count — the engine's integer-space form).
+    _cap_minhash = ",\n         ".join(
+        f"list_aggregate(list_transform(s, t -> md5('{i}:' || t)), 'min')"
+        for i in range(12)
+    )
+    _cap_bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_hash FROM csig".format(
+            b=b,
+            expr=" || '|' || ".join(f"minhash[{b * 3 + r + 1}]" for r in range(3)),
+        )
+        for b in range(4)
+    )
+    capdup_sql = f"""
+WITH ctok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS t
+  FROM documents
+), csh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in generate_series(1, len(t) - 2)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM ctok
+), csig AS (
+  SELECT doc_id, [{_cap_minhash}] AS minhash FROM csh
+), cbands AS (
+{_cap_bands}
+), cfbands AS (
+  SELECT cbands.* FROM cbands
+  JOIN (SELECT band_id, band_hash FROM cbands
+        GROUP BY 1, 2 HAVING COUNT(*) <= 1024) ok
+  USING (band_id, band_hash)
+), ccand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cfbands a JOIN cfbands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+), cjac AS (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(x.s, y.s))::DOUBLE
+                 / len(list_distinct(x.s || y.s)), 6) AS jaccard
+    FROM ccand JOIN csh x ON x.doc_id = id_a JOIN csh y ON y.doc_id = id_b
+  ) WHERE jaccard >= 0.5
+), cdh AS (
+  SELECT * FROM ({dhash_sql}) cdh_inner
+)
+SELECT * FROM (
+  SELECT j.id_a, j.id_b, j.jaccard,
+         bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+         + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3))
+           AS hamming
+  FROM cjac j
+  JOIN cdh a ON a.asset_id = j.id_a
+  JOIN cdh b ON b.asset_id = j.id_b
+) WHERE hamming <= 6
+"""
     o["m7_decoded_pixel_stats"] = f"""
 SELECT 'png' AS variant, asset_id, CAST(0 AS INTEGER) AS frame_idx,
        CAST(1 AS INTEGER) AS n_frames, width, height,
@@ -5429,6 +5520,15 @@ FROM (
     )
   )
 )
+UNION ALL
+-- capdup: caption LSH propose + Jaccard verify + dHash Hamming confirm;
+-- hamming rides frame_idx, jaccard rides pixel_mean, id_b rides
+-- pixel_min
+SELECT 'capdup', id_a, CAST(hamming AS INTEGER), CAST(-1 AS INTEGER),
+       CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+       CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(jaccard AS DOUBLE),
+       CAST(id_b AS INTEGER), CAST(-1 AS INTEGER)
+FROM ({capdup_sql}) cap_v
 """
     return o
 
