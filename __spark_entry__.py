@@ -1204,6 +1204,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("is_first").cast("int"),
             ).alias("fp"),
         )
+        # ---- code-corpus curation family (operators/code.py) over a
+        # salted fixture built from doc_id formulas (the d1 'url'
+        # convention): header h=id%5 exercises SPDX tag / phrase
+        # fallback / copyright-only / headerless; two function bodies
+        # (structures s1=id%3, s2=(id div 3)%3, identifier salt
+        # a=id%7, literal salt n=id%100, e=(id div 7)%3 extra
+        # statements) give type-2 clones that collapse under
+        # identifier normalization and type-3 near-misses across
+        # different e.  The oracle rebuilds every expected output
+        # CLOSED-FORM from the same formulas — no regex on the oracle
+        # side — so the hash proves the real regex chains (comment
+        # strip with string protection, SPDX detect, the
+        # protect/normalize/unprotect identifier chain, the function
+        # chunker) land exactly on the formula form for every salt.
+        from kafkastreamsinteractivequeries_spark.operators import code as CC
+
+        idc = F.col("doc_id")
+        a_s = (idc % 7).cast("string")
+        n_s = (idc % 100).cast("string")
+
+        def _fn_tpl(s):
+            t0 = F.concat(
+                F.lit("def f"), a_s, F.lit("(x):\n    y"), a_s,
+                F.lit(" = "), n_s, F.lit(" # seed\n    return y"),
+                a_s, F.lit(" + x\n"),
+            )
+            t1 = F.concat(
+                F.lit("def g"), a_s, F.lit("(x):\n    if x > "), n_s,
+                F.lit(":\n        return x\n    return "), n_s,
+                F.lit("\n"),
+            )
+            t2 = F.concat(
+                F.lit("def h"), a_s, F.lit("(s):\n    t"), a_s,
+                F.lit(' = "lit // '), a_s, F.lit('"\n    return t'),
+                a_s, F.lit("\n"),
+            )
+            return F.when(s == 0, t0).when(s == 1, t1).otherwise(t2)
+
+        hdr = (
+            F.when(idc % 5 == 0, "// SPDX-License-Identifier: MIT\n")
+            .when(idc % 5 == 1, "# SPDX-License-Identifier: Apache-2.0\n")
+            .when(
+                idc % 5 == 2,
+                "/* Permission is hereby granted,\n free of charge */\n",
+            )
+            .when(idc % 5 == 3, "// (c) 2026 Example Corp\n")
+            .otherwise("")
+        )
+        extras = F.repeat(
+            F.lit("    return 0\n"), (F.expr("doc_id div 7") % 3).cast("int")
+        )
+        cfx = docs.select(
+            "doc_id",
+            F.concat(
+                hdr,
+                _fn_tpl(idc % 3),
+                extras,
+                _fn_tpl(F.expr("doc_id div 3") % 3),
+            ).alias("text"),
+        )
+        codespdx = CC.spdx_license_headers(cfx).select(
+            F.lit("codespdx").alias("variant"),
+            "doc_id",
+            F.concat_ws(
+                "|",
+                F.when(F.col("spdx_id") == "", "-").otherwise(
+                    F.col("spdx_id")
+                ),
+                "license_family",
+                F.col("has_license").cast("string"),
+            ).alias("fp"),
+        )
+        codestrip = CC.strip_code_comments(cfx).select(
+            F.lit("codestrip").alias("variant"),
+            "doc_id",
+            F.format_string(
+                "%d:%d:%s",
+                "n_chars",
+                "n_stripped_chars",
+                F.md5("stripped_text"),
+            ).alias("fp"),
+        )
+        codenorm = cfx.select(
+            F.lit("codenorm").alias("variant"),
+            "doc_id",
+            F.md5(CC.normalized_code_col(F.col("text"))).alias("fp"),
+        )
+        # function-granularity: chunks pinned once, feed fn/clone/near
+        cchunks = CC.function_chunks(cfx).select(
+            (F.col("doc_id") * 10 + F.col("fn_idx")).alias("cid"), "chunk"
+        ).localCheckpoint(eager=False)
+        codefn = cchunks.select(
+            F.lit("codefn").alias("variant"),
+            F.col("cid").alias("doc_id"),
+            F.md5(CC.normalized_code_col(F.col("chunk"))).alias("fp"),
+        )
+        codeclone = CC.code_clone_groups(
+            cchunks, text_col="chunk", id_col="cid"
+        ).select(
+            F.lit("codeclone").alias("variant"),
+            F.col("keep_id").alias("doc_id"),
+            F.concat_ws(
+                ":", "clone_fp", F.col("n_members").cast("string")
+            ).alias("fp"),
+        )
+        # near-miss clones on a deterministic 5% doc sample (the d6
+        # audit-slice convention): full-corpus pairing is the capped
+        # LSH path, the sample keeps the driver key linear
+        codenear = CC.code_clone_near_duplicates(
+            cchunks.filter(F.expr("(cid div 10) % 20 = 0")),
+            text_col="chunk",
+            id_col="cid",
+        ).select(
+            F.lit("codenear").alias("variant"),
+            F.col("id_a").alias("doc_id"),
+            F.format_string("%d:%.6f", "id_b", "jaccard").alias("fp"),
+        )
         return (
             docmin.unionByName(full)
             .unionByName(spans)
@@ -1211,6 +1328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(trimmed)
             .unionByName(ld)
             .unionByName(cdc)
+            .unionByName(codespdx)
+            .unionByName(codestrip)
+            .unionByName(codenorm)
+            .unionByName(codefn)
+            .unionByName(codeclone)
+            .unionByName(codenear)
         )
 
     q["x4_winnowing_fingerprint"] = _x4
@@ -5533,6 +5656,162 @@ FROM ({capdup_sql}) cap_v
     return o
 
 
+def _code_oracle_union() -> str:
+    """The code-curation branches appended to the x4 oracle: every
+    expected output (stripped text, normalized text, SPDX verdict,
+    function chunks, clone groups, near-miss pairs) rebuilt
+    CLOSED-FORM from the doc_id salt formulas — the oracle never runs
+    a regex over the code, so a hash match proves the engine's real
+    regex chains land exactly on the formula form for every salt.
+    Only the near-dup replay (minhash over the formula-built
+    normalized chunks) reuses the d5 CTE machinery."""
+
+    def tpl_raw(col: str) -> str:
+        return (
+            f"CASE {col}"
+            " WHEN 0 THEN 'def f' || a || e'(x):\\n    y' || a || ' = '"
+            " || n || e' # seed\\n    return y' || a || e' + x\\n'"
+            " WHEN 1 THEN 'def g' || a || e'(x):\\n    if x > ' || n"
+            " || e':\\n        return x\\n    return ' || n || e'\\n'"
+            " ELSE 'def h' || a || e'(s):\\n    t' || a"
+            " || ' = \"lit // ' || a || e'\"\\n    return t' || a"
+            " || e'\\n' END"
+        )
+
+    def tpl_strip(col: str) -> str:
+        # t0 loses its '# seed' line comment (trailing space kept);
+        # t1 has no comments; t2's string literal is protected
+        return (
+            f"CASE {col}"
+            " WHEN 0 THEN 'def f' || a || e'(x):\\n    y' || a || ' = '"
+            " || n || e' \\n    return y' || a || e' + x\\n'"
+            " WHEN 1 THEN 'def g' || a || e'(x):\\n    if x > ' || n"
+            " || e':\\n        return x\\n    return ' || n || e'\\n'"
+            " ELSE 'def h' || a || e'(s):\\n    t' || a"
+            " || ' = \"lit // ' || a || e'\"\\n    return t' || a"
+            " || e'\\n' END"
+        )
+
+    def tpl_norm(col: str) -> str:
+        # salt-free: identifier/number/string normalization erases a, n
+        return (
+            f"CASE {col}"
+            " WHEN 0 THEN e'def ID(ID):\\n    ID = N \\n"
+            "    return ID + ID\\n'"
+            " WHEN 1 THEN e'def ID(ID):\\n    if ID > N:\\n"
+            "        return ID\\n    return N\\n'"
+            " ELSE e'def ID(ID):\\n    ID = S\\n    return ID\\n' END"
+        )
+
+    mh = ",\n           ".join(
+        f"list_aggregate(list_transform(sh, t -> md5('{i}:' || t)), 'min')"
+        for i in range(12)
+    )
+    bands = "\nUNION ALL\n".join(
+        "SELECT cid, {b} AS band_id, md5({expr}) AS band_hash FROM nsig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"minhash[{b * 3 + r + 1}]" for r in range(3)
+            ),
+        )
+        for b in range(4)
+    )
+    return f"""
+UNION ALL
+SELECT cvariant, cdoc, cfp FROM (
+  WITH cfx AS (
+    SELECT doc_id,
+           CAST(doc_id % 7 AS VARCHAR) AS a,
+           CAST(doc_id % 100 AS VARCHAR) AS n,
+           doc_id % 5 AS h, doc_id % 3 AS s1,
+           (doc_id // 3) % 3 AS s2, (doc_id // 7) % 3 AS e
+    FROM documents
+  ), craw AS (
+    SELECT doc_id, h, e,
+      CASE h WHEN 0 THEN e'// SPDX-License-Identifier: MIT\\n'
+             WHEN 1 THEN e'# SPDX-License-Identifier: Apache-2.0\\n'
+             WHEN 2 THEN e'/* Permission is hereby granted,\\n free of charge */\\n'
+             WHEN 3 THEN e'// (c) 2026 Example Corp\\n'
+             ELSE '' END AS hdr_r,
+      {tpl_raw("s1")} AS fn1_r,
+      {tpl_raw("s2")} AS fn2_r,
+      {tpl_strip("s1")} AS fn1_s,
+      {tpl_strip("s2")} AS fn2_s,
+      {tpl_norm("s1")} AS fn1_n,
+      {tpl_norm("s2")} AS fn2_n,
+      repeat(e'    return 0\\n', CAST(e AS INTEGER)) AS ex_r,
+      repeat(e'    return N\\n', CAST(e AS INTEGER)) AS ex_n
+    FROM cfx
+  ), cdx AS (
+    SELECT doc_id, h,
+           hdr_r || fn1_r || ex_r || fn2_r AS raw,
+           (CASE WHEN h <= 3 THEN e'\\n' ELSE '' END)
+             || fn1_s || ex_r || fn2_s AS strp,
+           (CASE WHEN h <= 3 THEN e'\\n' ELSE '' END)
+             || fn1_n || ex_n || fn2_n AS nrm
+    FROM craw
+  ), cchunk AS (
+    SELECT doc_id, doc_id * 10 AS cid, fn1_n || ex_n AS cn FROM craw
+    UNION ALL
+    SELECT doc_id, doc_id * 10 + 1, fn2_n FROM craw
+  ), ntok AS (
+    SELECT cid,
+           string_split(trim(regexp_replace(lower(cn), '\\s+', ' ', 'g')),
+                        ' ') AS t
+    FROM cchunk WHERE doc_id % 20 = 0
+  ), nsh AS (
+    SELECT cid,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                    for i in generate_series(1, len(t) - 2)])
+                ELSE [array_to_string(t, ' ')] END AS sh
+    FROM ntok
+  ), nsig AS (
+    SELECT cid, [{mh}] AS minhash FROM nsh
+  ), nbands AS (
+{bands}
+  ), nfb AS (
+    SELECT nbands.* FROM nbands
+    JOIN (SELECT band_id, band_hash FROM nbands
+          GROUP BY 1, 2 HAVING COUNT(*) <= 1024) ok
+    USING (band_id, band_hash)
+  ), ncand AS (
+    SELECT DISTINCT x.cid AS id_a, y.cid AS id_b
+    FROM nfb x JOIN nfb y USING (band_id, band_hash)
+    WHERE x.cid < y.cid
+  ), njac AS (
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE
+                   / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+      FROM ncand JOIN nsh x ON x.cid = id_a JOIN nsh y ON y.cid = id_b
+    ) WHERE jaccard >= 0.5
+  )
+  SELECT 'codespdx' AS cvariant, doc_id AS cdoc,
+         CASE h WHEN 0 THEN 'MIT|mit|1'
+                WHEN 1 THEN 'Apache-2.0|apache|1'
+                WHEN 2 THEN '-|mit|1'
+                ELSE '-|none|0' END AS cfp
+  FROM craw
+  UNION ALL
+  SELECT 'codestrip', doc_id,
+         printf('%d:%d:%s', length(raw), length(raw) - length(strp),
+                md5(strp))
+  FROM cdx
+  UNION ALL
+  SELECT 'codenorm', doc_id, md5(nrm) FROM cdx
+  UNION ALL
+  SELECT 'codefn', cid, md5(cn) FROM cchunk
+  UNION ALL
+  SELECT 'codeclone', MIN(cid),
+         md5(cn) || ':' || CAST(COUNT(*) AS VARCHAR)
+  FROM cchunk GROUP BY cn
+  UNION ALL
+  SELECT 'codenear', id_a, printf('%d:%.6f', id_b, jaccard) FROM njac
+) code_v
+"""
+
+
 def _text_oracles() -> dict[str, str]:
     """DuckDB oracles mirroring operators/text.py expression-for-
     expression (same normalization, same RE2-safe regexes, same md5
@@ -6304,6 +6583,7 @@ FROM (
   )
 )
 """
+        + _code_oracle_union()
     )
     o["x8_repetition_stats"] = (
         t_cte
