@@ -1029,18 +1029,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paraphrase from a reordering; the edit layer can, and both
     # engines ship the identical Wagner-Fischer builtin.
     def _d6(s: SparkSession, d: str) -> DataFrame:
-        # The exact audit runs on a DETERMINISTIC 20% SAMPLE — the
-        # operator's own contract ("for calibration/audit on SAMPLES —
-        # never point it at a full saturated corpus"): candidate volume
-        # is Σ k² over posting lists, and the synthetic corpus's
-        # 31-word vocabulary saturates 3-gram postings, so the full
-        # corpus measured 29.9 s at sf0.1 in the first bench.py --all
-        # sweep (3× the next key).  The oracle slices identically; the
-        # LSH path (d5) remains the full-corpus detector.
+        # The exact audit runs on a DETERMINISTIC 20% SAMPLE — now the
+        # operator's own REQUIRED-EXPLICIT contract (audit_modulus /
+        # max_posting_size have no defaults): candidate volume is Σ k²
+        # over posting lists, and the synthetic corpus's 31-word
+        # vocabulary saturates 3-gram postings, so the full corpus
+        # measured 29.9 s at sf0.1 in the first bench.py --all sweep
+        # (3× the next key).  The oracle slices identically; the LSH
+        # path (d5) remains the full-corpus detector.
         docs = _docs(s, d).filter(F.col("doc_id") % 5 == 0)
-        jac = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.01).localCheckpoint(
-            eager=False
-        )
+        jac = D.ngram_jaccard_pairs(
+            _docs(s, d),
+            audit_modulus=5,
+            max_posting_size=1024,
+            shingle_n=3,
+            threshold=0.01,
+        ).localCheckpoint(eager=False)
         jrows = jac.select(
             F.lit("jaccard").alias("variant"),
             "id_a",

@@ -384,25 +384,41 @@ def minhash_near_duplicates(
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
+    *,
+    audit_modulus: int,
+    max_posting_size: int | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_posting_size: int | None = 1024,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join (no LSH): candidate pairs
     via inverted-index join on shared shingles, then exact verify.
-    ``max_posting_size`` drops shingles shared by more than that many
-    docs from candidate generation (stop-shingles contribute candidate
-    volume quadratically but little similarity signal).
+
+    This is an AUDIT operator, and its two blast-radius controls are
+    REQUIRED keyword arguments — there are deliberately no defaults, so
+    pointing it at a full corpus is an explicit decision (a TypeError
+    otherwise), not a silent cluster incident:
+
+    - ``audit_modulus``: deterministic sample — only ids with
+      ``id % audit_modulus == 0`` participate (5 = the 20% audit
+      slice; pass 1 to audit everything, explicitly).
+    - ``max_posting_size``: shingles shared by more docs than this are
+      dropped from candidate generation (stop-shingles contribute
+      candidate volume quadratically but little similarity signal);
+      pass None to keep them, explicitly.
 
     The non-approximate baseline for ``minhash_near_duplicates`` —
     quadratic only within postings of a shared shingle.  At 100 TB the
     LSH path is the default; this one is for calibration/audit on
-    SAMPLES — a shingle shared by k docs costs k² join rows, so never
-    point it at a full saturated corpus (no cap is applied here
-    precisely because it is the exact reference).
+    SAMPLES — a shingle shared by k docs costs k² join rows.
     """
+    if not isinstance(audit_modulus, int) or audit_modulus < 1:
+        raise ValueError(
+            f"audit_modulus must be a positive int, got {audit_modulus!r}"
+        )
+    if audit_modulus > 1:
+        docs = docs.filter(F.col(id_col) % audit_modulus == 0)
     sh = docs.select(
         F.col(id_col), F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("shingles")
     )

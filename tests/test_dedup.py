@@ -79,11 +79,27 @@ def test_lsh_max_bucket_cap(docs):
 
 
 def test_ngram_jaccard_exact_baseline(docs):
-    got = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            # full audit + uncapped postings, both now required-explicit
+            docs, audit_modulus=1, max_posting_size=None, threshold=0.3
+        ).collect()
+    }
     assert got[(0, 1)] == 1.0
     assert (0, 3) in got and 0.3 <= got[(0, 3)] < 1.0
     # disjoint docs absent
     assert not any(4 in p for p in got)
+
+
+def test_ngram_jaccard_requires_explicit_audit_args(docs):
+    """The audit controls have no defaults: omitting them is a
+    TypeError, nonsense values a ValueError — misuse at corpus scale
+    fails at call time, not on the cluster."""
+    with pytest.raises(TypeError):
+        ngram_jaccard_pairs(docs)
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, audit_modulus=0, max_posting_size=None)
 
 
 def test_simhash_properties(docs):
