@@ -91,8 +91,11 @@ BRANCHES: dict[str, list[str]] = {
     "t5_stock_aggregation": ["agg", "daily", "rolled", "hllmerge"],
     "x4_winnowing_fingerprint": [
         "docmin", "full", "dupspan", "dupfrac", "trimmed", "linededup", "cdc",
+        "codespdx", "codestrip", "codenorm", "codefn", "codeclone", "codenear",
     ],
-    "m7_decoded_pixel_stats": ["png", "apng", "resize", "dhash", "phash", "gate"],
+    "m7_decoded_pixel_stats": [
+        "png", "apng", "resize", "dhash", "phash", "gate", "capdup",
+    ],
 }
 
 # Extra branch sub-timings captured only under --all: the heavyweight
@@ -106,10 +109,12 @@ ALL_BRANCHES: dict[str, list[str]] = {
     "x6_quality_gates": [
         "length", "constraint", "skew", "salted", "dsir", "qlrw", "qlr",
         "gopher", "blocklist", "gate", "html", "mojibake", "nfc", "qsketch",
+        "qstream",
     ],
     "x11_vocab_bpe": [
         "vocab", "bpe", "segment", "segmenta", "wpvocab", "wordpiece",
-        "uvocab", "unigram", "tokvocab", "tokids", "tokbin", "tokstats", "sftbin",
+        "uvocab", "unigram", "tokvocab", "tokids", "tokstream", "tokbin",
+        "tokstats", "sftbin",
     ],
     "e1_event_analytics": [
         "funnel", "cohort", "interval", "pagerank", "trustrank", "hits",
@@ -264,9 +269,24 @@ def main() -> None:
             continue
         branches[name] = {}
         src = branch_source.get(name, queries[name])
+        # Construct ONCE and bill construction separately ('_build'):
+        # eager-checkpoint unions (e1, x6, x11) materialize trained
+        # artifacts and iteration barriers at BUILD time, so
+        # re-constructing per branch would bill every branch the whole
+        # union's build cost (the r10 attribution defect — e1's nine
+        # branches each read ~6.5 s).  Branch rows now time only the
+        # filtered execution against the shared build; '_build' + the
+        # branch sum approximates the key's one-pass cost.  For
+        # checkpoint-free unions Catalyst still constant-folds the
+        # variant predicate and prunes the other children; for
+        # checkpointed ones each branch pays a (cheap) scan of the
+        # materialized parents instead of their recomputation.
+        t0 = time.perf_counter()
+        df = src(spark, sf_dir)
+        branches[name]["_build"] = round(time.perf_counter() - t0, 3)
         for tag in tags:
             t0 = time.perf_counter()
-            src(spark, sf_dir).filter(F.col("variant") == tag).write.format(
+            df.filter(F.col("variant") == tag).write.format(
                 "noop"
             ).mode("overwrite").save()
             branches[name][tag] = round(time.perf_counter() - t0, 3)
@@ -281,10 +301,12 @@ def main() -> None:
     # TAIL of stdout, and BENCH_r09's tail began mid-queries-dict,
     # losing the headline total.  The scalars the judge needs
     # (metric/unit/sf/value) therefore go LAST in the JSON object so
-    # any tail that catches the line's end is self-contained.
-    print(
-        json.dumps(
-            {
+    # any tail that catches the line's end is self-contained.  The FULL
+    # payload is also written to BENCH_LAST_LOCAL.json beside the repo
+    # so truncated driver tails never lose per-key numbers (r10
+    # verdict #2).
+    payload = json.dumps(
+        {
                 "queries": per_query,
                 "meta": {
                     "reps": reps,
@@ -314,8 +336,17 @@ def main() -> None:
                 "sf": sf,
                 "value": total,
             }
-        )
     )
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST_LOCAL.json"),
+            "w",
+        ) as fh:
+            fh.write(payload + "\n")
+    except OSError as exc:  # the stdout line is the contract; file is bonus
+        print(f"# could not write BENCH_LAST_LOCAL.json: {exc}", file=sys.stderr)
+    print(payload)
 
 
 if __name__ == "__main__":
