@@ -1802,6 +1802,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_nfc").cast("long").alias("n"),
             F.col("changed").cast("long").alias("total"),
         )
+        # 'signals' — the Dolma/RefinedWeb-style per-doc quality-signal
+        # EXPORT row (text.quality_signal_export): the gopher + C4
+        # blocklist signal families assembled in ONE scan-stage pass
+        # (plan-pinned: single file scan, zero exchanges).  name packs
+        # every numeric signal (%.6f for the round-6 ratios), value
+        # carries the gopher mask, n the word count, total the pass
+        # bits (gopher=1, blocklist=2) — offline threshold tuning
+        # reads THIS table instead of re-scanning the corpus.
+        sig = T.quality_signal_export(docs, ["dup", "legacy"]).select(
+            F.lit("signals").alias("variant"),
+            F.format_string(
+                "%d:%d:%.6f:%.6f:%.6f:%d",
+                "doc_id",
+                "n_chars",
+                "mean_word_len",
+                "top_share",
+                "blocked_frac",
+                "n_blocked",
+            ).alias("name"),
+            F.col("failure_mask").cast("double").alias("value"),
+            F.col("word_count").alias("n"),
+            (F.col("gopher_passed") + F.lit(2) * F.col("bl_passed"))
+            .cast("long")
+            .alias("total"),
+        )
         return (
             length_rows.unionByName(cons)
             .unionByName(skew)
@@ -1811,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(qlr)
             .unionByName(gop)
             .unionByName(bl)
+            .unionByName(sig)
             .unionByName(gate)
             .unionByName(html)
             .unionByName(moji)
@@ -6236,6 +6262,52 @@ SELECT 'blocklist', CAST(doc_id AS VARCHAR),
                   AND len(list_filter(toks, tk -> tk IN ('dup', 'legacy'))) = 0
                  THEN 1 ELSE 0 END AS BIGINT)
 FROM t
+UNION ALL
+-- signals: the one-pass per-doc quality-signal EXPORT row
+-- (text.quality_signal_export) — the same gopher + blocklist
+-- arithmetic packed per doc, so the hash verifies every signal value
+-- (n_chars, mean word len, top share, blocked frac/count, mask, pass
+-- bits) of the wide row the curation run would land for offline
+-- threshold tuning
+SELECT 'signals',
+       printf('%d:%d:%.6f:%.6f:%.6f:%d', doc_id, nchars,
+              ROUND(mwl, 6), ts, bf, nb),
+       CAST(mask AS DOUBLE),
+       CAST(wc AS BIGINT),
+       CAST((CASE WHEN mask = 0 THEN 1 ELSE 0 END)
+            + 2 * (CASE WHEN hastext AND nb = 0 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM (
+  SELECT doc_id, nchars, wc, mwl, ts, bf, nb, hastext,
+     CASE WHEN wc IS NULL THEN 63 ELSE
+     (CASE WHEN wc < 20 OR wc > 100000 THEN 1 ELSE 0 END
+    + CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 2 ELSE 0 END
+    + CASE WHEN pr > 0.1 THEN 4 ELSE 0 END
+    + CASE WHEN af < 0.8 THEN 8 ELSE 0 END
+    + CASE WHEN stops = 0 THEN 16 ELSE 0 END
+    + CASE WHEN ts > 0.2 THEN 32 ELSE 0 END) END AS mask
+  FROM (
+    SELECT doc_id,
+      COALESCE(length(text), 0) AS nchars,
+      text IS NOT NULL AS hastext,
+      len(toks) AS wc,
+      list_sum(list_transform(toks, tk -> length(tk)))::DOUBLE / len(toks) AS mwl,
+      (length(norm) - length(regexp_replace(norm, '[.,;:!?]', '', 'g')))::DOUBLE
+        / len(toks) AS pr,
+      len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))::DOUBLE
+        / len(toks) AS af,
+      len(list_intersect(list_distinct(toks),
+          ['the','a','of','to','and','in','is','it','that','for'])) AS stops,
+      ROUND((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM unnest(toks) AS u(w)
+                                 GROUP BY w))::DOUBLE / len(toks), 6) AS ts,
+      CASE WHEN text IS NULL OR len(toks) = 0 THEN 0.0
+           ELSE ROUND(len(list_filter(toks, tk -> tk IN ('dup', 'legacy')))
+                      / CAST(len(toks) AS DOUBLE), 6) END AS bf,
+      CASE WHEN text IS NULL THEN 0
+           ELSE len(list_filter(toks, tk -> tk IN ('dup', 'legacy'))) END AS nb
+    FROM t
+  )
+)
 UNION ALL
 -- assert_constraints gate decisions: the gate raises iff any rule in
 -- its set fails on the data (value = raised, n = failing-rule count)

@@ -108,8 +108,8 @@ ALL_BRANCHES: dict[str, list[str]] = {
     ],
     "x6_quality_gates": [
         "length", "constraint", "skew", "salted", "dsir", "qlrw", "qlr",
-        "gopher", "blocklist", "gate", "html", "mojibake", "nfc", "qsketch",
-        "qstream",
+        "gopher", "blocklist", "signals", "gate", "html", "mojibake", "nfc",
+        "qsketch", "qstream",
     ],
     "x11_vocab_bpe": [
         "vocab", "bpe", "segment", "segmenta", "wpvocab", "wordpiece",

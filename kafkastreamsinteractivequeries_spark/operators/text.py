@@ -2037,27 +2037,11 @@ def distribution_divergence(
     )
 
 
-def gopher_quality_rules(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Gopher-style rule-based quality filter (Rae et al.,
-    arXiv:2112.11446 §A1.1 — public), adapted to this corpus's signals.
-    Per doc: ``(doc_id, word_count, mean_word_len, top_share,
-    failure_mask, passed)`` where ``failure_mask`` is a bitmask of the
-    rules the doc FAILS:
-
-      1  word count outside [20, 100000]
-      2  mean word length outside [3, 10]
-      4  punctuation-to-word ratio > 0.1
-      8  fraction of words containing a letter < 0.8
-      16 zero distinct English stopwords present (fluency proxy)
-      32 most-frequent word share > 0.2 (repetition rule)
-
-    Scale: every rule is a zero-shuffle Column expression.  The
-    repetition rule is LINEAR in document length — top frequency =
-    the longest equal-run of the SORTED token array, computed by one
-    ``aggregate`` fold (never the O(n·distinct) count-per-distinct
-    shape, which dies on 100k-token documents)."""
+def _gopher_cols(text_col: str = "text") -> dict[str, F.Column]:
+    """The Gopher rule signals as raw Columns keyed by output name —
+    shared by ``gopher_quality_rules`` (standalone gate table) and
+    ``quality_signal_export`` (the one-pass wide signals row), so both
+    read the corpus once and compute identical values."""
     toks = tokens_col(F.col(text_col))
     norm = normalized_text(F.col(text_col))
     wc = F.size(toks)
@@ -2111,13 +2095,39 @@ def gopher_quality_rules(
     # a NULL text nulls every metric, which would fold the mask to 0
     # and PASS the gate — a null document fails everything instead
     mask = F.when(F.col(text_col).isNull(), F.lit(63)).otherwise(mask)
+    return {
+        "word_count": wc.cast("long"),
+        "mean_word_len": F.round(mwl, 6),
+        "top_share": top_share,
+        "failure_mask": mask.cast("long"),
+        "passed": (mask == 0).cast("int"),
+    }
+
+
+def gopher_quality_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al.,
+    arXiv:2112.11446 §A1.1 — public), adapted to this corpus's signals.
+    Per doc: ``(doc_id, word_count, mean_word_len, top_share,
+    failure_mask, passed)`` where ``failure_mask`` is a bitmask of the
+    rules the doc FAILS:
+
+      1  word count outside [20, 100000]
+      2  mean word length outside [3, 10]
+      4  punctuation-to-word ratio > 0.1
+      8  fraction of words containing a letter < 0.8
+      16 zero distinct English stopwords present (fluency proxy)
+      32 most-frequent word share > 0.2 (repetition rule)
+
+    Scale: every rule is a zero-shuffle Column expression.  The
+    repetition rule is LINEAR in document length — top frequency =
+    the longest equal-run of the SORTED token array, computed by one
+    ``aggregate`` fold (never the O(n·distinct) count-per-distinct
+    shape, which dies on 100k-token documents)."""
+    cols = _gopher_cols(text_col)
     return spread(docs).select(
-        F.col(id_col),
-        wc.cast("long").alias("word_count"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        top_share.alias("top_share"),
-        mask.cast("long").alias("failure_mask"),
-        (mask == 0).cast("int").alias("passed"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
@@ -2142,6 +2152,18 @@ def blocklist_gate(
     substring/obfuscation matching is a different operator by design
     (this replicates C4's word-boundary semantics).
     """
+    cols = _blocklist_cols(blocked, text_col)
+    return docs.select(
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+def _blocklist_cols(
+    blocked: list[str], text_col: str = "text"
+) -> dict[str, F.Column]:
+    """The C4 bad-words signals as raw Columns keyed by output name —
+    shared by ``blocklist_gate`` and ``quality_signal_export`` (same
+    one-pass contract as ``_gopher_cols``)."""
     toks = tokens_col(F.col(text_col))
     if blocked:
         barr = F.lit([str(b) for b in blocked])
@@ -2152,14 +2174,55 @@ def blocklist_gate(
         nb = F.lit(0)
     n = F.size(toks)
     null_text = F.col(text_col).isNull()
-    return docs.select(
+    return {
+        "n_tokens": F.when(null_text, F.lit(0)).otherwise(n).cast("long"),
+        "n_blocked": F.when(null_text, F.lit(0)).otherwise(nb).cast("long"),
+        "blocked_frac": F.when(null_text | (n == 0), F.lit(0.0)).otherwise(
+            F.round(nb / n, 6)
+        ),
+        "passed": (~null_text & (nb == 0)).cast("int"),
+    }
+
+
+def quality_signal_export(
+    docs: DataFrame,
+    blocked: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dolma/RefinedWeb-style per-document quality-signals EXPORT
+    table (Soldaini et al. arXiv:2402.00159 land per-doc "attributes"
+    files; Penedo et al. arXiv:2306.01116 tune thresholds offline):
+    every rule-based signal the curation gates consume, assembled as
+    ONE wide row per document so thresholds can be tuned offline
+    without re-scanning the corpus per signal.
+
+    Columns: ``(id, n_chars, word_count, mean_word_len, top_share,
+    failure_mask, gopher_passed, n_blocked, blocked_frac, bl_passed)``
+    — the Gopher bundle and the C4 blocklist bundle, value-identical
+    to ``gopher_quality_rules`` / ``blocklist_gate`` (same shared
+    Column builders).
+
+    Scale shape: one ``select`` over the corpus — every signal is a
+    zero-shuffle Column expression evaluated in the SAME scan stage
+    (plan-pinned by test: one file scan, zero exchanges).  At 100 TB
+    this is the difference between one pass and one pass per signal
+    family."""
+    gop = _gopher_cols(text_col)
+    bl = _blocklist_cols(blocked, text_col)
+    return spread(docs).select(
         F.col(id_col),
-        F.when(null_text, F.lit(0)).otherwise(n).cast("long").alias("n_tokens"),
-        F.when(null_text, F.lit(0)).otherwise(nb).cast("long").alias("n_blocked"),
-        F.when(null_text | (n == 0), F.lit(0.0))
-        .otherwise(F.round(nb / n, 6))
-        .alias("blocked_frac"),
-        (~null_text & (nb == 0)).cast("int").alias("passed"),
+        F.coalesce(F.length(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_chars"),
+        gop["word_count"].alias("word_count"),
+        gop["mean_word_len"].alias("mean_word_len"),
+        gop["top_share"].alias("top_share"),
+        gop["failure_mask"].alias("failure_mask"),
+        gop["passed"].alias("gopher_passed"),
+        bl["n_blocked"].alias("n_blocked"),
+        bl["blocked_frac"].alias("blocked_frac"),
+        bl["passed"].alias("bl_passed"),
     )
 
 

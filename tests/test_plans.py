@@ -975,3 +975,24 @@ def test_chat_chain_single_shuffle_and_objectives_shuffle_free(spark, sf_dir):
     for op in (fim_transform(docs), span_corruption(docs)):
         p = op._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in p, "objective transforms must be map-only"
+
+
+def test_quality_signal_export_is_one_scan_no_shuffle(spark, sf_dir):
+    # the Dolma-style signals export must assemble EVERY signal family
+    # in the scan stage: one file scan, zero exchanges, no Python —
+    # the no-per-signal-rescans contract
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        quality_signal_export,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    df = quality_signal_export(
+        load_table(spark, sf_dir, "documents"), ["dup", "legacy"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 1
+    # spread()'s round-robin repartition (single-file local parallelism)
+    # is allowed; any HASH/RANGE exchange would mean a signal shuffled
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1392,3 +1392,35 @@ def test_kneser_ney_trigram_exact_replay(spark):
         for r in kneser_ney_trigram_scores(df.repartition(5)).collect()
     }
     assert again == {k: (v.sum_p_micro, v.avg_p_micro) for k, v in out.items()}
+
+
+def test_quality_signal_export_matches_standalone_gates(spark):
+    """The wide signals row must be value-identical to the standalone
+    gopher_quality_rules / blocklist_gate outputs (shared builders)."""
+    from kafkastreamsinteractivequeries_spark.operators.text import (
+        blocklist_gate,
+        gopher_quality_rules,
+        quality_signal_export,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with a dup token " * 3),
+            (2, "short"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r for r in quality_signal_export(docs, ["dup"]).collect()}
+    gop = {r["doc_id"]: r for r in gopher_quality_rules(docs).collect()}
+    bl = {r["doc_id"]: r for r in blocklist_gate(docs, ["dup"]).collect()}
+    for i in (1, 2, 3):
+        assert sig[i]["word_count"] == gop[i]["word_count"]
+        assert sig[i]["mean_word_len"] == gop[i]["mean_word_len"]
+        assert sig[i]["top_share"] == gop[i]["top_share"]
+        assert sig[i]["failure_mask"] == gop[i]["failure_mask"]
+        assert sig[i]["gopher_passed"] == gop[i]["passed"]
+        assert sig[i]["n_blocked"] == bl[i]["n_blocked"]
+        assert sig[i]["blocked_frac"] == bl[i]["blocked_frac"]
+        assert sig[i]["bl_passed"] == bl[i]["passed"]
+    assert sig[3]["n_chars"] == 0 and sig[3]["failure_mask"] == 63
