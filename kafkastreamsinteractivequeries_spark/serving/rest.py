@@ -86,6 +86,7 @@ def create_app(
     streaming_queries: list | None = None,
     collect_limit: int | None = 10_000,
     windowed_df=None,
+    training_tables: dict | None = None,
 ):
     """Build the Flask app over an ``InteractiveQueryService``.
 
@@ -98,11 +99,21 @@ def create_app(
     ``operators.windows.windowed_aggregate``) backing the
     ``/streams-iq/windowrange`` endpoint (the reference's dead Q5,
     implemented).
+    ``training_tables``: optional ``{name: () -> DataFrame}`` map of
+    TRAINING-DATA telemetry stores (packing-efficiency datasheet,
+    landed quantile sketches, corpus datasheets) served at
+    ``/training/store/<name>``.  Each hit re-resolves the callable —
+    the ``LiveSnapshotQueryService`` convention, so a store backed by
+    a ``_SUCCESS``-gated landed sink always serves the latest
+    COMMITTED snapshot and never a torn write.  These tables are
+    bounded by construction (per-shard/percentile/datasheet rows, not
+    corpus rows); the ``collect_limit`` cap still applies.
     """
     from flask import Flask, jsonify, request
 
     app = Flask("ksiq-spark")
     streaming_queries = streaming_queries or []
+    training_tables = training_tables or {}
 
     def run(query) -> Any:
         resp = service.execute_response(query, collect_limit=collect_limit)
@@ -227,6 +238,59 @@ def create_app(
         return jsonify(
             {"key": key, "numPartitions": n, "scheme": scheme, "partition": int(p)}
         )
+
+    @app.get("/training/stores")
+    def training_stores():
+        return jsonify(
+            {"stores": sorted(training_tables), "count": len(training_tables)}
+        )
+
+    @app.get("/training/store/<name>")
+    def training_store(name: str):
+        if name not in training_tables:
+            return (
+                jsonify(
+                    _envelope(
+                        QueryResponse.with_error(
+                            f"unknown training store {name!r}; "
+                            f"see /training/stores"
+                        )
+                    )
+                ),
+                404,
+            )
+        paged, page_size, after, err = _page_params(request, collect_limit)
+        if err is not None:
+            return err
+        if after is not None:
+            # stores have no universal key column — bounded limit only
+            return (
+                jsonify(
+                    _envelope(
+                        QueryResponse.with_error(
+                            "training stores do not support keyset "
+                            "pagination; use limit="
+                        )
+                    )
+                ),
+                400,
+            )
+        lim = page_size if paged else (collect_limit or 10_000)
+        try:
+            rows = training_tables[name]().limit(lim).collect()
+        except Exception as exc:
+            return jsonify(_envelope(QueryResponse.with_error(str(exc)))), 500
+        resp = QueryResponse.with_result(
+            [
+                {
+                    k: (str(v) if hasattr(v, "isoformat") else v)
+                    for k, v in r.asDict().items()
+                }
+                for r in rows
+            ]
+        )
+        resp.host_information = "spark-driver"
+        return jsonify(_envelope(resp))
 
     @app.get("/status/heartbeat")
     def heartbeat():

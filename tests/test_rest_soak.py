@@ -136,3 +136,130 @@ def test_rest_concurrent_queries_across_restart(spark, tmp_path):
     client = app.test_client()
     zelk = client.get("/streams-iq/keyquery/ZELK").get_json()["result"]
     assert len(zelk) == 1 and zelk[0]["number_shares"] == 5
+
+
+def test_rest_training_stores_live_snapshot(spark, tmp_path):
+    """The /training/store/<name> surface over the north-star landed
+    stores: the quantile-telemetry sketch serves the latest COMMITTED
+    snapshot while the ingest stream commits a second batch (same
+    no-5xx / committed-versions-only / monotone invariants as the
+    reference-surface soak), and the packing-efficiency datasheet
+    serves its bounded per-shard rows through the same envelope."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.sketches import (
+        hashed_quantile_estimates,
+    )
+    from kafkastreamsinteractivequeries_spark.operators.training import (
+        packing_stats,
+        token_training_examples,
+    )
+    from kafkastreamsinteractivequeries_spark.plans.service import (
+        InteractiveQueryService,
+    )
+    from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+        StreamingQuantileSketchSink,
+    )
+
+    src = str(tmp_path / "vals")
+    store = str(tmp_path / "qstore")
+    ckpt = str(tmp_path / "qckpt")
+    spark.range(100).select(F.col("id").alias("v")).coalesce(1).write.parquet(src)
+
+    sink = StreamingQuantileSketchSink(store, "v", k=64)
+
+    def ingest():
+        q = (
+            spark.readStream.schema("v long")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ingest()
+    est = lambda: hashed_quantile_estimates(sink.sketch(spark), (50,))
+    v1 = est().collect()[0]["n_est"]
+
+    # a static token-id bin table backing the packing datasheet store
+    ids = spark.createDataFrame(
+        [(1, [5, 6, 7, 3], 4), (2, [8, 9, 3], 3), (3, [4] * 7 + [3], 8)],
+        "doc_id long, token_ids array<int>, n_ids int",
+    )
+    sheet = packing_stats(token_training_examples(ids, seq_len=8, shards=2), 8)
+
+    serving = spark.createDataFrame(
+        [("CFLT", 1.0, 2.0, 3)], "symbol string, buys double, sells double, number_shares long"
+    )
+    app = create_app(
+        InteractiveQueryService(serving, key_col="symbol"),
+        training_tables={"quantiles": est, "packing": lambda: sheet},
+    )
+    app.config["TESTING"] = True
+
+    listing = app.test_client().get("/training/stores").get_json()
+    assert listing == {"stores": ["packing", "quantiles"], "count": 2}
+
+    stop = threading.Event()
+    results: list[dict] = []
+
+    def client_loop(idx: int) -> None:
+        client = app.test_client()
+        seen: list[int] = []
+        bad: list[tuple] = []
+        while not stop.is_set() or not seen:
+            r = client.get("/training/store/quantiles")
+            if r.status_code != 200:
+                bad.append(("status", r.status_code, r.get_json()))
+                continue
+            env = r.get_json()
+            if env["errorMessage"] or len(env["result"]) != 1:
+                bad.append(("env", env))
+                continue
+            seen.append(int(env["result"][0]["n_est"]))
+        results.append({"idx": idx, "seen": seen, "bad": bad})
+
+    threads = [threading.Thread(target=client_loop, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        # second commit while clients read the live store
+        spark.range(100, 150).select(F.col("id").alias("v")).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        ingest()
+        v2 = est().collect()[0]["n_est"]
+        deadline = _time.time() + 60
+        probe = app.test_client()
+        while _time.time() < deadline:
+            got = probe.get("/training/store/quantiles").get_json()["result"]
+            if got and int(got[0]["n_est"]) == v2:
+                break
+            _time.sleep(0.2)
+        else:
+            raise AssertionError("store never exposed the second commit")
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=120)
+
+    assert v1 != v2  # the second commit actually changed the telemetry
+    for res in results:
+        assert not res["bad"], f"client {res['idx']}: {res['bad'][:3]}"
+        assert set(res["seen"]) <= {v1, v2}, res["seen"][:10]
+        assert res["seen"] == sorted(res["seen"], key=[v1, v2].index)
+
+    # the datasheet store: bounded per-shard rows through the envelope
+    sheet_rows = app.test_client().get("/training/store/packing").get_json()
+    assert not sheet_rows["errorMessage"]
+    assert {r["shard"] for r in sheet_rows["result"]} == {0, 1}
+    # unknown store -> 404 envelope; keyset cursor -> 400
+    assert app.test_client().get("/training/store/nope").status_code == 404
+    assert (
+        app.test_client().get("/training/store/packing?after=x").status_code
+        == 400
+    )
