@@ -1002,7 +1002,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tier of a tiered dedup policy).
     def _d5(s: SparkSession, d: str) -> DataFrame:
         docs = _docs(s, d)
-        lsh = D.minhash_near_duplicates(docs, shingle_n=1, threshold=0.6).select(
+        # the whole shingle→minhash→bucket→verify chain is pinned ONCE
+        # and feeds both tiers (hybrid's `pairs=` shared-scan form) —
+        # previously the hybrid branch re-ran it end to end.  Lazy
+        # checkpoint is safe: both downstream joins are shuffle_hash
+        # (no broadcast in the lineage — the _x6 deadlock class).
+        base = D.minhash_near_duplicates(
+            docs, shingle_n=1, threshold=0.6
+        ).localCheckpoint(eager=False)
+        lsh = base.select(
             F.lit("lsh").alias("variant"),
             "id_a",
             "id_b",
@@ -1012,9 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hyb = D.hybrid_near_duplicates(
             docs,
             load_table(s, d, "embeddings"),
-            shingle_n=1,
-            lexical_threshold=0.6,
             cosine_threshold=0.3,
+            pairs=base,
         ).select(
             F.lit("hybrid").alias("variant"), "id_a", "id_b", "jaccard", "cosine"
         )

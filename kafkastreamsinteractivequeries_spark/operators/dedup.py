@@ -1564,10 +1564,18 @@ def hybrid_near_duplicates(
     shingle_n: int = 1,
     lexical_threshold: float = 0.6,
     cosine_threshold: float = 0.3,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard, cosine): LEXICAL ∧ SEMANTIC near-dup
     pairs — MinHash-LSH candidates that pass exact-Jaccard verify AND
     whose document embeddings are within ``cosine_threshold``.
+
+    ``pairs``: optional precomputed ``minhash_near_duplicates`` output
+    (id_a, id_b, jaccard) — the shared-scan form (the ``tokens_df``
+    precedent): when a caller already ran the lexical detector (e.g.
+    for its own output tier), pass its PINNED result here and the
+    whole shingle→minhash→bucket→verify chain is skipped instead of
+    recomputed.
 
     The two detectors fail differently: token-set Jaccard fires on
     reorderings/boilerplate shells and misses paraphrases; embedding
@@ -1589,9 +1597,14 @@ def hybrid_near_duplicates(
         norm_expr,
     )
 
-    pairs = minhash_near_duplicates(
-        docs, text_col, id_col, shingle_n=shingle_n, threshold=lexical_threshold
-    )
+    if pairs is None:
+        pairs = minhash_near_duplicates(
+            docs,
+            text_col,
+            id_col,
+            shingle_n=shingle_n,
+            threshold=lexical_threshold,
+        )
     ea = embeddings.select(
         F.col(vec_id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
