@@ -3250,6 +3250,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ",", F.transform("codes", lambda c: c.cast("string"))
             ).alias("code"),
         )
+        # 'pqstream' — the SAME frozen-codebook PQ encode through the
+        # REAL STREAMING ingest path: embeddings arrive as a file
+        # stream (availableNow), foreachBatch → StreamingPqCodeSink
+        # encodes each micro-batch against the FROZEN trained codebook
+        # and lands a _SUCCESS-gated append-only batch=<id> store, and
+        # this branch reads the LANDED snapshot — hash-verified
+        # against the same one-shot-encode oracle replay as 'append'
+        # (codes are a pure function of vector × codebook, so the
+        # landed union is batching-invariant — qstream/tokstream
+        # extended to the ANN code-store family).  Ingest runs once
+        # per (process, sf_dir); per-process root (_PROC_TAG).
+        from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+            StreamingPqCodeSink,
+        )
+
+        def _run_pqstream() -> str:
+            import shutil
+            import tempfile
+
+            tag = hashlib.md5(d.encode()).hexdigest()[:10]
+            root = os.path.join(
+                tempfile.gettempdir(), f"ksiq_pqstream_{tag}_{_PROC_TAG}"
+            )
+            shutil.rmtree(root, ignore_errors=True)  # fresh per process
+            sink = StreamingPqCodeSink(
+                os.path.join(root, "store"), index["pq_book"], m=8, dim=64
+            )
+            stream = (
+                s.readStream.schema(
+                    "vec_id long, embedding array<float>, label int"
+                )
+                .option("pathGlobFilter", "embeddings.parquet")
+                .parquet(d)
+                .select("vec_id", "embedding")
+            )
+            sq = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+            return sink.path
+
+        pqstream_store = _memo(("s2_pqstream", d), _run_pqstream)
+        pqstream = StreamingPqCodeSink(
+            pqstream_store, index["pq_book"], m=8, dim=64
+        ).codes(s).select(
+            "vec_id",
+            F.lit("pqstream").alias("index_kind"),
+            F.concat_ws(
+                ",", F.transform("codes", lambda c: c.cast("string"))
+            ).alias("code"),
+        )
         # 'pca' — top principal component by FIXED-POINT power
         # iteration: the exact-integer covariance (one aggregate pass,
         # bit-identical under any partitioning) and three integer
@@ -3276,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(pooled)
             .unionByName(int8)
             .unionByName(appended)
+            .unionByName(pqstream)
             .unionByName(pca)
         )
 
@@ -7941,9 +7996,15 @@ UNION ALL
 -- halves SEPARATELY against the frozen trained codebook and unions;
 -- the oracle replays train + ONE-SHOT encode, so the hash proves
 -- append(half) ⊕ append(half) == encode(all) bit-for-bit
-SELECT vec_id, 'append' AS index_kind,
+-- 'append' = half-landed + half-appended batch path; 'pqstream' = the
+-- landed availableNow StreamingPqCodeSink store over the full corpus;
+-- codes are a pure function of vector × frozen codebook, so ONE
+-- one-shot-encode replay serves both variants
+SELECT vec_id, pqv AS index_kind,
        string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub_id) AS code
-FROM codesf GROUP BY vec_id
+FROM codesf
+CROSS JOIN (VALUES ('append'), ('pqstream')) AS pqv_t(pqv)
+GROUP BY vec_id, pqv
 UNION ALL
 SELECT vec_id, 'ivf16' AS index_kind, CAST(list_id AS VARCHAR) AS code FROM assign
 UNION ALL
