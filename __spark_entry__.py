@@ -939,6 +939,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("info"),
             F.col("n_docs").alias("n"),
         )
+        # 'robots' — the RFC 9309 crawl gate driver-verified (was
+        # pytest-only): per-host robots.txt documents are built from
+        # host-number formulas covering the hostile corners — specific-
+        # agent override (the * group must be IGNORED), the longest-
+        # match Allow-beats-Disallow precedence, the $ end anchor, a
+        # full * wildcard, inline comments, CRLF line endings, and the
+        # empty Disallow (allow-all) — and every distinct (host, path)
+        # pair from the same salted URL universe is evaluated through
+        # the REAL parser + evaluator.  The oracle computes the
+        # expected verdict CLOSED-FORM from the formulas (no parsing
+        # on the oracle side), so the hash proves the whole
+        # parse→group→specificity→longest-match chain lands on the RFC
+        # answer for every salt.
+        hn_ = F.col("hn")
+        rshape = (hn_ % 4).cast("int")
+        rtxt = (
+            F.when(
+                rshape == 0,
+                # prefix disallow + longer allow + inline comment
+                "User-agent: *\nDisallow: /p1 # primary\nAllow: /p12\n"
+                "# trailing comment\n",
+            )
+            .when(
+                rshape == 1,
+                # specific agent overrides *; $ anchor; CRLF endings
+                "User-agent: ksiqbot\r\nDisallow: /p2$\r\n"
+                "User-agent: *\r\nDisallow: /\r\n",
+            )
+            .when(
+                rshape == 2,
+                # wildcard disallow + longer allow rescues /p14
+                "User-agent: *\nDisallow: /*4\nAllow: /p14\n",
+            )
+            .otherwise(
+                # empty Disallow = allow everything
+                "User-agent: *\nDisallow:\n# nothing blocked\n"
+            )
+        )
+        robots_src = (
+            docs.select((did % 40).alias("hn"))
+            .distinct()
+            .select(
+                F.concat(
+                    F.lit("h"), hn_.cast("string"), F.lit(".com")
+                ).alias("host"),
+                rtxt.alias("robots_txt"),
+            )
+        )
+        url_src = docs.select(
+            F.concat(F.lit("h"), h40, F.lit(".com")).alias("host"),
+            F.concat(F.lit("/p"), p15).alias("path"),
+        )
+        robots = D.robots_allowed(
+            url_src, D.robots_rules(robots_src, agent="ksiqbot")
+        ).select(
+            F.lit("robots").alias("variant"),
+            (
+                F.regexp_extract("host", r"h(\d+)\.com", 1).cast("long") * 100
+                + F.regexp_extract("path", r"/p(\d+)", 1).cast("long")
+            ).alias("doc_id"),
+            F.col("host").alias("text"),
+            F.concat_ws(
+                "|", "path", F.col("allowed").cast("string")
+            ).alias("info"),
+            F.col("allowed").cast("long").alias("n"),
+        )
         # 'pref' — the preference-pair (RLHF/DPO) prep family
         # (operators/preference.py) over salted pairs: prompt = the doc
         # text (the corpus's injected exact dups collapse pair
@@ -982,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(ids)
             .unionByName(urls)
             .unionByName(hosts)
+            .unionByName(robots)
             .unionByName(pref)
         )
 
@@ -8538,6 +8605,28 @@ FROM (
              || '.com/q%2F' || CAST(doc_id % 15 AS VARCHAR) END AS canon
     FROM documents
   ) GROUP BY host
+)
+UNION ALL
+-- 'robots': RFC 9309 verdicts computed CLOSED-FORM from the fixture
+-- formulas (shape = host % 4): 0 = '/p1' prefix disallow rescued by
+-- the longer 'Allow: /p12'; 1 = specific-agent group overrides the
+-- block-everything * group, '$'-anchored '/p2$' blocks only pn=2;
+-- 2 = wildcard '/*4' blocks 4 and 14, 'Allow: /p14' (longer) rescues
+-- 14; 3 = empty Disallow allows all.  The engine must parse the raw
+-- robots.txt (comments, CRLF, grouping, specificity, longest-match,
+-- anchors, wildcards) and land exactly here.
+SELECT 'robots', hn * 100 + pn,
+       'h' || CAST(hn AS VARCHAR) || '.com',
+       '/p' || CAST(pn AS VARCHAR) || '|' || CAST(al AS VARCHAR),
+       CAST(al AS BIGINT)
+FROM (
+  SELECT hn, pn,
+    CASE CAST(hn % 4 AS INTEGER)
+      WHEN 0 THEN CASE WHEN pn IN (1, 10, 11, 13, 14) THEN 0 ELSE 1 END
+      WHEN 1 THEN CASE WHEN pn = 2 THEN 0 ELSE 1 END
+      WHEN 2 THEN CASE WHEN pn = 4 THEN 0 ELSE 1 END
+      ELSE 1 END AS al
+  FROM (SELECT DISTINCT doc_id % 40 AS hn, doc_id % 15 AS pn FROM documents)
 )
 UNION ALL
 -- 'pref': preference-pair dedup + stats over salted pairs — the

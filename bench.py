@@ -87,7 +87,9 @@ BRANCHES: dict[str, list[str]] = {
     "x13_decontamination": ["exact", "bloom", "fuzzy"],
     "p2_packing_chunking": ["pack", "chunk", "nostraddle", "chat", "fim", "span"],
     "a6_asof_purchase_click": ["bwd", "fwd", "bwdtol"],
-    "d1_exact_dedup": ["dedup", "groups", "incremental", "ids", "url", "host", "pref"],
+    "d1_exact_dedup": [
+        "dedup", "groups", "incremental", "ids", "url", "host", "robots", "pref",
+    ],
     "t5_stock_aggregation": ["agg", "daily", "rolled", "hllmerge"],
     "x4_winnowing_fingerprint": [
         "docmin", "full", "dupspan", "dupfrac", "trimmed", "linededup", "cdc",
