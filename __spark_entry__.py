@@ -1005,6 +1005,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("info"),
             F.col("allowed").cast("long").alias("n"),
         )
+        # 'sitemap' — the crawl-frontier hand-off driver-verified (was
+        # pytest-only): robots.txt ``Sitemap:`` declarations (case-
+        # insensitive directive, inline comment) discovered by
+        # robots_sitemaps_col, and ``<loc>`` targets (whitespace-
+        # padded, CDATA-wrapped, newline-embedded, urlset AND
+        # sitemapindex forms) extracted by sitemap_urls_col — both
+        # from per-host fixtures the oracle rebuilds closed-form.
+        # n tags the source (0 = robots declaration, 1 = extracted
+        # loc); doc_id = host·100 + row index (+10 for locs).
+        hn_s = hn_.cast("string")
+        smap_robots = F.concat(
+            F.lit("User-agent: *\nDisallow:\n"),
+            F.lit("Sitemap: https://h"), hn_s, F.lit(".com/map.xml\n"),
+            F.lit("sitemap: https://h"), hn_s, F.lit(".com/map2.xml # alt\n"),
+        )
+        smap_xml = F.when(
+            hn_ % 2 == 0,
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset><url><loc> https://h'),
+                hn_s,
+                F.lit(".com/s0 </loc></url><url><loc><![CDATA[https://h"),
+                hn_s,
+                F.lit(".com/s1]]></loc></url></urlset>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>\nhttps://h"),
+                hn_s,
+                F.lit(".com/m0.xml\n</loc></sitemap></sitemapindex>"),
+            )
+        )
+        smap_hosts = docs.select((did % 40).alias("hn")).distinct()
+        smap_decls = smap_hosts.select(
+            "hn",
+            F.posexplode(D.robots_sitemaps_col(smap_robots)).alias(
+                "i", "url"
+            ),
+        )
+        smap_locs = smap_hosts.select(
+            "hn",
+            F.posexplode(D.sitemap_urls_col(smap_xml)).alias("i", "url"),
+        )
+        smap = smap_decls.select(
+            F.lit("sitemap").alias("variant"),
+            (hn_ * 100 + F.col("i")).cast("long").alias("doc_id"),
+            F.concat(F.lit("h"), hn_s, F.lit(".com")).alias("text"),
+            F.col("url").alias("info"),
+            F.lit(0).cast("long").alias("n"),
+        ).unionByName(
+            smap_locs.select(
+                F.lit("sitemap").alias("variant"),
+                (hn_ * 100 + 10 + F.col("i")).cast("long").alias("doc_id"),
+                F.concat(F.lit("h"), hn_s, F.lit(".com")).alias("text"),
+                F.col("url").alias("info"),
+                F.lit(1).cast("long").alias("n"),
+            )
+        )
         # 'pref' — the preference-pair (RLHF/DPO) prep family
         # (operators/preference.py) over salted pairs: prompt = the doc
         # text (the corpus's injected exact dups collapse pair
@@ -1049,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(urls)
             .unionByName(hosts)
             .unionByName(robots)
+            .unionByName(smap)
             .unionByName(pref)
         )
 
@@ -8628,6 +8686,27 @@ FROM (
       ELSE 1 END AS al
   FROM (SELECT DISTINCT doc_id % 40 AS hn, doc_id % 15 AS pn FROM documents)
 )
+UNION ALL
+-- 'sitemap': crawl-frontier hand-off, closed-form — robots Sitemap:
+-- declarations (2 per host) and the <loc> extraction (urlset w/
+-- padding+CDATA for even hosts, newline-embedded sitemapindex for
+-- odd); the engine must run the real directive/CDATA/trim regex
+-- chain and land exactly here
+SELECT 'sitemap', hn * 100 + i, 'h' || CAST(hn AS VARCHAR) || '.com',
+       'https://h' || CAST(hn AS VARCHAR) || '.com/'
+         || CASE i WHEN 0 THEN 'map.xml' ELSE 'map2.xml' END,
+       CAST(0 AS BIGINT)
+FROM (SELECT DISTINCT doc_id % 40 AS hn FROM documents)
+CROSS JOIN (VALUES (0), (1)) AS si(i)
+UNION ALL
+SELECT 'sitemap', hn * 100 + 10 + j, 'h' || CAST(hn AS VARCHAR) || '.com',
+       'https://h' || CAST(hn AS VARCHAR) || '.com/'
+         || CASE WHEN hn % 2 = 0 THEN 's' || CAST(j AS VARCHAR)
+                 ELSE 'm0.xml' END,
+       CAST(1 AS BIGINT)
+FROM (SELECT DISTINCT doc_id % 40 AS hn FROM documents)
+CROSS JOIN (VALUES (0), (1)) AS sj(j)
+WHERE hn % 2 = 0 OR j = 0
 UNION ALL
 -- 'pref': preference-pair dedup + stats over salted pairs — the
 -- fingerprint is md5 of the normalized (prompt, chosen, rejected)

@@ -88,7 +88,8 @@ BRANCHES: dict[str, list[str]] = {
     "p2_packing_chunking": ["pack", "chunk", "nostraddle", "chat", "fim", "span"],
     "a6_asof_purchase_click": ["bwd", "fwd", "bwdtol"],
     "d1_exact_dedup": [
-        "dedup", "groups", "incremental", "ids", "url", "host", "robots", "pref",
+        "dedup", "groups", "incremental", "ids", "url", "host", "robots",
+        "sitemap", "pref",
     ],
     "t5_stock_aggregation": ["agg", "daily", "rolled", "hllmerge"],
     "x4_winnowing_fingerprint": [
