@@ -2446,6 +2446,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("distinct_estimate").cast("double").alias("estimate"),
             F.col("nonzero_buckets").cast("long").alias("detail"),
         )
+        # 'hllstream' — the SAME distinct-count telemetry through the
+        # REAL STREAMING path: events ingested as an availableNow file
+        # stream → foreachBatch → StreamingHllSink lands a versioned
+        # _SUCCESS-gated register store (state ≤ groups × 2^p rows
+        # forever), and this branch derives estimates off the LANDED
+        # snapshot — hash-verified against the same closed-form oracle
+        # as the batch 'hll' branch (register max-merge IS the HLL
+        # union, so landed == batch for ANY batching — the one sink in
+        # the family whose incremental form is exactly merge-stable).
+        # Ingest runs once per (process, sf_dir); per-process root.
+        from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
+            StreamingHllSink,
+        )
+
+        def _run_hllstream() -> str:
+            import shutil
+            import tempfile
+
+            tag = hashlib.md5(d.encode()).hexdigest()[:10]
+            root = os.path.join(
+                tempfile.gettempdir(), f"ksiq_hllstream_{tag}_{_PROC_TAG}"
+            )
+            shutil.rmtree(root, ignore_errors=True)  # fresh per process
+            sink = StreamingHllSink(
+                os.path.join(root, "store"), "user_id", ["event_type"], p=6
+            )
+            stream = (
+                s.readStream.schema("user_id long, event_type string")
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(d)
+            )
+            sq = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+            return sink.path
+
+        hllstream_store = _memo(("x10_hllstream", d), _run_hllstream)
+        hllstream = StreamingHllSink(
+            hllstream_store, "user_id", ["event_type"], p=6
+        ).estimates(s).select(
+            F.lit("hllstream").alias("variant"),
+            F.col("event_type").alias("sketch_key"),
+            F.col("distinct_estimate").cast("double").alias("estimate"),
+            F.col("nonzero_buckets").cast("long").alias("detail"),
+        )
         counters = SK.cms_counters(ev, "user_id", depth=4, width=1024)
         probes = ev.select("user_id").where(F.col("user_id") % 8 == 0).distinct()
         exact = ev.groupBy("user_id").agg(F.count("*").alias("_exact"))
@@ -2501,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return (
             kmv.unionByName(hll)
+            .unionByName(hllstream)
             .unionByName(cms)
             .unionByName(kmvset)
             .unionByName(drift_lang)
@@ -7669,6 +7719,10 @@ ddh AS MATERIALIZED (
 ){drift_ctes}
 SELECT * FROM kmv
 UNION ALL SELECT * FROM hll
+-- 'hllstream' = the landed availableNow StreamingHllSink register
+-- store; register max-merge IS the HLL union, so the landed estimates
+-- equal the batch ones and ONE replay serves both variants
+UNION ALL SELECT 'hllstream', sketch_key, estimate, detail FROM hll
 UNION ALL SELECT * FROM cms
 UNION ALL SELECT * FROM kmvset{drift_selects}
 """
