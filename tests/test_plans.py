@@ -235,12 +235,28 @@ def test_codec_stages_are_arrow_batched_map_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan  # row-at-a-time Python forbidden
     assert "SortMergeJoin" not in plan
     assert "NestedLoop" not in plan
-    # spread() fan-out exchanges per union branch plus the gate
-    # branch's join-side exchanges; encode→decode must not add any
-    # beyond those
+    # The exchange budget is pinned on the CODEC + gate sub-plan: the
+    # 'capdup' branch (round 11) is the LSH near-dup tier and shuffles
+    # by design (band buckets, verify joins), so the variant filter
+    # prunes it before counting.  spread() fan-out exchanges per union
+    # branch plus the gate branch's join-side exchanges; encode→decode
+    # must not add any beyond those.
     import re as _re
 
-    assert len(_re.findall(r"Exchange", plan)) <= 8
+    from pyspark.sql import functions as F
+
+    codec_plan = (
+        QUERIES["m7_decoded_pixel_stats"](spark, sf_dir)
+        .filter(
+            F.col("variant").isin(
+                "png", "apng", "resize", "dhash", "phash", "gate"
+            )
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(_re.findall(r"Exchange", codec_plan)) <= 8
 
 
 def test_pq_rerank_joins_candidates_shuffle_hash(spark, sf_dir):
