@@ -1746,30 +1746,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("score") >= 0).cast("long").alias("total"),
             )
         )
+        # 'gopher' ⊕ 'blocklist' ⊕ 'signals' all derive from ONE pinned
+        # quality_signal_export pass (shared Column builders make the
+        # values identical by construction): the Gopher repetition fold
+        # (the expensive per-doc sorted-run aggregate) runs once
+        # instead of three times.  Lazy checkpoint is safe — no
+        # broadcast consumes this lineage (the _x6 deadlock class).
+        #
         # 'gopher' — the Gopher rule-based quality bundle (Rae et al.
         # 2112.11446 §A1.1): per-doc failure BITMASK over 6 adapted
         # rules (word count / mean word length / punct ratio / alpha
         # fraction / en-stopword presence / repetition top-share), all
         # zero-shuffle Column expressions; the repetition rule is the
         # LINEAR sorted-run fold, not count-per-distinct.
-        gop = T.gopher_quality_rules(docs).select(
-            F.lit("gopher").alias("variant"),
-            F.col("doc_id").cast("string").alias("name"),
-            F.col("failure_mask").cast("double").alias("value"),
-            F.col("word_count").alias("n"),
-            F.col("passed").cast("long").alias("total"),
-        )
         # 'blocklist' — the C4 bad-words gate (exact-token matching on
         # the shared normalized tokenizer; 'dup' is a rare corpus token,
         # 'legacy' is absent, so both hit-and-miss paths verify): name
         # carries the doc, value the blocked fraction, n the blocked
         # count, total the pass flag.
-        bl = T.blocklist_gate(docs, ["dup", "legacy"]).select(
+        sig_tbl = T.quality_signal_export(
+            docs, ["dup", "legacy"]
+        ).localCheckpoint(eager=False)
+        gop = sig_tbl.select(
+            F.lit("gopher").alias("variant"),
+            F.col("doc_id").cast("string").alias("name"),
+            F.col("failure_mask").cast("double").alias("value"),
+            F.col("word_count").alias("n"),
+            F.col("gopher_passed").cast("long").alias("total"),
+        )
+        bl = sig_tbl.select(
             F.lit("blocklist").alias("variant"),
             F.col("doc_id").cast("string").alias("name"),
             F.col("blocked_frac").alias("value"),
             F.col("n_blocked").alias("n"),
-            F.col("passed").cast("long").alias("total"),
+            F.col("bl_passed").cast("long").alias("total"),
         )
         # 'gate' (previously pytest-only): the land-nothing gate form
         # of the constraint suite.  Two rule sets exercise both
@@ -1942,7 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carries the gopher mask, n the word count, total the pass
         # bits (gopher=1, blocklist=2) — offline threshold tuning
         # reads THIS table instead of re-scanning the corpus.
-        sig = T.quality_signal_export(docs, ["dup", "legacy"]).select(
+        sig = sig_tbl.select(
             F.lit("signals").alias("variant"),
             F.format_string(
                 "%d:%d:%.6f:%.6f:%.6f:%d",
