@@ -207,10 +207,45 @@ def main() -> None:
     per_query: dict[str, float] = {}
     samples: dict[str, list[float]] = {n: [] for n in names}
 
+    def _cpu_snapshot() -> tuple[int, int]:
+        """(system-wide busy jiffies, this process tree's jiffies).
+        The difference of deltas across a pass is EXTERNAL cpu —
+        the only contamination signal that can tell another process's
+        load apart from the bench's own 32 saturated threads (1-min
+        loadavg cannot: it reads 10-30 between reps from our own
+        just-finished pass, which made the loadavg-triggered retry
+        fire on every run)."""
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:11]]
+        busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+        ours = 0
+        stack = [os.getpid()]
+        seen = set()
+        while stack:
+            pid = stack.pop()
+            if pid in seen:
+                continue
+            seen.add(pid)
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    st = fh.read().rsplit(")", 1)[1].split()
+                ours += int(st[11]) + int(st[12])  # utime + stime
+            except OSError:
+                continue
+            try:
+                for task in os.listdir(f"/proc/{pid}/task"):
+                    with open(f"/proc/{pid}/task/{task}/children") as fh:
+                        stack.extend(int(k) for k in fh.read().split())
+            except OSError:
+                pass
+        return busy, ours
+
     def _timed_pass() -> float:
-        """One interleaved pass over every key; returns the pass's
-        start loadavg so contaminated passes are identifiable."""
-        load = os.getloadavg()[0]
+        """One interleaved pass over every key; returns the fraction of
+        machine CPU consumed by OTHER processes during the pass."""
+        b0, o0 = _cpu_snapshot()
+        t0_pass = time.perf_counter()
         for name in names:
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
@@ -219,31 +254,42 @@ def main() -> None:
             # second collect() would re-execute the whole plan).
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
-        return load
+        b1, o1 = _cpu_snapshot()
+        elapsed = time.perf_counter() - t0_pass
+        capacity = (os.cpu_count() or 1) * os.sysconf("SC_CLK_TCK") * elapsed
+        return max(0.0, ((b1 - b0) - (o1 - o0)) / max(capacity, 1.0))
 
-    # Per-rep load defense (r10 verdict #1): record each pass's start
-    # loadavg; a pass that started above the quiet threshold is
-    # CONTAMINATED and earns one retry pass (after re-waiting for
-    # quiet), bounded at `reps` extras.  Per-key aggregation is min, so
-    # retry passes only ever improve the estimate.
-    cpus = os.cpu_count() or 1
-    rep_threshold = cpus / 8
-    rep_loads: list[float] = []
+    # Per-rep contamination defense (r10 verdict #1, rebuilt on
+    # EXTERNAL-CPU attribution): a pass during which other processes
+    # consumed > 10% of the machine is CONTAMINATED and earns one
+    # retry pass (after the external load subsides), bounded at `reps`
+    # extras.  Per-key aggregation is min, so retries only improve.
+    rep_threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_EXT_CPU_MAX", "0.10")
+    )
+    rep_ext: list[float] = []
     retried = 0
     for _ in range(reps):
-        rep_loads.append(round(_timed_pass(), 2))
+        rep_ext.append(round(_timed_pass(), 4))
     retry_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_WAIT", "120"))
     while (
         retried < reps
-        and sum(1 for ld in rep_loads[: reps + retried] if ld > rep_threshold)
+        and sum(1 for x in rep_ext[: reps + retried] if x > rep_threshold)
         > retried
     ):
         waited = 0.0
-        while os.getloadavg()[0] > rep_threshold and waited < retry_budget:
-            time.sleep(10.0)
-            waited += 10.0
+        # wait for the EXTERNAL load to subside: sample external cpu
+        # over 5 s windows (idle here, so ours ~ 0)
+        while waited < retry_budget:
+            b0, o0 = _cpu_snapshot()
+            time.sleep(5.0)
+            waited += 5.0
+            b1, o1 = _cpu_snapshot()
+            cap = (os.cpu_count() or 1) * os.sysconf("SC_CLK_TCK") * 5.0
+            if ((b1 - b0) - (o1 - o0)) / cap <= rep_threshold:
+                break
         retried += 1
-        rep_loads.append(round(_timed_pass(), 2))
+        rep_ext.append(round(_timed_pass(), 4))
     for name in names:
         per_query[name] = round(min(samples[name]), 3)
         print(
@@ -314,7 +360,10 @@ def main() -> None:
                 "meta": {
                     "reps": reps,
                     "extra_reps": retried,
-                    "rep_loadavg_1m": rep_loads,
+                    # fraction of machine CPU consumed by OTHER
+                    # processes during each timed pass (loadavg cannot
+                    # tell external load from the bench's own threads)
+                    "rep_external_cpu": rep_ext,
                     "aggregation": "per_key_min",
                     # x6/x11/s2 memoize bounded trained artifacts per
                     # (process, sf_dir): rep 1 pays training, later reps
