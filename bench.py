@@ -187,6 +187,17 @@ def main() -> None:
     # measures steady-state per-query cost, the regime that matters on
     # a long-lived cluster.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Host-speed calibration: a fixed deterministic JVM workload timed
+    # after warm-up.  The bench host is virtualized and its speed
+    # drifts MULTIPLICATIVELY across hours/days (the same tree has
+    # measured 26 -> 49 s; round 11 saw 134.5 -> 159.1 s within one
+    # session at <5% external CPU) — this scalar lets artifact readers
+    # normalize round-over-round totals for host drift.
+    t0 = time.perf_counter()
+    spark.range(400_000_000).selectExpr(
+        "sum((id * 37 + 11) % 1000003)"  # bounded terms: no overflow
+    ).collect()
+    calibration_sec = round(time.perf_counter() - t0, 3)
     for name in names:
         try:
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -364,6 +375,7 @@ def main() -> None:
                     # processes during each timed pass (loadavg cannot
                     # tell external load from the bench's own threads)
                     "rep_external_cpu": rep_ext,
+                    "calibration_sec": calibration_sec,
                     "aggregation": "per_key_min",
                     # x6/x11/s2 memoize bounded trained artifacts per
                     # (process, sf_dir): rep 1 pays training, later reps
