@@ -1199,14 +1199,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bucketed near-dup pairs ('pairs', hamming ≤ 6).
     def _d7(s: SparkSession, d: str) -> DataFrame:
         docs = _docs(s, d)
-        sig = D.simhash_signatures(docs).select(
+        # ONE signature pass (the 64-votes-per-token fold is the
+        # expensive part) pinned and shared by the 'sig' report branch
+        # and the 'pairs' detector — previously each recomputed it.
+        # hamming_near_duplicates re-pins internally (cheap: reads the
+        # materialized parent).
+        sigs = D.simhash_signatures(docs).localCheckpoint(eager=False)
+        sig = sigs.select(
             F.lit("sig").alias("variant"),
             F.col("doc_id").alias("id_a"),
             F.col("doc_id").alias("id_b"),
             F.col("simhash").alias("detail"),
             F.lit(-1).alias("hamming"),
         )
-        pairs = D.simhash_near_duplicates(docs, max_hamming=6).select(
+        pairs = D.hamming_near_duplicates(sigs, max_hamming=6).select(
             F.lit("pairs").alias("variant"),
             "id_a",
             "id_b",
@@ -2262,12 +2268,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 4096-id bins.  All four tensors + conv ids ride term; the
         # oracle replays the role-shifted vocab, turn rendering, mask,
         # next-fit, and every padded position.
-        sft_src = (
+        sft_base = (
             nonempty.select(
                 F.expr("doc_id div 5").alias("conv_id"), "doc_id", "text"
             )
             .select(
                 "conv_id",
+                "doc_id",
                 (
                     F.row_number().over(
                         Window.partitionBy("conv_id").orderBy("doc_id")
@@ -2278,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .select(
                 "conv_id",
+                "doc_id",
                 "turn_idx",
                 F.when(F.col("turn_idx") == 0, "system")
                 .when(F.col("turn_idx") % 2 == 1, "user")
@@ -2286,6 +2294,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "content",
             )
         )
+        sft_src = sft_base.select("conv_id", "turn_idx", "role", "content")
+        # turn contents ARE the nonempty docs' texts, so the pinned
+        # corpus-wide Arrow segmentation (sega_raw) already holds each
+        # turn's pieces — key them back to (conv, turn) and skip the
+        # second Arrow BPE encode pass sft_training_examples would
+        # otherwise run (segmentation is a pure function of
+        # (text, merges), so the pieces are identical by construction).
+        sft_seg = sft_base.select("conv_id", "turn_idx", "doc_id").join(
+            sega_raw.select("doc_id", "bpe_tokens_learned"), "doc_id"
+        ).select("conv_id", "turn_idx", "bpe_tokens_learned")
         _memo_df(
             s,
             ("x11_tvoc7", d),
@@ -2301,7 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             },
         )
         sftbin = TRN.sft_training_examples(
-            sft_src, merges, vmap7, seq_len=4096, shards=8
+            sft_src, merges, vmap7, seq_len=4096, shards=8, segments=sft_seg
         ).select(
             F.lit("sftbin").alias("variant"),
             F.concat_ws(
@@ -2317,7 +2335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             F.col("n_docs").cast("double").alias("share"),
         )
-        bins_df = TRN.token_training_examples(ids_df, seq_len=512, shards=8)
+        # pinned: 'tokbin' AND 'tokstats' both read the packed bins —
+        # unpinned, the whole next-fit packing pipeline ran twice
+        bins_df = TRN.token_training_examples(
+            ids_df, seq_len=512, shards=8
+        ).localCheckpoint(eager=False)
         # 'tokstats' — the per-shard packing-efficiency datasheet over
         # the same bins (training.packing_stats): term = shard:n_trunc,
         # n = total real tokens, rank = n_bins, share = fill permille.
@@ -2872,7 +2894,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pixel_mean a -1 sentinel — the oracle replays pixels → luma →
         # NN indices → comparisons → quarter packing arithmetically, so
         # the hash verifies decode AND the perceptual signature.
-        dh = M.image_dhash(png_assets).select(
+        # ONE dHash decode pass (mapInPandas over the PNG payloads)
+        # pinned and shared by the 'dhash' report branch AND the
+        # 'capdup' Hamming confirm — previously capdup re-decoded
+        # every payload for its own signatures.
+        dh_sigs = M.image_dhash(png_assets).localCheckpoint(eager=False)
+        dh = dh_sigs.select(
             F.lit("dhash").alias("variant"),
             "asset_id",
             F.lit(0).alias("frame_idx"),
@@ -2953,7 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hamming rides frame_idx, jaccard rides pixel_mean, id_b
         # rides pixel_min.
         capdup = M.image_caption_near_duplicates(
-            pair_src, id_col="asset_id"
+            pair_src, id_col="asset_id", dhash_sigs=dh_sigs
         ).select(
             F.lit("capdup").alias("variant"),
             F.col("id_a").alias("asset_id"),
@@ -3142,7 +3169,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # near-dup GROUP id so paraphrase clusters never straddle; its
     # oracle reuses d10's recursive component CTE).
     def _p3(s: SparkSession, d: str) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.dedup import (
+            near_duplicate_groups,
+        )
+
         docs = _docs(s, d)
+        # ONE near-dup group computation (LSH pairs + star connected
+        # components — d10's whole pipeline) shared by the 'split' and
+        # 'keepbest' branches, which previously each recomputed it.
+        # Eager pin: 'keepbest' broadcasts the per-group winners table
+        # derived from this lineage (the lazy-checkpoint-under-
+        # broadcast deadlock class, see _x6).
+        p3_groups = near_duplicate_groups(docs, threshold=0.8).localCheckpoint(
+            eager=True
+        )
         doc_sent = [
             F.lit(-1).cast("long").alias("group_id"),
             F.lit(-1).cast("int").alias("bucket"),
@@ -3168,7 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_chars").cast("long").alias("n_chars"),
             *doc_sent,
         )
-        spl = leakage_safe_split(docs).select(
+        spl = leakage_safe_split(docs, groups=p3_groups).select(
             F.lit("split").alias("variant"),
             "doc_id",
             F.lit("").alias("text"),
@@ -3182,7 +3222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep-best dedup resolution: the quality-argmax winner per
         # near-dup group (highest quality_score, lowest id on ties),
         # ungrouped docs untouched.
-        best = resolve_duplicate_groups(docs, near_dup_threshold=0.8).select(
+        best = resolve_duplicate_groups(
+            docs, near_dup_threshold=0.8, groups=p3_groups
+        ).select(
             F.lit("keepbest").alias("variant"),
             "doc_id",
             "text",
@@ -3644,12 +3686,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             graph as GR,
         )
 
+        # ONE eager pin of the normalized edge list shared by all five
+        # graph branches (pagerank/trustrank/hits/gsum/hyperball) and
+        # the trustrank seed derivation: each algorithm re-checkpoints
+        # its own projection internally, but without the shared pin
+        # every one of those checkpoints re-ran the events scan + the
+        # normalize distinct (5 full scans + 5 shuffles per build).
+        # Eager, because the algorithms broadcast 1-row scalars derived
+        # from this lineage (the lazy-checkpoint-under-broadcast
+        # deadlock class documented in operators/graph.py).
         pr_edges = GR.normalize_edges(
             ev.select(
                 F.col("user_id").alias("src"),
                 ((F.col("event_id") * 7 + 3) % 41).alias("dst"),
             )
-        )
+        ).localCheckpoint(eager=True)
         pr = GR.pagerank(pr_edges, iterations=3).select(
             F.lit("pagerank").alias("variant"),
             F.col("id").alias("k1"),

@@ -414,6 +414,7 @@ def resolve_duplicate_groups(
     near_dup_threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """Keep the BEST document per transitive near-dup group (highest
     quality score, lowest id on ties) instead of the curation
@@ -426,13 +427,20 @@ def resolve_duplicate_groups(
     argmax.  Docs in no group survive untouched.  Shuffle profile: the
     group table is (id, group_id) — skinny — and the final winner join
     is id-only; document payloads move once, in the last semi join.
+
+    ``groups``: optional precomputed ``(id, group_id)`` table (the
+    ``dedup.near_duplicate_groups`` output, typically pinned) — when a
+    caller also needs the groups elsewhere (``leakage_safe_split``
+    shares the same components), passing them avoids re-running the
+    whole LSH + connected-components pipeline.
     """
     from kafkastreamsinteractivequeries_spark.operators.dedup import (
         near_duplicate_groups,
     )
     from kafkastreamsinteractivequeries_spark.operators.text import _stats_cols
 
-    groups = near_duplicate_groups(docs, text_col, id_col, near_dup_threshold)
+    if groups is None:
+        groups = near_duplicate_groups(docs, text_col, id_col, near_dup_threshold)
     scored = spread(docs).select(
         F.col(id_col), *[c for c in _stats_cols(text_col)]
     ).select(id_col, "quality_score")
@@ -538,6 +546,7 @@ def leakage_safe_split(
     near_dup_threshold: float = 0.8,
     train_pct: int = 90,
     val_pct: int = 5,
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """Train/val/test assignment that near-duplicates CANNOT straddle:
     the split hash is computed on the doc's near-dup GROUP id (its own
@@ -555,13 +564,17 @@ def leakage_safe_split(
     pairs → star connected components); the split itself is one
     broadcast-size-agnostic join on ``id_col`` plus a pure hash
     projection.
+
+    ``groups``: optional precomputed ``(id, group_id)`` table — same
+    sharing contract as ``resolve_duplicate_groups``.
     """
     from kafkastreamsinteractivequeries_spark.operators.dedup import (
         near_duplicate_groups,
     )
     from kafkastreamsinteractivequeries_spark.operators.text import _split_cols
 
-    groups = near_duplicate_groups(docs, text_col, id_col, near_dup_threshold)
+    if groups is None:
+        groups = near_duplicate_groups(docs, text_col, id_col, near_dup_threshold)
     with_group = (
         docs.select(id_col)
         .join(groups, id_col, "left")

@@ -323,7 +323,13 @@ def jaccard_verify(
     pairs: DataFrame, signatures: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for candidate pairs with exact shingle-set
-    Jaccard ≥ threshold (computed JVM-side on the candidate set only)."""
+    Jaccard ≥ threshold (computed JVM-side on the candidate set only).
+
+    ``signatures.shingles`` must be duplicate-free per row (every
+    builder in this module emits ``array_distinct`` arrays): the union
+    size is then derived arithmetically as ``|A| + |B| - |A∩B|``
+    instead of materializing ``array_union`` per pair — half the
+    per-pair hash-set work for identical values."""
     sh = signatures.select(F.col(id_col), "shingles")
     # Stage 1 — prune on set sizes only: |A∩B| ≤ min(|A|,|B|) and
     # |A∪B| ≥ max, so jaccard ≤ min/max — a pair failing the size-ratio
@@ -343,14 +349,18 @@ def jaccard_verify(
             F.least("_sza", "_szb")
             >= (threshold - 1e-6) * F.greatest("_sza", "_szb")
         )
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "_sza", "_szb")
     )
-    # Stage 2 — exact verify on the pruned pair set.
+    # Stage 2 — exact verify on the pruned pair set.  Only the
+    # intersection is computed per pair; the union size is exact
+    # integer arithmetic over the sizes stage 1 already joined
+    # (distinct arrays: |A∪B| = |A| + |B| - |A∩B|).
     joined = (
         pruned.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}).hint("shuffle_hash"), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}).hint("shuffle_hash"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
     return (
         joined.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)

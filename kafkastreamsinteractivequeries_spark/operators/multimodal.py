@@ -2094,6 +2094,7 @@ def image_caption_near_duplicates(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = 1024,
+    dhash_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """FUZZY tier for CLIP-pair dedup, beside the exact-fingerprint
     :func:`image_caption_dedup`: caption-side MinHash-LSH proposes
@@ -2112,7 +2113,13 @@ def image_caption_near_duplicates(
     Scale shape: LSH banding bounds the candidate set (capped
     buckets, never all-pairs); one Arrow decode pass for signatures;
     the Hamming check is a per-candidate Column fold over the 64-bit
-    strings — payloads never shuffle."""
+    strings — payloads never shuffle.
+
+    ``dhash_sigs``: optional precomputed ``(asset_id, dhash)`` table
+    (the :func:`image_dhash` output, typically pinned) — a caller that
+    already ran the dHash decode pass (e.g. a 'dhash' report branch
+    over the same assets) passes it here so the payloads are decoded
+    ONCE, not once per consumer."""
     from kafkastreamsinteractivequeries_spark.operators.dedup import (
         minhash_near_duplicates,
     )
@@ -2127,9 +2134,11 @@ def image_caption_near_duplicates(
         threshold=caption_threshold,
         max_bucket_size=max_bucket_size,
     ).select("id_a", "id_b", F.col("jaccard").alias("caption_jaccard"))
-    sigs = image_dhash(
-        pairs.select(F.col(id_col).alias("asset_id"), F.col(payload_col))
-    ).select("asset_id", "dhash")
+    if dhash_sigs is None:
+        dhash_sigs = image_dhash(
+            pairs.select(F.col(id_col).alias("asset_id"), F.col(payload_col))
+        )
+    sigs = dhash_sigs.select("asset_id", "dhash")
     # shuffle-hash: both sides are skinny (id, 64-char sig) tables —
     # a sort buys nothing, and the signature side grows with the
     # corpus so it must never broadcast (the jaccard_verify rule)

@@ -2037,12 +2037,26 @@ def distribution_divergence(
     )
 
 
-def _gopher_cols(text_col: str = "text") -> dict[str, F.Column]:
+def _gopher_cols(
+    text_col: str = "text",
+    toks: F.Column | None = None,
+    srt: F.Column | None = None,
+) -> dict[str, F.Column]:
     """The Gopher rule signals as raw Columns keyed by output name —
     shared by ``gopher_quality_rules`` (standalone gate table) and
     ``quality_signal_export`` (the one-pass wide signals row), so both
-    read the corpus once and compute identical values."""
-    toks = tokens_col(F.col(text_col))
+    read the corpus once and compute identical values.
+
+    ``toks``/``srt`` optionally name PRE-MATERIALIZED token /
+    sorted-token array columns.  The repetition fold's lambda indexes
+    the sorted array per element, and Spark's subexpression
+    elimination does not reach inside higher-order lambdas — with the
+    default inline expressions the whole normalize+split+sort chain
+    re-runs once PER TOKEN (the duplicate_span_occurrences trap,
+    measured there at ~10x).  Callers that own the projection should
+    materialize both arrays in a prior select and pass column refs."""
+    if toks is None:
+        toks = tokens_col(F.col(text_col))
     norm = normalized_text(F.col(text_col))
     wc = F.size(toks)
     mwl = (
@@ -2064,7 +2078,8 @@ def _gopher_cols(text_col: str = "text") -> dict[str, F.Column]:
         )
     )
     # longest equal-run of the sorted tokens == max unigram frequency
-    srt = F.array_sort(toks)
+    if srt is None:
+        srt = F.array_sort(toks)
     eq = F.transform(
         F.sequence(F.lit(2), wc),
         lambda i: (F.element_at(srt, i) == F.element_at(srt, i - 1)).cast("int"),
@@ -2124,9 +2139,21 @@ def gopher_quality_rules(
     repetition rule is LINEAR in document length — top frequency =
     the longest equal-run of the SORTED token array, computed by one
     ``aggregate`` fold (never the O(n·distinct) count-per-distinct
-    shape, which dies on 100k-token documents)."""
-    cols = _gopher_cols(text_col)
-    return spread(docs).select(
+    shape, which dies on 100k-token documents).  The token and
+    sorted-token arrays are materialized as columns before the fold's
+    lambda touches them (see ``_gopher_cols``)."""
+    prep = spread(docs).select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("_toks"),
+        F.array_sort("_toks").alias("_srt"),
+    )
+    cols = _gopher_cols(text_col, toks=F.col("_toks"), srt=F.col("_srt"))
+    return prep.select(
         F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
@@ -2159,12 +2186,14 @@ def blocklist_gate(
 
 
 def _blocklist_cols(
-    blocked: list[str], text_col: str = "text"
+    blocked: list[str], text_col: str = "text", toks: F.Column | None = None
 ) -> dict[str, F.Column]:
     """The C4 bad-words signals as raw Columns keyed by output name —
     shared by ``blocklist_gate`` and ``quality_signal_export`` (same
-    one-pass contract as ``_gopher_cols``)."""
-    toks = tokens_col(F.col(text_col))
+    one-pass contract as ``_gopher_cols``; ``toks`` optionally names a
+    pre-materialized token array column)."""
+    if toks is None:
+        toks = tokens_col(F.col(text_col))
     if blocked:
         barr = F.lit([str(b) for b in blocked])
         nb = F.size(F.filter(toks, lambda t: F.array_contains(barr, t)))
@@ -2208,9 +2237,19 @@ def quality_signal_export(
     (plan-pinned by test: one file scan, zero exchanges).  At 100 TB
     this is the difference between one pass and one pass per signal
     family."""
-    gop = _gopher_cols(text_col)
-    bl = _blocklist_cols(blocked, text_col)
-    return spread(docs).select(
+    gop = _gopher_cols(text_col, toks=F.col("_toks"), srt=F.col("_srt"))
+    bl = _blocklist_cols(blocked, text_col, toks=F.col("_toks"))
+    prep = spread(docs).select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("_toks"),
+        F.array_sort("_toks").alias("_srt"),
+    )
+    return prep.select(
         F.col(id_col),
         F.coalesce(F.length(F.col(text_col)), F.lit(0))
         .cast("long")

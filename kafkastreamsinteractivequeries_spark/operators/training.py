@@ -264,6 +264,7 @@ def sft_conversation_ids(
     turn_col: str = "turn_idx",
     role_col: str = "role",
     content_col: str = "content",
+    segments: DataFrame | None = None,
 ) -> DataFrame:
     """Per-conversation token ids WITH the role-aware loss mask — the
     token-level form of ``chat.chat_loss_mask``'s turn accounting.
@@ -279,7 +280,17 @@ def sft_conversation_ids(
     Output: (conv, token_ids array<int>, loss_mask array<int>,
     n_ids int).  Scale shape: one Arrow encode pass over turn
     contents, one (conv) groupBy with sorted struct collection —
-    per-task state is one conversation."""
+    per-task state is one conversation.
+
+    ``segments``: optional pre-segmented pieces per turn —
+    ``(conv_col, turn_col, bpe_tokens_learned)`` — for callers that
+    already ran the Arrow BPE segmentation over the same contents
+    (e.g. a corpus-wide ``bpe_segment_arrow`` pass whose docs ARE the
+    turn contents): the encode then skips its own segmentation pass.
+    The pieces must be exactly ``bpe_segment_arrow(content, merges)``
+    per turn — segmentation is a pure function of (text, merges), so
+    a per-doc table keyed back to (conv, turn) satisfies this by
+    construction."""
     from kafkastreamsinteractivequeries_spark.operators.text import (
         bpe_segment_arrow,
     )
@@ -306,7 +317,16 @@ def sft_conversation_ids(
         F.col(role_col).alias("_role"),
         F.col(content_col).alias("text"),
     )
-    seg = bpe_segment_arrow(base.select("_tk", "text"), merges, id_col="_tk")
+    if segments is None:
+        seg = bpe_segment_arrow(
+            base.select("_tk", "text"), merges, id_col="_tk"
+        )
+    else:
+        _sturn = F.col(turn_col).cast("long")
+        seg = segments.select(
+            (F.col(conv_col).cast("long") * 100000 + _sturn).alias("_tk"),
+            "bpe_tokens_learned",
+        )
     ids = encode_token_ids(seg, vocab, id_col="_tk", append_eos=False)
     role_id = (
         F.when(F.col("_role") == "system", ROLE_IDS["system"])
@@ -361,6 +381,7 @@ def sft_training_examples(
     turn_col: str = "turn_idx",
     role_col: str = "role",
     content_col: str = "content",
+    segments: DataFrame | None = None,
 ) -> DataFrame:
     """Tensor-ready SFT shards: ``sft_conversation_ids`` (role-marked
     token ids + assistant-only loss mask) packed WHOLE-CONVERSATION
@@ -370,7 +391,14 @@ def sft_training_examples(
     conversations.  Same output schema as ``token_training_examples``
     with ``doc_ids`` = the conversation ids in layout order."""
     convs = sft_conversation_ids(
-        turns, merges, vocab, conv_col, turn_col, role_col, content_col
+        turns,
+        merges,
+        vocab,
+        conv_col,
+        turn_col,
+        role_col,
+        content_col,
+        segments=segments,
     )
     return token_training_examples(
         convs,
