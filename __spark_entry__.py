@@ -2000,9 +2000,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # al. arXiv:1911.00359 — the standard LM-fluency curation split).
     # The LM scoring passes are pinned once and feed both branches.
     def _x7(s: SparkSession, d: str) -> DataFrame:
+        from kafkastreamsinteractivequeries_spark.operators.dedup import (
+            tokens_col,
+        )
+
+        # ONE tokenized corpus scan shared by the bigram LM and the KN
+        # trigram LM (each previously re-tokenized); lazy is safe —
+        # both consumers pin their exploded gram streams eagerly on
+        # the main thread before any broadcast touches the lineage.
+        x7_toks = (
+            spread(_docs(s, d))
+            .select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+            .localCheckpoint(eager=False)
+        )
         # eager: perplexity_buckets broadcasts th (derived from sc) —
         # the lazy-checkpoint-under-broadcast deadlock class (see _x6)
-        sc = T.bigram_logprob_scores(_docs(s, d)).localCheckpoint(eager=True)
+        sc = T.bigram_logprob_scores(
+            _docs(s, d), tokens_df=x7_toks
+        ).localCheckpoint(eager=True)
         score = sc.select(
             F.lit("score").alias("variant"),
             "doc_id",
@@ -2022,7 +2037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # see text.kneser_ney_trigram_scores).  n_bigrams carries
         # n_trigrams, score the mean KN probability in micro-units,
         # bucket the per-doc SUM (so the hash pins both readouts).
-        kn = T.kneser_ney_trigram_scores(_docs(s, d)).select(
+        kn = T.kneser_ney_trigram_scores(
+            _docs(s, d), tokens_df=x7_toks
+        ).select(
             F.lit("kn3").alias("variant"),
             "doc_id",
             F.col("n_trigrams").alias("n_bigrams"),

@@ -168,8 +168,14 @@ def minhash_signatures(
         sh = F.array_distinct(shingles_from_tokens(F.col("tokens"), shingle_n))
         docs = tokens_df
     else:
-        docs = spread(docs)  # single-split local files: parallelize hashing
-        sh = F.array_distinct(shingles_col(F.col(text_col), shingle_n))
+        # materialize the token array before the gram lambda slices it
+        # (n >= 2 shingles re-run normalize+split per gram otherwise —
+        # the ngram_jaccard_pairs trap); single-split local files:
+        # spread parallelizes the hashing
+        docs = spread(docs).select(
+            F.col(id_col), tokens_col(F.col(text_col)).alias("tokens")
+        )
+        sh = F.array_distinct(shingles_from_tokens(F.col("tokens"), shingle_n))
 
     def _minhash(seed: int):
         # NB: the lambda must take exactly one parameter — a two-param
@@ -354,11 +360,17 @@ def jaccard_verify(
     # Stage 2 — exact verify on the pruned pair set.  Only the
     # intersection is computed per pair; the union size is exact
     # integer arithmetic over the sizes stage 1 already joined
-    # (distinct arrays: |A∪B| = |A| + |B| - |A∩B|).
+    # (distinct arrays: |A∪B| = |A| + |B| - |A∩B|).  The intersect is
+    # wrapped in ``size(shuffle(…))`` — value-identical (size is
+    # permutation-invariant), but the nondeterministic marker stops
+    # the optimizer inlining the threshold filter into the join
+    # condition, which re-evaluated array_intersect 3x per pair
+    # (twice in the pushed condition, once in the project — read the
+    # formatted plan, not the intuition).
     joined = (
         pruned.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}).hint("shuffle_hash"), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}).hint("shuffle_hash"), "id_b")
-        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("_inter", F.size(F.shuffle(F.array_intersect("sh_a", "sh_b"))))
     )
     jac = F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
     return (
@@ -429,17 +441,37 @@ def ngram_jaccard_pairs(
         )
     if audit_modulus > 1:
         docs = docs.filter(F.col(id_col) % audit_modulus == 0)
-    sh = docs.select(
-        F.col(id_col), F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("shingles")
+    # Tokens are MATERIALIZED as a column before the gram lambda
+    # slices them (the duplicate_span_occurrences trap: slicing the
+    # raw split() expression inside the transform lambda re-runs
+    # normalize+split once per gram), and the shingle table is PINNED
+    # — it feeds the posting explode AND both verify joins.  The
+    # posting stream pins EAGERLY: the over-cap shingle list derived
+    # from it is broadcast, and a broadcast-exchange thread
+    # materializing a lazy checkpoint is the documented deadlock
+    # class (operators/graph.py).
+    sh = (
+        docs.select(
+            F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+        )
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_from_tokens(F.col("_toks"), shingle_n)
+            ).alias("shingles"),
+        )
+        .localCheckpoint(eager=False)
     )
-    posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    posting = sh.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).localCheckpoint(eager=True)
     if max_posting_size is not None:
         sizes = posting.groupBy("shingle").agg(F.count("*").alias("_n"))
         posting = posting.join(
             F.broadcast(sizes.filter(F.col("_n") > max_posting_size)),
             "shingle",
             "left_anti",
-        )
+        ).localCheckpoint(eager=True)
     cand = (
         posting.alias("a")
         .join(posting.alias("b"), "shingle")
@@ -627,11 +659,18 @@ def multiset_jaccard_verify(
         F.map_from_entries(F.collect_list(F.struct("tok", "cnt"))).alias("tf"),
         F.sum("cnt").alias("total"),
     )
+    # size(shuffle(…))-class barrier: the shuffled values list sums
+    # identically (integer addition is commutative), and the
+    # nondeterministic marker stops the threshold filter being inlined
+    # into the join condition, which would re-run the whole map fold
+    # per pair a second time — the jaccard_verify lesson.
     inter = F.aggregate(
-        F.map_values(
-            F.map_zip_with(
-                "tf_a", "tf_b",
-                lambda _k, va, vb: F.least(F.coalesce(va, F.lit(0)), F.coalesce(vb, F.lit(0))),
+        F.shuffle(
+            F.map_values(
+                F.map_zip_with(
+                    "tf_a", "tf_b",
+                    lambda _k, va, vb: F.least(F.coalesce(va, F.lit(0)), F.coalesce(vb, F.lit(0))),
+                )
             )
         ),
         F.lit(0).cast("long"),
@@ -785,11 +824,18 @@ def cross_corpus_near_duplicates(
         )
     else:
         t_tf = _tf(docs.join(F.broadcast(surv), id_col, "left_semi"), id_col)
+    # size(shuffle(…))-class barrier: the shuffled values list sums
+    # identically (integer addition is commutative), and the
+    # nondeterministic marker stops the threshold filter being inlined
+    # into the join condition, which would re-run the whole map fold
+    # per pair a second time — the jaccard_verify lesson.
     inter = F.aggregate(
-        F.map_values(
-            F.map_zip_with(
-                "tf_a", "tf_b",
-                lambda _k, va, vb: F.least(F.coalesce(va, F.lit(0)), F.coalesce(vb, F.lit(0))),
+        F.shuffle(
+            F.map_values(
+                F.map_zip_with(
+                    "tf_a", "tf_b",
+                    lambda _k, va, vb: F.least(F.coalesce(va, F.lit(0)), F.coalesce(vb, F.lit(0))),
+                )
             )
         ),
         F.lit(0).cast("long"),
@@ -922,15 +968,26 @@ def hamming_distance_bits(a, b, bits: int = 64):
     array allocations per candidate pair) with pure whole-stage-codegen
     arithmetic; values are identical.  32-bit pieces so the conv result
     always fits a signed long (a full 64-bit conv with the MSB set
-    overflows the cast)."""
+    overflows the cast).
+
+    The piece counts are summed through ``aggregate(shuffle(…))`` —
+    value-identical (integer addition commutes over the 2-element
+    list), but the nondeterministic marker stops a downstream
+    ``hamming <= k`` filter being inlined into the candidate join
+    condition, which would re-evaluate the conv/bit_count chain per
+    pair a second time (the jaccard_verify plan lesson)."""
     npieces = (bits + 31) // 32
-    total = None
+    pieces = []
     for i in range(npieces):
         width = min(32, bits - i * 32)
         xa = F.conv(F.substring(a, i * 32 + 1, width), 2, 10).cast("long")
         xb = F.conv(F.substring(b, i * 32 + 1, width), 2, 10).cast("long")
-        piece = F.bit_count(xa.bitwiseXOR(xb))
-        total = piece if total is None else total + piece
+        pieces.append(F.bit_count(xa.bitwiseXOR(xb)))
+    total = F.aggregate(
+        F.shuffle(F.array(*pieces)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return total.cast("int")
 
 

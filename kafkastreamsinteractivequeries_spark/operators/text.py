@@ -329,6 +329,7 @@ def bigram_logprob_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-conditional bigram LM score per doc: mean over the doc's
     bigrams of ln((c(w1,w2)+α) / (c(w1)+α·V)) with Laplace smoothing —
@@ -340,10 +341,26 @@ def bigram_logprob_scores(
     and one scoring join — all shuffle-partitioned on the bigram/token
     keys, no driver-side model object; V (vocab size) is the only
     scalar and is computed as a 1-row aggregate.
+
+    ``tokens_df``: optional pre-tokenized ``(id_col, tokens)`` frame —
+    the shared-scan contract of ``minhash_signatures``.  The exploded
+    bigram stream is PINNED internally (eager — the vocab scalar is
+    broadcast off this lineage, the lazy-checkpoint-under-broadcast
+    deadlock class): four consumers (bigram counts, unigram counts,
+    vocab, the scoring join) each re-ran the tokenize+explode subtree
+    otherwise — Spark reuses identical exchanges, not arbitrary
+    common subplans.
     """
-    toks = tokens_col(F.col(text_col))
-    docs = spread(docs)
-    base = docs.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= 2)
+    if tokens_df is not None:
+        base = tokens_df.select(
+            F.col(id_col), F.col("tokens").alias("t")
+        ).filter(F.size("t") >= 2)
+    else:
+        toks = tokens_col(F.col(text_col))
+        docs = spread(docs)
+        base = docs.select(F.col(id_col), toks.alias("t")).filter(
+            F.size("t") >= 2
+        )
     pairs = base.select(
         id_col,
         F.explode(
@@ -354,7 +371,7 @@ def bigram_logprob_scores(
                 ),
             )
         ).alias("bg"),
-    ).select(id_col, "bg.w1", "bg.w2")
+    ).select(id_col, "bg.w1", "bg.w2").localCheckpoint(eager=True)
 
     bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     uc = pairs.groupBy("w1").agg(F.count("*").alias("cu"))
@@ -381,6 +398,7 @@ def kneser_ney_trigram_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     scale: int = 1_000_000,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Interpolated Kneser–Ney trigram LM scores in EXACT integer
     fixed point — the published CCNet-class fluency filter (Wenzek et
@@ -413,10 +431,23 @@ def kneser_ney_trigram_scores(
     Scale shape: one trigram explode, five partial-agg count tables
     off the trigram-type table, one 1-row broadcast total, and a
     scoring join chain on skinny (token…) keys — the
-    ``bigram_logprob_scores`` cost model with one extra order."""
-    toks = tokens_col(F.col(text_col))
-    docs = spread(docs)
-    base = docs.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= 3)
+    ``bigram_logprob_scores`` cost model with one extra order.
+
+    ``tokens_df``: optional pre-tokenized ``(id_col, tokens)`` frame
+    (the shared-scan contract).  The trigram stream and the trigram-
+    type table are PINNED internally (eager — the 1-row total is
+    broadcast off this lineage): their multiple aggregation consumers
+    each re-ran the whole upstream subtree otherwise."""
+    if tokens_df is not None:
+        base = tokens_df.select(
+            F.col(id_col), F.col("tokens").alias("t")
+        ).filter(F.size("t") >= 3)
+    else:
+        toks = tokens_col(F.col(text_col))
+        docs = spread(docs)
+        base = docs.select(F.col(id_col), toks.alias("t")).filter(
+            F.size("t") >= 3
+        )
     t = F.col("t")
     tris = base.select(
         id_col,
@@ -428,10 +459,13 @@ def kneser_ney_trigram_scores(
                 ),
             )
         ).alias("tg"),
-    ).select(id_col, "tg.u", "tg.v", "tg.w")
+    ).select(id_col, "tg.u", "tg.v", "tg.w").localCheckpoint(eager=True)
     # trigram occurrence counts; every lower-order statistic below is
-    # a TYPE count derived from this one table (continuation counts)
-    c3 = tris.groupBy("u", "v", "w").agg(F.count("*").alias("c3"))
+    # a TYPE count derived from this one table (continuation counts);
+    # pinned — ctx/cont and the scoring join all read it
+    c3 = tris.groupBy("u", "v", "w").agg(
+        F.count("*").alias("c3")
+    ).localCheckpoint(eager=True)
     ctx = c3.groupBy("u", "v").agg(
         F.sum("c3").cast("long").alias("cuv"),  # c(uv)
         F.count("*").alias("n1p_uv"),  # N1+(uv·)
