@@ -3718,7 +3718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ((F.col("event_id") * 7 + 3) % 41).alias("dst"),
             )
         ).localCheckpoint(eager=True)
-        pr = GR.pagerank(pr_edges, iterations=3).select(
+        def _build_pr():
+            return GR.pagerank(pr_edges, iterations=3).select(
             F.lit("pagerank").alias("variant"),
             F.col("id").alias("k1"),
             F.col("out_deg").alias("k2"),
@@ -3732,13 +3733,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trajectory (seed initialization, seed-only teleport, seed
         # dangling return) — not just the shared join/agg shape.  v3
         # carries is_seed; in_deg is already verified by 'pagerank'.
-        seeds = (
-            pr_edges.select(F.col("src").alias("id"))
-            .unionByName(pr_edges.select(F.col("dst").alias("id")))
-            .distinct()
-            .filter(F.col("id") % 3 == 0)
-        )
-        tr = GR.trustrank(pr_edges, seeds, iterations=3).select(
+        def _build_tr():
+            seeds = (
+                pr_edges.select(F.col("src").alias("id"))
+                .unionByName(pr_edges.select(F.col("dst").alias("id")))
+                .distinct()
+                .filter(F.col("id") % 3 == 0)
+            )
+            return GR.trustrank(pr_edges, seeds, iterations=3).select(
             F.lit("trustrank").alias("variant"),
             F.col("id").alias("k1"),
             F.col("out_deg").alias("k2"),
@@ -3750,7 +3752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pure-integer max-norm rescale (2^20 fixed point) unrolled in
         # the oracle per iteration, so every intermediate rescale is
         # hash-proven.  v1=hub, v2=authority.
-        ht = GR.hits(pr_edges, iterations=3).select(
+        def _build_ht():
+            return GR.hits(pr_edges, iterations=3).select(
             F.lit("hits").alias("variant"),
             F.col("id").alias("k1"),
             sent.alias("k2"),
@@ -3762,29 +3765,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # COUNTS as weights (the host-graph convention: twenty links
         # endorse more than one); share = (rank·w) div Σw, out_deg
         # reported as the weight sum.  Same unrolled-CTE replay shape.
-        raw_edges = ev.select(
-            F.col("user_id").cast("long").alias("src"),
-            ((F.col("event_id") * 7 + 3) % 41).cast("long").alias("dst"),
-        ).filter(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        wedges = raw_edges.groupBy("src", "dst").agg(
-            F.count("*").cast("long").alias("w")
-        )
-        wpr = GR.pagerank(wedges, iterations=3, weight_col="w").select(
-            F.lit("wpagerank").alias("variant"),
-            F.col("id").alias("k1"),
-            F.col("out_deg").alias("k2"),
-            F.col("rank").alias("v1"),
-            F.col("rank_prev").alias("v2"),
-            F.col("in_deg").alias("v3"),
-        )
+        def _build_wpr():
+            raw_edges = ev.select(
+                F.col("user_id").cast("long").alias("src"),
+                ((F.col("event_id") * 7 + 3) % 41).cast("long").alias("dst"),
+            ).filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))
+            )
+            wedges = raw_edges.groupBy("src", "dst").agg(
+                F.count("*").cast("long").alias("w")
+            )
+            return GR.pagerank(wedges, iterations=3, weight_col="w").select(
+                F.lit("wpagerank").alias("variant"),
+                F.col("id").alias("k1"),
+                F.col("out_deg").alias("k2"),
+                F.col("rank").alias("v1"),
+                F.col("rank_prev").alias("v2"),
+                F.col("in_deg").alias("v3"),
+            )
         # 'gsum' — the one-row graph datasheet (node/edge counts,
         # degree extremes, dangling share, reciprocity permille),
         # previously pytest-only.
-        gsum = GR.graph_summary(pr_edges).select(
+        def _build_gsum():
+            return GR.graph_summary(pr_edges).select(
             F.lit("gsum").alias("variant"),
             F.col("n_nodes").alias("k1"),
             F.col("n_edges").alias("k2"),
@@ -3800,7 +3805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # radius round, the (rounded-4) estimates, and the harmonic
         # accumulation; v1/v2 carry harmonic/reach in exact micro-units
         # (the e1 columns are longs).
-        hb = GR.hyperball_harmonic(pr_edges, radius=3, p=6).select(
+        def _build_hb():
+            return GR.hyperball_harmonic(pr_edges, radius=3, p=6).select(
             F.lit("hyperball").alias("variant"),
             F.col("id").alias("k1"),
             sent.alias("k2"),
@@ -3808,6 +3814,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("reach_est") * 1000000).cast("long").alias("v2"),
             sent.alias("v3"),
         )
+        # Overlap the six independent graph-branch builds (guide §2.6:
+        # submit independent jobs from driver threads so the next
+        # build's tasks back-fill executors freed by the current one).
+        # Each build fires a serial chain of eager-checkpoint jobs
+        # over tiny tables; run sequentially those blocking jobs left
+        # the cluster idle most of the build.  All six read the one
+        # ALREADY-MATERIALIZED pr_edges checkpoint, so no thread
+        # triggers a shared lazy materialization.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        builders = [
+            _build_pr,
+            _build_tr,
+            _build_ht,
+            _build_wpr,
+            _build_gsum,
+            _build_hb,
+        ]
+        with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+            futs = [
+                pool.submit(inheritable_thread_target(b)) for b in builders
+            ]
+            pr, tr, ht, wpr, gsum, hb = [f.result() for f in futs]
         return (
             fun.unionByName(coh)
             .unionByName(ij)

@@ -2422,7 +2422,11 @@ def cdc_chunk_dedup(
     (32-hex hash, id, idx) rows for the first-occurrence aggregate +
     a shuffle-hash join back — document payloads never shuffle.
     """
-    toks = tokens_col(F.col(text_col))
+    # the token array is MATERIALIZED as a column before the boundary/
+    # chunk lambdas slice it (the duplicate_span_occurrences trap:
+    # slicing the raw split() expression re-runs normalize+split once
+    # per candidate boundary position)
+    toks = F.col("_toks")
     n = F.size(toks)
     whash = lambda i: F.conv(  # noqa: E731 — 32-bit window hash at pos i
         F.substring(
@@ -2455,6 +2459,7 @@ def cdc_chunk_dedup(
     rows = (
         spread(docs)
         .filter(F.col(text_col).isNotNull() & (normalized_text(F.col(text_col)) != ""))
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
         .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
         .select(
             id_col,
@@ -2463,6 +2468,10 @@ def cdc_chunk_dedup(
             F.col("_c.l").alias("chunk_len"),
             F.col("_c.h").alias("chunk_hash"),
         )
+        # pinned: the first-occurrence aggregate AND the join probe
+        # side both read the chunk rows — unpinned, the whole
+        # tokenize→chunk pipeline ran twice
+        .localCheckpoint(eager=False)
     )
     keepers = rows.groupBy("chunk_hash").agg(
         F.min(F.struct(id_col, "chunk_idx")).alias("_keep"),
