@@ -1683,15 +1683,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dsir_importance_weights,
         )
 
-        # EAGER pin: the 'dsir' branch broadcasts `top` (derived from
-        # w) — a broadcast-exchange thread materializing a LAZY
-        # checkpoint deadlocks against the DAG scheduler (observed
-        # Java-level deadlock: RDDCheckpointData lock vs the
-        # scheduler's RDD lock, r10 full suite).  Eager materializes
-        # and marks on the main thread before any broadcast fires.
-        w = dsir_importance_weights(
-            docs, docs.filter(F.col("lang") == "en")
+        # ONE pinned hashed-gram stream (doc_id, bucket) shared by the
+        # THREE corpus-sized gram passes this key otherwise runs:
+        # dsir's raw bucket distribution, dsir's scoring join, and the
+        # qlr classifier's feature stream (same num_buckets=4096, same
+        # md5 bucketing — identical rows by construction).  The dsir
+        # target distribution also derives from it: the gram multiset
+        # of the en subset IS the en-doc rows of the full stream.
+        # EAGER pin: dsir broadcasts lam/totals and 'dsir' broadcasts
+        # `top` off this lineage — a broadcast-exchange thread
+        # materializing a LAZY checkpoint deadlocks against the DAG
+        # scheduler (the r10 deadlock class).
+        from kafkastreamsinteractivequeries_spark.operators.curation import (
+            _hashed_gram_stream,
+        )
+
+        gram = _hashed_gram_stream(
+            spread(docs), 4096, "text", "doc_id"
         ).localCheckpoint(eager=True)
+        en_ids = docs.filter(F.col("lang") == "en").select("doc_id")
+        # w is NOT pinned anymore: off the pinned gram stream its
+        # lineage is two cheap bounded aggregates, so the double
+        # execution (once under the `top` broadcast, once for the
+        # branch rows) costs less than a dedicated checkpoint job —
+        # and with no lazy checkpoint under the broadcast, the r10
+        # deadlock class does not apply.
+        w = dsir_importance_weights(
+            docs,
+            docs.filter(F.col("lang") == "en"),
+            raw_stream=gram,
+            target_stream=gram.join(F.broadcast(en_ids), "doc_id").select(
+                "bucket"
+            ),
+        )
         top = (
             w.orderBy(F.col("log_weight").desc(), "doc_id")
             .limit(40)
@@ -1737,7 +1761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sent.alias("total"),
         )
         qlr = (
-            quality_classifier_score(docs, model, num_buckets=4096)
+            quality_classifier_score(
+                docs, model, num_buckets=4096, gram_stream=gram
+            )
             .join(ydocs.select("doc_id", "_y"), "doc_id")
             .select(
                 F.lit("qlr").alias("variant"),

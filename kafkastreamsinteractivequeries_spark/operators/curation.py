@@ -640,6 +640,8 @@ def dsir_importance_weights(
     num_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
+    raw_stream: DataFrame | None = None,
+    target_stream: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al., "Data Selection for Language
     Models via Importance Resampling", arXiv:2302.03169): score every
@@ -660,12 +662,25 @@ def dsir_importance_weights(
     final per-doc sum, and at 100 TB the raw distribution pass can run
     on a sample without changing this function's contract (pass the
     sample as ``raw`` to a first call and reuse its λ table).
+
+    ``raw_stream`` / ``target_stream``: optional pre-built (and
+    typically pinned) hashed-gram streams — the shared-scan convention
+    (``minhash_signatures``'s ``tokens_df``).  ``raw_stream`` must be
+    ``_hashed_gram_stream(raw, num_buckets, text_col, id_col)``-shaped
+    (``id_col``, ``bucket``); ``target_stream`` needs only ``bucket``
+    rows.  The raw stream is consumed TWICE (its own bucket
+    distribution + scoring), so a caller that pins it saves a full
+    tokenize+explode pass of the corpus.
     """
     b = F.lit(num_buckets)
-    tgt = _hashed_gram_stream(target, num_buckets, text_col).groupBy("bucket").agg(
-        F.count("*").alias("ct")
+    tgt_stream = (
+        target_stream
+        if target_stream is not None
+        else _hashed_gram_stream(target, num_buckets, text_col)
     )
-    raw_stream = _hashed_gram_stream(spread(raw), num_buckets, text_col, id_col)
+    tgt = tgt_stream.groupBy("bucket").agg(F.count("*").alias("ct"))
+    if raw_stream is None:
+        raw_stream = _hashed_gram_stream(spread(raw), num_buckets, text_col, id_col)
     rawc = raw_stream.groupBy("bucket").agg(F.count("*").alias("cr"))
     totals = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
         rawc.agg(F.sum("cr").alias("nr"))
@@ -777,6 +792,7 @@ def _classifier_features(
     text_col: str,
     id_col: str,
     feature_scale: float,
+    gram_stream: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, bucket, x): tf-normalized hashed unigram+bigram features
     plus a constant bias feature at bucket -1 — the fastText input
@@ -793,11 +809,9 @@ def _classifier_features(
     # ReuseExchange already dedups — an explicit localCheckpoint was
     # measured SLOWER (1.56 -> 1.85 s at sf0.1) than the shared
     # shuffle read.
-    counts = (
-        _hashed_gram_stream(docs, num_buckets, text_col, id_col)
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("_c"))
-    )
+    if gram_stream is None:
+        gram_stream = _hashed_gram_stream(docs, num_buckets, text_col, id_col)
+    counts = gram_stream.groupBy(id_col, "bucket").agg(F.count("*").alias("_c"))
     tot = counts.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("_c") * F.col("_c"))).alias("_n")
     )
@@ -931,17 +945,22 @@ def quality_classifier_score(
     feature_scale: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    gram_stream: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score, prob): documents scored against a frozen
     classifier — gram explode → tf features → broadcast model join →
-    per-doc sum + sigmoid.  Scoring is a PER-DOC pure function of
+    per-doc sum + sigmoid.  ``gram_stream``: optional pre-built hashed-
+    gram stream (``id_col``, ``bucket``) — pass a pinned one when other
+    passes over the same corpus already built it.  Scoring is a PER-DOC pure function of
     (text, model), so on a stream apply it inside ``foreachBatch`` —
     micro-batch boundaries cannot change any doc's probability (a
     direct streaming plan is not possible: the L2 feature norm needs
     two chained keyed aggregates, which Structured Streaming forbids).
     ``num_buckets`` and ``feature_scale`` must match the training
     call."""
-    feats = _classifier_features(docs, num_buckets, text_col, id_col, feature_scale)
+    feats = _classifier_features(
+        docs, num_buckets, text_col, id_col, feature_scale, gram_stream
+    )
     # fixed-point dot product: each term snapped to pico-units and
     # summed as LONGS, so the score is independent of summation order —
     # _pround's 12-decimal snap was not enough when the true sum sits

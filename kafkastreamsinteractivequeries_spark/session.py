@@ -54,6 +54,14 @@ def get_spark(app_name: str = "ksiq-spark", shuffle_partitions: int | None = Non
         # native type for; read as long-nanos and convert in the loader
         # (sources.tables.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark's DataFrame-debugging wrapper captures a Python call
+        # site and pushes it to the JVM around EVERY DataFrame API call
+        # (3 extra py4j round-trips each).  Wide plan builders make
+        # thousands of such calls per query — measured 4.6 -> 3.6 s of
+        # pure construction on the widest union (x6) with it off.  The
+        # cost we give up is call-site enrichment in AnalysisException
+        # messages, not any error itself.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
