@@ -2173,7 +2173,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         nonempty = docs.filter(normalized_text(F.col("text")) != "")
-        seg = T.bpe_segment(nonempty, merges).select(
+        from kafkastreamsinteractivequeries_spark.operators import (
+            training as TRN,
+        )
+
+        # ONE corpus pass materializes pieces AND token ids together
+        # (bpe_segment_arrow chained into encode_token_ids with
+        # carry_cols — two fused Arrow map stages, zero shuffle), so
+        # the former separate sega/ids eager checkpoints collapse into
+        # one materialization.  The id vocab trains off the unpinned
+        # segmentation plan (memo: one extra encode pass on the cold
+        # call only).
+        # eager: tokbin's pack⋈ids join can broadcast a side whose
+        # lineage includes this checkpoint (deadlock class, see _x6)
+        sega_plan = T.bpe_segment_arrow(nonempty, merges)
+        tvoc_df = _memo_df(
+            s, ("x11_tvoc", d), lambda: TRN.token_id_vocab(sega_plan)
+        )
+        vmap = _memo(
+            ("x11_vmap", d),
+            lambda: {
+                r["piece"]: r["token_id"]
+                for r in _TRAINED_MEMO[_memo_key(("x11_tvoc", d))][0]
+            },
+        )  # bounded: vocabulary size (rows already memoized above)
+        combined = TRN.encode_token_ids(
+            sega_plan,
+            vmap,
+            carry_cols=("bpe_tokens_learned", "n_bpe_tokens"),
+        ).localCheckpoint(eager=True)
+        sega_raw = combined.select(
+            "doc_id", "bpe_tokens_learned", "n_bpe_tokens"
+        )
+        ids_df = combined.select("doc_id", "token_ids", "n_ids")
+        # 'segment' — the expression-form greedy BPE encode contract.
+        # Served from the SAME pinned segmentation as 'segmenta': the
+        # Arrow encoder is pinned value-identical to the expression
+        # path (test_bpe_segment_arrow_matches_expression_path, plus
+        # this branch's own oracle replay), so re-running the unrolled
+        # fold chain over the corpus per build bought nothing.
+        seg = sega_raw.select(
             F.lit("segment").alias("variant"),
             F.concat_ws(" ", "bpe_tokens_learned").alias("term"),
             F.col("n_bpe_tokens").cast("long").alias("n"),
@@ -2182,14 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         # 'segmenta' — the PRODUCTION Arrow encoder (bpe_segment_arrow,
         # mapInPandas): same learned merges, hash-verified against the
-        # same oracle replay as 'segment', proving the 30k-merge-class
-        # encode path is value-identical to the expression form at the
-        # verified trajectory scale.
-        # eager: tokbin's pack⋈ids join can broadcast a side whose
-        # lineage includes these checkpoints (deadlock class, see _x6)
-        sega_raw = T.bpe_segment_arrow(nonempty, merges).localCheckpoint(
-            eager=True
-        )
+        # same oracle replay as 'segment'.
         sega = sega_raw.select(
             F.lit("segmenta").alias("variant"),
             F.concat_ws(" ", "bpe_tokens_learned").alias("term"),
@@ -2209,29 +2241,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next-fit packing (recursive CTE per shard), and every
         # padded tensor position.  rank = doc_id for tokids,
         # shard·10⁶ + bin_id for tokbin; share = n_docs in the bin.
-        from kafkastreamsinteractivequeries_spark.operators import (
-            training as TRN,
-        )
-
-        tvoc_df = _memo_df(
-            s, ("x11_tvoc", d), lambda: TRN.token_id_vocab(sega_raw)
-        )
         tokvocab = tvoc_df.select(
             F.lit("tokvocab").alias("variant"),
             F.col("piece").alias("term"),
             F.col("count").alias("n"),
             F.col("token_id").cast("long").alias("rank"),
             F.lit(-1.0).alias("share"),
-        )
-        vmap = _memo(
-            ("x11_vmap", d),
-            lambda: {
-                r["piece"]: r["token_id"]
-                for r in _TRAINED_MEMO[_memo_key(("x11_tvoc", d))][0]
-            },
-        )  # bounded: vocabulary size (rows already memoized above)
-        ids_df = TRN.encode_token_ids(sega_raw, vmap).localCheckpoint(
-            eager=True
         )
         tokids = ids_df.select(
             F.lit("tokids").alias("variant"),
@@ -2311,58 +2326,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 4096-id bins.  All four tensors + conv ids ride term; the
         # oracle replays the role-shifted vocab, turn rendering, mask,
         # next-fit, and every padded position.
-        sft_base = (
-            nonempty.select(
-                F.expr("doc_id div 5").alias("conv_id"), "doc_id", "text"
-            )
-            .select(
-                "conv_id",
+        # Turn contents ARE the nonempty docs' texts, and the SFT
+        # vocabulary is the SAME (count DESC, piece ASC) ranking with
+        # first_id 7 instead of 4 — so for every piece
+        # ``vmap7[p] == vmap[p] + 3`` (UNK stays 1), and the per-turn
+        # content ids are an ARITHMETIC SHIFT of the pinned ``ids_df``
+        # rows (drop each doc's trailing EOS separator first).  The
+        # whole conversation table therefore derives from the pinned
+        # corpus encode with ONE groupBy: no second Arrow encode pass,
+        # no per-conv row_number window, no turn⋈ids join.  Turn index
+        # = position in doc_id order = the sorted-struct position, so
+        # roles fall out of the transform index (system / user /
+        # assistant by the p2 'chat' convention).  Value-identity is
+        # pinned by test_sft_convs_shift_matches_operator plus this
+        # branch's own oracle replay of the role-shifted vocab.
+        _cids = F.transform(
+            F.slice(F.col("token_ids"), 1, F.col("n_ids") - 1),
+            lambda x: F.when(x == TRN.UNK_ID, x).otherwise(
+                x + TRN.N_SFT_SPECIALS - TRN.N_SPECIALS
+            ).cast("int"),
+        )
+        _eos7 = F.array(F.lit(TRN.EOS_ID).cast("int"))
+        _sft_sorted = (
+            ids_df.select(
+                F.expr("doc_id div 5").alias("conv_id"),
                 "doc_id",
-                (
-                    F.row_number().over(
-                        Window.partitionBy("conv_id").orderBy("doc_id")
-                    )
-                    - 1
-                ).alias("turn_idx"),
-                F.col("text").alias("content"),
+                _cids.alias("_cids"),
             )
-            .select(
-                "conv_id",
-                "doc_id",
-                "turn_idx",
-                F.when(F.col("turn_idx") == 0, "system")
-                .when(F.col("turn_idx") % 2 == 1, "user")
-                .otherwise("assistant")
-                .alias("role"),
-                "content",
+            .groupBy("conv_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_id", "_cids"))
+                ).alias("_ts")
             )
         )
-        sft_src = sft_base.select("conv_id", "turn_idx", "role", "content")
-        # turn contents ARE the nonempty docs' texts, so the pinned
-        # corpus-wide Arrow segmentation (sega_raw) already holds each
-        # turn's pieces — key them back to (conv, turn) and skip the
-        # second Arrow BPE encode pass sft_training_examples would
-        # otherwise run (segmentation is a pure function of
-        # (text, merges), so the pieces are identical by construction).
-        sft_seg = sft_base.select("conv_id", "turn_idx", "doc_id").join(
-            sega_raw.select("doc_id", "bpe_tokens_learned"), "doc_id"
-        ).select("conv_id", "turn_idx", "bpe_tokens_learned")
-        _memo_df(
-            s,
-            ("x11_tvoc7", d),
-            lambda: TRN.token_id_vocab(
-                sega_raw, first_id=TRN.N_SFT_SPECIALS
-            ),
+        _tsc = F.col("_ts")
+        _role_id = lambda j: (  # noqa: E731 — turn-index → marker id
+            F.when(j == 0, TRN.ROLE_IDS["system"])
+            .when(j % 2 == 1, TRN.ROLE_IDS["user"])
+            .otherwise(TRN.ROLE_IDS["assistant"])
+            .cast("int")
         )
-        vmap7 = _memo(
-            ("x11_vmap7", d),
-            lambda: {
-                r["piece"]: r["token_id"]
-                for r in _TRAINED_MEMO[_memo_key(("x11_tvoc7", d))][0]
-            },
-        )
-        sftbin = TRN.sft_training_examples(
-            sft_src, merges, vmap7, seq_len=4096, shards=8, segments=sft_seg
+        sft_convs = _sft_sorted.select(
+            "conv_id",
+            F.flatten(
+                F.transform(
+                    _tsc,
+                    lambda x, j: F.concat(
+                        F.array(_role_id(j)), x["_cids"], _eos7
+                    ),
+                )
+            ).alias("token_ids"),
+            F.flatten(
+                F.transform(
+                    _tsc,
+                    lambda x, j: F.when(
+                        (j > 0) & (j % 2 == 0),  # assistant turns
+                        F.concat(
+                            F.array(F.lit(0).cast("int")),
+                            F.array_repeat(
+                                F.lit(1).cast("int"), F.size(x["_cids"])
+                            ),
+                            F.array(F.lit(1).cast("int")),
+                        ),
+                    ).otherwise(
+                        F.array_repeat(
+                            F.lit(0).cast("int"), F.size(x["_cids"]) + 2
+                        )
+                    ),
+                )
+            ).alias("loss_mask"),
+        ).withColumn("n_ids", F.size("token_ids").cast("int")).localCheckpoint(eager=True)
+        sftbin = TRN.token_training_examples(
+            sft_convs,
+            seq_len=4096,
+            shards=8,
+            id_col="conv_id",
+            ids_col="token_ids",
+            mask_col="loss_mask",
         ).select(
             F.lit("sftbin").alias("variant"),
             F.concat_ws(
@@ -2437,7 +2478,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank"),
             F.col("is_cont").cast("double").alias("share"),
         )
-        vrows = wpv.collect()  # bounded: top_start + top_cont pieces
+        # bounded: top_start + top_cont pieces — read the memoized
+        # rows directly instead of a per-build collect round-trip
+        vrows = _memo(
+            ("x11_wpv_rows", d),
+            lambda: _TRAINED_MEMO[_memo_key(("x11_wpv", d))][0],
+        )
         wp = T.wordpiece_segment_arrow(
             nonempty,
             [r["piece"] for r in vrows if r["is_cont"] == 0],

@@ -97,6 +97,7 @@ def encode_token_ids(
     pieces_col: str = "bpe_tokens_learned",
     id_col: str = "doc_id",
     append_eos: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map each document's piece array to integer token ids:
     (id, token_ids array<int>, n_ids int).  Unknown pieces map to
@@ -108,9 +109,17 @@ def encode_token_ids(
     closure-captured once per executor (train-once/serve-many — the
     ``bpe_segment_arrow`` shape), never joined per token.  A NULL
     piece array (NULL text upstream) degrades to NULL ids, the
-    family's degrade convention."""
-    id_type = dict(segmented.dtypes)[id_col]
+    family's degrade convention.
+
+    ``carry_cols``: extra input columns passed through unchanged and
+    appended after the id columns — lets a caller materialize pieces
+    and ids in ONE pass (one checkpoint instead of two) when both
+    tables are needed downstream."""
+    dtypes = dict(segmented.dtypes)
+    id_type = dtypes[id_col]
     schema = f"{id_col} {id_type}, token_ids array<int>, n_ids int"
+    for c in carry_cols:
+        schema += f", {c} {dtypes[c]}"
     tail = [EOS_ID] if append_eos else []
 
     def encode_batches(batches):
@@ -128,17 +137,19 @@ def encode_token_ids(
                 ids = [vocab.get(p, UNK_ID) for p in pieces] + tail
                 ids_out.append(ids)
                 ns.append(len(ids))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "token_ids": ids_out,
-                    "n_ids": ns,
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "token_ids": ids_out,
+                "n_ids": ns,
+            }
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return segmented.select(id_col, pieces_col).mapInPandas(
-        encode_batches, schema
-    )
+    cols = [id_col, pieces_col] + [
+        c for c in carry_cols if c != pieces_col
+    ]
+    return segmented.select(*cols).mapInPandas(encode_batches, schema)
 
 
 def token_training_examples(

@@ -257,3 +257,122 @@ def test_packing_stats_datasheet(spark):
         assert s["n_truncated"] == sum(1 for r in mine if r["truncated"])
         assert s["fill_permille"] == (1000 * tot) // (seq_len * len(mine))
         assert s["waste_tokens"] == seq_len * len(mine) - tot
+
+
+def test_sft_convs_shift_matches_operator(spark):
+    """The x11 'sftbin' derivation: per-conversation token ids built
+    by ARITHMETIC SHIFT of the base-vocab corpus encode (vmap7[p] ==
+    vmap[p] + N_SFT_SPECIALS - N_SPECIALS, UNK unchanged, trailing
+    EOS stripped, roles from the sorted-turn index) must equal
+    sft_conversation_ids run the operator way with the first_id=7
+    vocabulary over the same turns."""
+    from kafkastreamsinteractivequeries_spark.operators.training import (
+        N_SFT_SPECIALS,
+        ROLE_IDS,
+        sft_conversation_ids,
+    )
+
+    docs, seg, vocab_df, vocab, ids = _fixture(spark)
+    nonempty_ids = ids.filter(F.col("token_ids").isNotNull())
+    vocab7_df = token_id_vocab(seg, first_id=N_SFT_SPECIALS)
+    vocab7 = {r["piece"]: r["token_id"] for r in vocab7_df.collect()}
+    # the ranking identity the shift relies on
+    assert vocab7 == {
+        p: i + (N_SFT_SPECIALS - N_SPECIALS) for p, i in vocab.items()
+    }
+
+    # operator path: conv = doc_id div 2, turns in doc_id order
+    turns = (
+        docs.filter(F.col("text").isNotNull())
+        .selectExpr("doc_id div 2 as conv_id", "doc_id", "text as content")
+        .withColumn(
+            "turn_idx",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy(
+                    "conv_id"
+                ).orderBy("doc_id")
+            )
+            - 1,
+        )
+        .withColumn(
+            "role",
+            F.when(F.col("turn_idx") == 0, "system")
+            .when(F.col("turn_idx") % 2 == 1, "user")
+            .otherwise("assistant"),
+        )
+    )
+    traj = bpe_train_trajectory(docs, num_merges=4)
+    merges = [(left, right) for _s, left, right, _n in traj]
+    expected = {
+        r["conv_id"]: r
+        for r in sft_conversation_ids(turns, merges, vocab7).collect()
+    }
+
+    # shift path (the x11 entry derivation)
+    shift = N_SFT_SPECIALS - N_SPECIALS
+    cids = F.transform(
+        F.slice(F.col("token_ids"), 1, F.col("n_ids") - 1),
+        lambda x: F.when(x == UNK_ID, x).otherwise(x + shift).cast("int"),
+    )
+    eos7 = F.array(F.lit(EOS_ID).cast("int"))
+    srt = (
+        nonempty_ids.selectExpr("doc_id div 2 as conv_id", "doc_id", "token_ids", "n_ids")
+        .select("conv_id", "doc_id", cids.alias("_cids"))
+        .groupBy("conv_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "_cids"))
+            ).alias("_ts")
+        )
+    )
+    t = F.col("_ts")
+
+    def role_id(j):
+        return (
+            F.when(j == 0, ROLE_IDS["system"])
+            .when(j % 2 == 1, ROLE_IDS["user"])
+            .otherwise(ROLE_IDS["assistant"])
+            .cast("int")
+        )
+
+    got = {
+        r["conv_id"]: r
+        for r in srt.select(
+            "conv_id",
+            F.flatten(
+                F.transform(
+                    t,
+                    lambda x, j: F.concat(
+                        F.array(role_id(j)), x["_cids"], eos7
+                    ),
+                )
+            ).alias("token_ids"),
+            F.flatten(
+                F.transform(
+                    t,
+                    lambda x, j: F.when(
+                        (j > 0) & (j % 2 == 0),
+                        F.concat(
+                            F.array(F.lit(0).cast("int")),
+                            F.array_repeat(
+                                F.lit(1).cast("int"), F.size(x["_cids"])
+                            ),
+                            F.array(F.lit(1).cast("int")),
+                        ),
+                    ).otherwise(
+                        F.array_repeat(
+                            F.lit(0).cast("int"), F.size(x["_cids"]) + 2
+                        )
+                    ),
+                )
+            ).alias("loss_mask"),
+        )
+        .withColumn("n_ids", F.size("token_ids").cast("int"))
+        .collect()
+    }
+
+    assert set(got) == set(expected)
+    for c in got:
+        assert list(got[c]["token_ids"]) == list(expected[c]["token_ids"])
+        assert list(got[c]["loss_mask"]) == list(expected[c]["loss_mask"])
+        assert got[c]["n_ids"] == expected[c]["n_ids"]
