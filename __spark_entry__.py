@@ -1629,7 +1629,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("unique", ["o_orderkey"]),
             ("unique", ["o_custkey"]),
         ]
-        cons = check_constraints(orders, rules).select(
+        # pinned: the 'gate' branch re-derives its two rule-set reports
+        # from these rows (each rule's report row is independent of the
+        # other rules by construction), so orders is scanned once for
+        # the whole constraint family instead of three times.  Lazy is
+        # safe: the only consumers are aggregates/selects, nothing
+        # broadcasts off this lineage.
+        cons_rep = check_constraints(orders, rules).localCheckpoint(
+            eager=False
+        )
+        cons = cons_rep.select(
             F.lit("constraint").alias("variant"),
             F.concat_ws(":", "rule", "column").alias("name"),
             F.col("passed").cast("double").alias("value"),
@@ -1708,13 +1717,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # branch rows) costs less than a dedicated checkpoint job —
         # and with no lazy checkpoint under the broadcast, the r10
         # deadlock class does not apply.
+        # target_ids fuses the raw and target bucket distributions
+        # into ONE pass over the pinned stream (the en gram multiset
+        # IS the en-doc rows of the full stream)
         w = dsir_importance_weights(
             docs,
             docs.filter(F.col("lang") == "en"),
             raw_stream=gram,
-            target_stream=gram.join(F.broadcast(en_ids), "doc_id").select(
-                "bucket"
-            ),
+            target_ids=en_ids,
         )
         top = (
             w.orderBy(F.col("log_weight").desc(), "doc_id")
@@ -1824,25 +1834,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # list for API users, round-7 ADVICE #5) and hash-verified
         # against the oracle's EXISTS computation, so the driver proves
         # the gate fires exactly when the data violates a rule.
-        from kafkastreamsinteractivequeries_spark.operators.quality import (
-            check_constraints,
-        )
-
+        # Both gate rule sets are SUBSETS of the 'constraint' suite, and
+        # each report row is a function of (orders, rule) alone — so the
+        # gate reports are row-filters of the pinned cons_rep instead of
+        # two more scans of orders (check_constraints(orders, subset)
+        # emits exactly the matching rows of the full run).
         gate_parts = []
-        for tag, gr in (
-            (
-                "gate_pass",
-                [("not_null", "o_orderkey"), ("unique", ["o_orderkey"])],
-            ),
-            (
-                "gate_raise",
-                [
-                    ("not_null", "o_orderkey"),
-                    ("expr", "key_not_7mult", "o_orderkey % 7 != 0"),
-                ],
-            ),
+        for tag, sel in (
+            ("gate_pass", [("not_null", "o_orderkey"), ("unique", "o_orderkey")]),
+            ("gate_raise", [("not_null", "o_orderkey"), ("expr", "key_not_7mult")]),
         ):
-            rep = check_constraints(orders, gr)
+            cond = None
+            for rk, rc in sel:
+                c = (F.col("rule") == rk) & (F.col("column") == rc)
+                cond = c if cond is None else (cond | c)
+            rep = cons_rep.filter(cond)
             gate_parts.append(
                 rep.agg(
                     F.coalesce(
@@ -1855,7 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.lit(tag).alias("name"),
                     F.when(F.col("n") > 0, 1.0).otherwise(0.0).alias("value"),
                     F.col("n"),
-                    F.lit(len(gr)).cast("long").alias("total"),
+                    F.lit(len(sel)).cast("long").alias("total"),
                 )
             )
         gate = gate_parts[0].unionByName(gate_parts[1])

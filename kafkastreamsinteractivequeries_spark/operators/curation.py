@@ -642,6 +642,7 @@ def dsir_importance_weights(
     id_col: str = "doc_id",
     raw_stream: DataFrame | None = None,
     target_stream: DataFrame | None = None,
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al., "Data Selection for Language
     Models via Importance Resampling", arXiv:2302.03169): score every
@@ -671,8 +672,50 @@ def dsir_importance_weights(
     rows.  The raw stream is consumed TWICE (its own bucket
     distribution + scoring), so a caller that pins it saves a full
     tokenize+explode pass of the corpus.
+
+    ``target_ids``: when the target corpus is a SUBSET of ``raw`` (one
+    ``id_col`` row per target doc) and ``raw_stream`` is supplied, both
+    bucket distributions fuse into ONE pass over the raw stream (a
+    broadcast membership flag + one aggregate with a conditional
+    count) instead of two — value-identical because the target gram
+    multiset IS the target-doc rows of the raw stream.  Mutually
+    exclusive with ``target_stream``.
     """
     b = F.lit(num_buckets)
+    if target_ids is not None:
+        if raw_stream is None or target_stream is not None:
+            raise ValueError(
+                "target_ids needs raw_stream and excludes target_stream"
+            )
+        flag = target_ids.select(
+            F.col(id_col), F.lit(1).alias("_tgt")
+        )
+        bc = (
+            raw_stream.join(F.broadcast(flag), id_col, "left")
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("cr"),
+                F.count("_tgt").alias("ct"),
+            )
+        )
+        totals = bc.agg(
+            F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+        )
+        lam = bc.crossJoin(F.broadcast(totals)).select(
+            "bucket",
+            (
+                F.log((F.col("ct") + 1) / (F.col("nt") + b))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + b))
+            ).alias("lam"),
+        )
+        return (
+            raw_stream.join(F.broadcast(lam), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_grams"),
+                F.round(F.sum("lam"), 6).alias("log_weight"),
+            )
+        )
     tgt_stream = (
         target_stream
         if target_stream is not None

@@ -1243,7 +1243,13 @@ def connected_components_star(
 
     prev = None
     for _ in range(max_iterations):
-        E = _small_star(_large_star(E)).localCheckpoint(eager=True)
+        # LAZY checkpoint + the fingerprint aggregate as its
+        # materializing action: one blocking job per round instead of
+        # two (eager-checkpoint job + collect job).  Safe against the
+        # broadcast-under-lazy-checkpoint deadlock because the
+        # fingerprint collect below materializes E before any later
+        # round's join can broadcast off this lineage.
+        E = _small_star(_large_star(E)).localCheckpoint(eager=False)
         fp = _fingerprint(E)
         if fp == prev:
             break

@@ -287,6 +287,52 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert set(sel) == {0, 2}
 
 
+def test_dsir_target_ids_fused_pass_matches_two_pass(spark):
+    """The fused single-pass form (target_ids + raw_stream) must emit
+    exactly the two-pass weights when the target is a subset of raw —
+    the x6 'dsir' derivation off the pinned gram stream."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.operators.curation import (
+        _hashed_gram_stream,
+        dsir_importance_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat today"),
+            (1, "quantum flux capacitors emit tachyon bursts"),
+            (2, "a dog sat on a mat"),
+            (3, "the cat and the dog"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    target = raw.filter(F.col("doc_id").isin(0, 3))
+    base = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_importance_weights(raw, target).collect()
+    }
+    stream = _hashed_gram_stream(raw, 4096, "text", "doc_id")
+    fused = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_importance_weights(
+            raw,
+            target,
+            raw_stream=stream,
+            target_ids=target.select("doc_id"),
+        ).collect()
+    }
+    assert fused == base
+
+    import pytest
+
+    with pytest.raises(ValueError, match="target_ids"):
+        dsir_importance_weights(
+            raw, target, target_ids=target.select("doc_id")
+        )
+
+
 def test_dsir_plan_broadcasts_model_no_corpus_shuffle_join(spark):
     # the λ table (≤ num_buckets rows) must broadcast to the raw gram
     # stream — a sort-merge join there would shuffle the whole corpus'
