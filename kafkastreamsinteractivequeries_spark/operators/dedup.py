@@ -1194,16 +1194,68 @@ def connected_components_star(
     only shrinks toward the star fixed point (each node → component
     min).  Per-round convergence check is one (count, hash-sum) scalar
     pair — no edge-set anti-join.
+
+    Small-graph fast path: near-dup pair graphs are usually SPARSE
+    (the whole point of dedup thresholds), and each distributed round
+    costs two shuffles of driver-side planning + a blocking job —
+    pure overhead when the edge set is a few thousand rows.  When the
+    distinct pair set fits ``KSIQ_CC_DRIVER_EDGE_CAP`` (default 65536
+    edges, ≈ 1 MB — an explicitly BOUNDED driver buffer, the
+    bounded-collect convention), components are labeled by one
+    driver-side min-union-find over the already-materialized pin and
+    returned as a local relation: identical labels (component-minimum
+    id, the star fixed point) with zero iterative rounds.  Larger
+    graphs take the distributed alternation unchanged — the 100 TB
+    path does not depend on the cap.
     """
-    E = (
+    import os as _os
+
+    # pin the DISTINCT PAIR SET (self-loops kept): round 1 references
+    # the edges several times (union + join sides) and the final node
+    # table below also reads THIS pin — without it each reference
+    # re-executes the upstream pair pipeline (the node table alone was
+    # a full second LSH-pipeline execution in the labeling job).
+    E0 = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
         .distinct()
-        # pin the static input: round 1 references E several times
-        # (union + join sides); without this each reference re-executes
-        # the upstream pair pipeline
         .localCheckpoint(eager=False)
     )
+    E = E0.filter(F.col("u") != F.col("v"))
+
+    cap = int(_os.environ.get("KSIQ_CC_DRIVER_EDGE_CAP", "65536"))
+    if cap > 0:
+        # one action: materializes the pin AND returns ≤ cap+1 rows
+        head = E0.limit(cap + 1).collect()
+        if len(head) <= cap:
+            parent: dict = {}
+
+            def _find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                for n in (row.u, row.v):
+                    if n is not None and n not in parent:
+                        parent[n] = n
+                # NULL != NULL is NULL in SQL: a null-endpoint edge
+                # links nothing (matches the distributed filter)
+                if row.u is None or row.v is None or row.u == row.v:
+                    continue
+                ru, rv = _find(row.u), _find(row.v)
+                if ru != rv:
+                    # min-root union: the root IS the component min
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            id_type = pairs.schema[id_a].dataType.simpleString()
+            return pairs.sparkSession.createDataFrame(
+                [(n, _find(n)) for n in parent],
+                f"doc_id {id_type}, group_id {id_type}",
+            )
 
     def _fingerprint(edges: DataFrame) -> tuple[int, int]:
         row = edges.agg(
@@ -1260,10 +1312,12 @@ def connected_components_star(
         )
 
     # fixed point: E holds (node -> component min) for every non-min
-    # node; min nodes label themselves
+    # node; min nodes label themselves.  Nodes read the PINNED pair
+    # set (E0 keeps self-loops, so self-pair-only nodes still label
+    # themselves), not the raw pair pipeline.
     nodes = (
-        pairs.select(F.col(id_a).alias("doc_id"))
-        .union(pairs.select(F.col(id_b).alias("doc_id")))
+        E0.select(F.col("u").alias("doc_id"))
+        .union(E0.select(F.col("v").alias("doc_id")))
         # a null endpoint is not a node: without this a corrupt edge
         # emits a phantom (NULL, NULL) component row (its edges are
         # already dropped by the u != v null semantics above)

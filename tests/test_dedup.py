@@ -1183,3 +1183,41 @@ def test_sitemap_and_robots_sitemap_extraction(spark):
         "https://a.com/sitemap.xml", "https://a.com/news.xml"
     ]
     assert r[1]["locs"] == [] and r[1]["maps"] == []
+
+
+def test_connected_components_star_driver_path_matches_distributed(spark, monkeypatch):
+    """The bounded small-graph fast path (driver union-find over the
+    pinned pair set) must emit exactly the distributed star labels —
+    including self-loop-only nodes and null-endpoint edges."""
+    import random
+
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(29)
+    edges = list({(rng.randrange(80), rng.randrange(80)) for _ in range(90)})
+    edges.append((777, 777))  # self-loop-only node labels itself
+    edges.append((5, None))  # null endpoint links nothing
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    monkeypatch.setenv("KSIQ_CC_DRIVER_EDGE_CAP", "0")  # force distributed
+    want = {
+        r.doc_id: r.group_id
+        for r in connected_components_star(pairs).collect()
+    }
+    monkeypatch.setenv("KSIQ_CC_DRIVER_EDGE_CAP", "65536")  # force driver
+    got = {
+        r.doc_id: r.group_id
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == want
+    assert want[777] == 777
+
+    # cap smaller than the edge set falls back to the distributed path
+    monkeypatch.setenv("KSIQ_CC_DRIVER_EDGE_CAP", "3")
+    fallback = {
+        r.doc_id: r.group_id
+        for r in connected_components_star(pairs).collect()
+    }
+    assert fallback == want
