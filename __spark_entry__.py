@@ -1304,8 +1304,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-wide occurrence of each line survives and docs are
         # rebuilt in order; fp hash-verifies totals AND the rebuilt
         # text byte-for-byte.
-        toks = F.split("text", " ")
+        # token array materialized BEFORE the line lambda slices it
+        # (the duplicate_span_occurrences trap: slicing the raw
+        # split() expression re-ran the split once per 6-token line)
+        toks = F.col("_toks")
         lined = docs.select(
+            "doc_id", F.split("text", " ").alias("_toks")
+        ).select(
             "doc_id",
             F.array_join(
                 F.transform(
@@ -2939,7 +2944,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         png_assets = M.png_assets_from_documents(_docs(s, d)).localCheckpoint(
             eager=False
         )
-        png = M.png_pixel_features(png_assets).select(
+        # ONE fused decode pass (guide §4): raw pixel stats, resized
+        # stats, dHash, pHash, and the gate byte histogram used to be
+        # FIVE separate mapInPandas passes, each zlib-inflating and
+        # filter-reconstructing every payload — now every branch below
+        # (and capdup's Hamming confirm) selects from this one pinned
+        # table.  Values are byte-identical: the fused operator calls
+        # the same shared per-array helpers as the single-pass
+        # operators (pinned by test_multimodal).
+        fused = M.png_fused_features(png_assets).localCheckpoint(eager=False)
+        png = fused.select(
             F.lit("png").alias("variant"),
             "asset_id",
             F.lit(0).alias("frame_idx"),
@@ -2967,7 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pixel_min",
             "pixel_max",
         )
-        rez = M.png_resize_features(png_assets, max_side=8).select(
+        rez = fused.select(
             F.lit("resize").alias("variant"),
             "asset_id",
             F.lit(0).alias("frame_idx"),
@@ -2977,9 +2991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "target_width",
             "target_height",
             "channels",
-            "pixel_mean",
-            "pixel_min",
-            "pixel_max",
+            F.col("r_pixel_mean").alias("pixel_mean"),
+            F.col("r_pixel_min").alias("pixel_min"),
+            F.col("r_pixel_max").alias("pixel_max"),
         )
         # 'dhash' — perceptual image hash from the REAL decoded pixels:
         # luma → NN 9×8 grid → 64 row-adjacent comparisons.  The m7 row
@@ -2989,20 +3003,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pixel_mean a -1 sentinel — the oracle replays pixels → luma →
         # NN indices → comparisons → quarter packing arithmetically, so
         # the hash verifies decode AND the perceptual signature.
-        # ONE dHash decode pass (mapInPandas over the PNG payloads)
-        # pinned and shared by the 'dhash' report branch AND the
-        # 'capdup' Hamming confirm — previously capdup re-decoded
-        # every payload for its own signatures.
-        dh_sigs = M.image_dhash(png_assets).localCheckpoint(eager=False)
-        dh = dh_sigs.select(
+        # dHash signatures: a select off the fused pin, shared by the
+        # 'dhash' report branch AND the 'capdup' Hamming confirm.
+        dh_sigs = fused.select("asset_id", "dhash")
+        dh = fused.select(
             F.lit("dhash").alias("variant"),
             "asset_id",
             F.lit(0).alias("frame_idx"),
             F.lit(1).alias("n_frames"),
-            F.col("q0").alias("width"),
-            F.col("q1").alias("height"),
-            F.col("q2").alias("target_width"),
-            F.col("q3").alias("target_height"),
+            F.col("dq0").alias("width"),
+            F.col("dq1").alias("height"),
+            F.col("dq2").alias("target_width"),
+            F.col("dq3").alias("target_height"),
             "channels",
             F.lit(-1.0).alias("pixel_mean"),
             F.col("width").alias("pixel_min"),
@@ -3016,15 +3028,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same 8×32 integer table), so the hash verifies decode,
         # resample, AND the low-frequency signature.  Same row shape
         # as 'dhash'.
-        ph = M.image_phash(png_assets).select(
+        ph = fused.select(
             F.lit("phash").alias("variant"),
             "asset_id",
             F.lit(0).alias("frame_idx"),
             F.lit(1).alias("n_frames"),
-            F.col("q0").alias("width"),
-            F.col("q1").alias("height"),
-            F.col("q2").alias("target_width"),
-            F.col("q3").alias("target_height"),
+            F.col("pq0").alias("width"),
+            F.col("pq1").alias("height"),
+            F.col("pq2").alias("target_width"),
+            F.col("pq3").alias("target_height"),
             "channels",
             F.lit(-1.0).alias("pixel_mean"),
             F.col("width").alias("pixel_min"),
@@ -3047,7 +3059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "asset_id",
         )
-        gate = M.image_pair_quality_gates(pair_src, id_col="asset_id").select(
+        gate = M.image_pair_quality_gates(
+            pair_src, id_col="asset_id", px_stats=fused
+        ).select(
             F.lit("gate").alias("variant"),
             "asset_id",
             F.col("failure_mask").alias("frame_idx"),

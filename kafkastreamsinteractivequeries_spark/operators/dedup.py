@@ -399,6 +399,14 @@ def minhash_near_duplicates(
     buckets belong to the exact-dedup path."""
     assert num_hashes % bands == 0
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    # PIN the signature table: FIVE consumers read this subtree (the
+    # band-bucket pass, jaccard_verify's two size joins and two
+    # shingle joins), and Spark reuses exchanges, not arbitrary common
+    # subtrees — unpinned, the tokenize + shingle + num_hashes×md5
+    # pipeline re-executed once per consumer.  Lazy checkpoint is safe:
+    # every downstream join is shuffle_hash and the candidate stage's
+    # default "expand" strategy broadcasts nothing off this lineage.
+    sigs = sigs.localCheckpoint(eager=False)
     buckets = lsh_band_buckets(sigs, bands, num_hashes // bands, id_col)
     pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_size)
     return jaccard_verify(pairs, sigs, threshold, id_col)

@@ -1474,6 +1474,70 @@ def resample_nearest(arr, target_w: int, target_h: int):
     return arr[ys[:, None], xs[None, :], :]
 
 
+# ---- shared per-decoded-array feature helpers ----------------------------
+# One decode, many consumers: these hold the EXACT per-array math of the
+# single-feature operators (pixel stats, dHash, pHash, resize stats, the
+# gate's byte histogram) so the fused one-decode-pass operator
+# (``png_fused_features``) and the single-feature operators compute
+# byte-identical values from one shared implementation.
+
+
+def _luma_int64(arr):
+    """Integer luma plane (299R+587G+114B // 1000; gray/gray+alpha use
+    channel 0) from an H×W×C uint8 array, as int64."""
+    import numpy as np
+
+    a = arr.astype(np.int64)
+    if a.shape[2] == 3:
+        return (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    return a[:, :, 0]
+
+
+def _dhash_qs_bits(luma, h: int, w: int):
+    """(q0..q3, bitstring) of the 9×8-grid difference hash."""
+    import numpy as np
+
+    ys = [gy * h // 8 for gy in range(8)]
+    xs = [gx * w // 9 for gx in range(9)]
+    g = luma[np.ix_(ys, xs)]
+    bits = [
+        1 if g[gy, gx] < g[gy, gx + 1] else 0
+        for gy in range(8)
+        for gx in range(8)
+    ]
+    qs = [
+        sum(b << (15 - j) for j, b in enumerate(bits[k * 16:(k + 1) * 16]))
+        for k in range(4)
+    ]
+    return qs, "".join(map(str, bits))
+
+
+def _phash_qs_bits(luma, h: int, w: int, c, grid: int):
+    """(q0..q3, bitstring) of the fixed-point DCT perceptual hash;
+    ``c`` is the 8×grid int64 DCT-II basis."""
+    import numpy as np
+
+    ys = [y * h // grid for y in range(grid)]
+    xs = [x * w // grid for x in range(grid)]
+    l32 = luma[np.ix_(ys, xs)]  # grid × grid
+    f = c @ l32 @ c.T  # 8 × 8, exact int64
+    flat = [(int(f[u, v]), u, v) for u in range(8) for v in range(8)]
+    med = sorted(flat)[31][0]
+    bits = [1 if int(f[u, v]) > med else 0 for u in range(8) for v in range(8)]
+    qs = [
+        sum(b << (15 - j) for j, b in enumerate(bits[k * 16:(k + 1) * 16]))
+        for k in range(4)
+    ]
+    return qs, "".join(map(str, bits))
+
+
+def _resize_dims(w: int, h: int, max_side: int):
+    longest = max(w, h)
+    if longest <= max_side:
+        return w, h
+    return max(1, (w * max_side) // longest), max(1, (h * max_side) // longest)
+
+
 def image_dhash(assets: DataFrame) -> DataFrame:
     """64-bit difference hash (dHash) from REAL decoded pixels — the
     standard perceptual near-dup signature for images (crop-free edits,
@@ -1508,26 +1572,9 @@ def image_dhash(assets: DataFrame) -> DataFrame:
                 continue
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                arr = decode_png(bytes(payload)).astype(np.int64)
+                arr = decode_png(bytes(payload))
                 h, w, ch = arr.shape
-                if ch == 3:
-                    luma = (
-                        299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
-                    ) // 1000
-                else:
-                    luma = arr[:, :, 0]
-                ys = [gy * h // 8 for gy in range(8)]
-                xs = [gx * w // 9 for gx in range(9)]
-                g = luma[np.ix_(ys, xs)]
-                bits = [
-                    1 if g[gy, gx] < g[gy, gx + 1] else 0
-                    for gy in range(8)
-                    for gx in range(8)
-                ]
-                qs = [
-                    sum(b << (15 - j) for j, b in enumerate(bits[k * 16:(k + 1) * 16]))
-                    for k in range(4)
-                ]
+                qs, bits = _dhash_qs_bits(_luma_int64(arr), h, w)
                 rows.append(
                     {
                         "asset_id": asset_id,
@@ -1538,7 +1585,7 @@ def image_dhash(assets: DataFrame) -> DataFrame:
                         "q1": qs[1],
                         "q2": qs[2],
                         "q3": qs[3],
-                        "dhash": "".join(map(str, bits)),
+                        "dhash": bits,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -1600,29 +1647,9 @@ def image_phash(assets: DataFrame, grid: int = 32) -> DataFrame:
                 continue
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                arr = decode_png(bytes(payload)).astype(np.int64)
+                arr = decode_png(bytes(payload))
                 h, w, ch = arr.shape
-                if ch == 3:
-                    luma = (
-                        299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
-                    ) // 1000
-                else:
-                    luma = arr[:, :, 0]
-                ys = [y * h // grid for y in range(grid)]
-                xs = [x * w // grid for x in range(grid)]
-                l32 = luma[np.ix_(ys, xs)]  # grid × grid
-                f = c @ l32 @ c.T  # 8 × 8, exact int64
-                flat = [(int(f[u, v]), u, v) for u in range(8) for v in range(8)]
-                med = sorted(flat)[31][0]
-                bits = [
-                    1 if int(f[u, v]) > med else 0
-                    for u in range(8)
-                    for v in range(8)
-                ]
-                qs = [
-                    sum(b << (15 - j) for j, b in enumerate(bits[k * 16:(k + 1) * 16]))
-                    for k in range(4)
-                ]
+                qs, bits = _phash_qs_bits(_luma_int64(arr), h, w, c, grid)
                 rows.append(
                     {
                         "asset_id": asset_id,
@@ -1633,7 +1660,7 @@ def image_phash(assets: DataFrame, grid: int = 32) -> DataFrame:
                         "q1": qs[1],
                         "q2": qs[2],
                         "q3": qs[3],
-                        "phash": "".join(map(str, bits)),
+                        "phash": bits,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -1699,12 +1726,7 @@ def png_resize_features(assets: DataFrame, max_side: int = 8) -> DataFrame:
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 arr = decode_png(bytes(payload))
                 h, w, ch = arr.shape
-                longest = max(w, h)
-                if longest <= max_side:
-                    tw, th = w, h
-                else:
-                    tw = max(1, (w * max_side) // longest)
-                    th = max(1, (h * max_side) // longest)
+                tw, th = _resize_dims(w, h, max_side)
                 small = resample_nearest(arr, tw, th)
                 total = int(small.sum(dtype="int64"))
                 rows.append(
@@ -1718,6 +1740,88 @@ def png_resize_features(assets: DataFrame, max_side: int = 8) -> DataFrame:
                         "pixel_mean": (total * 1_000_000 // small.size) / 1e6,
                         "pixel_min": int(small.min()),
                         "pixel_max": int(small.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)
+
+
+def png_fused_features(
+    assets: DataFrame, max_side: int = 8, grid: int = 32
+) -> DataFrame:
+    """ONE decode pass emitting every per-image feature family the
+    single-feature operators compute separately: raw pixel stats
+    (``png_pixel_features``), resized stats (``png_resize_features``),
+    dHash and pHash signatures (``image_dhash`` / ``image_phash``),
+    and the quality-gate byte histogram (``image_pair_quality_gates``).
+
+    Guide §4 (the Python boundary): each single-feature operator is a
+    mapInPandas pass that zlib-inflates and filter-reconstructs every
+    payload; a consumer that needs N families was paying N decodes per
+    payload.  The per-array math is the SAME shared helpers the
+    single-feature operators call, so every column is byte-identical
+    to its single-pass counterpart (pinned by test); pin this table
+    and derive each family with a ``select``."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import decode_png
+
+    table = dct_table(8, grid)
+    schema = (
+        "asset_id long, width int, height int, channels int, "
+        "pixel_mean double, pixel_min int, pixel_max int, "
+        "target_width int, target_height int, "
+        "r_pixel_mean double, r_pixel_min int, r_pixel_max int, "
+        "dq0 int, dq1 int, dq2 int, dq3 int, dhash string, "
+        "pq0 int, pq1 int, pq2 int, pq3 int, phash string, "
+        "n_distinct_vals int, top_share_permille int"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = np.array(table, dtype=np.int64)  # 8 × grid
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_png(bytes(payload))
+                h, w, ch = arr.shape
+                total = int(arr.sum(dtype="int64"))
+                n = arr.size
+                tw, th = _resize_dims(w, h, max_side)
+                small = resample_nearest(arr, tw, th)
+                r_total = int(small.sum(dtype="int64"))
+                luma = _luma_int64(arr)
+                dqs, dbits = _dhash_qs_bits(luma, h, w)
+                pqs, pbits = _phash_qs_bits(luma, h, w, c, grid)
+                counts = np.bincount(arr.ravel(), minlength=256)
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "pixel_mean": (total * 1_000_000 // n) / 1e6,
+                        "pixel_min": int(arr.min()),
+                        "pixel_max": int(arr.max()),
+                        "target_width": tw,
+                        "target_height": th,
+                        "r_pixel_mean": (r_total * 1_000_000 // small.size) / 1e6,
+                        "r_pixel_min": int(small.min()),
+                        "r_pixel_max": int(small.max()),
+                        "dq0": dqs[0],
+                        "dq1": dqs[1],
+                        "dq2": dqs[2],
+                        "dq3": dqs[3],
+                        "dhash": dbits,
+                        "pq0": pqs[0],
+                        "pq1": pqs[1],
+                        "pq2": pqs[2],
+                        "pq3": pqs[3],
+                        "phash": pbits,
+                        "n_distinct_vals": int((counts > 0).sum()),
+                        "top_share_permille": int(counts.max()) * 1000 // n,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -2175,6 +2279,7 @@ def image_pair_quality_gates(
     min_distinct: int = 16,
     max_top_share_permille: int = 900,
     min_caption_tokens: int = 3,
+    px_stats: DataFrame | None = None,
 ) -> DataFrame:
     """LAION-style image-text pair quality gates, applied BEFORE
     dedup/training (Schuhmann et al. arXiv:2210.08402 filter minimum
@@ -2232,11 +2337,26 @@ def image_pair_quality_gates(
                 )
             yield pd.DataFrame(rows)
 
-    px = (
-        spread(pairs)
-        .select(id_col, payload_col)
-        .mapInPandas(extract, schema)
-    )
+    # ``px_stats``: optional precomputed pixel-stat table (the
+    # ``png_fused_features`` columns, typically pinned) — a caller that
+    # already ran a decode pass over the same assets passes it here so
+    # the payloads are decoded ONCE, not once per consumer (the
+    # ``dhash_sigs`` convention of ``image_caption_near_duplicates``).
+    if px_stats is not None:
+        px = px_stats.select(
+            F.col("asset_id").alias(id_col),
+            "width",
+            "height",
+            "channels",
+            "n_distinct_vals",
+            "top_share_permille",
+        )
+    else:
+        px = (
+            spread(pairs)
+            .select(id_col, payload_col)
+            .mapInPandas(extract, schema)
+        )
     caps = pairs.select(
         F.col(id_col),
         F.size(

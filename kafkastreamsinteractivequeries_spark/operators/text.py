@@ -142,8 +142,15 @@ def winnowing_fingerprint(
     sliding window; the doc fingerprint is the minimum window hash
     (shorter docs hash the whole text).  Robust to local edits — two
     docs sharing any window share candidate fingerprints."""
-    docs = spread(docs)
-    toks = tokens_col(F.col(text_col))
+    # materialize the token array BEFORE the lambda slices it: Spark's
+    # subexpression elimination does not reach inside higher-order
+    # function lambdas, so slicing the raw split() expression re-ran
+    # normalize+split once per window (the duplicate_span_occurrences
+    # trap)
+    docs = spread(docs).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     window_hashes = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (window - 1)),
         lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
@@ -1168,8 +1175,13 @@ def winnowing_fingerprints_full(
     lambdas: measured O(tokens²) md5s per doc, 12 s vs 1.4 s at sf0.1.)
     One explode + one per-doc window shuffle; output ≈
     2·tokens/(window+1) distinct rows per doc."""
-    docs = spread(docs)
-    toks = tokens_col(F.col(text_col))
+    # materialize the token array BEFORE the gram lambda slices it
+    # (same trap as the note below, one level down: the slice argument
+    # re-evaluated normalize+split once per gram)
+    docs = spread(docs).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),

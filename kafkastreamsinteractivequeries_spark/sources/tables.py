@@ -14,6 +14,7 @@ before choosing the physical strategy.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -30,6 +31,27 @@ _NANO_TS_COLUMNS = {
 }
 
 
+# Per-session memo of the LAZY loader DataFrames, keyed weakly on the
+# session (a dead session must not pin its JVM-side plans).  This is
+# PLAN reuse, not result caching: the returned DataFrame is an
+# unexecuted logical plan over the parquet files — every action on it
+# (or on anything derived from it) still computes from storage.  What
+# it removes is a measured ~80 ms of fixed driver work PER CALL
+# (directory listing + parquet footer/schema read + the conf
+# round-trip), paid hundreds of times per bench pass by query builders
+# that each re-loaded their inputs — and it lets ``spread``'s
+# partition-probe memo (an attribute on the DataFrame object) hit
+# across queries, saving another ~70 ms analysis round-trip per probe.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+# (semanticHash -> partition count) per session: see ``spread``.
+_SPREAD_PROBE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (``{sf_dir}/{name}.parquet``).
 
@@ -38,13 +60,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (PARQUET_TYPE_ILLEGAL) unless ``nanosAsLong`` is on.  It is a
     runtime-settable SQLConf, so set it here rather than relying on the
     session builder having done so.
+
+    The returned DataFrame is memoized per (session, sf_dir, name) —
+    it is a lazy plan, identical on every call, and callers only ever
+    derive from it (DataFrames are immutable).  One-immutable-corpus-
+    per-process is the documented driver-contract assumption (the
+    trained-artifact memo in ``__spark_entry__`` states it).
     """
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    got = per_session.get(key)
+    if got is not None:
+        return got
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer `div` (not `/`): nanos exceed double's 2^53 mantissa
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    per_session[key] = df
     return df
 
 
@@ -68,13 +102,29 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     per-query planner overhead when the SAME long-lived DataFrame is
     spread on every request in a hot serving loop.  A DataFrame's
     partitioning never changes once defined, so the cache is safe.
+
+    For FRESH DataFrame objects carrying a previously-seen plan (a
+    query builder re-constructing the same pipeline — every bench rep,
+    every serving request), the probe is additionally memoized per
+    session by ``semanticHash()``: the hash costs one analysis
+    round-trip (~33 ms measured) where the RDD conversion costs a full
+    physical-planning one (~85 ms), so repeat constructions skip the
+    expensive half.  The count is a pure function of the (immutable)
+    plan + input files, so the memo is exact under the documented
+    one-immutable-corpus-per-process contract; a hash collision could
+    only mis-size the repartition decision, never change values.
     """
     if df.isStreaming:
         return df
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
     n = getattr(df, "_spread_partition_probe", None)
     if n is None:
-        n = df.rdd.getNumPartitions()
+        per_session = _SPREAD_PROBE_MEMO.setdefault(df.sparkSession, {})
+        h = df.semanticHash()
+        n = per_session.get(h)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            per_session[h] = n
         df._spread_partition_probe = n
     if n < target:
         return df.repartition(target)

@@ -954,3 +954,52 @@ def test_image_caption_near_duplicates_hybrid_matrix(spark):
     for r in out:
         if (r["id_a"], r["id_b"]) == (1, 2):
             assert r["hamming"] == 0  # identical pixels
+
+
+def test_png_fused_features_matches_single_pass_operators(spark):
+    """The one-decode fused table must be column-for-column identical to
+    the five single-pass operators it replaces (shared per-array
+    helpers; this pins the fusion against drift)."""
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        image_dhash,
+        image_phash,
+        png_assets_from_documents,
+        png_fused_features,
+        png_pixel_features,
+        png_resize_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(12)], ["doc_id", "text"]
+    )
+    assets = png_assets_from_documents(docs).localCheckpoint()
+    fused = {r["asset_id"]: r.asDict() for r in png_fused_features(assets).collect()}
+
+    for r in png_pixel_features(assets).collect():
+        f = fused[r["asset_id"]]
+        for c in ("width", "height", "channels", "pixel_mean", "pixel_min", "pixel_max"):
+            assert f[c] == r[c], (r["asset_id"], c)
+    for r in png_resize_features(assets, max_side=8).collect():
+        f = fused[r["asset_id"]]
+        assert (f["target_width"], f["target_height"]) == (r["target_width"], r["target_height"])
+        for c in ("pixel_mean", "pixel_min", "pixel_max"):
+            assert f["r_" + c] == r[c], (r["asset_id"], c)
+    for r in image_dhash(assets).collect():
+        f = fused[r["asset_id"]]
+        assert f["dhash"] == r["dhash"]
+        assert [f[f"dq{k}"] for k in range(4)] == [r[f"q{k}"] for k in range(4)]
+    for r in image_phash(assets).collect():
+        f = fused[r["asset_id"]]
+        assert f["phash"] == r["phash"]
+        assert [f[f"pq{k}"] for k in range(4)] == [r[f"q{k}"] for k in range(4)]
+    # gate stats: n_distinct_vals / top_share_permille replayed below
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import decode_png
+
+    for a in assets.collect():
+        arr = decode_png(bytes(a["payload"]))
+        counts = np.bincount(arr.ravel(), minlength=256)
+        f = fused[a["asset_id"]]
+        assert f["n_distinct_vals"] == int((counts > 0).sum())
+        assert f["top_share_permille"] == int(counts.max()) * 1000 // arr.size
