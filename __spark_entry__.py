@@ -1505,8 +1505,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = _docs(s, d)
-        wide = T.length_percentiles(docs).crossJoin(
-            T.length_histogram_quantiles(docs)
+        from kafkastreamsinteractivequeries_spark.operators.dedup import (
+            tokens_col as _tc,
+        )
+
+        # ONE tokenize pass for every token-LENGTH consumer in this
+        # key: exact percentiles, histogram quantiles, and the qsketch/
+        # qstream lens each re-ran normalize+split over the corpus for
+        # a value that is just size(tokens).  Pinned as a skinny
+        # one-int-per-doc table.  Lazy is safe: only aggregates read it.
+        x6_lens = (
+            spread(docs)
+            .select(F.size(_tc(F.col("text"))).alias("n"))
+            .localCheckpoint(eager=False)
+        )
+        wide = T.length_percentiles(docs, lengths_df=x6_lens).crossJoin(
+            T.length_histogram_quantiles(docs, lengths_df=x6_lens)
         )
         metrics = [
             "n_docs", "min_tokens", "p25", "p50", "p75", "p95",
@@ -1548,9 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hashed_quantile_sketch,
         )
 
-        lens = docs.select(
-            F.size(tokens_col(F.col("text"))).cast("long").alias("v")
-        )
+        lens = x6_lens.select(F.col("n").cast("long").alias("v"))
         qsk = hashed_quantile_estimates(
             hashed_quantile_sketch(lens, "v", k=256), (25, 50, 75, 90)
         ).select(
@@ -2656,9 +2668,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same-distribution control (even vs odd ids, 'drift_split');
         # counts ride the key string so totals are hash-verified too.
         docs = _docs(s, d)
+        # ONE flagged gram pass for all four drift sides (guide §2.4):
+        # the two drift branches used to run FOUR tokenize+bigram
+        # corpus scans (en / non-en / even / odd), but each side's
+        # histogram is just a conditional count over the same gram
+        # stream — one pass, one ≤4096-row pinned table, and each
+        # side's (bucket, cnt) is a filter+select of it (cnt > 0
+        # matches gram_histogram's observed-buckets-only contract).
+        from kafkastreamsinteractivequeries_spark.operators.curation import (
+            _hashed_gram_stream,
+        )
 
-        def _drift(tag: str, a, b) -> DataFrame:
-            return T.distribution_divergence(a, b, top_k=20).select(
+        gflags = F.struct(
+            (F.col("lang") == "en").alias("en"),
+            (F.col("doc_id") % 2 == 0).alias("even"),
+        )
+        gstream = _hashed_gram_stream(
+            spread(docs.select(gflags.alias("_g"), "text")), 4096, "text", "_g"
+        )
+        ghist = (
+            gstream.groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("_g.en"), 1).otherwise(0)).alias("c_en"),
+                F.sum(F.when(~F.col("_g.en"), 1).otherwise(0)).alias("c_ren"),
+                F.sum(F.when(F.col("_g.even"), 1).otherwise(0)).alias("c_even"),
+                F.sum(F.when(~F.col("_g.even"), 1).otherwise(0)).alias("c_odd"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+        def _side(c: str) -> DataFrame:
+            return ghist.filter(F.col(c) > 0).select(
+                "bucket", F.col(c).alias("cnt")
+            )
+
+        def _drift(tag: str, ha, hb) -> DataFrame:
+            return T.distribution_divergence_from_histograms(
+                ha, hb, top_k=20
+            ).select(
                 F.lit(tag).alias("variant"),
                 F.concat_ws(
                     ":",
@@ -2670,16 +2717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("bucket").cast("long").alias("detail"),
             )
 
-        drift_lang = _drift(
-            "drift_lang",
-            docs.filter(F.col("lang") == "en"),
-            docs.filter(F.col("lang") != "en"),
-        )
-        drift_split = _drift(
-            "drift_split",
-            docs.filter(F.col("doc_id") % 2 == 0),
-            docs.filter(F.col("doc_id") % 2 == 1),
-        )
+        drift_lang = _drift("drift_lang", _side("c_en"), _side("c_ren"))
+        drift_split = _drift("drift_split", _side("c_even"), _side("c_odd"))
         return (
             kmv.unionByName(hll)
             .unionByName(hllstream)

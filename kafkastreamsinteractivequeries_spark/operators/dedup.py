@@ -944,23 +944,44 @@ def simhash_signatures(
     hex_chars = bits // 4
     toks = F.array_distinct(tokens_col(F.col(text_col)))
 
-    # per-token bit vector, statically unrolled: hex char p carries bits
-    # 4p..4p+3 (MSB first)
-    def bit_votes(tok):
-        h = F.md5(tok)
-        votes = []
-        for p in range(hex_chars):
-            nib = F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
-            for b in (3, 2, 1, 0):
-                votes.append(
-                    F.when(nib.bitwiseAND(F.lit(1 << b)) > 0, F.lit(1)).otherwise(F.lit(-1))
+    # STAGED through lambda variables: expression subtrees inside
+    # higher-order-function lambdas get no common-subexpression
+    # elimination, so the old one-lambda form (votes referencing
+    # conv(substring(md5(tok), p, 1)) per bit) re-hashed the token for
+    # EVERY one of the 64 bit votes.  Stage 1 computes md5 once per
+    # token; stage 2 extracts each nibble once (conv over the hash
+    # LAMBDA VARIABLE, not a recomputed md5 subtree); stage 3 fans a
+    # nibble out to its 4 votes.  Values are identical — same hash,
+    # same MSB-first bit order, same +1/−1 votes.
+    nibs_per_token = F.transform(
+        toks,
+        # md5 evaluates ONCE per token while building the 1-element
+        # array; the nibble lambda then substrings the lambda VARIABLE
+        lambda t: F.transform(
+            F.array(F.md5(t)),
+            lambda h: F.transform(
+                F.sequence(F.lit(1), F.lit(hex_chars)),
+                lambda p: F.conv(F.substring(h, p, 1), 16, 10).cast("int"),
+            ),
+        )[0],
+    )
+
+    def nib_votes(nib):
+        return F.array(
+            *[
+                F.when(nib.bitwiseAND(F.lit(1 << b)) > 0, F.lit(1)).otherwise(
+                    F.lit(-1)
                 )
-        return F.array(*votes)
+                for b in (3, 2, 1, 0)
+            ]
+        )
 
     votes = F.aggregate(
-        toks,
+        nibs_per_token,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, b: a + b),
+        lambda acc, nb: F.zip_with(
+            acc, F.flatten(F.transform(nb, nib_votes)), lambda a, b: a + b
+        ),
     )
     sim = F.array_join(
         F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))), ""

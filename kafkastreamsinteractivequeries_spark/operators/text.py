@@ -256,12 +256,32 @@ def vocabulary_coverage(
     )
 
 
-def length_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def length_percentiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    lengths_df: DataFrame | None = None,
+) -> DataFrame:
     """Exact token-length distribution stats of the corpus (the
     pre-training length-histogram sanity check).  Exact percentiles
     (single aggregation; Spark's `percentile` merges per-partition
     digests — no global sort).  At extreme scale swap in
-    `percentile_approx` and accept the epsilon."""
+    `percentile_approx` and accept the epsilon.
+
+    ``lengths_df``: optional precomputed per-doc token-count frame with
+    an ``n`` column (typically pinned) — the ``tokens_df`` convention
+    one level up: several length consumers over one corpus tokenize
+    once instead of once each."""
+    if lengths_df is not None:
+        return lengths_df.select(F.col("n")).agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").alias("min_tokens"),
+            F.expr("percentile(n, 0.25)").alias("p25"),
+            F.expr("percentile(n, 0.5)").alias("p50"),
+            F.expr("percentile(n, 0.75)").alias("p75"),
+            F.expr("percentile(n, 0.95)").alias("p95"),
+            F.max("n").alias("max_tokens"),
+            F.round(F.avg("n"), 4).alias("mean_tokens"),
+        )
     n = F.size(tokens_col(F.col(text_col)))
     return docs.select(n.alias("n")).agg(
         F.count("*").alias("n_docs"),
@@ -282,6 +302,7 @@ def length_histogram_quantiles(
     hi: int = 512,
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
     text_col: str = "text",
+    lengths_df: DataFrame | None = None,
 ) -> DataFrame:
     """One row of histogram-estimated token-length quantiles
     (``hp25, hp50, …``) from FIXED-WIDTH bins — the mergeable quantile
@@ -300,12 +321,19 @@ def length_histogram_quantiles(
     the last bin (widen ``hi`` if the tail matters).
     """
     width = (hi - lo) / bins
-    n = F.size(tokens_col(F.col(text_col)))
+    # lengths_df: precomputed per-doc token counts ("n" column) — the
+    # length_percentiles convention.
+    n = (
+        F.col("n")
+        if lengths_df is not None
+        else F.size(tokens_col(F.col(text_col)))
+    )
     bin_col = F.least(
         F.greatest(F.floor((n - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(bins - 1),
     ).cast("int")
-    counts = spread(docs).select(bin_col.alias("bin")).groupBy("bin").agg(
+    src = lengths_df if lengths_df is not None else spread(docs)
+    counts = src.select(bin_col.alias("bin")).groupBy("bin").agg(
         F.count("*").alias("cnt")
     )
     # cumulative + total over ≤ bins rows — bounded windows, not a
