@@ -1750,6 +1750,7 @@ def hybrid_near_duplicates(
     # keep the module graph acyclic
     from kafkastreamsinteractivequeries_spark.operators.similarity import (
         cosine_from_parts,
+        eval_once,
         norm_expr,
     )
 
@@ -1776,11 +1777,15 @@ def hybrid_near_duplicates(
         .join(eb.hint("shuffle_hash"), "id_b")
         .withColumn(
             "cosine",
-            F.round(
-                cosine_from_parts(
-                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
-                ),
-                6,
+            # eval_once: the threshold filter otherwise inlines the
+            # 64-element fold into the join condition (the s4 lesson)
+            eval_once(
+                F.round(
+                    cosine_from_parts(
+                        F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                    ),
+                    6,
+                )
             ),
         )
         .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= cosine_threshold))

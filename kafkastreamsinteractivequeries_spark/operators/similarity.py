@@ -136,6 +136,26 @@ def cosine_from_parts(a: F.Column, b: F.Column, norm_a: F.Column, norm_b: F.Colu
     return _nan_to_null(F.try_divide(dot_expr(a, b), norm_a * norm_b))
 
 
+def eval_once(c: F.Column) -> F.Column:
+    """Value-identical pushdown barrier for an EXPENSIVE per-row
+    expression a downstream filter references: shuffling a ONE-element
+    array is the identity, so the value is bit-exactly ``c`` (-0.0 and
+    NaN included — no arithmetic touches it), but shuffle's
+    nondeterministic marker stops the optimizer inlining the filter
+    into a join condition — which re-evaluates the wrapped expression
+    per candidate row SEVERAL times (read the d6/s4 formatted plans:
+    the 64-element cosine fold appeared four times in the join
+    condition plus twice in the project).  The integer-sum variants
+    apply ``shuffle`` across their piece arrays directly
+    (``jaccard_verify``, ``hamming_distance_bits``); double sums are
+    order-SENSITIVE in the last bits, so reordering is not
+    value-preserving there — the 1-element form is the float-safe
+    barrier.  (An always-true ``rand() >= -1`` guard does NOT work:
+    the optimizer knows rand's bounds and folds the conditional away.)
+    """
+    return F.element_at(F.shuffle(F.array(c)), 1)
+
+
 def srp_codes(
     embeddings: DataFrame,
     num_planes: int = 16,
@@ -232,7 +252,7 @@ def knn_bruteforce(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
-        scored.withColumn("cosine", cos)
+        scored.withColumn("cosine", eval_once(cos))
         .filter(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -309,7 +329,7 @@ def knn_srp(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
-        scored.withColumn("cosine", cos)
+        scored.withColumn("cosine", eval_once(cos))
         .filter(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -432,7 +452,9 @@ def embedding_near_duplicates(
     out = (
         cand.join(ea.hint("shuffle_hash"), "id_a")
         .join(eb.hint("shuffle_hash"), "id_b")
-        .withColumn("cosine", cos)
+        # eval_once: the threshold filter otherwise inlines the
+        # 64-element fold into the join condition (4 evals per pair)
+        .withColumn("cosine", eval_once(cos))
         .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
@@ -504,7 +526,7 @@ def embedding_decontaminate(
     return (
         cand.join(ct.hint("shuffle_hash"), id_col)
         .join(F.broadcast(et), eval_id_col)
-        .withColumn("cosine", cos)
+        .withColumn("cosine", eval_once(cos))
         .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= threshold))
         .select(id_col, eval_id_col, "cosine")
     )
@@ -812,7 +834,7 @@ def knn_ivf(
     qw = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col("centroid_id"))
     probes = (
         qn.join(F.broadcast(cent))
-        .withColumn("_cos", qcos)
+        .withColumn("_cos", eval_once(qcos))
         .filter(F.col("_cos").isNotNull())
         .withColumn("_rn", F.row_number().over(qw))
         .filter(F.col("_rn") <= nprobe)
@@ -834,7 +856,7 @@ def knn_ivf(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
-        scored.withColumn("cosine", cos)
+        scored.withColumn("cosine", eval_once(cos))
         .filter(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -944,7 +966,7 @@ def semdedup(
     pairs = (
         cand.join(ea.hint("shuffle_hash"), "id_a")
         .join(eb.hint("shuffle_hash"), "id_b")
-        .withColumn("_cos", cos)
+        .withColumn("_cos", eval_once(cos))
         .filter(F.col("_cos").isNotNull() & (F.col("_cos") >= threshold))
         .select("list_id", "id_a", "id_b")
     )
@@ -1229,7 +1251,7 @@ def knn_pq_adc(
         adc_top.select(query_id_col, id_col)
         .join(corpus.hint("shuffle_hash"), id_col)
         .join(F.broadcast(qn), query_id_col)
-        .withColumn("cosine", cos)
+        .withColumn("cosine", eval_once(cos))
         .filter(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= k)
@@ -1489,7 +1511,7 @@ def knn_int8(
         F.col("cosine").desc(), F.col(id_col)
     )
     return (
-        scored.withColumn("cosine", cos)
+        scored.withColumn("cosine", eval_once(cos))
         .filter(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -1884,7 +1906,7 @@ def knn_ivfpq(
         adc_top.select(query_id_col, id_col)
         .join(corpus.hint("shuffle_hash"), id_col)
         .join(F.broadcast(qn2), query_id_col)
-        .withColumn("cosine", cos)
+        .withColumn("cosine", eval_once(cos))
         .filter(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= k)
