@@ -2225,45 +2225,88 @@ def image_caption_near_duplicates(
     over the same assets) passes it here so the payloads are decoded
     ONCE, not once per consumer."""
     from kafkastreamsinteractivequeries_spark.operators.dedup import (
-        minhash_near_duplicates,
+        hamming_distance_bits,
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
     )
 
-    cand = minhash_near_duplicates(
-        pairs.select(
-            F.col(id_col).alias("doc_id"), F.col(caption_col).alias("text")
-        ),
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_n=shingle_n,
-        threshold=caption_threshold,
-        max_bucket_size=max_bucket_size,
-    ).select("id_a", "id_b", F.col("jaccard").alias("caption_jaccard"))
+    assert num_hashes % bands == 0
     if dhash_sigs is None:
         dhash_sigs = image_dhash(
             pairs.select(F.col(id_col).alias("asset_id"), F.col(payload_col))
         )
-    sigs = dhash_sigs.select("asset_id", "dhash")
-    # shuffle-hash: both sides are skinny (id, 64-char sig) tables —
-    # a sort buys nothing, and the signature side grows with the
-    # corpus so it must never broadcast (the jaccard_verify rule)
-    joined = cand.join(
-        sigs.select(
-            F.col("asset_id").alias("id_a"), F.col("dhash").alias("_ha")
-        ).hint("shuffle_hash"),
-        "id_a",
-    ).join(
-        sigs.select(
-            F.col("asset_id").alias("id_b"), F.col("dhash").alias("_hb")
-        ).hint("shuffle_hash"),
-        "id_b",
+    # ONE pinned per-doc table carrying caption shingles, the minhash
+    # signature, AND the dHash: the generic
+    # minhash_near_duplicates-then-join-dhash form paid SIX pair-side
+    # shuffle joins (size prune ×2, shingle verify ×2, dHash confirm
+    # ×2); riding the dHash on the signature table folds the confirm
+    # into the verify pair — four pair-side joins plus one skinny
+    # corpus-side id join here.  Values identical: same staged
+    # size-ratio prune, same one-intersect jaccard (with the
+    # shuffle barrier), same bit_count hamming.
+    sigs = (
+        minhash_signatures(
+            pairs.select(
+                F.col(id_col).alias("doc_id"), F.col(caption_col).alias("text")
+            ),
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+        )
+        .join(
+            dhash_sigs.select(
+                F.col("asset_id").alias("doc_id"), "dhash"
+            ).hint("shuffle_hash"),
+            "doc_id",
+        )
+        .localCheckpoint(eager=False)
     )
-    from kafkastreamsinteractivequeries_spark.operators.dedup import (
-        hamming_distance_bits,
+    buckets = lsh_band_buckets(sigs, bands, num_hashes // bands)
+    cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size)
+    # staged verify (the jaccard_verify shape, with dhash riding the
+    # stage-2 payload joins): prune on sizes first so the shingle
+    # arrays and hashes join only to surviving pairs
+    sz = sigs.select("doc_id", F.size("shingles").alias("_sz"))
+    pruned = (
+        cand.join(
+            sz.withColumnsRenamed({"doc_id": "id_a", "_sz": "_sza"}).hint(
+                "shuffle_hash"
+            ),
+            "id_a",
+        )
+        .join(
+            sz.withColumnsRenamed({"doc_id": "id_b", "_sz": "_szb"}).hint(
+                "shuffle_hash"
+            ),
+            "id_b",
+        )
+        .filter(
+            F.least("_sza", "_szb")
+            >= (caption_threshold - 1e-6) * F.greatest("_sza", "_szb")
+        )
+        .select("id_a", "id_b", "_sza", "_szb")
     )
-
-    hamming = hamming_distance_bits(F.col("_ha"), F.col("_hb"), 64)
+    pay = sigs.select("doc_id", "shingles", "dhash")
+    joined = (
+        pruned.join(
+            pay.withColumnsRenamed(
+                {"doc_id": "id_a", "shingles": "sh_a", "dhash": "_ha"}
+            ).hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            pay.withColumnsRenamed(
+                {"doc_id": "id_b", "shingles": "sh_b", "dhash": "_hb"}
+            ).hint("shuffle_hash"),
+            "id_b",
+        )
+        .withColumn("_inter", F.size(F.shuffle(F.array_intersect("sh_a", "sh_b"))))
+    )
+    jac = F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
     return (
-        joined.withColumn("hamming", hamming)
+        joined.withColumn("caption_jaccard", F.round(jac, 6))
+        .filter(F.col("caption_jaccard") >= caption_threshold)
+        .withColumn("hamming", hamming_distance_bits(F.col("_ha"), F.col("_hb"), 64))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "caption_jaccard", "hamming")
     )
