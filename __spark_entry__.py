@@ -1513,11 +1513,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # key: exact percentiles, histogram quantiles, and the qsketch/
         # qstream lens each re-ran normalize+split over the corpus for
         # a value that is just size(tokens).  Pinned as a skinny
-        # one-int-per-doc table.  Lazy is safe: only aggregates read it.
+        # one-int-per-doc table.  EAGER: the two 1-row aggregate
+        # consumers below are crossJoined, so the planner broadcasts one
+        # of them and a broadcast-exchange thread would be the first to
+        # materialize a lazy checkpoint — the lazy-checkpoint-under-
+        # broadcast deadlock class this file pins against elsewhere.
         x6_lens = (
             spread(docs)
             .select(F.size(_tc(F.col("text"))).alias("n"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         wide = T.length_percentiles(docs, lengths_df=x6_lens).crossJoin(
             T.length_histogram_quantiles(docs, lengths_df=x6_lens)
@@ -1724,9 +1728,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _hashed_gram_stream,
         )
 
-        gram = _hashed_gram_stream(
-            spread(docs), 4096, "text", "doc_id"
-        ).localCheckpoint(eager=True)
+        # ONE pinned per-(doc, bucket) count aggregate over the hashed-
+        # gram stream, shared by EVERY downstream pass (dsir's fused
+        # raw/target bucket distribution, dsir's scoring sum, qlr's tf
+        # features): the r11 shape pinned the EXPLODED gram rows and
+        # each pass re-scanned them (plus qlr re-aggregated its own
+        # counts); aggregating once at the pin boundary means tokenize+
+        # explode runs once and all consumers read the smaller count
+        # table.  Counts are integers, so distributions/features are
+        # value-identical; dsir's log_weight float sum is regrouped
+        # (Σ c·λ instead of Σ per occurrence) — absorbed by its
+        # 6-decimal round (oracle-verified at 3 SFs).  EAGER: dsir
+        # broadcasts lam/totals/top off this lineage (the r10
+        # lazy-checkpoint-under-broadcast deadlock class).
+        dbc = (
+            _hashed_gram_stream(spread(docs), 4096, "text", "doc_id")
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("_c"))
+            .localCheckpoint(eager=True)
+        )
         en_ids = docs.filter(F.col("lang") == "en").select("doc_id")
         # w is NOT pinned anymore: off the pinned gram stream its
         # lineage is two cheap bounded aggregates, so the double
@@ -1740,7 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = dsir_importance_weights(
             docs,
             docs.filter(F.col("lang") == "en"),
-            raw_stream=gram,
+            raw_bucket_counts=dbc,
             target_ids=en_ids,
         )
         top = (
@@ -1789,7 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         qlr = (
             quality_classifier_score(
-                docs, model, num_buckets=4096, gram_stream=gram
+                docs, model, num_buckets=4096, bucket_counts=dbc
             )
             .join(ydocs.select("doc_id", "_y"), "doc_id")
             .select(
@@ -3006,7 +3026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pixel_min",
             "pixel_max",
         )
-        apng = M.apng_frame_features(M.apng_assets_from_documents(_docs(s, d))).select(
+        # fused encode→decode round-trip (one Python pass, one exchange;
+        # the two-stage form shipped every payload across the worker
+        # boundary twice) — row-identical, codec still really executes
+        apng = M.apng_roundtrip_features(_docs(s, d)).select(
             F.lit("apng").alias("variant"),
             "asset_id",
             "frame_idx",

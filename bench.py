@@ -126,6 +126,76 @@ ALL_BRANCHES: dict[str, list[str]] = {
 }
 
 
+# Scaling-credible second bench row (r11 verdict #2): the sf0.1 bench is
+# driver-bound (all 26 low-core/high-core ratios ≈ 1), so executor-side
+# wins are invisible to the headline numbers.  These keys re-run ONCE
+# (reps=1) against a replicated corpus (the SCALING.md methodology:
+# shifted ids + perturbed content, built fresh into a temp dir each run —
+# nothing persists across runs) and land in `queries` under a
+# `stress{factor}x_` prefix.  They are EXCLUDED from the headline total
+# so round-over-round totals stay comparable; the point is the per-key
+# low-core/high-core scaling ratio, which is only meaningful when the
+# key is executor-bound.  All four read only documents/embeddings.
+STRESS16_KEYS = [
+    "d6_ngram_jaccard_pairs",
+    "s4_embedding_near_duplicates",
+    "m7_decoded_pixel_stats",
+    "x13_decontamination",
+]
+# 4×, not 16×: replicas are near-duplicates BY CONSTRUCTION, so the
+# pair-emitting keys grow super-linearly in the replica count — at 16×
+# the row measured d6 82.7 s / s4 110.2 s / x13 113.0 s (5.5 min per
+# bench invocation, double that on the driver's low-core re-run), which
+# risks the driver's bench budget.  4× keeps every key executor-bound
+# (tens of seconds of real compute, vs the ~0.1 s/exchange driver floor
+# the sf0.1 row sits on) at ~1 min total.
+STRESS16_FACTOR = int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_FACTOR", "4"))
+
+
+def build_stress_corpus(spark, sf_dir: str, factor: int, out_dir: str) -> float:
+    """Replicate documents/embeddings ``factor``× with shifted ids and
+    perturbed content (replicas are near- but not exact-duplicates) into
+    ``out_dir``; returns build seconds.  Deterministic: no rand()."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    t0 = time.perf_counter()
+    reps = spark.range(factor).withColumnRenamed("id", "_r")
+    docs = load_table(spark, sf_dir, "documents")
+    ndoc = docs.count()
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("_r") * ndoc).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("_r")))
+            .alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    nemb = emb.count()
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("_r") * nemb).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x + (F.col("_r") % 7).cast("float") * 0.001 * ((i % 5) - 2)
+                ).cast("float"),
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def wait_for_quiet_host(max_wait_sec: float) -> dict:
     """Refuse to measure on a loaded host: a start loadavg above the
     threshold inflated BENCH_r05 (x13 committed 6.2 s vs 2.47 s quiet-
@@ -198,9 +268,18 @@ def main() -> None:
         "sum((id * 37 + 11) % 1000003)"  # bounded terms: no overflow
     ).collect()
     calibration_sec = round(time.perf_counter() - t0, 3)
+    # The warm-up pass doubles as the COLD measurement: it is the first
+    # execution of each key in this process, so it pays plan compile,
+    # codegen, Python worker spin-up AND any trained-artifact build
+    # (_TRAINED_MEMO's rep-1 training).  Recorded per key in
+    # meta.cold_first_run so the warm/cold split behind the per-key-min
+    # aggregation is quantified (r11 verdict #8), not just flagged.
+    cold_first_run: dict[str, float] = {}
     for name in names:
         try:
+            t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold_first_run[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # warm-up must never fail the bench
             print(f"# warm-up {name} failed: {exc}", file=sys.stderr)
 
@@ -357,6 +436,41 @@ def main() -> None:
         )
 
     total = round(sum(per_query.values()), 3)
+
+    # replicated-corpus stress row (see STRESS16_KEYS): one rep per key
+    # against a freshly built corpus.  Runs LAST so it cannot warm or
+    # contend with the headline passes; its keys are added to `queries`
+    # (prefixed) but not to the headline total.
+    stress_meta: dict = {}
+    stress16 = os.environ.get("SPARK_GRAFT_BENCH_STRESS16", "1") != "0"
+    if stress16 and not run_all:
+        import shutil
+        import tempfile
+
+        stress_dir = tempfile.mkdtemp(prefix="ksiq_stress16_")
+        try:
+            build_sec = build_stress_corpus(
+                spark, sf_dir, STRESS16_FACTOR, stress_dir
+            )
+            stress_meta = {"factor": STRESS16_FACTOR, "corpus_build_sec": build_sec}
+            for name in STRESS16_KEYS:
+                if name not in queries:
+                    continue
+                try:
+                    spark.sparkContext.setJobDescription(f"stress{STRESS16_FACTOR}x {name}")
+                    t0 = time.perf_counter()
+                    queries[name](spark, stress_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    sec = round(time.perf_counter() - t0, 3)
+                    per_query[f"stress{STRESS16_FACTOR}x_{name}"] = sec
+                    print(f"# stress{STRESS16_FACTOR}x {name}: {sec:.3f}s", file=sys.stderr)
+                except Exception as exc:  # diagnostic row must never fail the bench
+                    print(f"# stress{STRESS16_FACTOR}x {name} failed: {exc}", file=sys.stderr)
+                finally:
+                    spark.sparkContext.setJobDescription(None)
+        finally:
+            shutil.rmtree(stress_dir, ignore_errors=True)
     # Key order matters for the DRIVER ARTIFACT: it stores a bounded
     # TAIL of stdout, and BENCH_r09's tail began mid-queries-dict,
     # losing the headline total.  The scalars the judge needs
@@ -390,6 +504,14 @@ def main() -> None:
                     ),
                     "load_guard": load_guard,
                     "branches": branches,
+                    # per-key COLD first execution (plan compile, codegen,
+                    # trained-artifact build) — the warm/cold split behind
+                    # the per-key-min aggregation, quantified
+                    "cold_first_run": cold_first_run,
+                    # the replicated-corpus stress row's provenance; its
+                    # timings live in `queries` under the stress{N}x_
+                    # prefix and are NOT part of the headline total
+                    "stress_row": stress_meta,
                 },
                 "metric": (
                     "all_queries_total_wall_clock"

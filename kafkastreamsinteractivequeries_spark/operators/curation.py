@@ -643,6 +643,7 @@ def dsir_importance_weights(
     raw_stream: DataFrame | None = None,
     target_stream: DataFrame | None = None,
     target_ids: DataFrame | None = None,
+    raw_bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al., "Data Selection for Language
     Models via Importance Resampling", arXiv:2302.03169): score every
@@ -680,10 +681,30 @@ def dsir_importance_weights(
     count) instead of two — value-identical because the target gram
     multiset IS the target-doc rows of the raw stream.  Mutually
     exclusive with ``target_stream``.
+
+    ``raw_bucket_counts``: optional pre-aggregated (``id_col``, bucket,
+    ``_c``) per-doc-per-bucket count table (typically pinned, shared
+    with ``_classifier_features`` — the x6 fused-scan contract) used in
+    place of ``raw_stream``'s exploded rows: every sum/count weights by
+    ``_c`` instead of scanning one row per gram occurrence.  Counts are
+    integers so the distributions are value-identical; log_weight's
+    float sum is regrouped (Σ over buckets of c·λ instead of Σ over
+    occurrences of λ), the same class of reordering a distributed sum
+    already performs — the 6-decimal round absorbs it (oracle-verified).
+    Requires ``target_ids``.
     """
     b = F.lit(num_buckets)
     if target_ids is not None:
-        if raw_stream is None or target_stream is not None:
+        if raw_bucket_counts is not None:
+            stream, cnt = raw_bucket_counts, F.col("_c")
+        elif raw_stream is not None:
+            stream, cnt = raw_stream, F.lit(1)
+        else:
+            raise ValueError(
+                "target_ids needs raw_stream/raw_bucket_counts and "
+                "excludes target_stream"
+            )
+        if target_stream is not None:
             raise ValueError(
                 "target_ids needs raw_stream and excludes target_stream"
             )
@@ -691,11 +712,13 @@ def dsir_importance_weights(
             F.col(id_col), F.lit(1).alias("_tgt")
         )
         bc = (
-            raw_stream.join(F.broadcast(flag), id_col, "left")
+            stream.join(F.broadcast(flag), id_col, "left")
             .groupBy("bucket")
             .agg(
-                F.count("*").alias("cr"),
-                F.count("_tgt").alias("ct"),
+                F.sum(cnt).alias("cr"),
+                F.sum(
+                    F.when(F.col("_tgt").isNotNull(), cnt).otherwise(F.lit(0))
+                ).alias("ct"),
             )
         )
         totals = bc.agg(
@@ -709,11 +732,11 @@ def dsir_importance_weights(
             ).alias("lam"),
         )
         return (
-            raw_stream.join(F.broadcast(lam), "bucket")
+            stream.join(F.broadcast(lam), "bucket")
             .groupBy(id_col)
             .agg(
-                F.count("*").alias("n_grams"),
-                F.round(F.sum("lam"), 6).alias("log_weight"),
+                F.sum(cnt).cast("long").alias("n_grams"),
+                F.round(F.sum(cnt * F.col("lam")), 6).alias("log_weight"),
             )
         )
     tgt_stream = (
@@ -836,6 +859,7 @@ def _classifier_features(
     id_col: str,
     feature_scale: float,
     gram_stream: DataFrame | None = None,
+    bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, bucket, x): tf-normalized hashed unigram+bigram features
     plus a constant bias feature at bucket -1 — the fastText input
@@ -852,9 +876,17 @@ def _classifier_features(
     # ReuseExchange already dedups — an explicit localCheckpoint was
     # measured SLOWER (1.56 -> 1.85 s at sf0.1) than the shared
     # shuffle read.
-    if gram_stream is None:
-        gram_stream = _hashed_gram_stream(docs, num_buckets, text_col, id_col)
-    counts = gram_stream.groupBy(id_col, "bucket").agg(F.count("*").alias("_c"))
+    # ``bucket_counts``: optional pre-aggregated (id, bucket, _c) table
+    # (typically pinned and shared with the DSIR passes — the x6
+    # fused-scan contract); skips this function's own gram groupBy.
+    if bucket_counts is not None:
+        counts = bucket_counts.select(F.col(id_col), "bucket", "_c")
+    else:
+        if gram_stream is None:
+            gram_stream = _hashed_gram_stream(docs, num_buckets, text_col, id_col)
+        counts = gram_stream.groupBy(id_col, "bucket").agg(
+            F.count("*").alias("_c")
+        )
     tot = counts.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("_c") * F.col("_c"))).alias("_n")
     )
@@ -989,12 +1021,16 @@ def quality_classifier_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     gram_stream: DataFrame | None = None,
+    bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score, prob): documents scored against a frozen
     classifier — gram explode → tf features → broadcast model join →
     per-doc sum + sigmoid.  ``gram_stream``: optional pre-built hashed-
     gram stream (``id_col``, ``bucket``) — pass a pinned one when other
-    passes over the same corpus already built it.  Scoring is a PER-DOC pure function of
+    passes over the same corpus already built it.  ``bucket_counts``:
+    optional pre-aggregated (``id_col``, bucket, ``_c``) count table,
+    one step further (skips the gram groupBy too — the x6 fused-scan
+    contract).  Scoring is a PER-DOC pure function of
     (text, model), so on a stream apply it inside ``foreachBatch`` —
     micro-batch boundaries cannot change any doc's probability (a
     direct streaming plan is not possible: the L2 feature norm needs
@@ -1002,7 +1038,8 @@ def quality_classifier_score(
     ``num_buckets`` and ``feature_scale`` must match the training
     call."""
     feats = _classifier_features(
-        docs, num_buckets, text_col, id_col, feature_scale, gram_stream
+        docs, num_buckets, text_col, id_col, feature_scale, gram_stream,
+        bucket_counts,
     )
     # fixed-point dot product: each term snapped to pico-units and
     # summed as LONGS, so the score is independent of summation order —

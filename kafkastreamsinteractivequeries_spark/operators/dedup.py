@@ -882,7 +882,21 @@ def weighted_near_duplicates(
     3-row curve admits most of the O(n²) pair space as candidates and
     the verify join becomes the bottleneck; 8-row bands cut candidates
     ~15-20× while j≈1 true duplicates still collide with certainty."""
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n=1)
+    # ONE pinned tokenize pass shared by the THREE token consumers
+    # (minhash signatures, the length totals, the verify's tf table) —
+    # each used to re-run scan→normalize→split over the corpus (the
+    # x13 train_toks pattern).  EAGER: the verify's tf-map sides are
+    # deliberately broadcastable (AQE picks broadcast when they fit),
+    # and a broadcast-exchange thread must never be the first to
+    # materialize a lazy checkpoint (the r10 deadlock class).
+    toks = (
+        spread(docs)
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("tokens"))
+        .localCheckpoint(eager=True)
+    )
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_n=1, tokens_df=toks
+    )
     buckets = lsh_band_buckets(sigs, bands, num_hashes // bands, id_col)
     if max_bucket_size is not None:
         # totals ride the BUCKET rows (bands × docs — the small side),
@@ -890,9 +904,7 @@ def weighted_near_duplicates(
         # emits them, before the distinct; the verify then skips its
         # two per-pair totals joins.  Same surviving pairs and scores
         # (the bound is exact) — only the join count changes.
-        tot = docs.select(
-            F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("total")
-        )
+        tot = toks.select(F.col(id_col), F.size("tokens").alias("total"))
         buckets = buckets.join(tot.hint("shuffle_hash"), id_col)
         pairs = pairs_within_buckets(
             buckets,
@@ -910,13 +922,15 @@ def weighted_near_duplicates(
         )
         return multiset_jaccard_verify(
             pairs,
-            token_counts(docs, text_col, id_col),
+            token_counts(None, text_col, id_col, tokens_df=toks),
             threshold,
             id_col,
             pre_pruned=True,
         )
     pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_size)
-    return multiset_jaccard_verify(pairs, token_counts(docs, text_col, id_col), threshold, id_col)
+    return multiset_jaccard_verify(
+        pairs, token_counts(None, text_col, id_col, tokens_df=toks), threshold, id_col
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1253,8 +1267,18 @@ def connected_components_star(
 
     cap = int(_os.environ.get("KSIQ_CC_DRIVER_EDGE_CAP", "65536"))
     if cap > 0:
-        # one action: materializes the pin AND returns ≤ cap+1 rows
+        # one bounded action: returns ≤ cap+1 rows.  NB a LIMIT job may
+        # compute only a PREFIX of E0's partitions, so this does not by
+        # itself fully materialize the lazy pin — fine on the small-graph
+        # path (the collected rows are the whole graph), but the
+        # distributed fallback below must force the rest first.
         head = E0.limit(cap + 1).collect()
+        if len(head) > cap:
+            # falling through to the distributed alternation: fully
+            # materialize the pin now, or the partitions the LIMIT never
+            # touched would re-execute the upstream pair pipeline in
+            # round 1 AND in the final node-table job.
+            E0.count()
         if len(head) <= cap:
             parent: dict = {}
 
@@ -2414,10 +2438,18 @@ def robots_allowed(
     patt = F.regexp_replace(
         F.regexp_replace(base, r"([%_\\])", r"\\$1"), r"\*", "%"
     )
+    # Distinct BEFORE the rule join: the output is keyed on (host, path)
+    # anyway, and duplicate URL rows produce identical match rows — so
+    # collapse the URL stream to its distinct key set first (a skinny
+    # two-string shuffle) and the per-rule join multiplier + the max_by
+    # aggregate run over |distinct keys| rows instead of |URLs| × rules.
+    # Same verdicts; at crawl scale (many fetches per page) this is the
+    # difference between joining the fetch log and joining the site map.
     matches = (
         urls.select(
             F.col(host_col).alias("host"), F.col(path_col).alias("path")
         )
+        .distinct()
         .join(
             rules.select(
                 "host", "allow", F.col("path").alias("r_path")

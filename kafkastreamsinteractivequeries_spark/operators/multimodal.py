@@ -1462,6 +1462,68 @@ def apng_frame_features(assets: DataFrame) -> DataFrame:
     return spread(assets).select("asset_id", "payload").mapInPandas(extract, schema)
 
 
+def apng_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``apng_frame_features(apng_assets_from_documents(docs))`` fused
+    into ONE ``mapInPandas`` pass (guide §4): the two-stage form ships
+    every encoded APNG payload Python→JVM→Python across two Arrow
+    boundaries (plus a second ``spread`` exchange) just to hand it back
+    to the decoder.  Here encode_apng → decode_apng run back-to-back
+    inside one task — the REAL codec round-trip still executes for
+    every asset (an encode or decode bug still breaks the stats), the
+    payload bytes just never cross the worker boundary.  Row-identical
+    to the two-stage composition (pinned by
+    test_apng_roundtrip_matches_two_stage)."""
+    import numpy as np
+
+    from kafkastreamsinteractivequeries_spark.functions.codecs import (
+        decode_apng,
+        encode_apng,
+    )
+
+    schema = (
+        "asset_id long, frame_idx int, n_frames int, width int, height int, "
+        "channels int, pixel_mean double, pixel_min int, pixel_max int"
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                nf = 2 + doc_id % 4
+                w = 4 + doc_id % 9
+                h = 4 + (doc_id * 3) % 7
+                ch = 1 + doc_id % 3
+                src = [
+                    ((doc_id * 31 + f * 97 + np.arange(w * h * ch)) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w, ch)
+                    for f in range(nf)
+                ]
+                frames = decode_apng(encode_apng(src))
+                for f, arr in enumerate(frames):
+                    fh, fw, fch = arr.shape
+                    total = int(arr.sum(dtype="int64"))
+                    rows.append(
+                        {
+                            "asset_id": doc_id,
+                            "frame_idx": f,
+                            "n_frames": len(frames),
+                            "width": fw,
+                            "height": fh,
+                            "channels": fch,
+                            "pixel_mean": (total * 1_000_000 // arr.size) / 1e6,
+                            "pixel_min": int(arr.min()),
+                            "pixel_max": int(arr.max()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return spread(docs).select(id_col).mapInPandas(roundtrip, schema)
+
+
 def resample_nearest(arr, target_w: int, target_h: int):
     """Nearest-neighbor resample of an H×W×C uint8 array — source pixel
     (ty·h // th, tx·w // tw) per target pixel (the integer-exact NN

@@ -52,6 +52,29 @@ _SPREAD_PROBE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def _path_fingerprint(path: str) -> tuple:
+    """Cheap on-disk identity of a parquet file/dir: (mtime_ns, size) of
+    the file, or (entry count, max child mtime_ns) of the directory.
+    One or a handful of stat calls — folded into the table-memo key so a
+    regenerated corpus at the same path (a harness rewriting parquet
+    in-process) can never be served a stale cached plan/file listing."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ("missing",)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    mt, n = 0, 0
+    with os.scandir(path) as it:
+        for e in it:
+            n += 1
+            try:
+                mt = max(mt, e.stat().st_mtime_ns)
+            except OSError:
+                pass
+    return (n, mt)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (``{sf_dir}/{name}.parquet``).
 
@@ -61,19 +84,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     runtime-settable SQLConf, so set it here rather than relying on the
     session builder having done so.
 
-    The returned DataFrame is memoized per (session, sf_dir, name) —
-    it is a lazy plan, identical on every call, and callers only ever
-    derive from it (DataFrames are immutable).  One-immutable-corpus-
-    per-process is the documented driver-contract assumption (the
-    trained-artifact memo in ``__spark_entry__`` states it).
+    The returned DataFrame is memoized per (session, sf_dir, name,
+    on-disk fingerprint) — it is a lazy plan, identical on every call,
+    and callers only ever derive from it (DataFrames are immutable).
+    The fingerprint (mtime + size / entry count) guards the documented
+    one-immutable-corpus-per-process assumption: a corpus regenerated
+    in-process at the same path misses the memo instead of silently
+    reusing a stale file listing.
     """
     per_session = _TABLE_MEMO.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), name)
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    key = (path, _path_fingerprint(path))
     got = per_session.get(key)
     if got is not None:
         return got
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     for c in _NANO_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer `div` (not `/`): nanos exceed double's 2^53 mantissa
@@ -111,8 +137,11 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     physical-planning one (~85 ms), so repeat constructions skip the
     expensive half.  The count is a pure function of the (immutable)
     plan + input files, so the memo is exact under the documented
-    one-immutable-corpus-per-process contract; a hash collision could
-    only mis-size the repartition decision, never change values.
+    one-immutable-corpus-per-process contract; a hash collision — or a
+    corpus regenerated in-process with an identical plan hash — could
+    only mis-size the repartition decision, never change values
+    (``load_table`` itself fingerprints the on-disk files, so stale
+    PLANS are impossible; only this partition-count hint can lag).
     """
     if df.isStreaming:
         return df

@@ -56,6 +56,30 @@ def main():
 
     stage("candidates", cand_count)
 
+    # the pinned-token form the driver key actually runs, stage by stage
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        token_counts,
+        tokens_col,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import spread
+
+    train_toks = (
+        spread(train.withColumnRenamed("eval_id", "doc_id") if "eval_id" in train.columns else train)
+        .select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+        .localCheckpoint(eager=False)
+    )
+    train_toks.count()  # materialize the pin outside the timings
+
+    stage("full_fuzzy_pinned", lambda: D.cross_corpus_near_duplicates(
+        train, evald, threshold=0.5, train_tokens=train_toks).count())
+    stage("t_sigs_pinned", lambda: minhash_signatures(
+        train, "text", "doc_id", 16, 1, tokens_df=train_toks).count())
+    stage("t_buckets_pinned", lambda: lsh_band_buckets(minhash_signatures(
+        train, "text", "doc_id", 16, 1, tokens_df=train_toks), 2, 8, "doc_id").count())
+    stage("e_tf", lambda: token_counts(evald, "text", "eval_id").groupBy("eval_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "cnt"))).alias("tf"),
+        F.sum("cnt").alias("total")).count())
+
 
 if __name__ == "__main__":
     main()

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for declared queries into plans/r11/.
+"""Capture .explain('formatted') for declared queries into plans/r12/.
 
 Usage: python scripts/capture_plans.py <suffix> [key ...]
 
@@ -21,7 +21,7 @@ def main() -> None:
     suffix = sys.argv[1]
     only = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("ksiq-plans")
     spark.sparkContext.setLogLevel("ERROR")

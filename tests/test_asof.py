@@ -2,6 +2,8 @@
 
 import datetime as dt
 
+import pytest
+
 from kafkastreamsinteractivequeries_spark.operators.analytics import asof_join
 
 
@@ -132,6 +134,7 @@ def test_cohort_retention_triangle(spark):
     assert (c1, 1) not in out
 
 
+@pytest.mark.slow  # >10 s; runs in the full suite
 def test_interval_join_matches_naive_and_avoids_nested_loop(spark):
     import datetime as dt
 

@@ -321,3 +321,23 @@ def test_pgm_round_trip_and_dispatch(spark):
     img = rng.integers(0, 256, size=(11, 6), dtype=np.uint8)
     assert np.array_equal(decode_pgm(encode_pgm(img)), img)
     assert np.array_equal(decode_image(encode_pgm(img)), img)
+
+
+def test_apng_roundtrip_matches_two_stage(spark):
+    # the fused encode→decode pass (one mapInPandas) must be
+    # row-identical to the two-stage composition it replaced
+    from kafkastreamsinteractivequeries_spark.operators.multimodal import (
+        apng_assets_from_documents,
+        apng_frame_features,
+        apng_roundtrip_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 1, 2, 5, 7, 11, 23)], "doc_id long, text string"
+    )
+    key = lambda r: (r.asset_id, r.frame_idx)  # noqa: E731
+    fused = sorted(apng_roundtrip_features(docs).collect(), key=key)
+    staged = sorted(
+        apng_frame_features(apng_assets_from_documents(docs)).collect(), key=key
+    )
+    assert fused == staged

@@ -24,6 +24,7 @@ def test_cumulative_sum_matches_global_window(spark):
     assert got == want
 
 
+@pytest.mark.slow  # >10 s; runs in the full suite
 def test_cumulative_sum_many_buckets(spark):
     # num_partitions in the thousands must neither blow up codegen
     # (the round-1 per-bucket CASE chain) nor change results
@@ -678,6 +679,7 @@ def test_curation_url_dedup_stage_runs_first(spark):
     assert sorted(r["doc_id"] for r in base.collect()) == [1, 2, 3]
 
 
+@pytest.mark.slow  # >10 s; runs in the full suite
 def test_curate_documents_web_stages(spark):
     """The full crawl-order front of the pipeline: robots disallow →
     host flood/mirror gate → URL-level dedup, each dropping before any

@@ -1036,6 +1036,7 @@ def test_host_stats_incremental_equals_one_shot(spark):
     assert p2.count() == 0
 
 
+@pytest.mark.slow  # >10 s; runs in the full suite
 def test_extract_resolve_and_link_graph(spark):
     """Href extraction, RFC 3986 reference resolution, and the
     host-level link graph feeding pagerank end-to-end."""
@@ -1089,6 +1090,7 @@ def test_extract_resolve_and_link_graph(spark):
     assert pr.count() == 3 and pr.filter("rank <= 0").count() == 0
 
 
+@pytest.mark.slow  # >10 s; runs in the full suite
 def test_web_link_graph_weighted(spark):
     """weighted=True keeps link counts per host pair and feeds
     pagerank(weight_col='w')."""

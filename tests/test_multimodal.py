@@ -248,6 +248,7 @@ def test_jpeg_dimensions_degrade_to_null_on_corrupt_payloads(spark):
     assert deep["width"] == 0x30 and deep["height"] == 0x40
 
 
+@pytest.mark.slow  # >10 s; runs in the full suite
 def test_gif_bmp_little_endian_dimension_parse(spark, sf_dir):
     from kafkastreamsinteractivequeries_spark.operators.multimodal import (
         bmp_assets_from_documents,

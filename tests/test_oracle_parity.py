@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entry_mod
 from tests.oracle import compare
 
+# excluded from the default gate (duplicates the driver's own 50/50 DuckDB oracle sweep); see pytest.ini
+pytestmark = pytest.mark.slow
+
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 

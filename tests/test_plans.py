@@ -1012,3 +1012,53 @@ def test_quality_signal_export_is_one_scan_no_shuffle(spark, sf_dir):
     exchanges = re.findall(r"Exchange (\w+)", plan)
     assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jaccard_verify_intersect_evaluated_once_outside_join(spark, sf_dir):
+    # the d6-family verify barrier (r11): size(shuffle(array_intersect))
+    # keeps the threshold filter OUT of the join condition — inlined, the
+    # optimizer re-evaluated array_intersect 3× per candidate pair (twice
+    # in the pushed join condition, once in the project).  Pin the shape
+    # so a Spark upgrade or refactor can't silently re-inline it.
+    from kafkastreamsinteractivequeries_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        minhash_near_duplicates(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("array_intersect(") == 1, plan.count("array_intersect(")
+    # joins print on one line with their condition inline in toString()
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "array_intersect" not in line, line[:300]
+
+
+def test_cosine_fold_stays_out_of_join_conditions(spark, sf_dir):
+    # the s4/s1-family eval_once barrier (r11): the 64-element
+    # aggregate(zip_with(...)) cosine fold must never appear inside a
+    # join condition — inlined, every candidate pair paid the fold up to
+    # 4× (join condition evaluation + project).  element_at(shuffle(
+    # array(c)),1) is the bit-exact identity that pins it to the project.
+    from kafkastreamsinteractivequeries_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+    from kafkastreamsinteractivequeries_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        embedding_near_duplicates(emb, threshold=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "zip_with" in plan  # the fold exists (in a Project)
+    # joins print on one line with their condition inline in toString()
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "zip_with" not in line, line[:300]

@@ -17,6 +17,9 @@ from pyspark.sql import functions as F
 
 from kafkastreamsinteractivequeries_spark.functions.predicate import compile_predicate
 
+# excluded from the default gate (property/fuzz suite); see pytest.ini
+pytestmark = pytest.mark.slow
+
 # ---------------------------------------------------------------------------
 # Fixed row universe with edge values; predicates vary.
 # ---------------------------------------------------------------------------

@@ -154,6 +154,7 @@ def test_key_query_prunes_partitions(spark, tmp_path):
     assert q.count() == 1
 
 
+@pytest.mark.slow  # >10 s; runs in the full suite
 def test_example_pipeline_runs_end_to_end(spark, tmp_path):
     # keep the demo script from rotting: run it in-process at sf0.001
     import runpy

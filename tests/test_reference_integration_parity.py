@@ -29,6 +29,9 @@ from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
     start_serving_pipeline,
 )
 
+# excluded from the default gate (reference-integration end-to-end); see pytest.ini
+pytestmark = pytest.mark.slow
+
 SYMBOLS = ["CFLT", "ZELK", "GOOGL", "SHMDF", "TWTR", "MSFT"]
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 

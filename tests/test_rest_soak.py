@@ -29,6 +29,9 @@ from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
     start_transactional_serving_pipeline,
 )
 
+# excluded from the default gate (REST serving soak); see pytest.ini
+pytestmark = pytest.mark.slow
+
 flask = pytest.importorskip("flask")
 
 T0 = dt.datetime(2024, 1, 1, 9, 30)

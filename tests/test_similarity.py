@@ -34,6 +34,7 @@ def emb(spark):
     return spark.createDataFrame(rows, EMB_SCHEMA), vecs
 
 
+@pytest.mark.slow  # >10 s; runs in the full suite
 def test_cosine_matches_numpy(spark, emb):
     df, vecs = emb
     a = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))

@@ -1,5 +1,6 @@
 """Unit tests for operators/sketches.py (KMV / HLL / count-min)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafkastreamsinteractivequeries_spark.operators.sketches import (
@@ -156,6 +157,7 @@ def test_cms_point_estimate_never_below_true_count(spark, keys):
 @given(
     keys=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60)
 )
+@pytest.mark.slow  # >10 s; runs in the full suite
 def test_hll_exactness_regime_and_duplication_invariance(spark, keys):
     df = spark.createDataFrame([(k,) for k in keys + keys], "key long").select(
         F.lit("g").alias("g"), "key"

@@ -20,6 +20,9 @@ from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
     streaming_aggregation,
 )
 
+# excluded from the default gate (micro-batch soak suite (~5 min wall)); see pytest.ini
+pytestmark = pytest.mark.slow
+
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 

@@ -27,6 +27,10 @@ from kafkastreamsinteractivequeries_spark.streaming.pipeline import (
     StreamingTokenIdSink,
     streaming_curation,
 )
+import pytest
+
+# excluded from the default gate (streaming training soak); see pytest.ini
+pytestmark = pytest.mark.slow
 
 T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 

@@ -23,6 +23,10 @@ from kafkastreamsinteractivequeries_spark.operators.text import (
     main_content_col,
 )
 from kafkastreamsinteractivequeries_spark.sources.warc import read_warc
+import pytest
+
+# excluded from the default gate (end-to-end crawl pipeline stress); see pytest.ini
+pytestmark = pytest.mark.slow
 
 BODY = (
     "This page carries a long and perfectly ordinary paragraph of "
