@@ -3872,8 +3872,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ((F.col("event_id") * 7 + 3) % 41).alias("dst"),
             )
         ).localCheckpoint(eager=True)
+        # ONE shared union-distinct node pin beside it: pagerank,
+        # trustrank, hits, and hyperball each re-materialized an
+        # identical endpoint table (plus their own copy of the edge
+        # pin) as serial blocking jobs inside their build chains —
+        # edges_pinned/nodes_df (the graph.py shared-pin contract)
+        # hands both in, cutting ~7 eager-checkpoint jobs per build.
+        g_nodes = (
+            pr_edges.select(F.col("src").alias("id"))
+            .unionByName(pr_edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         def _build_pr():
-            return GR.pagerank(pr_edges, iterations=3).select(
+            return GR.pagerank(
+                pr_edges, iterations=3, edges_pinned=True, nodes_df=g_nodes
+            ).select(
             F.lit("pagerank").alias("variant"),
             F.col("id").alias("k1"),
             F.col("out_deg").alias("k2"),
@@ -3888,13 +3902,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dangling return) — not just the shared join/agg shape.  v3
         # carries is_seed; in_deg is already verified by 'pagerank'.
         def _build_tr():
-            seeds = (
-                pr_edges.select(F.col("src").alias("id"))
-                .unionByName(pr_edges.select(F.col("dst").alias("id")))
-                .distinct()
-                .filter(F.col("id") % 3 == 0)
-            )
-            return GR.trustrank(pr_edges, seeds, iterations=3).select(
+            seeds = g_nodes.filter(F.col("id") % 3 == 0)
+            return GR.trustrank(
+                pr_edges,
+                seeds,
+                iterations=3,
+                edges_pinned=True,
+                nodes_df=g_nodes,
+            ).select(
             F.lit("trustrank").alias("variant"),
             F.col("id").alias("k1"),
             F.col("out_deg").alias("k2"),
@@ -3907,7 +3922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the oracle per iteration, so every intermediate rescale is
         # hash-proven.  v1=hub, v2=authority.
         def _build_ht():
-            return GR.hits(pr_edges, iterations=3).select(
+            return GR.hits(
+                pr_edges, iterations=3, edges_pinned=True, nodes_df=g_nodes
+            ).select(
             F.lit("hits").alias("variant"),
             F.col("id").alias("k1"),
             sent.alias("k2"),
@@ -3943,7 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degree extremes, dangling share, reciprocity permille),
         # previously pytest-only.
         def _build_gsum():
-            return GR.graph_summary(pr_edges).select(
+            return GR.graph_summary(pr_edges, edges_pinned=True).select(
             F.lit("gsum").alias("variant"),
             F.col("n_nodes").alias("k1"),
             F.col("n_edges").alias("k2"),
@@ -3960,7 +3977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # accumulation; v1/v2 carry harmonic/reach in exact micro-units
         # (the e1 columns are longs).
         def _build_hb():
-            return GR.hyperball_harmonic(pr_edges, radius=3, p=6).select(
+            return GR.hyperball_harmonic(
+                pr_edges, radius=3, p=6, edges_pinned=True, nodes_df=g_nodes
+            ).select(
             F.lit("hyperball").alias("variant"),
             F.col("id").alias("k1"),
             sent.alias("k2"),

@@ -79,6 +79,8 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = PAGERANK_SCALE,
     weight_col: str | None = None,
+    edges_pinned: bool = False,
+    nodes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-iteration PageRank in integer micro-units.
 
@@ -109,19 +111,27 @@ def pagerank(
     ``(rank(u) * w(u→v)) div Σw(u→·)`` — same integer determinism,
     same join/agg shape, out_deg reported as the weight SUM.  Weights
     must be positive; keep Σw per node ≪ 2^63/scale (the int64
-    product envelope, same class as the PCA scaling notes)."""
+    product envelope, same class as the PCA scaling notes).
+
+    ``edges_pinned=True``: the caller guarantees ``edges`` is ALREADY a
+    materialized checkpoint of exactly the projected shape, so the
+    internal eager pin (one blocking job) is skipped.  ``nodes_df``: a
+    pre-pinned union-distinct endpoint table (skips another blocking
+    job).  The shared-pin contract for callers running several graph
+    algorithms over ONE edge list (the e1 driver key): without it each
+    algorithm re-materializes identical edge/node tables serially in
+    its own build chain."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if weight_col is None:
-        edges = edges.select(
-            "src", "dst", F.lit(1).cast("long").alias("w")
-        ).localCheckpoint(eager=True)
+        e = edges.select("src", "dst", F.lit(1).cast("long").alias("w"))
     else:
-        edges = edges.select(
-            "src", "dst", F.col(weight_col).cast("long").alias("w")
-        ).localCheckpoint(eager=True)
+        e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+    edges = e if edges_pinned else e.localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col("src").alias("id"))
+        nodes_df
+        if nodes_df is not None
+        else edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
@@ -214,6 +224,8 @@ def trustrank(
     damping_pct: int = 85,
     scale: int = PAGERANK_SCALE,
     weight_col: str | None = None,
+    edges_pinned: bool = False,
+    nodes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Seeded (personalized) PageRank — TrustRank (Gyöngyi et al.,
     VLDB 2004): the teleport mass lands ONLY on a trusted seed set
@@ -229,7 +241,10 @@ def trustrank(
     the SEEDS, per the personalized formulation), and
     ``localCheckpoint`` barriers as :func:`pagerank`.
 
-    Output: ``id, out_deg, in_deg, rank, rank_prev, is_seed``."""
+    Output: ``id, out_deg, in_deg, rank, rank_prev, is_seed``.
+
+    ``edges_pinned`` / ``nodes_df``: the shared-pin contract — see
+    :func:`pagerank`."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     w = (
@@ -237,11 +252,12 @@ def trustrank(
         if weight_col is None
         else F.col(weight_col).cast("long")
     )
-    edges = edges.select("src", "dst", w.alias("w")).localCheckpoint(
-        eager=False
-    )
+    e = edges.select("src", "dst", w.alias("w"))
+    edges = e if edges_pinned else e.localCheckpoint(eager=False)
     nodes = (
-        edges.select(F.col("src").alias("id"))
+        nodes_df
+        if nodes_df is not None
+        else edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
@@ -339,6 +355,8 @@ def hyperball_harmonic(
     edges: DataFrame,
     radius: int = 3,
     p: int = 6,
+    edges_pinned: bool = False,
+    nodes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate HARMONIC CENTRALITY by HyperBall (Boldi & Vigna,
     arXiv:1308.2144) — the algorithm behind Common Crawl's published
@@ -370,9 +388,13 @@ def hyperball_harmonic(
 
     if radius < 1:
         raise ValueError("radius must be >= 1")
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    # edges_pinned / nodes_df: the shared-pin contract — see pagerank.
+    e = edges.select("src", "dst")
+    edges = e if edges_pinned else e.localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col("src").alias("id"))
+        nodes_df
+        if nodes_df is not None
+        else edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
@@ -429,6 +451,8 @@ def hits(
     edges: DataFrame,
     iterations: int = 3,
     norm_target: int = 1 << 20,
+    edges_pinned: bool = False,
+    nodes_df: DataFrame | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) in fixed-point
     integers — the complement to PageRank for query-dependent link
@@ -454,9 +478,13 @@ def hits(
     wrap point."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    # edges_pinned / nodes_df: the shared-pin contract — see pagerank.
+    e = edges.select("src", "dst")
+    edges = e if edges_pinned else e.localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col("src").alias("id"))
+        nodes_df
+        if nodes_df is not None
+        else edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
@@ -512,7 +540,7 @@ def hits(
     )
 
 
-def graph_summary(edges: DataFrame) -> DataFrame:
+def graph_summary(edges: DataFrame, edges_pinned: bool = False) -> DataFrame:
     """One-row graph datasheet over a normalized edge list: node/edge
     counts, degree extremes, dangling share, and RECIPROCITY (the
     fraction of edges whose reverse also exists — web graphs sit near
@@ -520,8 +548,11 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     is one self-join on the reversed key; everything else folds into
     single-row aggregates cross-joined into ONE plan — zero driver
     actions (the caller's collect is the only action), so the pattern
-    is safe to copy into hotter code."""
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    is safe to copy into hotter code.
+
+    ``edges_pinned``: the shared-pin contract — see :func:`pagerank`."""
+    e = edges.select("src", "dst")
+    edges = e if edges_pinned else e.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))

@@ -1120,43 +1120,57 @@ def ngram_decontaminate_bloom(
     contaminated doc is flagged — the guarantee that matters for
     decontamination), false-positive rate set by the filter sizing.
 
-    Per train gram: compute the k positions, broadcast-join the word
-    table, and flag the gram only if ALL k bits are set; per doc,
-    count flagged grams.  The join side is the fixed-size word table —
-    at corpus scale this replaces a benchmark-sized broadcast with a
-    megabyte-sized one, at the cost of a k× position explode on the
-    train gram stream (pure map-side arithmetic).
+    Per train gram: compute the k positions and test ALL k bits against
+    the whole bitset shipped as ONE broadcast row carrying an
+    array<long> (element_at on an array is O(1); a map column would
+    linear-scan) — the probe is a map-side ``forall`` expression, so
+    the only shuffle is the per-doc count of grams that actually HIT.
+    The previous shape posexploded k rows per gram, broadcast-joined
+    the word table, and re-grouped by (id, gram) to AND the bits — a
+    k×-gram-stream shuffle that existed only to reassemble what one
+    expression can test in place (same verdicts: grams are distinct per
+    doc, the word array is gap-filled with 0 exactly like the old
+    left-join coalesce).
     """
     if train_grams is None:
         train_grams = decontamination_gram_rows(train, n, text_col, id_col)
-    probes = (
-        train_grams
-        .select(
-            F.col(id_col),
-            F.col("gram"),
-            F.posexplode(_bloom_positions(F.col("gram"), num_bits, num_hashes)).alias(
-                "_k", "pos"
-            ),
-        )
-        .select(
-            F.col(id_col),
-            "gram",
-            (F.col("pos") / 64).cast("int").alias("word_idx"),
-            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+    nwords = (num_bits + 63) // 64
+    idx = train.sparkSession.range(nwords).select(
+        F.col("id").cast("int").alias("word_idx")
+    )
+    warr = (
+        idx.join(bloom_words, "word_idx", "left")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("word_idx"),
+                            F.coalesce(F.col("word"), F.lit(0).cast("long")).alias(
+                                "word"
+                            ),
+                        )
+                    )
+                ),
+                lambda e: e["word"],
+            ).alias("_warr")
         )
     )
+    # the positions arithmetic mirrors _bloom_positions exactly (conv of
+    # 15 md5 hex chars, cast long, mod num_bits); SQL text because
+    # higher-order lambdas can't close over Column-built shiftleft
+    pos_sql = (
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"i -> CAST(conv(substring(md5(concat(gram, ':', CAST(i AS STRING))), "
+        f"1, 15), 16, 10) AS BIGINT) % {num_bits})"
+    )
+    hit_sql = (
+        f"forall({pos_sql}, p -> (element_at(_warr, CAST(p DIV 64 AS INT) + 1) "
+        f"& shiftleft(1L, CAST(p % 64 AS INT))) != 0)"
+    )
     hit = (
-        probes.join(F.broadcast(bloom_words), "word_idx", "left")
-        .select(
-            F.col(id_col),
-            "gram",
-            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("bit")) != 0).alias(
-                "_set"
-            ),
-        )
-        .groupBy(id_col, "gram")
-        .agg(F.min(F.col("_set").cast("int")).alias("_all_set"))
-        .filter(F.col("_all_set") == 1)
+        train_grams.crossJoin(F.broadcast(warr))
+        .filter(F.expr(hit_sql))
         .groupBy(id_col)
         .agg(F.count("*").cast("int").alias("n_contaminated_ngrams"))
     )
