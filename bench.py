@@ -453,18 +453,30 @@ def main() -> None:
                 spark, sf_dir, STRESS16_FACTOR, stress_dir
             )
             stress_meta = {"factor": STRESS16_FACTOR, "corpus_build_sec": build_sec}
+            # construction (plan building, pin/training jobs — driver-
+            # bound, core-count-independent) is billed separately from
+            # the noop execution, the bench's own `_build` branch
+            # convention: the `queries` entry carries the EXECUTION
+            # time, which is the part whose low-core/high-core ratio
+            # measures executor-bound scaling.
+            stress_meta["build_sec"] = {}
             for name in STRESS16_KEYS:
                 if name not in queries:
                     continue
                 try:
                     spark.sparkContext.setJobDescription(f"stress{STRESS16_FACTOR}x {name}")
                     t0 = time.perf_counter()
-                    queries[name](spark, stress_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    sec = round(time.perf_counter() - t0, 3)
+                    df = queries[name](spark, stress_dir)
+                    t1 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    sec = round(time.perf_counter() - t1, 3)
+                    stress_meta["build_sec"][name] = round(t1 - t0, 3)
                     per_query[f"stress{STRESS16_FACTOR}x_{name}"] = sec
-                    print(f"# stress{STRESS16_FACTOR}x {name}: {sec:.3f}s", file=sys.stderr)
+                    print(
+                        f"# stress{STRESS16_FACTOR}x {name}: {sec:.3f}s "
+                        f"(+{t1 - t0:.3f}s build)",
+                        file=sys.stderr,
+                    )
                 except Exception as exc:  # diagnostic row must never fail the bench
                     print(f"# stress{STRESS16_FACTOR}x {name} failed: {exc}", file=sys.stderr)
                 finally:
